@@ -1,0 +1,303 @@
+"""Source-config model + template resolution.
+
+Parity target: the reference's per-source YAML contract
+(``src/config/sources/sample_source.yaml:1-112``) and its template resolver
+(``src/lambda/api_ingestion/handler.py:39-81``), with the gaps fixed:
+
+- the reference resolves only ``${SECRET:}`` / ``${ENV:}`` even though configs
+  use ``${BUCKET:}`` (``sample_source.yaml:61,65``); we implement the full
+  grammar ``${KIND:name[:default]}`` with KIND in {ENV, SECRET, BUCKET, VAR}.
+- nested *target* mappings (``sample_source.yaml:39-43``) crash the reference
+  (``transform_data.py:41-51`` assumes string values); here they are a
+  first-class ``struct`` build — see operators/transform.py.
+
+Plain dataclasses (pydantic isn't in the container); ``from_dict`` validates
+eagerly so config errors surface before any Spark job starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+_TEMPLATE_RE = re.compile(r"\$\{(ENV|SECRET|BUCKET|VAR):([A-Za-z0-9_.\-/]+)(?::([^}]*))?\}")
+
+# Pluggable lookup tables for non-ENV template kinds; tests and deployments
+# register providers (e.g. a secrets manager client) here.
+_PROVIDERS: dict[str, Callable[[str], str | None]] = {
+    "ENV": lambda name: os.environ.get(name),
+    "SECRET": lambda name: os.environ.get(f"SECRET_{name}"),
+    "BUCKET": lambda name: os.environ.get(f"BUCKET_{name}"),
+    "VAR": lambda name: None,
+}
+
+
+def register_template_provider(kind: str, fn: Callable[[str], str | None]) -> None:
+    _PROVIDERS[kind] = fn
+
+
+def resolve_templates(value: Any, extra_vars: dict[str, str] | None = None) -> Any:
+    """Recursively resolve ``${KIND:name[:default]}`` templates in a config tree."""
+    if isinstance(value, str):
+
+        def _sub(m: re.Match[str]) -> str:
+            kind, name, default = m.group(1), m.group(2), m.group(3)
+            if extra_vars and name in extra_vars:
+                return extra_vars[name]
+            resolved = _PROVIDERS.get(kind, lambda _n: None)(name)
+            if resolved is None:
+                if default is not None:
+                    return default
+                raise KeyError(f"unresolved template ${{{kind}:{name}}} and no default given")
+            return resolved
+
+        return _TEMPLATE_RE.sub(_sub, value)
+    if isinstance(value, dict):
+        return {k: resolve_templates(v, extra_vars) for k, v in value.items()}
+    if isinstance(value, list):
+        return [resolve_templates(v, extra_vars) for v in value]
+    return value
+
+
+_VALID_TRANSFORM_TYPES = {"datetime", "date", "string", "integer", "long", "double", "trim", "regexp_replace", "lower", "upper"}
+
+# Java SimpleDateFormat-style pattern sanity check: the reference ships an
+# invalid pattern ("YYYY-MM-DD HH:mm:ss", sample_source.yaml:53 — week-year and
+# day-of-year instead of year/day-of-month). We validate eagerly.
+_BAD_PATTERN_RE = re.compile(r"(?<!')\b(YYYY|DD)\b(?!')")
+
+
+@dataclass
+class TransformationSpec:
+    field: str
+    type: str
+    format: str | None = None  # datetime pattern
+    pattern: str | None = None  # regexp_replace pattern
+    replacement: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.type not in _VALID_TRANSFORM_TYPES:
+            raise ValueError(f"unknown transformation type {self.type!r} for field {self.field!r}")
+        if self.type in ("datetime", "date") and self.format and _BAD_PATTERN_RE.search(self.format):
+            raise ValueError(
+                f"invalid datetime pattern {self.format!r} for {self.field!r}: "
+                "use 'yyyy' (year) and 'dd' (day-of-month), not 'YYYY'/'DD'"
+            )
+        if self.type == "regexp_replace" and self.pattern is None:
+            raise ValueError(f"regexp_replace on {self.field!r} requires 'pattern'")
+
+
+@dataclass
+class SchemaConfig:
+    # mapping: {target: source_dot_path} or {target: {sub_target: source_dot_path}}
+    # (nested dict value ⇒ build a struct column — the reference's declared-but-
+    # broken nested-target form, sample_source.yaml:39-43)
+    mapping: dict[str, Any] = field(default_factory=dict)
+    required: list[str] = field(default_factory=list)
+    transformations: list[TransformationSpec] = field(default_factory=list)
+
+
+@dataclass
+class QualityCheck:
+    type: str  # not_null | unique | regex
+    columns: list[str]
+    pattern: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.type not in ("not_null", "unique", "regex"):
+            raise ValueError(f"unknown quality check type {self.type!r}")
+        if self.type == "regex" and not self.pattern:
+            raise ValueError("regex quality check requires 'pattern'")
+
+
+@dataclass
+class MetricThreshold:
+    metric: str  # record_count | error_count
+    threshold: float
+    comparison: str  # gt | ge | lt | le | eq
+
+    def __post_init__(self) -> None:
+        if self.comparison not in ("gt", "ge", "lt", "le", "eq"):
+            raise ValueError(f"unknown comparison {self.comparison!r}")
+
+
+@dataclass
+class DestinationConfig:
+    path: str
+    format: str = "parquet"
+    partition_by: list[str] = field(default_factory=list)
+    mode: str = "overwrite"
+    # warehouse-table extras (Redshift-style layout → Spark physical layout)
+    dist_key: str | None = None
+    sort_keys: list[str] = field(default_factory=list)
+    max_errors: int = 0  # tolerant-load cap (reference MAXERROR 10)
+
+
+@dataclass
+class RetryPolicy:
+    attempts: int = 3
+    interval_seconds: float = 1.0
+    backoff: float = 2.0
+
+
+@dataclass
+class SourceConfig:
+    name: str
+    type: str  # rest_api | email | file | stream
+    data_format: str = "json"  # json | csv | parquet
+    input_path: str | None = None
+    schema: SchemaConfig = field(default_factory=SchemaConfig)
+    destination: DestinationConfig | None = None
+    quality_checks: list[QualityCheck] = field(default_factory=list)
+    metric_thresholds: list[MetricThreshold] = field(default_factory=list)
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    partition_source_column: str | None = None  # explicit (fixes transform_data.py:123 heuristic)
+    api: dict[str, Any] = field(default_factory=dict)  # rest_api connector config
+    email: dict[str, Any] = field(default_factory=dict)  # email connector config
+    stream: dict[str, Any] = field(default_factory=dict)  # streaming connector config
+
+    @staticmethod
+    def from_dict(raw: dict[str, Any], extra_vars: dict[str, str] | None = None) -> "SourceConfig":
+        raw = resolve_templates(raw, extra_vars)
+        src_type = raw.get("type", "file")
+        if src_type not in ("rest_api", "email", "file", "stream"):
+            raise ValueError(f"unknown source type {src_type!r}")
+        schema_raw = raw.get("schema", {})
+        schema = SchemaConfig(
+            mapping=schema_raw.get("mapping", {}),
+            required=list(schema_raw.get("required", [])),
+            transformations=[
+                TransformationSpec(
+                    field=t["field"],
+                    type=t["type"],
+                    format=t.get("format"),
+                    pattern=t.get("pattern"),
+                    replacement=t.get("replacement"),
+                )
+                for t in schema_raw.get("transformations", [])
+            ],
+        )
+        dest = None
+        if "destination" in raw:
+            d = raw["destination"]
+            dest = DestinationConfig(
+                path=d["path"],
+                format=d.get("format", "parquet"),
+                partition_by=list(d.get("partition_by", d.get("partitionBy", []))),
+                mode=d.get("mode", "overwrite"),
+                dist_key=d.get("dist_key", d.get("distkey")),
+                sort_keys=list(d.get("sort_keys", d.get("sortkeys", []))),
+                max_errors=int(d.get("max_errors", 0)),
+            )
+        checks = [
+            QualityCheck(type=c["type"], columns=list(c.get("columns", [c.get("column")])), pattern=c.get("pattern"))
+            for c in raw.get("quality_checks", [])
+        ]
+        thresholds = [
+            MetricThreshold(metric=m["metric"], threshold=float(m["threshold"]), comparison=m.get("comparison", "gt"))
+            for m in raw.get("metric_thresholds", [])
+        ]
+        retry_raw = raw.get("retry", {})
+        retry = RetryPolicy(
+            attempts=int(retry_raw.get("attempts", 3)),
+            interval_seconds=float(retry_raw.get("interval_seconds", 1.0)),
+            backoff=float(retry_raw.get("backoff", 2.0)),
+        )
+        return SourceConfig(
+            name=raw["name"],
+            type=src_type,
+            data_format=raw.get("data_format", "json"),
+            input_path=raw.get("input_path"),
+            schema=schema,
+            destination=dest,
+            quality_checks=checks,
+            metric_thresholds=thresholds,
+            retry=retry,
+            partition_source_column=raw.get("partition_source_column"),
+            api=raw.get("api", {}),
+            email=raw.get("email", {}),
+            stream=raw.get("stream", {}),
+        )
+
+
+def load_source_config(path: str, extra_vars: dict[str, str] | None = None) -> SourceConfig:
+    """Load a JSON (or single-document YAML-subset) source config file."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        raw = json.loads(text)
+    except json.JSONDecodeError:
+        raw = _parse_simple_yaml(text)
+    return SourceConfig.from_dict(raw, extra_vars)
+
+
+def _parse_simple_yaml(text: str) -> dict[str, Any]:
+    """Tiny YAML-subset parser (mappings, lists, scalars) — no external deps.
+
+    Supports the shape of the reference's sample_source.yaml: nested maps via
+    indentation, ``- item`` lists, and ``key: value`` scalars.
+    """
+    import re as _re
+
+    root: dict[str, Any] = {}
+    # stack of (indent, container)
+    stack: list[tuple[int, Any]] = [(-1, root)]
+
+    def _scalar(s: str) -> Any:
+        s = s.strip()
+        if s in ("", "~", "null"):
+            return None
+        if s in ("true", "True"):
+            return True
+        if s in ("false", "False"):
+            return False
+        if (s.startswith('"') and s.endswith('"')) or (s.startswith("'") and s.endswith("'")):
+            return s[1:-1]
+        if _re.fullmatch(r"-?\d+", s):
+            return int(s)
+        if _re.fullmatch(r"-?\d+\.\d*", s):
+            return float(s)
+        return s
+
+    lines = [ln for ln in text.splitlines() if ln.strip() and not ln.strip().startswith("#")]
+    for ln in lines:
+        indent = len(ln) - len(ln.lstrip())
+        content = ln.strip()
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        parent = stack[-1][1]
+        if content.startswith("- "):
+            item_text = content[2:]
+            if not isinstance(parent, list):
+                raise ValueError(f"yaml parse error: list item outside list: {ln!r}")
+            if ":" in item_text:
+                k, _, v = item_text.partition(":")
+                d: dict[str, Any] = {}
+                parent.append(d)
+                if v.strip():
+                    d[k.strip()] = _scalar(v)
+                stack.append((indent, d))
+                # inline continuation keys on following more-indented lines attach to d
+            else:
+                parent.append(_scalar(item_text))
+        else:
+            k, _, v = content.partition(":")
+            k = k.strip()
+            if v.strip():
+                parent[k] = _scalar(v)
+            else:
+                # container: dict unless next line at deeper indent starts with '-'
+                idx = lines.index(ln)
+                child: Any = {}
+                for nxt in lines[idx + 1 :]:
+                    nxt_indent = len(nxt) - len(nxt.lstrip())
+                    if nxt_indent <= indent:
+                        break
+                    child = [] if nxt.strip().startswith("- ") else {}
+                    break
+                parent[k] = child
+                stack.append((indent, child))
+    return root

@@ -1,0 +1,483 @@
+"""Query catalog: every graded operator as a (Spark plan, DuckDB oracle) pair.
+
+Each entry exercises one or more operators from SURVEY.md §2 on the driver's
+test tables. Conventions that make the oracle hash-match deterministic:
+
+- no raw TIMESTAMP columns in outputs (Spark tz-aware vs DuckDB naive differ
+  in Arrow/py repr) — cast to DATE or format as string
+- every aggregate/computed column aliased identically in Spark and SQL
+- doubles rounded (2-4 dp) AFTER aggregation in both engines
+- DuckDB integer sums cast to BIGINT (DuckDB sums int32 into int128) and
+  year()/month()/etc cast to INTEGER (DuckDB returns BIGINT, Spark INT)
+- top-k queries carry a unique-key tiebreaker in the ORDER BY
+
+Scale notes per query are inline; the common ones: dimension joins are
+broadcast (region/nation/supplier/customer at TPC-H proportions), aggregates
+are partial (map-side combine) by construction, filters/projections push into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.config.model import QualityCheck, SchemaConfig, TransformationSpec
+from universal_aws_data_pipeline_spark.operators.quality import quality_check_df
+from universal_aws_data_pipeline_spark.operators.transform import transform_chain
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as long nanos and truncate to
+    microseconds with exact integer division (matching DuckDB's ns→µs
+    truncation — float division would lose precision at 1e18 magnitudes)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None ⇒ driver does rows-only check
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan+filter+groupBy+multi-agg.
+# Operators: S3 parquet scan, P4-ish filter, A1 aggregates, F2-F4 casts.
+# Scale: partial aggregation over 4 groups — shuffle carries 4 rows/partition.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                     AS sum_qty,
+           round(sum(l_extendedprice), 2)                                AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)             AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                     AS avg_qty,
+           round(avg(l_extendedprice), 4)                                AS avg_price,
+           round(avg(l_discount), 4)                                     AS avg_disc,
+           count(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-shaped pricing summary over lineitem",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 1)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — projection/filter/scalar functions (P1/P7, F2-F5, F10).
+# Scale: map-only; filter + projection push into the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "q02_segment_projection",
+    """
+    SELECT c_custkey AS customer_id,
+           upper(trim(c_name)) AS name,
+           round(c_acctbal, 2) AS acctbal,
+           c_mktsegment AS segment
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal IS NOT NULL AND c_acctbal > 100.0
+    """,
+    "projection + predicate + string/cast scalar functions over customer",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_mktsegment") == "BUILDING") & F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 100.0))
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.upper(F.trim(F.col("c_name"))).alias("name"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — top-k revenue orders (TPC-H Q3 shape): 3-way join + agg + sort/limit.
+# Scale: customer side is the small build side (broadcast); lineitem⋈orders is
+# the one real shuffle. Top-k via orderBy+limit = TakeOrderedAndProject (no
+# full sort materialization).
+# --------------------------------------------------------------------------
+@register(
+    "q03_topk_unshipped",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    "3-way join + group + top-k (TPC-H Q3 shape)",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = dt.datetime(1998, 3, 15)
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(o.filter(F.col("o_orderdate") < F.lit(cutoff)), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("revenue"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — regional revenue (TPC-H Q5 shape): 6-way star join + agg.
+# Scale: region/nation/supplier/customer are broadcast dims; the only big
+# shuffle is lineitem⋈orders. At 100 TB, AQE demotes/promotes broadcasts by
+# runtime stats; the explicit hints keep the plan stable at any SF.
+# --------------------------------------------------------------------------
+@register(
+    "q04_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n    ON c.c_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "6-way star join + regional aggregate (TPC-H Q5 shape)",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    s, n, r = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1))) & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 1, 1)))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(F.col("n_name").alias("nation"), F.col("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — the reference's whole transform chain as one query (its entire Glue
+# job: mapping → casts/trim/upper → required-filter → metadata → partition
+# derivation), with injected clock for determinism. transform_data.py:206-212.
+# --------------------------------------------------------------------------
+@register(
+    "q05_transform_chain",
+    """
+    SELECT c_custkey AS customer_id,
+           upper(trim(c_name)) AS name,
+           CAST(c_nationkey AS INTEGER) AS nation_key,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           'customer_src' AS source_name,
+           '2026-01-01 00:00:00' AS processed_at,
+           CAST(2026 AS INTEGER) AS year, CAST(1 AS INTEGER) AS month, CAST(15 AS INTEGER) AS day
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+    """,
+    "config-driven ETL transform chain (reference transform_data.py parity)",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    schema = SchemaConfig(
+        mapping={
+            "customer_id": "c_custkey",
+            "name": "c_name",
+            "nation_key": "c_nationkey",
+            "acctbal": "c_acctbal",
+        },
+        required=["customer_id", "name"],
+        transformations=[
+            TransformationSpec(field="name", type="trim"),
+            TransformationSpec(field="name", type="upper"),
+            TransformationSpec(field="nation_key", type="integer"),
+            TransformationSpec(field="acctbal", type="double"),
+        ],
+    )
+    out = transform_chain(
+        c,
+        schema,
+        source_name="customer_src",
+        processed_at=dt.datetime(2026, 1, 1),
+        fallback_date=dt.date(2026, 1, 15),
+    )
+    # stringify the timestamp for a tz-stable compare
+    return out.withColumn("processed_at", F.date_format("processed_timestamp", "yyyy-MM-dd HH:mm:ss")).drop(
+        "processed_timestamp"
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — quality-check engine (the reference's declared-but-dead config
+# surface, sample_source.yaml:85-95, made real). One scan, all checks.
+# --------------------------------------------------------------------------
+@register(
+    "q06_quality_checks",
+    """
+    SELECT 'not_null(c_name)' AS check, CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM customer
+    UNION ALL
+    SELECT 'unique(c_custkey)', CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
+           count(c_custkey) = count(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'regex(c_mktsegment)', CAST(sum(CASE WHEN NOT coalesce(regexp_matches(c_mktsegment, '^[A-Z]+$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN NOT coalesce(regexp_matches(c_mktsegment, '^[A-Z]+$'), FALSE) THEN 1 ELSE 0 END) = 0 FROM customer
+    """,
+    "not_null/unique/regex quality checks in one aggregation pass",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    checks = [
+        QualityCheck(type="not_null", columns=["c_name"]),
+        QualityCheck(type="unique", columns=["c_custkey"]),
+        QualityCheck(type="regex", columns=["c_mktsegment"], pattern="^[A-Z]+$"),
+    ]
+    return quality_check_df(c, checks)
+
+
+# --------------------------------------------------------------------------
+# q07 — exact dedup, keep-first (X1): group-by-content min-key.
+# Scale: hash-shuffle on the dedup key with map-side partial min — at 100 TB
+# prefer this over Window(row_number) which must sort each group.
+# --------------------------------------------------------------------------
+@register(
+    "q07_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count, CAST(min(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+    "exact dedup keep-first over documents (X1)",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("n_chars").cast("long").alias("n_chars"),
+    ).drop("text")
+
+
+# --------------------------------------------------------------------------
+# q08 — text token stats (X4): tokenization + length metrics, map-only.
+# --------------------------------------------------------------------------
+@register(
+    "q08_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS text_len,
+           lang
+    FROM documents
+    """,
+    "whitespace token counting + length metrics over documents (X4)",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — per-language corpus stats (X4): groupBy + avg/sum over derived cols.
+# --------------------------------------------------------------------------
+@register(
+    "q09_lang_profile",
+    r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    "per-language corpus profile (X4)",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias("total_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — JSON extraction (F11 get_json_object parity) + agg on events.
+# --------------------------------------------------------------------------
+@register(
+    "q10_events_json",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+           round(sum(value), 2) AS value_total,
+           count(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    "dot-path JSON extraction from event payloads + aggregate (F11)",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_total"),
+            F.round(F.sum("value"), 2).alias("value_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — partition-column derivation (P6): year/month/day from a date column.
+# --------------------------------------------------------------------------
+@register(
+    "q11_partition_derive",
+    """
+    SELECT o_orderkey AS orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(day(o_orderdate) AS INTEGER) AS day
+    FROM orders
+    """,
+    "year/month/day partition derivation (transform_data.py:113-150 parity)",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        F.dayofmonth("o_orderdate").alias("day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — page union with schema drift (S5-S7 page accumulation semantics):
+# unionByName(allowMissingColumns=True), missing columns null-filled.
+# --------------------------------------------------------------------------
+@register(
+    "q12_union_schema_drift",
+    """
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status, o_totalprice AS totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "union of drifted page schemas, null-filled (API pagination semantics)",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    page1 = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    page2 = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_orderstatus").alias("status")
+    )
+    return page1.unionByName(page2, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# q13 — windowed dedup keep-latest (X1 variant; §2.5 window surface):
+# row_number over (user, ts desc) — streaming-dedup's batch twin.
+# --------------------------------------------------------------------------
+@register(
+    "q13_window_keep_latest",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "keep latest event per user via ranking window (X1/window surface)",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )

@@ -1,0 +1,4 @@
+from universal_aws_data_pipeline_spark.sinks.tables import (  # noqa: F401
+    write_partitioned,
+    write_warehouse_table,
+)

