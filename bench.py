@@ -1,0 +1,69 @@
+"""Benchmark harness: run the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized via a count-collapsing action that still executes
+the full plan (``df.write.format("noop")``), so timings include the complete
+scan→shuffle→output path without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+from universal_aws_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM (whole-stage codegen compilation, parquet reader classes)
+    # by executing every query once at the smallest SF: per-query timings then
+    # measure the query, not one-time JIT costs. Falls back to the bench dir
+    # if sf0.001 isn't present.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for spec in QUERIES.values():
+        try:
+            spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
+    # best-of-2 per query: reports steady-state latency, resistant to the
+    # rig's scheduling noise (single-run numbers swing 3-10x on shared VMs)
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_value: float | str = float(sf_label)
+    except ValueError:
+        sf_value = sf_label
+    out = {
+        "metric": "catalog_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Text normalization, tokenization, shingling, and portable hashing.
+
+Hashing is md5-based on purpose: Spark's ``hash()``/``xxhash64()`` and
+DuckDB's ``hash()`` are different algorithms, but ``md5`` hex strings are
+identical everywhere — which makes MinHash/SimHash signatures reproducible
+across engines (and therefore oracle-checkable). md5 is ~2-3x slower than
+xxhash64, but both are JVM-side and the cost is dwarfed by the shuffle in any
+dedup join; swap in xxhash64 via ``hash_fn`` when cross-engine parity isn't
+needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(text), " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; whole normalized text when shorter than n.
+
+    Array expression (transform over an index sequence) — no explode, no
+    shuffle; shingling stays row-local and codegen'd.
+    """
+    toks = tokens_col(text)
+
+    def _shingle(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)])
+
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), _shingle),
+        ).otherwise(F.array(normalize_text(text)))
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def seeded_md5(value: Column, seed: int) -> Column:
+    """Portable seeded hash: md5 of 'seed|value' (hex string, orderable)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), value))

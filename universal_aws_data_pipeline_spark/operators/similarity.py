@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (extension X3).
+
+Three tiers, same column contract (id, array<float> embedding):
+
+1. ``cosine_topk`` — exact brute-force top-k against one query vector.
+   Map-only scan + TakeOrderedAndProject: the correctness baseline, and at
+   100 TB still viable for *single* queries (one pass, no shuffle, k rows to
+   the driver).
+2. ``cosine_topk_blocked`` — pairwise near-neighbors within a blocking key
+   (e.g. cluster/label/partition): turns N² into sum_b(n_b²) — an equi-join.
+3. ``lsh_topk`` — BucketedRandomProjectionLSH (pyspark.ml) over the corpus:
+   the multi-query / all-pairs scale path; probes only colliding buckets.
+
+The exact tiers are pure built-in expressions (deterministic, oracle-able);
+the LSH tier's hash planes come from a seeded model (deterministic per seed
+but engine-specific, so graded rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec`` (descending, id tiebreak).
+
+    orderBy+limit compiles to TakeOrderedAndProject — each task keeps a k-row
+    heap; only k rows per partition reach the driver-side merge.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs within a blocking key (id_a < id_b,
+    cosine >= threshold). The equi-join on the block key is the only shuffle;
+    never an unblocked cross-join."""
+    a = df.select(F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    joined = a.join(b, on=block_col).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    return (
+        joined.select(F.col(block_col), "id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing (pyspark.ml LSH).
+
+    Scale path for repeated/batch queries: the model's hash tables bucket the
+    corpus once; each query probes matching buckets instead of scanning all
+    vectors. Returns (id, approx_dist) — Euclidean on unit-normalized vectors,
+    monotone in cosine.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    norm = F.sqrt(F.aggregate(F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x))
+    unit = df.select(
+        F.col(id_col),
+        array_to_vector(F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm)).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(unit)
+    import math
+
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query_vec)) or 1.0
+    qv = Vectors.dense([float(v) / qnorm for v in query_vec])
+    res = model.approxNearestNeighbors(unit, qv, k)
+    return res.select(F.col(id_col), F.round(F.col("distCol"), 6).alias("approx_dist"))

@@ -125,8 +125,16 @@ def add_metadata_columns(
 
     ``processed_at=None`` ⇒ wall clock (reference behavior); tests inject a
     fixed instant for hash-reproducibility.
+
+    The injected value becomes a TIMESTAMP_NTZ literal: a naive ``datetime``
+    through ``F.lit`` is converted with the *driver's* local tz but rendered
+    with the *session* tz, so downstream formatting would shift whenever the
+    two disagree. NTZ is wall-clock on both ends.
     """
-    ts = F.lit(processed_at).cast("timestamp") if processed_at is not None else F.current_timestamp()
+    if processed_at is not None:
+        ts = F.lit(processed_at.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp_ntz")
+    else:
+        ts = F.current_timestamp()
     return df.withColumn("source_name", F.lit(source_name)).withColumn("processed_timestamp", ts)
 
 

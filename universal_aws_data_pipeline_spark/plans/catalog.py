@@ -43,6 +43,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ntz(ts: dt.datetime) -> F.Column:
+    """TIMESTAMP_NTZ literal. The test tables store naive parquet timestamps,
+    which Spark 4 reads as TIMESTAMP_NTZ; a naive ``F.lit(datetime)`` would be
+    a session-tz instant and shift comparison boundaries whenever the driver's
+    session tz isn't UTC. NTZ-vs-NTZ compares wall clocks — tz-free."""
+    return F.lit(ts.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp_ntz")
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -88,7 +96,7 @@ def register(name: str, oracle: str | None, doc: str) -> Callable:
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 1)))
+        li.filter(F.col("l_shipdate") <= _ntz(dt.datetime(1998, 9, 1)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -164,8 +172,8 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cutoff = dt.datetime(1998, 3, 15)
     return (
-        li.filter(F.col("l_shipdate") > F.lit(cutoff))
-        .join(o.filter(F.col("o_orderdate") < F.lit(cutoff)), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.filter(F.col("l_shipdate") > _ntz(cutoff))
+        .join(o.filter(F.col("o_orderdate") < _ntz(cutoff)), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -208,7 +216,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o, c = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     s, n, r = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     o = o.filter(
-        (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1))) & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 1, 1)))
+        (F.col("o_orderdate") >= _ntz(dt.datetime(1996, 1, 1))) & (F.col("o_orderdate") < _ntz(dt.datetime(1997, 1, 1)))
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
