@@ -1,0 +1,132 @@
+"""PipelineRunner end-to-end tests: routing, retry, quality gate, threshold
+alarms, warehouse write, notifications."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from universal_aws_data_pipeline_spark.config.model import SourceConfig
+from universal_aws_data_pipeline_spark.runner import PipelineRunner
+
+
+@pytest.fixture()
+def customer_json(tmp_path):
+    path = tmp_path / "raw"
+    path.mkdir()
+    rows = [
+        {"id": 1, "profile": {"name": "  alice  ", "city": "Berlin"}, "balance": "10.5", "created": "2024-03-01"},
+        {"id": 2, "profile": {"name": "bob", "city": "Paris"}, "balance": "7.25", "created": "2024-03-02"},
+        {"id": None, "profile": {"name": "ghost", "city": "X"}, "balance": "0", "created": "2024-03-03"},
+    ]
+    with open(path / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+def _cfg(customer_json, tmp_path, **extra):
+    base = {
+        "name": "customers",
+        "type": "file",
+        "data_format": "json",
+        "input_path": customer_json,
+        "schema": {
+            "mapping": {
+                "customer_id": "id",
+                "name": "profile.name",
+                "address": {"city": "profile.city"},  # nested TARGET (fixed §1.4)
+                "balance": "balance",
+                "created_at": "created",
+            },
+            "required": ["customer_id"],
+            "transformations": [
+                {"field": "name", "type": "trim"},
+                {"field": "balance", "type": "double"},
+                {"field": "created_at", "type": "datetime", "format": "yyyy-MM-dd"},
+            ],
+        },
+        "partition_source_column": "created_at",
+        "retry": {"attempts": 2, "interval_seconds": 0.0},
+    }
+    base.update(extra)
+    return SourceConfig.from_dict(base)
+
+
+def test_file_pipeline_end_to_end(spark, customer_json, tmp_path):
+    events = []
+    cfg = _cfg(
+        customer_json,
+        tmp_path,
+        destination={"path": str(tmp_path / "out"), "partition_by": ["year", "month"]},
+        quality_checks=[{"type": "unique", "columns": ["customer_id"]}],
+    )
+    runner = PipelineRunner(spark, notify=events.append, clock=lambda: dt.datetime(2026, 1, 1))
+    result = runner.run(cfg)
+    assert result.status == "success", result.error
+    assert result.stages == ["ingest", "transform", "quality", "write"]
+    assert result.record_count == 2  # null-id row dropped by required filter
+
+    back = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["customer_id"]: r.asDict() for r in back.collect()}
+    assert rows[1]["name"] == "alice"  # trimmed
+    assert rows[1]["address"]["city"] == "Berlin"  # nested struct target
+    assert rows[1]["year"] == 2024 and rows[1]["month"] == 3  # derived partitions
+    assert events[-1]["status"] == "success"
+
+
+def test_quality_gate_fails_run(spark, customer_json, tmp_path):
+    events = []
+    cfg = _cfg(
+        customer_json,
+        tmp_path,
+        quality_checks=[{"type": "regex", "columns": ["name"], "pattern": "^[A-Z]"}],  # lowercase names fail
+    )
+    result = PipelineRunner(spark, notify=events.append).run(cfg)
+    assert result.status == "failed"
+    assert "quality checks failed" in result.error
+    assert events[-1]["status"] == "failed"
+
+
+def test_metric_threshold_alarm(spark, customer_json, tmp_path):
+    cfg = _cfg(customer_json, tmp_path, metric_thresholds=[{"metric": "record_count", "threshold": 10, "comparison": "gt"}])
+    result = PipelineRunner(spark).run(cfg)
+    assert result.status == "failed" and "record_count" in result.error
+
+
+def test_warehouse_destination_distkey_sortkey(spark, customer_json, tmp_path):
+    cfg = _cfg(
+        customer_json,
+        tmp_path,
+        destination={"path": str(tmp_path / "wh"), "distkey": "customer_id", "sortkeys": ["created_at"]},
+    )
+    result = PipelineRunner(spark, clock=lambda: dt.datetime(2026, 1, 1)).run(cfg)
+    assert result.status == "success", result.error
+    assert result.record_count == 2
+    assert spark.read.parquet(str(tmp_path / "wh")).count() == 2
+
+
+def test_ingest_retry_then_success(spark, customer_json, tmp_path):
+    calls = {"n": 0}
+
+    def flaky_http(url, method, headers, body, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 503, "boom"
+        return 200, json.dumps({"items": [{"id": 7, "profile": {"name": "x", "city": "Y"},
+                                           "balance": "1", "created": "2024-01-05"}]})
+
+    cfg = _cfg(customer_json, tmp_path)
+    cfg.type = "rest_api"
+    cfg.api = {"endpoint": "http://fake/api", "data_path": "items"}
+    result = PipelineRunner(spark, http=flaky_http, clock=lambda: dt.datetime(2026, 1, 1)).run(cfg)
+    assert result.status == "success", result.error
+    assert calls["n"] == 2  # one retry
+    assert result.record_count == 1
+
+
+def test_unknown_source_type_fails():
+    with pytest.raises(ValueError, match="unknown source type"):
+        SourceConfig.from_dict({"name": "bad", "type": "carrier_pigeon"})

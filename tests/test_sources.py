@@ -1,0 +1,186 @@
+"""REST (pagination×3, auth, retry) and email-attachment source tests —
+hermetic: HTTP is an injected fake, emails are synthesized MIME bytes."""
+
+from __future__ import annotations
+
+import email.mime.application
+import email.mime.multipart
+import email.mime.text
+import json
+
+import pytest
+
+from universal_aws_data_pipeline_spark.config.model import RetryPolicy
+from universal_aws_data_pipeline_spark.sources.email import EmailSourceConfig, email_source, extract_attachments
+from universal_aws_data_pipeline_spark.sources.rest import fetch_pages, pages_to_dataframe, rest_api_source
+
+
+class FakeHttp:
+    """Records requests; serves canned JSON pages keyed by query params."""
+
+    def __init__(self, responder):
+        self.responder = responder
+        self.calls: list[str] = []
+        self.fail_first = 0
+
+    def __call__(self, url, method, headers, body, timeout):
+        self.calls.append(url)
+        if self.fail_first > 0:
+            self.fail_first -= 1
+            return 503, "unavailable"
+        from urllib.parse import parse_qs, urlparse
+
+        params = {k: v[0] for k, v in parse_qs(urlparse(url).query).items()}
+        return 200, json.dumps(self.responder(params, headers))
+
+
+def test_offset_pagination_stops_on_short_page():
+    data = [{"id": i} for i in range(25)]
+
+    def responder(params, headers):
+        off, lim = int(params.get("offset", 0)), int(params.get("limit", 10))
+        return {"items": data[off : off + lim]}
+
+    http = FakeHttp(responder)
+    pages = fetch_pages(
+        {
+            "endpoint": "http://x/api",
+            "data_path": "items",
+            "pagination": {"type": "offset", "page_size": 10, "max_pages": 10},
+        },
+        http=http,
+    )
+    assert [len(p) for p in pages] == [10, 10, 5]
+    assert sum(len(p) for p in pages) == 25
+
+
+def test_page_number_pagination_and_max_pages_cap():
+    def responder(params, headers):
+        page = int(params.get("page", 1))
+        return {"items": [{"page": page}]}  # never-ending feed
+
+    pages = fetch_pages(
+        {"endpoint": "http://x/api", "data_path": "items", "pagination": {"type": "page", "max_pages": 3}},
+        http=FakeHttp(responder),
+    )
+    assert [p[0]["page"] for p in pages] == [1, 2, 3]  # capped (handler.py:162)
+
+
+def test_next_token_pagination_dot_path():
+    chunks = {None: (["a", "b"], "t1"), "t1": (["c"], "t2"), "t2": (["d"], None)}
+
+    def responder(params, headers):
+        recs, nxt = chunks[params.get("tok")]
+        return {"data": {"records": [{"v": r} for r in recs]}, "meta": {"next": nxt}}
+
+    pages = fetch_pages(
+        {
+            "endpoint": "http://x/api",
+            "data_path": "data.records",
+            "pagination": {"type": "next_token", "token_param": "tok", "token_path": "meta.next"},
+        },
+        http=FakeHttp(responder),
+    )
+    assert [[r["v"] for r in p] for p in pages] == [["a", "b"], ["c"], ["d"]]
+
+
+def test_auth_headers_and_retry_on_5xx():
+    seen = {}
+
+    def responder(params, headers):
+        seen.update(headers)
+        return {"items": [{"ok": 1}]}
+
+    http = FakeHttp(responder)
+    http.fail_first = 2  # two 503s, third succeeds
+    pages = fetch_pages(
+        {
+            "endpoint": "http://x/api",
+            "data_path": "items",
+            "auth": {"type": "bearer", "token": "sekrit"},
+        },
+        http=http,
+        retry=RetryPolicy(attempts=3, interval_seconds=0.0, backoff=1.0),
+    )
+    assert pages == [[{"ok": 1}]]
+    assert seen["Authorization"] == "Bearer sekrit"
+    assert len(http.calls) == 3
+
+
+def test_4xx_fails_fast_no_retry():
+    http = FakeHttp(lambda p, h: {})
+
+    def bad(url, method, headers, body, timeout):
+        http.calls.append(url)
+        return 404, "not found"
+
+    with pytest.raises(ValueError, match="client error 404"):
+        fetch_pages({"endpoint": "http://x/api"}, http=bad, retry=RetryPolicy(attempts=3, interval_seconds=0.0))
+    assert len(http.calls) == 1
+
+
+def test_pages_union_with_schema_drift(spark):
+    pages = [[{"id": 1, "name": "a"}], [{"id": 2, "extra": 9}]]
+    df = pages_to_dataframe(spark, pages)
+    rows = {r["id"]: r.asDict() for r in df.collect()}
+    assert rows[1]["name"] == "a" and rows[1]["extra"] is None
+    assert rows[2]["extra"] == 9 and rows[2]["name"] is None
+
+
+def test_rest_source_landing_path(spark, tmp_path):
+    def responder(params, headers):
+        off = int(params.get("offset", 0))
+        return {"items": [{"id": off + i} for i in range(5)] if off < 10 else []}
+
+    df = rest_api_source(
+        spark,
+        {
+            "endpoint": "http://x/api",
+            "data_path": "items",
+            "pagination": {"type": "offset", "page_size": 5, "max_pages": 5},
+        },
+        http=FakeHttp(responder),
+        land_dir=str(tmp_path / "landing"),
+    )
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+
+
+def _mime(sender: str, attachments: dict[str, bytes]) -> bytes:
+    msg = email.mime.multipart.MIMEMultipart()
+    msg["From"] = sender
+    msg["Subject"] = "=?utf-8?q?daily_report?="
+    msg["Message-ID"] = "<m1@test>"
+    msg.attach(email.mime.text.MIMEText("see attached"))
+    for fname, payload in attachments.items():
+        part = email.mime.application.MIMEApplication(payload)
+        part.add_header("Content-Disposition", "attachment", filename=fname)
+        msg.attach(part)
+    return msg.as_bytes()
+
+
+def test_email_attachments_extension_allowlist():
+    raw = _mime("Data Sender <reports@corp.com>", {"data.csv": b"a,b\n1,2\n", "virus.exe": b"MZ"})
+    cfg = EmailSourceConfig(name="rpt", allowed_senders=["reports@corp.com"], allowed_extensions=["csv", "json"])
+    recs = extract_attachments(raw, cfg)
+    assert [r["filename"] for r in recs] == ["data.csv"]
+    assert recs[0]["sender"] == "reports@corp.com"
+    assert recs[0]["subject"] == "daily report"  # RFC2047 decoded
+    assert recs[0]["payload"] == b"a,b\n1,2\n"
+
+
+def test_email_sender_allowlist_rejects():
+    raw = _mime("Spam <spam@evil.com>", {"data.csv": b"x"})
+    cfg = EmailSourceConfig(name="rpt", allowed_senders=["reports@corp.com"])
+    assert extract_attachments(raw, cfg) == []
+
+
+def test_email_source_dataframe(spark):
+    raws = [
+        _mime("a@corp.com", {"one.csv": b"1"}),
+        _mime("b@corp.com", {"two.json": b"{}", "skip.bin": b"\x00"}),
+    ]
+    cfg = EmailSourceConfig(name="rpt", allowed_extensions=["csv", "json"])
+    df = email_source(spark, raws, cfg)
+    rows = df.orderBy("filename").collect()
+    assert [r["filename"] for r in rows] == ["one.csv", "two.json"]
+    assert rows[0]["n_bytes"] == 1 and bytes(rows[1]["payload"]) == b"{}"

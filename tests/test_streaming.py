@@ -1,0 +1,151 @@
+"""Structured Streaming tests: file source + availableNow trigger, tumbling
+windows with watermark, session windows, streaming dedup, batch/stream parity."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.streaming.ops import (
+    dedup_within_watermark,
+    read_stream_source,
+    session_windowed_agg,
+    windowed_agg,
+    write_stream_sink,
+)
+
+EVENTS = [
+    # (event_id, ts, user_id, value) — two hours of data, one late row
+    (1, "2024-01-01 10:00:10", 1, 1.0),
+    (2, "2024-01-01 10:20:00", 1, 2.0),
+    (3, "2024-01-01 10:59:59", 2, 3.0),
+    (4, "2024-01-01 11:00:01", 2, 4.0),
+    (5, "2024-01-01 11:30:00", 1, 5.0),
+    (1, "2024-01-01 10:00:10", 1, 1.0),  # exact duplicate of event 1
+]
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+
+
+def _batch_df(spark):
+    raw = spark.createDataFrame(EVENTS, "event_id LONG, ts STRING, user_id LONG, value DOUBLE")
+    return raw.withColumn("ts", F.to_timestamp("ts"))
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "batch0.json", "w") as f:
+        for e in EVENTS:
+            f.write(json.dumps({"event_id": e[0], "ts": e[1], "user_id": e[2], "value": e[3]}) + "\n")
+    return str(d)
+
+
+def _run_to_memory(df, name, tmp_path, output_mode="append"):
+    q = write_stream_sink(
+        df,
+        {
+            "type": "memory",
+            "name": name,
+            "checkpoint": str(tmp_path / f"ckpt_{name}"),
+            "output_mode": output_mode,
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_agg_stream_matches_batch(spark, stream_dir, tmp_path):
+    stream = read_stream_source(spark, {"type": "file", "path": stream_dir, "format": "json"}, SCHEMA)
+    aggs = [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")]
+    windowed = windowed_agg(stream, "ts", "1 hour", aggs, watermark="10 minutes")
+    # update mode: every window's current state is emitted → equals the batch twin
+    _run_to_memory(windowed, "win_stream", tmp_path, output_mode="update")
+    got = {(r["window_start"], r["n"], r["total"]) for r in spark.table("win_stream").collect()}
+
+    batch = _batch_df(spark)
+    expected = {
+        (r["window_start"], r["n"], r["total"])
+        for r in windowed_agg(batch, "ts", "1 hour", aggs).collect()
+    }
+    assert got == expected  # one code path, two execution modes
+    assert len(got) == 2  # two 1-hour windows
+
+
+def test_windowed_agg_append_emits_only_watermark_finalized(spark, stream_dir, tmp_path):
+    """Append mode holds a window in state until the watermark passes its end:
+    max event time 11:30 - 10 min = 11:20 finalizes the 10:00 window only."""
+    stream = read_stream_source(spark, {"type": "file", "path": stream_dir, "format": "json"}, SCHEMA)
+    windowed = windowed_agg(stream, "ts", "1 hour", [F.count(F.lit(1)).alias("n")], watermark="10 minutes")
+    _run_to_memory(windowed, "win_append", tmp_path, output_mode="append")
+    rows = spark.table("win_append").collect()
+    assert [(r["window_start"], r["n"]) for r in rows] == [(1704103200, 4)]
+
+
+def test_sliding_window(spark):
+    batch = _batch_df(spark)
+    out = windowed_agg(batch, "ts", "1 hour", [F.count(F.lit(1)).alias("n")], slide="30 minutes")
+    rows = {(r["window_start"], r["n"]) for r in out.collect()}
+    # sliding windows double-count rows across overlapping panes
+    assert sum(n for _, n in rows) > len(EVENTS)
+
+
+def test_session_window(spark):
+    batch = _batch_df(spark)
+    out = session_windowed_agg(batch, "ts", "25 minutes", [F.count(F.lit(1)).alias("n")], group_by=["user_id"])
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    # user 1: events at 10:00/10:20 merge (gap<25m), 11:30 separate; dup of
+    # event 1 joins the first session
+    assert sorted(per_user[1]) == [1, 3]
+    # user 2: 10:59:59 and 11:00:01 merge into one session
+    assert per_user[2] == [2]
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir, tmp_path):
+    stream = read_stream_source(spark, {"type": "file", "path": stream_dir, "format": "json"}, SCHEMA)
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour").select("event_id", "user_id")
+    _run_to_memory(deduped, "dedup_stream", tmp_path)
+    rows = spark.table("dedup_stream").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4, 5]  # dup dropped
+
+
+def test_file_stream_to_parquet_sink(spark, stream_dir, tmp_path):
+    stream = read_stream_source(
+        spark, {"type": "file", "path": stream_dir, "format": "json", "max_files_per_trigger": 1}, SCHEMA
+    )
+    out_dir = str(tmp_path / "out")
+    q = write_stream_sink(
+        stream.filter(F.col("value") > 1.5),
+        {"type": "file", "path": out_dir, "format": "parquet",
+         "checkpoint": str(tmp_path / "ckpt_file"), "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert sorted(r["event_id"] for r in back.collect()) == [2, 3, 4, 5]
+
+
+def test_foreach_batch_sink(spark, stream_dir, tmp_path):
+    stream = read_stream_source(spark, {"type": "file", "path": stream_dir, "format": "json"}, SCHEMA)
+    target = str(tmp_path / "warehouse")
+
+    def load(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(target)
+
+    q = write_stream_sink(
+        stream,
+        {"type": "foreach_batch", "fn": load,
+         "checkpoint": str(tmp_path / "ckpt_feb"), "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == len(EVENTS)
+
+
+def test_rate_source_shape(spark):
+    df = read_stream_source(spark, {"type": "rate", "rows_per_second": 5})
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}

@@ -66,6 +66,26 @@ def run_quality_checks(df: DataFrame, checks: list[QualityCheck]) -> list[CheckR
     return [CheckResult(check=r["check"], passed=bool(r["passed"]), violations=int(r["violations"])) for r in rows]
 
 
+class QualityCheckError(ValueError):
+    """Raised by ``enforce_quality_checks`` when any check fails; carries the
+    full result list so callers can report per-check violations."""
+
+    def __init__(self, results: list[CheckResult]):
+        self.results = results
+        failed = [r for r in results if not r.passed]
+        super().__init__(
+            "quality checks failed: " + ", ".join(f"{r.check} ({r.violations} violations)" for r in failed)
+        )
+
+
+def enforce_quality_checks(df: DataFrame, checks: list[QualityCheck]) -> list[CheckResult]:
+    """Gate variant: run all checks in one pass, raise if any fail."""
+    results = run_quality_checks(df, checks)
+    if any(not r.passed for r in results):
+        raise QualityCheckError(results)
+    return results
+
+
 def check_metric_thresholds(metrics: dict[str, float], thresholds: list[MetricThreshold]) -> list[CheckResult]:
     """Driver-side comparison of observed metrics vs declared thresholds
     (sample_source.yaml:99-107). Metrics come from ``df.observe`` accumulators,

@@ -489,3 +489,377 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
+
+
+# ==========================================================================
+# Extension-operator queries (SURVEY §2.11, driver-mandated LLM-pipeline ops)
+# ==========================================================================
+
+_LANG_MARKER_SQL = {
+    "en": "['the','a','of','and','is']",
+    "de": "['der','die','das','und','ist']",
+    "es": "['el','la','de','y','es']",
+    "fr": "['le','la','des','et','est']",
+}
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_Q14_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_NORM_SQL} AS norm,
+         CAST(length(text) AS DOUBLE) AS n,
+         len(string_split_regex(trim(text), '\\s+')) AS ntok
+  FROM documents
+), cls AS (
+  SELECT doc_id, text, norm, n, ntok,
+    (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+    (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+    (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len,
+    string_split(norm, ' ') AS toks
+  FROM base
+), scores AS (
+  SELECT *,
+    {", ".join(f"len(list_filter(toks, x -> list_contains({m}, x))) AS s_{lang}"
+               for lang, m in _LANG_MARKER_SQL.items())}
+  FROM cls
+)
+SELECT doc_id,
+  CAST(ntok AS BIGINT) AS n_tokens,
+  CAST(n AS BIGINT) AS n_chars,
+  round(alpha_ratio, 4) AS alpha_ratio,
+  round(punct_ratio, 4) AS punct_ratio,
+  round((least(1.0, ntok / 100.0) + alpha_ratio
+         + (1.0 - least(1.0, digit_ratio + punct_ratio))
+         + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+        4) AS quality,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess,
+  md5(norm) AS fingerprint
+FROM scores
+"""
+
+
+@register(
+    "q14_text_profile",
+    _Q14_ORACLE,
+    "full text-analysis profile: tokens, char classes, quality, lang-id, fingerprint (X4)",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from universal_aws_data_pipeline_spark.operators.text import profile_documents
+
+    return profile_documents(_t(spark, sf_dir, "documents"))
+
+
+def _mh_sql(k: int) -> str:
+    return f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min')"
+
+
+_Q15_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
+), toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM corpus
+), shing AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+    ELSE [norm] END AS sh
+  FROM toks
+), sigs AS (
+  SELECT doc_id, sh, {", ".join(f"{_mh_sql(k)} AS mh{k}" for k in range(8))} FROM shing
+), banded AS (
+  SELECT doc_id, 0 AS bi, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bh FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', mh4, mh5, mh6, mh7)) FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
+WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "q15_neardup_minhash_lsh",
+    _Q15_ORACLE,
+    "MinHash-LSH near-dup pairs + exact Jaccard verify over documents ∪ tail-mutated copies (X2)",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus = documents plus a copy with the last word dropped (synthetic
+    near-dups — the fixture has no natural ones). The engine path is the real
+    operator: signatures → band explode → band-hash equi-join → Jaccard verify.
+    No cross-join at any scale; candidate cardinality is bounded by bucket
+    sizes, and AQE splits skewed (boilerplate) buckets."""
+    from universal_aws_data_pipeline_spark.operators.dedup import neardup_pairs_jaccard
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    return neardup_pairs_jaccard(corpus, threshold=0.5, num_hashes=8, bands=2, shingle_n=3)
+
+
+def _simhash_oracle() -> str:
+    terms = []
+    for p in range(8):
+        for j in range(4):
+            k = p * 4 + j
+            terms.append(
+                f"sum(((strpos('0123456789abcdef', substring(h8,{p + 1},1))-1) "
+                f"// {2 ** (3 - j)} % 2) * 2 - 1) AS s{k}"
+            )
+    bit_chars = ", ".join(f"CASE WHEN s{k} >= 0 THEN '1' ELSE '0' END" for k in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), h AS (SELECT doc_id, substring(md5(tok), 1, 8) AS h8 FROM toks),
+agg AS (SELECT doc_id, {", ".join(terms)} FROM h GROUP BY doc_id)
+SELECT doc_id, concat({bit_chars}) AS simhash FROM agg
+"""
+
+
+@register(
+    "q16_simhash",
+    _simhash_oracle(),
+    "32-bit SimHash fingerprint per document (X2) — portable md5 bit arithmetic",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from universal_aws_data_pipeline_spark.operators.dedup import simhash32
+
+    return simhash32(_t(spark, sf_dir, "documents"))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"{dot} / ({na} * {nb})"
+
+
+@register(
+    "q17_cosine_topk",
+    f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_cos_sql("e.embedding", "qv.q")}, 6) AS cos_sim
+    FROM embeddings e, qv
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    "exact brute-force cosine top-k against one query vector (X3 baseline)",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query = embedding of vec_id 0 (single-row driver lookup). The scan side
+    is map-only + TakeOrderedAndProject: at 100 TB a single query is one pass,
+    k rows per task to the driver merge — no shuffle."""
+    from universal_aws_data_pipeline_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return cosine_topk(e, qvec, k=10, id_col="vec_id")
+
+
+@register(
+    "q18_cosine_pairs_blocked",
+    f"""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
+    """,
+    "embedding near-dup pairs within a blocking key — equi-join, no cross-join (X3/X2)",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id")
+
+
+@register(
+    "q19_multimodal_features",
+    """
+    WITH b AS (SELECT doc_id, text, length(text) AS nb FROM documents)
+    SELECT doc_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
+      round(CAST(list_sum(list_transform(range(1, nb + 1), i -> ascii(substring(text, i, 1)))) AS DOUBLE) / nb, 6) AS f_mean,
+      CAST(list_min(list_transform(range(1, nb + 1), i -> ascii(substring(text, i, 1)))) AS DOUBLE) AS f_min,
+      CAST(list_max(list_transform(range(1, nb + 1), i -> ascii(substring(text, i, 1)))) AS DOUBLE) AS f_max,
+      CAST(nb AS DOUBLE) AS f_len
+    FROM b
+    """,
+    "multimodal binary-column plumbing: payload + metadata + mapInPandas feature extraction (X5)",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads = utf-8 bytes of text (documents are pure ASCII, so the
+    byte-statistics stub decoder is oracle-checkable via ascii()). The
+    distributed plumbing — Arrow batches through mapInPandas with an explicit
+    schema — is the real deliverable; swap the stub for PIL/ffmpeg decode."""
+    from universal_aws_data_pipeline_spark.operators.multimodal import attach_binary_payload, decode_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    feats = decode_image_features(attach_binary_payload(d))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f_mean"),
+        F.element_at("features", 2).alias("f_min"),
+        F.element_at("features", 3).alias("f_max"),
+        F.element_at("features", 4).alias("f_len"),
+    )
+
+
+@register(
+    "q20_lsh_topk",
+    None,  # hash planes are engine-specific → rows-only check
+    "approximate top-k neighbors via BucketedRandomProjectionLSH (X3 scale path)",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from universal_aws_data_pipeline_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return lsh_topk(e, qvec, k=10, id_col="vec_id")
+
+
+# ==========================================================================
+# Join-type / grouping coverage (SURVEY §2.3-§2.6 native surface)
+# ==========================================================================
+
+
+@register(
+    "q21_semi_join",
+    """
+    SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '1996-02-01 00:00:00')
+    GROUP BY priority
+    """,
+    "left-semi join (EXISTS) + aggregate, TPC-H Q4 shape",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = o.filter(
+        (F.col("o_orderdate") >= _ntz(dt.datetime(1996, 1, 1))) & (F.col("o_orderdate") < _ntz(dt.datetime(1996, 4, 1)))
+    )
+    shipped = li.filter(F.col("l_shipdate") > _ntz(dt.datetime(1996, 2, 1)))
+    return (
+        o.join(shipped, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q22_anti_join",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY segment
+    """,
+    "left-anti join (NOT EXISTS) + aggregate — customers with no orders",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q23_rollup",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS year,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (nation, year)
+    """,
+    "hierarchical rollup totals (nation → year → grand total)",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("year"), "o_totalprice")
+        .rollup("nation", "year")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q24_events_hourly_window",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY hour_epoch, event_type
+    """,
+    "tumbling 1-hour window aggregate over events (streaming's batch twin, §2.9)",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window on the instant column; emitted as epoch seconds (tz-free).
+    Identical groupBy(window(...)) runs under Structured Streaming with a
+    watermark — see streaming/ for the readStream twin."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "q25_promo_revenue",
+    """
+    SELECT p.p_type AS part_type,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    GROUP BY part_type
+    """,
+    "part-dimension join + revenue by type (TPC-H Q14 shape)",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    li = li.filter(
+        (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1))) & (F.col("l_shipdate") < _ntz(dt.datetime(1997, 2, 1)))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1,0 +1,159 @@
+"""Structured Streaming operators — the reference's declared-but-absent
+streaming surface (README.md:10-11,57; workflow_definition.json:77-81) made
+real.
+
+The reference promises Kinesis/Kafka stream processing but ships no code; the
+engine provides the full native surface:
+
+- sources: file-drop (S10 — the "S3 object created" trigger as a file-stream
+  over a landing dir), rate (test fixture), kafka (config passthrough — broker
+  not present in this container, gated behind config)
+- tumbling / sliding windows (``F.window``), session windows
+  (``F.session_window``)
+- watermarks + late-data drop (``withWatermark``)
+- streaming dedup (``dropDuplicatesWithinWatermark``)
+- sinks: file/parquet with checkpointing, memory (tests), foreachBatch into
+  the warehouse sink (streaming upsert into the staging-swap table loader)
+
+Scale notes: every op here is incremental and state-bounded — watermarks cap
+state store size (late rows beyond the watermark are dropped, state for
+closed windows is evicted); ``dropDuplicatesWithinWatermark`` keys state by
+the dedup columns only within the watermark horizon. Shuffle partitioning for
+stateful ops follows ``spark.sql.shuffle.partitions`` — size it to the
+key-cardinality, not the data volume.
+
+Batch/stream parity: ``windowed_agg`` on a batch DataFrame produces exactly
+the catalog's q24 plan — one code path, two execution modes, which is the
+core Structured Streaming design point.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def read_stream_source(
+    spark: SparkSession,
+    stream: dict[str, Any],
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Open a streaming source from config.
+
+    ``stream`` keys: type (file|rate|kafka), plus per-type options:
+      file: path, format (json|csv|parquet), max_files_per_trigger
+      rate: rows_per_second
+      kafka: bootstrap_servers, topic, starting_offsets
+    """
+    kind = stream.get("type", "file")
+    if kind == "file":
+        if schema is None:
+            raise ValueError("file stream requires an explicit schema (no inference mid-stream)")
+        reader = spark.readStream.schema(schema)
+        fmt = stream.get("format", "json")
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        if "max_files_per_trigger" in stream:
+            reader = reader.option("maxFilesPerTrigger", int(stream["max_files_per_trigger"]))
+        return reader.format(fmt).load(stream["path"])
+    if kind == "rate":
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", int(stream.get("rows_per_second", 10)))
+            .load()
+        )
+    if kind == "kafka":
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", stream["bootstrap_servers"])
+            .option("subscribe", stream["topic"])
+            .option("startingOffsets", stream.get("starting_offsets", "latest"))
+            .load()
+        )
+    raise ValueError(f"unknown stream source type {kind!r}")
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: list[F.Column],
+    group_by: list[str] | None = None,
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) window aggregation.
+
+    Works identically on batch and streaming DataFrames; on streams pass
+    ``watermark`` so state is evicted and late data beyond the horizon drops.
+    Output carries window_start/window_end as epoch seconds (tz-free).
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    out = df.groupBy(win.alias("w"), *(group_by or [])).agg(*aggs)
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        F.unix_timestamp(F.col("w.end")).alias("window_end"),
+        *(group_by or []),
+        *[c for c in out.columns if c not in ("w", *(group_by or []))],
+    )
+
+
+def session_windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: list[F.Column],
+    group_by: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per group key. Streaming requires a watermark (state eviction)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(ts_col, gap)
+    out = df.groupBy(win.alias("w"), *(group_by or [])).agg(*aggs)
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        *(group_by or []),
+        *[c for c in out.columns if c not in ("w", *(group_by or []))],
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exact dedup: first event per key wins within the watermark
+    horizon (X1's streaming twin). State size = live keys, not stream length."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_stream_sink(
+    df: DataFrame,
+    sink: dict[str, Any],
+) -> StreamingQuery:
+    """Start a streaming sink from config.
+
+    ``sink`` keys: type (file|memory|foreach_batch), checkpoint, output_mode,
+    trigger ({"availableNow": True} | {"processingTime": "10 seconds"}), and
+    per-type: path+format (file), name (memory), fn (foreach_batch callable).
+    """
+    writer: DataStreamWriter = df.writeStream
+    if "checkpoint" in sink:
+        writer = writer.option("checkpointLocation", sink["checkpoint"])
+    writer = writer.outputMode(sink.get("output_mode", "append"))
+    trigger = sink.get("trigger", {"availableNow": True})
+    writer = writer.trigger(**trigger)
+
+    kind = sink.get("type", "file")
+    if kind == "file":
+        return writer.format(sink.get("format", "parquet")).start(sink["path"])
+    if kind == "memory":
+        return writer.format("memory").queryName(sink["name"]).start()
+    if kind == "foreach_batch":
+        return writer.foreachBatch(sink["fn"]).start()
+    raise ValueError(f"unknown stream sink type {kind!r}")
