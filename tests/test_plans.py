@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the optimizations the engine's 100 TB
+posture depends on must survive refactors — filter pushdown into the parquet
+scan, column pruning, dimension broadcasts, top-k via TakeOrderedAndProject,
+semi/anti join strategies."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,needles",
+    [
+        # filter + 7-column projection push into the lineitem scan
+        ("q01_pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"]),
+        ("q02_segment_projection", ["PushedFilters: [IsNotNull(c_mktsegment)"]),
+        # dims broadcast; top-k never materializes a full sort
+        ("q03_topk_unshipped", ["BroadcastHashJoin", "TakeOrderedAndProject"]),
+        ("q04_region_revenue", ["BroadcastHashJoin"]),
+        ("q17_cosine_topk", ["TakeOrderedAndProject"]),
+        ("q21_semi_join", ["LeftSemi"]),
+        ("q22_anti_join", ["LeftAnti"]),
+        ("q25_promo_revenue", ["BroadcastHashJoin", "PushedFilters"]),
+    ],
+)
+def test_plan_contains(spark, sf_dir, name, needles):
+    plan = _plan(spark, sf_dir, name)
+    missing = [n for n in needles if n not in plan]
+    assert not missing, f"{name}: expected plan fragments missing: {missing}"
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    m = re.search(r"ReadSchema: (\S+)", _plan(spark, sf_dir, "q01_pricing_summary"))
+    assert m, "no ReadSchema in plan"
+    read_cols = set(re.findall(r"(\w+):", m.group(1)))
+    # only the 7 referenced columns are read — an 11-column lineitem scan
+    # for this query would be a pruning regression
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+
+
+def test_q04_single_big_shuffle(spark, sf_dir):
+    """The star join's only shuffle pair should be lineitem⋈orders; all four
+    dimension joins broadcast."""
+    plan = _plan(spark, sf_dir, "q04_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q15_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q15_neardup_minhash_lsh")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_cosine_pairs_blocked")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

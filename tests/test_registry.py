@@ -1,0 +1,98 @@
+"""Schema registry (crawler stand-in): discovery, versioning, evolution."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from universal_aws_data_pipeline_spark.config.registry import SchemaRegistry, merge_schemas
+from universal_aws_data_pipeline_spark.sinks.tables import unload_table
+from universal_aws_data_pipeline_spark.sources.files import read_source
+
+
+def _write_json(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_crawl_register_load_enforce(spark, tmp_path):
+    data = tmp_path / "ds"
+    _write_json(data, [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}])
+    reg = SchemaRegistry(str(tmp_path / "registry"))
+    schema = reg.crawl(spark, "ds", str(data))
+    assert reg.versions("ds") == 1
+    assert set(schema.fieldNames()) == {"id", "name"}
+
+    # enforced read: no inference pass, stable schema
+    df = read_source(spark, str(data), "json", schema=reg.load("ds"))
+    assert df.schema == schema
+    assert df.count() == 2
+
+    # re-crawl same data: same version (no-op registration)
+    reg.crawl(spark, "ds", str(data))
+    assert reg.versions("ds") == 1
+
+
+def test_crawl_evolution_new_field_and_widening(spark, tmp_path):
+    data1 = tmp_path / "v1"
+    _write_json(data1, [{"id": 1, "amount": 5}])
+    reg = SchemaRegistry(str(tmp_path / "registry"))
+    reg.crawl(spark, "ds", str(data1))
+
+    data2 = tmp_path / "v2"
+    _write_json(data2, [{"id": 2, "amount": 5.5, "tag": "x"}])  # amount widens, tag appears
+    merged = reg.crawl(spark, "ds", str(data2))
+    assert reg.versions("ds") == 2
+    assert isinstance(merged["amount"].dataType, DoubleType)
+    assert "tag" in merged.fieldNames()
+    # v1 schema still retrievable
+    assert isinstance(reg.load("ds", version=1)["amount"].dataType, LongType)
+
+
+def test_merge_schemas_rules():
+    base = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("v", IntegerType()),
+            StructField("old_only", StringType()),
+            StructField("tags", ArrayType(IntegerType())),
+        ]
+    )
+    new = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("tags", ArrayType(DoubleType())),
+            StructField("fresh", DoubleType()),
+        ]
+    )
+    m = merge_schemas(base, new)
+    assert isinstance(m["id"].dataType, LongType)  # int → bigint
+    assert isinstance(m["v"].dataType, StringType)  # conflict widens to string
+    assert "old_only" in m.fieldNames()  # base-only kept
+    assert isinstance(m["tags"].dataType.elementType, DoubleType)  # array widen
+    assert m.fieldNames()[-1] == "fresh"  # appended
+    assert all(f.nullable for f in m.fields)
+
+
+def test_unload_table(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 2024), (2, "b", 2025)], "id LONG, v STRING, year INT")
+    out = str(tmp_path / "unload")
+    unload_table(df, out, partition_by=["year"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    import os
+
+    assert os.path.isdir(os.path.join(out, "year=2024"))

@@ -1,8 +1,28 @@
-from universal_aws_data_pipeline_spark.operators.transform import (  # noqa: F401
-    add_metadata_columns,
-    apply_schema_mapping,
-    apply_transformations,
-    derive_partition_columns,
-    filter_required,
-    transform_chain,
+from universal_aws_data_pipeline_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    neardup_pairs_jaccard,
+    simhash32,
 )
+from universal_aws_data_pipeline_spark.operators.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    decode_image_features,
+)
+from universal_aws_data_pipeline_spark.operators.quality import (  # noqa: F401
+    enforce_quality_checks,
+    quality_check_df,
+    run_quality_checks,
+)
+from universal_aws_data_pipeline_spark.operators.similarity import (  # noqa: F401
+    cosine_pairs_blocked,
+    cosine_topk,
+    lsh_topk,
+)
+from universal_aws_data_pipeline_spark.operators.text import (  # noqa: F401
+    lang_id,
+    profile_documents,
+    quality_score,
+    token_count,
+)
+from universal_aws_data_pipeline_spark.operators.transform import transform_chain  # noqa: F401

@@ -11,9 +11,10 @@ Scale design (the whole point of these implementations):
 - **Signatures are row-local array expressions** (no explode for signature
   computation): shingling, minhashing, banding all happen inside whole-stage
   codegen in one map pass over the corpus.
-- **Portable hashing** (md5 hex, see functions/texthash.py) so signatures are
-  engine-reproducible and oracle-checkable. Swap to xxhash64 for ~2x faster
-  signatures when parity doesn't matter.
+- **One expensive hash per shingle.** Each distinct shingle is digested once
+  (md5 → 28-bit int); the K minhash functions are universal-hash integer
+  mixes ``(a_k*x + b_k) mod 2^31-1`` over that digest — cheap, overflow-free,
+  and bit-identical in any engine (oracle-checkable in DuckDB).
 - Exact-Jaccard verification joins the (few) candidates back to their shingle
   arrays — two broadcast-or-shuffle hash joins on doc_id, then an
   array_intersect per pair.
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from universal_aws_data_pipeline_spark.functions.texthash import seeded_md5, word_shingles
+from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -41,31 +42,59 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     return out.select(*key_cols, "_first.*")
 
 
-def minhash_signature_cols(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> list[Column]:
-    """K minhash values: min over shingles of seeded md5. Row-local.
+# Universal-hash minhash: h_k(x) = (a_k * x + b_k) mod (2^31 - 1) over a
+# 28-bit integer digest of each shingle. ONE md5 per shingle total (the
+# digest), then K cheap integer mixes — vs K md5s per shingle for the naive
+# seeded-hash scheme, which was ~8x the hash work and dominated the corpus
+# pass. a_k < 2^31 and x < 2^28 keep a*x below 2^59: no 64-bit overflow, so
+# the identical arithmetic runs in DuckDB for the oracle.
+MERSENNE_31 = (1 << 31) - 1
+MINHASH_AB: list[tuple[int, int]] = [
+    (1000000007, 99991),
+    (998244353, 65537),
+    (752843717, 31337),
+    (536870923, 20011),
+    (479001599, 15373),
+    (433494437, 10007),
+    (370248451, 7919),
+    (268435459, 4001),
+]
 
-    NB: the per-seed closure must be single-argument — F.transform inspects
-    lambda arity and passes the ARRAY INDEX as a second argument, which would
-    silently replace the seed."""
-    shingles = word_shingles(text, n=shingle_n)
 
-    def _hasher(k: int):
-        return lambda s: seeded_md5(s, k)
-
-    return [F.array_min(F.transform(shingles, _hasher(k))).alias(f"mh{k}") for k in range(num_hashes)]
+def shingle_hash_ints(text: Column, shingle_n: int = 3) -> Column:
+    """28-bit integer digest per distinct shingle (first 7 hex chars of md5)."""
+    return F.transform(
+        word_shingles(text, n=shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
 
 
-def minhash_bands(df: DataFrame, text_col: str = "text", num_hashes: int = 8, bands: int = 2) -> DataFrame:
-    """Add band-hash columns band_0..band_{B-1}: md5 of the concatenated
-    minhash rows in each band. Docs sharing any band hash are candidates."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_cols(F.col(text_col), num_hashes=num_hashes)
-    df = df.select("*", *sig)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    return df.select(*df.columns, *band_cols).drop(*[f"mh{k}" for k in range(num_hashes)])
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mhK-1) minhash signature table.
+
+    Two chained projections on purpose: the shingle-digest array is a column
+    of its own, referenced by all K signature expressions — Catalyst's
+    CollapseProject keeps multiply-referenced non-trivial expressions
+    un-inlined, so the md5 pass over shingles runs once, not K times.
+    """
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(f"num_hashes > {len(MINHASH_AB)} needs more (a,b) parameter pairs")
+    hashed = df.select(F.col(id_col), shingle_hash_ints(F.col(text_col), shingle_n).alias("_shx"))
+
+    def _mix(k: int):
+        a, b = MINHASH_AB[k]
+        return lambda x: (x * a + b) % MERSENNE_31
+
+    return hashed.select(
+        F.col(id_col),
+        *[F.array_min(F.transform(F.col("_shx"), _mix(k))).alias(f"mh{k}") for k in range(num_hashes)],
+    )
 
 
 def lsh_candidate_pairs(
@@ -74,28 +103,38 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 2,
+    shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH band collisions (id_a < id_b).
 
-    Plan shape: map (signatures) → explode B bands → shuffle on band hash →
-    per-bucket pairing → distinct. No N² anywhere; AQE handles hot buckets
-    (boilerplate-heavy corpora) via skew-join splitting.
+    Plan shape: map (signatures) → explode B band keys → equi-join on the
+    band key → distinct. No N² anywhere; AQE splits hot buckets
+    (boilerplate-heavy corpora) at runtime.
+
+    ``materialize`` persists the tiny (id, band_key) table before the
+    self-join — otherwise both join sides recompute the full corpus hash
+    pass. At 100 TB the signature table (K ints/doc) is orders of magnitude
+    smaller than the text; persist it (or checkpoint to parquet between
+    stages) and the corpus is scanned exactly once.
     """
-    banded = minhash_bands(df.select(id_col, text_col), text_col, num_hashes, bands)
-    exploded = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash")) for b in range(bands)])
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df.select(id_col, text_col), id_col, text_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    exploded = sig.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    if materialize:
+        exploded = exploded.persist()
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
         left.join(
             right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            (F.col("l.band_key") == F.col("r.band_key")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
@@ -115,7 +154,7 @@ def neardup_pairs_jaccard(
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, rounded to 4dp.
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
     shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n=shingle_n).alias("sh"))
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -53,14 +53,34 @@ def cosine_pairs_blocked(
 ) -> DataFrame:
     """Near-duplicate embedding pairs within a blocking key (id_a < id_b,
     cosine >= threshold). The equi-join on the block key is the only shuffle;
-    never an unblocked cross-join."""
-    a = df.select(F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    never an unblocked cross-join.
+
+    Norms are computed once per ROW before the join (projections don't move
+    across join boundaries), so each of the O(sum n_b²) candidate pairs costs
+    a single dot-product fold instead of dot + two norm folds — 3x less
+    per-pair arithmetic, which is the entire cost of this operator."""
+    from universal_aws_data_pipeline_spark.functions.vector import dot, l2_norm
+
+    a = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
     joined = a.join(b, on=block_col).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom != 0.0, dot(F.col("vec_a"), F.col("vec_b")) / denom)
+    # filter on the UNROUNDED value (the oracle's WHERE clause does too);
+    # rounding is presentation only
     return (
-        joined.select(F.col(block_col), "id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        joined.filter(cos >= threshold)
+        .select(F.col(block_col), "id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
     )
 
 

@@ -553,8 +553,20 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_documents(_t(spark, sf_dir, "documents"))
 
 
+# DuckDB twin of operators/dedup.py's universal-hash minhash: one md5 per
+# shingle → 28-bit int (7 hex nibbles) → (a_k*x + b_k) mod 2^31-1 per hash.
+_HEX7_TO_INT = (
+    "("
+    + " + ".join(f"(strpos('0123456789abcdef', substring(md5(s),{i + 1},1))-1)*{16 ** (6 - i)}" for i in range(7))
+    + ")"
+)
+
+
 def _mh_sql(k: int) -> str:
-    return f"list_aggregate(list_transform(sh, s -> md5('{k}|' || s)), 'min')"
+    from universal_aws_data_pipeline_spark.operators.dedup import MERSENNE_31, MINHASH_AB
+
+    a, b = MINHASH_AB[k]
+    return f"list_min(list_transform(sh, s -> ({_HEX7_TO_INT} * {a} + {b}) % {MERSENNE_31}))"
 
 
 _Q15_ORACLE = f"""
@@ -573,12 +585,12 @@ WITH corpus AS (
 ), sigs AS (
   SELECT doc_id, sh, {", ".join(f"{_mh_sql(k)} AS mh{k}" for k in range(8))} FROM shing
 ), banded AS (
-  SELECT doc_id, 0 AS bi, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bh FROM sigs
+  SELECT doc_id, concat_ws('|', 0, mh0, mh1, mh2, mh3) AS band_key FROM sigs
   UNION ALL
-  SELECT doc_id, 1, md5(concat_ws('|', mh4, mh5, mh6, mh7)) FROM sigs
+  SELECT doc_id, concat_ws('|', 1, mh4, mh5, mh6, mh7) FROM sigs
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

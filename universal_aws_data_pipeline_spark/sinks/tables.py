@@ -127,6 +127,19 @@ def write_warehouse_table(
     return n_rows - n_err
 
 
+def unload_table(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Warehouse UNLOAD — table → files export (the reference claims this at
+    README.md:148 but never implements it). Spark-native: a plain
+    DataFrameWriter; with ``partition_by``, consumers get partition-pruned
+    reads on the exported layout."""
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = df.repartition(*[F.col(c) for c in partition_by]).write.format(fmt).mode("overwrite").partitionBy(
+            *partition_by
+        )
+    writer.save(path)
+
+
 def compact_table(spark_df: DataFrame, path: str, target_file_mb: int = 256) -> None:
     """VACUUM-style compaction (redshift_loader/handler.py:167-172): rewrite a
     table directory coalescing small files toward ``target_file_mb``."""
