@@ -149,3 +149,40 @@ def test_foreach_batch_sink(spark, stream_dir, tmp_path):
 def test_rate_source_shape(spark):
     df = read_stream_source(spark, {"type": "rate", "rows_per_second": 5})
     assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    two files processed as separate batches (maxFilesPerTrigger=1), user 1's
+    totals accumulate."""
+    from universal_aws_data_pipeline_spark.streaming.stateful import running_totals
+
+    d = tmp_path / "sin"
+    d.mkdir()
+    batches = [
+        [{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+         {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2, "value": 2.0}],
+        [{"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 1, "value": 3.5}],
+    ]
+    for i, rows in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = read_stream_source(
+        spark, {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1}, SCHEMA
+    )
+    totals = running_totals(stream)
+    q = write_stream_sink(
+        totals,
+        {"type": "memory", "name": "running", "checkpoint": str(tmp_path / "ckpt_state"),
+         "output_mode": "update", "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+    rows = spark.table("running").collect()
+    # last emitted row per user reflects the cumulative totals
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["value_sum"])
+    assert latest[1] == (2, 4.5)  # 1.0 + 3.5 across two batches
+    assert latest[2] == (1, 2.0)

@@ -17,6 +17,8 @@ from universal_aws_data_pipeline_spark.operators.quality import (  # noqa: F401
 from universal_aws_data_pipeline_spark.operators.similarity import (  # noqa: F401
     cosine_pairs_blocked,
     cosine_topk,
+    ivf_index,
+    ivf_topk,
     lsh_topk,
 )
 from universal_aws_data_pipeline_spark.operators.text import (  # noqa: F401

@@ -69,14 +69,14 @@ def shingle_hash_ints(text: Column, shingle_n: int = 3) -> Column:
     )
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 8,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """(id, mh0..mhK-1) minhash signature table.
+def shingled_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """(id, sh) distinct-shingle-array table — the shared input of signature
+    computation AND Jaccard verification. Compute once, persist, reuse."""
+    return df.select(F.col(id_col), word_shingles(F.col(text_col), n=shingle_n).alias("sh"))
+
+
+def _signatures_from_shingles(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, mh0..mhK-1) from a (id, sh) table.
 
     Two chained projections on purpose: the shingle-digest array is a column
     of its own, referenced by all K signature expressions — Catalyst's
@@ -85,7 +85,10 @@ def minhash_signatures(
     """
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes > {len(MINHASH_AB)} needs more (a,b) parameter pairs")
-    hashed = df.select(F.col(id_col), shingle_hash_ints(F.col(text_col), shingle_n).alias("_shx"))
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")).alias("_shx"),
+    )
 
     def _mix(k: int):
         a, b = MINHASH_AB[k]
@@ -97,6 +100,17 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mhK-1) minhash signature table."""
+    return _signatures_from_shingles(shingled_docs(df, id_col, text_col, shingle_n), id_col, num_hashes)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,6 +119,7 @@ def lsh_candidate_pairs(
     bands: int = 2,
     shingle_n: int = 3,
     materialize: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH band collisions (id_a < id_b).
 
@@ -119,7 +134,9 @@ def lsh_candidate_pairs(
     stages) and the corpus is scanned exactly once.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df.select(id_col, text_col), id_col, text_col, num_hashes, shingle_n)
+    if shingled is None:
+        shingled = shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n)
+    sig = _signatures_from_shingles(shingled, id_col, num_hashes)
     band_keys = F.array(
         *[
             F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -153,9 +170,14 @@ def neardup_pairs_jaccard(
     """Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, rounded to 4dp.
+
+    The (id, shingle-array) table is computed ONCE and persisted — it feeds
+    both the signature/banding stage and the two verification joins. Without
+    the shared materialization the corpus would be re-shingled three times
+    (and re-hashed once per join side).
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n=shingle_n).alias("sh"))
+    shingled = shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n).persist()
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n, shingled=shingled)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")

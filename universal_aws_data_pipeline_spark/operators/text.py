@@ -30,6 +30,14 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+")).cast("long")
 
 
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy count: alphabetic runs + digit runs + individual
+    punctuation marks, mirroring how byte-pair tokenizers split mixed text.
+    A cheap JVM-side estimator for token budgeting over a corpus (the real
+    tokenizer runs at training time; this is the pipeline-side accounting)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).cast("long")
+
+
 def char_classes(text: Column) -> dict[str, Column]:
     """Character-class tallies used by quality scoring."""
     stripped_alpha = F.regexp_replace(text, "[A-Za-z]", "")

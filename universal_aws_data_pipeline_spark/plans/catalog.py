@@ -875,3 +875,78 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q26_bpe_token_budget",
+    r"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    "BPE-ish subword token budgeting per source (X4) — tokenizer-side accounting",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from universal_aws_data_pipeline_spark.operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+        F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "q27_sessionization",
+    """
+    WITH o AS (SELECT user_id, ts, value,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk FROM o),
+    g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM g GROUP BY user_id, grp
+    """,
+    "session windows (30-min gap) over events — F.session_window vs gaps-and-islands oracle (§2.9)",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via F.session_window (the SAME expression runs
+    under Structured Streaming with a watermark — see streaming/ops.py).
+    Oracle is the classic lag + cumulative-sum gaps-and-islands rewrite; the
+    >= boundary matches Spark's [start, last + gap) window semantics.
+
+    Scale: one shuffle on user_id; per-key state is the open session only.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "q28_ivf_topk",
+    None,  # KMeans centroids are engine-specific → rows-only check
+    "approximate top-k via IVF coarse quantization (X3 scale path #2): probe nprobe/n_clusters cells",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from universal_aws_data_pipeline_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return ivf_topk(e, qvec, k=10, nprobe=4, n_clusters=16)
