@@ -1,0 +1,73 @@
+"""Direct unit tests for dedup operators (the catalog exercises them
+end-to-end; these pin the per-function contracts on tiny inline data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    neardup_pairs_jaccard,
+    simhash32,
+)
+
+
+def test_exact_dedup_keeps_first_by_order_col(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"), ("b", 9, "y9")],
+        "key STRING, seq LONG, payload STRING",
+    )
+    out = exact_dedup(df, ["key"], "seq").orderBy("key").collect()
+    assert [(r["key"], r["seq"], r["payload"]) for r in out] == [("a", 1, "x1"), ("b", 9, "y9")]
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        "doc_id LONG, text STRING",
+    )
+    sig = {r["doc_id"]: tuple(r[f"mh{k}"] for k in range(8)) for r in minhash_signatures(df).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_lsh_candidates_find_identical_pair_only(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "one two three four five six seven eight nine")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df, materialize=False).collect()}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} for p in pairs)
+
+
+def test_neardup_jaccard_values(spark):
+    # doc 2 = doc 1 minus the last word → high but < 1.0 jaccard; doc 3 disjoint
+    t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t1.rsplit(" ", 1)[0]), (3, "q r s t u v w x y z")],
+        "doc_id LONG, text STRING",
+    )
+    rows = neardup_pairs_jaccard(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # shingles: 8 vs 7, intersection 7 → 7/8
+    assert r["jaccard"] == 0.875
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark spark spark"), (3, "entirely other material")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash32(df).collect()}
+    assert out[1] == out[2] and len(out[1]) == 32 and set(out[1]) <= {"0", "1"}
+    hamming = sum(a != b for a, b in zip(out[1], out[3]))
+    assert hamming > 4  # unrelated docs differ in many bits

@@ -52,3 +52,24 @@ def md5_fingerprint(text: Column) -> Column:
 def seeded_md5(value: Column, seed: int) -> Column:
     """Portable seeded hash: md5 of 'seed|value' (hex string, orderable)."""
     return F.md5(F.concat(F.lit(f"{seed}|"), value))
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin–Karp shape) over normalized tokens:
+    ``h = fold(tokens, (h*31 + digest(tok)) mod 2^31-1)`` with a 28-bit md5
+    token digest. Order-sensitive (unlike a bag-of-words md5), overflow-free
+    (31*2^31 + 2^28 < 2^36), and bit-identical in DuckDB's ``list_reduce``
+    for the oracle. One fold per document — map-only."""
+    digests = F.transform(
+        tokens_col(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        digests,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )

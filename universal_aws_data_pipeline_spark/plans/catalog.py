@@ -950,3 +950,38 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return ivf_topk(e, qvec, k=10, nprobe=4, n_clusters=16)
+
+
+def _q29_oracle() -> str:
+    from universal_aws_data_pipeline_spark.functions.texthash import ROLLING_BASE, ROLLING_MOD
+
+    hex7 = (
+        "("
+        + " + ".join(f"(strpos('0123456789abcdef', substring(md5(t),{i + 1},1))-1)*{16 ** (6 - i)}" for i in range(7))
+        + ")"
+    )
+    return f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS content_md5,
+           list_reduce(list_transform(string_split({_NORM_SQL}, ' '), t -> {hex7}),
+                       (a, b) -> (a * {ROLLING_BASE} + b) % {ROLLING_MOD}) AS rolling
+    FROM documents
+    """
+
+
+@register(
+    "q29_fingerprints",
+    _q29_oracle(),
+    "document fingerprints: content md5 + order-sensitive polynomial rolling hash (X4)",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's list_reduce seeds the fold with the first element; Spark's
+    F.aggregate starts at 0 — identical here because 0*31 + x0 == x0."""
+    from universal_aws_data_pipeline_spark.functions.texthash import md5_fingerprint, rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("content_md5"),
+        rolling_fingerprint(F.col("text")).alias("rolling"),
+    )
