@@ -21,6 +21,11 @@ from universal_aws_data_pipeline_spark.operators.similarity import (  # noqa: F4
     ivf_topk,
     lsh_topk,
 )
+from universal_aws_data_pipeline_spark.operators.skew import (  # noqa: F401
+    colocated_join,
+    salted_join,
+    write_bucketed,
+)
 from universal_aws_data_pipeline_spark.operators.text import (  # noqa: F401
     lang_id,
     profile_documents,

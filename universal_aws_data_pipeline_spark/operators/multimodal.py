@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -93,3 +94,81 @@ def decode_image_features(df: DataFrame, n_features: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas.
+
+    STUB DECODER: no image library in this environment. The deterministic
+    stand-in treats the payload as a byte matrix and strided-samples it to
+    width*height bytes (shape-correct, reproducible); swap ``_resize_one``
+    for PIL ``Image.resize`` in production — the Spark plumbing (schema,
+    Arrow batching, partition shape) is identical.
+    """
+
+    def _resize_one(b: bytes) -> bytes:
+        target = width * height
+        if len(b) == 0:
+            return bytes(target)
+        if len(b) >= target:
+            stride = len(b) / target
+            return bytes(b[int(i * stride)] for i in range(target))
+        return (b * (target // len(b) + 1))[:target]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": [_resize_one(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> DataFrame:
+    """Video frame sampling: one payload row → N frame rows (a generator UDF —
+    mapInPandas yields more rows than it consumes, the Arrow-native UDTF shape).
+
+    STUB DECODER: no ffmpeg here. Frames are evenly-spaced byte slices of the
+    payload (deterministic); swap the slicing for real keyframe extraction.
+    At scale the exploded frames table is written partitioned by content hash
+    so downstream per-frame feature jobs parallelize beyond the video count.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                step = max(1, len(b) // n_frames) if b else 1
+                for i in range(n_frames):
+                    start = i * step
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[start : start + frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -985,3 +985,126 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_fingerprint(F.col("text")).alias("content_md5"),
         rolling_fingerprint(F.col("text")).alias("rolling"),
     )
+
+
+@register(
+    "q30_segment_stats",
+    """
+    SELECT c_mktsegment AS segment,
+           count(*) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS std_bal,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY segment
+    """,
+    "statistical profile per segment: avg/stddev/median/min/max in one pass",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentile` (exact interpolated) == DuckDB quantile_cont; stddev_samp
+    is the sample (n-1) variant in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "q31_small_quantity_revenue",
+    """
+    SELECT p.p_brand AS brand,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY brand
+    """,
+    "correlated scalar subquery decorrelated to an aggregate join (TPC-H Q17 shape)",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated subquery is expressed as its decorrelated form — an
+    aggregate on l_partkey joined back (exactly what Catalyst rewrites EXISTS/
+    scalar-subqueries into). Scale: the avg-per-part aggregate shuffles once
+    on partkey, the join reuses that partitioning; part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")).withColumnRenamed(
+        "l_partkey", "ap_partkey"
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q32_running_revenue",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+    "running per-customer revenue — window frame ROWS UNBOUNDED PRECEDING (§2.5)",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame order is total (orderdate, orderkey) so the sequential fold is
+    identical in both engines. One shuffle on custkey; state per row is the
+    running sum — no materialized sort beyond the window sort."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q33_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(floor(avg(epoch(ts) - epoch(prev))) AS BIGINT) AS avg_gap_floor_s
+    FROM g WHERE prev IS NOT NULL
+    GROUP BY user_id
+    """,
+    "inter-event gap analytics via lag window (§2.5) + aggregate",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap = epoch-second difference (double in both engines: DuckDB epoch()
+    keeps the micros fraction, Spark unix_micros/1e6 reproduces it); floor of
+    the average avoids float-tail formatting drift."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
+    prev_sec = F.unix_micros(F.lag("ts").over(w)) / F.lit(1000000.0)
+    gaps = e.select("user_id", (sec - prev_sec).alias("gap")).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.floor(F.avg("gap")).cast("long").alias("avg_gap_floor_s"),
+    )
