@@ -1108,3 +1108,34 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.floor(F.avg("gap")).cast("long").alias("avg_gap_floor_s"),
     )
+
+
+@register(
+    "q34_sql_interface",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "pure spark.sql entry point (TPC-H Q6 shape) — SQL-string surface parity",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through its SQL door: register the scan as a temp view
+    and run ANSI SQL text. String literals coerce to the column's
+    TIMESTAMP_NTZ type — wall-clock compare, tz-free. Plan is identical to
+    the DataFrame form (one scan, pushed filters, single partial+final agg)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
+               count(*) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
