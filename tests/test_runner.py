@@ -130,3 +130,55 @@ def test_ingest_retry_then_success(spark, customer_json, tmp_path):
 def test_unknown_source_type_fails():
     with pytest.raises(ValueError, match="unknown source type"):
         SourceConfig.from_dict({"name": "bad", "type": "carrier_pigeon"})
+
+
+def test_stream_source_routing(spark):
+    cfg = SourceConfig.from_dict({"name": "s", "type": "stream", "stream": {"type": "rate", "rows_per_second": 1}})
+    df = PipelineRunner(spark)._ingest(cfg)
+    assert df.isStreaming
+
+
+def test_yaml_config_file_end_to_end(spark, customer_json, tmp_path, monkeypatch):
+    """Full path through load_source_config: YAML-subset file + ${ENV:}
+    template -> runner -> partitioned output (the reference's config contract,
+    sample_source.yaml shape)."""
+    from universal_aws_data_pipeline_spark.config.model import load_source_config
+
+    monkeypatch.setenv("OUT_ROOT", str(tmp_path))
+    yaml_text = f"""
+name: customers_yaml
+type: file
+data_format: json
+input_path: {customer_json}
+partition_source_column: created_at
+schema:
+  mapping:
+    customer_id: id
+    name: profile.name
+    created_at: created
+  required:
+    - customer_id
+  transformations:
+    - field: name
+      type: trim
+    - field: created_at
+      type: datetime
+      format: yyyy-MM-dd
+destination:
+  path: ${{ENV:OUT_ROOT}}/yaml_out
+  partition_by:
+    - year
+quality_checks:
+  - type: not_null
+    columns:
+      - name
+"""
+    cfg_path = tmp_path / "source.yaml"
+    cfg_path.write_text(yaml_text)
+    cfg = load_source_config(str(cfg_path))
+    assert cfg.destination.path == f"{tmp_path}/yaml_out"  # template resolved
+    result = PipelineRunner(spark, clock=lambda: dt.datetime(2026, 1, 1)).run(cfg)
+    assert result.status == "success", result.error
+    back = spark.read.parquet(cfg.destination.path)
+    assert back.count() == 2
+    assert {r["year"] for r in back.select("year").collect()} == {2024}

@@ -1139,3 +1139,99 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@register(
+    "q35_top_suppliers_per_region",
+    """
+    SELECT region, supplier, acctbal, rnk FROM (
+      SELECT r.r_name AS region, s.s_name AS supplier,
+             round(s.s_acctbal, 2) AS acctbal,
+             dense_rank() OVER (PARTITION BY r.r_name
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) WHERE rnk <= 3
+    """,
+    "top-N per group: ranked suppliers by balance within region (TPC-H Q2 flavor)",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-within-group + filter — the distributed top-N-per-key idiom (one
+    shuffle on the partition key; no global sort). Dimension joins broadcast."""
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("s_name").alias("supplier"),
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+            "s_acctbal",
+            "s_suppkey",
+        )
+    )
+    w = Window.partitionBy("region").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        joined.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("region", "supplier", "acctbal", "rnk")
+    )
+
+
+@register(
+    "q36_json_struct_histogram",
+    """
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_decile,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+    FROM events
+    GROUP BY k_decile
+    """,
+    "schema-full JSON parsing (from_json -> struct) + histogram (F11 extension)",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (vs q10's get_json_object dot-path):
+    the parsed struct is a real nested column — prunable, filterable,
+    codegen'd. One parse per row feeding all downstream uses."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(F.from_json("props", "k INT").alias("p"))
+    return (
+        parsed.select(F.floor(F.col("p.k") / 10).cast("int").alias("k_decile"), F.col("p.k").alias("k"))
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
+
+
+@register(
+    "q37_wordcount_topk",
+    """
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    "explode + word count + top-k — the canonical generator/agg pipeline (X4)",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(tokens) → count per token → top-k. Partial aggregation combines
+    map-side (vocabulary-sized shuffle, not corpus-sized); top-k via
+    TakeOrderedAndProject."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
