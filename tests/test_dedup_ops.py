@@ -71,3 +71,26 @@ def test_simhash_properties(spark):
     assert out[1] == out[2] and len(out[1]) == 32 and set(out[1]) <= {"0", "1"}
     hamming = sum(a != b for a, b in zip(out[1], out[3]))
     assert hamming > 4  # unrelated docs differ in many bits
+
+
+def test_incremental_neardup_filter(spark):
+    from universal_aws_data_pipeline_spark.operators.dedup import incremental_neardup_filter
+
+    base = " ".join(f"tok{i}" for i in range(40))  # long doc → high-jaccard mutation
+    existing = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(
+        [
+            # near-dup of existing doc 1 (last word dropped) -> filtered out
+            (100, base.rsplit(" ", 1)[0]),
+            # genuinely new -> kept
+            (101, "completely fresh material nothing like the old corpus at all"),
+            # exact copy of existing -> filtered out
+            (102, base),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_neardup_filter(new, existing, threshold=0.5, num_hashes=8, bands=4).collect()
+    )
+    assert kept == [101]

@@ -1,5 +1,6 @@
 from universal_aws_data_pipeline_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    incremental_neardup_filter,
     lsh_candidate_pairs,
     minhash_signatures,
     neardup_pairs_jaccard,

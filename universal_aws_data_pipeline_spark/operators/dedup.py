@@ -190,6 +190,62 @@ def neardup_pairs_jaccard(
     )
 
 
+def incremental_neardup_filter(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental corpus ingestion: keep only new documents that are NOT
+    near-duplicates of anything already in the corpus.
+
+    The continuous-training-data shape: each crawl batch is deduped against
+    the accumulated corpus before append. Cross-corpus LSH — band keys of
+    ``new_docs`` equi-join band keys of ``existing`` (never new×existing
+    brute force), candidates verified by exact Jaccard, survivors anti-joined
+    out. At 100 TB the existing side's band keys and shingles are precomputed
+    once and stored as index tables keyed by band_key — each batch touches
+    only colliding buckets; this function recomputes them for API simplicity.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _bands(df: DataFrame) -> DataFrame:
+        sig = _signatures_from_shingles(
+            shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n), id_col, num_hashes
+        )
+        keys = F.array(
+            *[
+                F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+                for b in range(bands)
+            ]
+        )
+        return sig.select(F.col(id_col), F.explode(keys).alias("band_key"))
+
+    new_b = _bands(new_docs).withColumnRenamed(id_col, "new_id")
+    old_b = _bands(existing).withColumnRenamed(id_col, "old_id")
+    cands = new_b.join(old_b, "band_key").select("new_id", "old_id").distinct()
+
+    new_sh = shingled_docs(new_docs.select(id_col, text_col), id_col, text_col, shingle_n).withColumnRenamed(
+        id_col, "new_id"
+    ).withColumnRenamed("sh", "sh_new")
+    old_sh = shingled_docs(existing.select(id_col, text_col), id_col, text_col, shingle_n).withColumnRenamed(
+        id_col, "old_id"
+    ).withColumnRenamed("sh", "sh_old")
+    joined = cands.join(new_sh, "new_id").join(old_sh, "old_id")
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_old"))).cast("double")
+    union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
+    dupes = (
+        joined.filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dupes, id_col, "left_anti")
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash per document as a bit string (portable across engines).
 

@@ -1235,3 +1235,34 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+@register(
+    "q38_pivot_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(CASE WHEN year(o.o_orderdate) = 1996 THEN o.o_totalprice END), 2) AS y1996,
+           round(sum(CASE WHEN year(o.o_orderdate) = 1997 THEN o.o_totalprice END), 2) AS y1997
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY nation
+    """,
+    "pivot (crosstab): revenue by nation x year as columns",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pivot`` with an EXPLICIT value list — without it Spark runs an extra
+    distinct-values job and the output schema becomes data-dependent (both
+    bad at scale). Compiles to the same conditional aggregation as the
+    oracle's CASE-sums: one shuffle, no transpose materialization."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"), "o_totalprice")
+        .groupBy("nation")
+        .pivot("yr", [1996, 1997])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select("nation", F.col("1996").alias("y1996"), F.col("1997").alias("y1997"))
+    )
