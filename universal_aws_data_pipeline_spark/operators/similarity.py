@@ -103,7 +103,10 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     feat = df.select(F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(feat)
+    # coarse cells don't need convergence — 8 iterations bounds the build cost
+    # (each iteration is a full pass); recall is governed by nprobe, not by
+    # centroid polish
+    model = KMeans(k=n_clusters, seed=seed, maxIter=8, featuresCol="_fv", predictionCol="_cell").fit(feat)
     assigned = model.transform(feat).drop("_fv")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
