@@ -91,9 +91,82 @@ def test_quality_gate_fails_run(spark, customer_json, tmp_path):
 
 
 def test_metric_threshold_alarm(spark, customer_json, tmp_path):
-    cfg = _cfg(customer_json, tmp_path, metric_thresholds=[{"metric": "record_count", "threshold": 10, "comparison": "gt"}])
+    # Alarm-when-true (CloudWatch) semantics: record_count gt 1 TRIPS on a
+    # 2-row run; the reference's own "error_count GreaterThan 0" passes clean.
+    cfg = _cfg(
+        customer_json,
+        tmp_path,
+        metric_thresholds=[
+            {"metric": "record_count", "threshold": 1, "comparison": "gt"},
+            {"metric": "error_count", "threshold": 0, "comparison": "GreaterThan"},  # CloudWatch alias
+        ],
+    )
     result = PipelineRunner(spark).run(cfg)
-    assert result.status == "failed" and "record_count" in result.error
+    assert result.status == "failed" and "record_count gt 1" in result.error
+    assert "error_count" not in result.error  # clean run: error alarm not tripped
+
+
+def test_metric_threshold_clean_run_passes(spark, customer_json, tmp_path):
+    # The exact ported reference config (sample_source.yaml:104-106): alert on
+    # any error; a clean run must succeed.
+    cfg = _cfg(
+        customer_json, tmp_path,
+        metric_thresholds=[{"metric": "error_count", "threshold": 0, "comparison": "GreaterThan"}],
+    )
+    result = PipelineRunner(spark).run(cfg)
+    assert result.status == "success", result.error
+
+
+def test_corrupt_record_survives_mapping_maxerror(spark, tmp_path):
+    # MAXERROR accounting with schema.mapping set: corrupt rows must reach the
+    # warehouse sink's error accounting, not become silently-dropped null rows.
+    raw = tmp_path / "raw_corrupt"
+    raw.mkdir()
+    with open(raw / "part-0.json", "w") as f:
+        f.write(json.dumps({"id": 1, "profile": {"name": "a", "city": "B"}, "balance": "1", "created": "2024-03-01"}) + "\n")
+        f.write('{"id": 2, "profile": {broken json!!\n')
+        f.write('this is not json at all\n')
+    cfg = _cfg(str(raw), tmp_path, destination={"path": str(tmp_path / "whc"), "max_errors": 10})
+    result = PipelineRunner(spark, clock=lambda: dt.datetime(2026, 1, 1)).run(cfg)
+    assert result.status == "success", result.error
+    assert result.record_count == 1
+    assert result.error_count == 2  # both corrupt lines counted, then dropped
+    back = spark.read.parquet(str(tmp_path / "whc"))
+    assert back.count() == 1 and "_corrupt_record" not in back.columns
+
+    # and the cap is enforced: max_errors=1 < 2 corrupt rows -> failed run
+    cfg2 = _cfg(str(raw), tmp_path, destination={"path": str(tmp_path / "whc2"), "max_errors": 1}, name="customers2")
+    result2 = PipelineRunner(spark, clock=lambda: dt.datetime(2026, 1, 1)).run(cfg2)
+    assert result2.status == "failed"
+    assert "max_errors" in result2.error
+
+
+def test_run_stream_source(spark, tmp_path):
+    # type: stream through run(): micro-batches drain via availableNow,
+    # quality gate + append write happen per-batch in foreachBatch.
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"id": 1, "profile": {"name": "a", "city": "B"}, "balance": "1", "created": "2024-03-01"}) + "\n")
+        f.write(json.dumps({"id": 2, "profile": {"name": "b", "city": "P"}, "balance": "2", "created": "2024-03-02"}) + "\n")
+    cfg = _cfg(
+        None, tmp_path,
+        type="stream",
+        input_path=None,
+        stream={
+            "type": "file", "path": str(src), "format": "json",
+            "schema": "id long, profile struct<name:string, city:string>, balance string, created string",
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+        destination={"path": str(tmp_path / "stream_out")},
+        quality_checks=[{"type": "not_null", "columns": ["name"]}],
+    )
+    result = PipelineRunner(spark, clock=lambda: dt.datetime(2026, 1, 1)).run(cfg)
+    assert result.status == "success", result.error
+    assert result.record_count == 2
+    back = spark.read.parquet(str(tmp_path / "stream_out"))
+    assert back.count() == 2
+    assert {r["name"] for r in back.select("name").collect()} == {"a", "b"}
 
 
 def test_warehouse_destination_distkey_sortkey(spark, customer_json, tmp_path):

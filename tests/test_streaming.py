@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -186,3 +187,49 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         latest[r["user_id"]] = (r["n_events"], r["value_sum"])
     assert latest[1] == (2, 4.5)  # 1.0 + 3.5 across two batches
     assert latest[2] == (1, 2.0)
+
+
+def test_stateful_timeout_protocol():
+    """Timeout invocation (hasTimedOut=True) must remove state and emit
+    nothing; data invocations must arm the processing-time timeout."""
+    from universal_aws_data_pipeline_spark.streaming.stateful import make_running_totals_fn
+
+    class FakeState:
+        def __init__(self, has_timed_out, existing=None):
+            self.hasTimedOut = has_timed_out
+            self.exists = existing is not None
+            self.get = existing
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = make_running_totals_fn(idle_timeout_ms=60000)
+
+    # timeout invocation: evict, no output
+    state = FakeState(has_timed_out=True, existing=(3, 9.0))
+    out = list(fn((1,), iter([]), state))
+    assert out == []
+    assert state.removed and state.updated is None
+
+    # data invocation: accumulates and re-arms the clock
+    state2 = FakeState(has_timed_out=False, existing=(1, 2.0))
+    batch = pd.DataFrame({"user_id": [1, 1], "value": [1.0, 3.0]})
+    out2 = list(fn((1,), iter([batch]), state2))
+    assert state2.updated == (3, 6.0)
+    assert state2.timeout_ms == 60000
+    assert len(out2) == 1 and out2[0]["n_events"].iloc[0] == 3
+
+    # no-timeout variant never arms the clock
+    fn_nt = make_running_totals_fn(None)
+    state3 = FakeState(has_timed_out=False)
+    list(fn_nt((2,), iter([batch]), state3))
+    assert state3.timeout_ms is None

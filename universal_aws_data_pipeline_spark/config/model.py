@@ -113,13 +113,32 @@ class QualityCheck:
             raise ValueError("regex quality check requires 'pattern'")
 
 
+# CloudWatch-style comparison names (sample_source.yaml:102,106) normalize to
+# the short operator codes. The comparison is the ALARM condition: the alert
+# trips when `metric <op> threshold` holds (e.g. "error_count GreaterThan 0"
+# alarms when any error exists).
+_COMPARISON_ALIASES = {
+    "greaterthan": "gt",
+    "greaterthanthreshold": "gt",
+    "greaterthanorequalto": "ge",
+    "greaterthanorequaltothreshold": "ge",
+    "lessthan": "lt",
+    "lessthanthreshold": "lt",
+    "lessthanorequalto": "le",
+    "lessthanorequaltothreshold": "le",
+    "equals": "eq",
+    "equalto": "eq",
+}
+
+
 @dataclass
 class MetricThreshold:
     metric: str  # record_count | error_count
     threshold: float
-    comparison: str  # gt | ge | lt | le | eq
+    comparison: str  # gt | ge | lt | le | eq (or a CloudWatch-style alias)
 
     def __post_init__(self) -> None:
+        self.comparison = _COMPARISON_ALIASES.get(self.comparison.lower(), self.comparison)
         if self.comparison not in ("gt", "ge", "lt", "le", "eq"):
             raise ValueError(f"unknown comparison {self.comparison!r}")
 

@@ -32,21 +32,38 @@ class CheckResult:
 
 def quality_check_df(df: DataFrame, checks: list[QualityCheck]) -> DataFrame:
     """Return a DataFrame (check, violations, passed) — fully declarative, so it
-    can itself be a query target or written to a quality-audit sink."""
+    can itself be a query target or written to a quality-audit sink.
+
+    ``F.sum`` over zero rows is NULL, so every sum-shaped check is wrapped in
+    ``coalesce(..., 0)`` — an empty input passes cleanly instead of raising on
+    ``int(None)``. Duplicate (type, column) checks get a ``#n`` suffix so the
+    ``stack()`` aliases stay unique. Rows from a tolerant read that failed to
+    parse (non-null ``_corrupt_record``) are excluded: they are accounted by
+    the sink's MAXERROR error_count, not double-reported as null violations.
+    """
+    if "_corrupt_record" in df.columns:
+        df = df.filter(F.col("_corrupt_record").isNull())
     aggs = []
     names: list[str] = []
+
+    def _name(base: str) -> str:
+        return base if base not in names else f"{base}#{sum(n.split('#')[0] == base for n in names) + 1}"
+
     for chk in checks:
         for col in chk.columns:
             if chk.type == "not_null":
-                name = f"not_null({col})"
-                aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(name))
+                name = _name(f"not_null({col})")
+                aggs.append(F.coalesce(F.sum(F.col(col).isNull().cast("long")), F.lit(0)).alias(name))
             elif chk.type == "regex":
-                name = f"regex({col})"
+                name = _name(f"regex({col})")
                 aggs.append(
-                    F.sum((~F.coalesce(F.col(col).cast("string").rlike(chk.pattern), F.lit(False))).cast("long")).alias(name)
+                    F.coalesce(
+                        F.sum((~F.coalesce(F.col(col).cast("string").rlike(chk.pattern), F.lit(False))).cast("long")),
+                        F.lit(0),
+                    ).alias(name)
                 )
             elif chk.type == "unique":
-                name = f"unique({col})"
+                name = _name(f"unique({col})")
                 aggs.append((F.count(F.col(col)) - F.count_distinct(F.col(col))).alias(name))
             else:  # pragma: no cover - validated in config
                 raise ValueError(chk.type)
@@ -86,26 +103,31 @@ def enforce_quality_checks(df: DataFrame, checks: list[QualityCheck]) -> list[Ch
     return results
 
 
+THRESHOLD_OPS = {
+    "gt": lambda v, t: v > t,
+    "ge": lambda v, t: v >= t,
+    "lt": lambda v, t: v < t,
+    "le": lambda v, t: v <= t,
+    "eq": lambda v, t: v == t,
+}
+
+
 def check_metric_thresholds(metrics: dict[str, float], thresholds: list[MetricThreshold]) -> list[CheckResult]:
-    """Driver-side comparison of observed metrics vs declared thresholds
-    (sample_source.yaml:99-107). Metrics come from ``df.observe`` accumulators,
+    """Driver-side metric alarms, CloudWatch semantics (sample_source.yaml:98-107):
+    the comparison describes the ALARM condition — ``error_count GreaterThan 0``
+    trips when errors exist; a clean run (error_count=0) passes. Metrics absent
+    from the observed set produce no alarm (CloudWatch treats missing data as
+    not-breaching by default). Metrics come from ``df.observe`` accumulators,
     not extra count() actions (fixes the double-count bug, transform_data.py:234-238)."""
-    ops = {
-        "gt": lambda v, t: v > t,
-        "ge": lambda v, t: v >= t,
-        "lt": lambda v, t: v < t,
-        "le": lambda v, t: v <= t,
-        "eq": lambda v, t: v == t,
-    }
     out = []
     for th in thresholds:
         value = metrics.get(th.metric)
-        passed = value is not None and ops[th.comparison](value, th.threshold)
+        alarmed = value is not None and THRESHOLD_OPS[th.comparison](value, th.threshold)
         out.append(
             CheckResult(
                 check=f"{th.metric} {th.comparison} {th.threshold}",
-                passed=bool(passed),
-                violations=0 if passed else 1,
+                passed=not alarmed,
+                violations=1 if alarmed else 0,
             )
         )
     return out

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from universal_aws_data_pipeline_spark.config.model import SchemaConfig, SourceConfig, TransformationSpec
 
+CORRUPT_COL = "_corrupt_record"
+
 
 def _dot_path_col(path: str) -> Column:
     """Resolve ``a.b.c`` as nested struct field access (transform_data.py:43-48)."""
@@ -60,6 +62,11 @@ def apply_schema_mapping(df: DataFrame, mapping: dict[str, Any]) -> DataFrame:
             )
         else:
             cols.append(_dot_path_col(source).alias(target))
+    # A tolerant (PERMISSIVE) read carries the corrupt-record side channel;
+    # the mapping must not drop it or MAXERROR accounting downstream sees
+    # corrupt rows as clean all-null rows (they'd load or be silently dropped).
+    if CORRUPT_COL in df.columns and CORRUPT_COL not in mapping:
+        cols.append(F.col(CORRUPT_COL))
     return df.select(*cols)
 
 
@@ -113,6 +120,13 @@ def filter_required(df: DataFrame, required: list[str]) -> DataFrame:
     missing = [c for c in required if c not in df.columns]
     if missing:
         raise ValueError(f"required columns not in dataframe: {missing}")
+    if CORRUPT_COL in df.columns:
+        # Corrupt rows are all-null in mapped columns; keep them so the
+        # warehouse sink's MAXERROR accounting can count (then drop) them.
+        cond = F.lit(True)
+        for c in required:
+            cond = cond & F.col(c).isNotNull()
+        return df.filter(cond | F.col(CORRUPT_COL).isNotNull())
     return df.na.drop(subset=required)
 
 

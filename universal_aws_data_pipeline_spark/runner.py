@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
 from universal_aws_data_pipeline_spark.config.model import MetricThreshold, RetryPolicy, SourceConfig
-from universal_aws_data_pipeline_spark.operators.quality import QualityCheckError, enforce_quality_checks
+from universal_aws_data_pipeline_spark.operators.quality import (
+    QualityCheckError,
+    check_metric_thresholds,
+    enforce_quality_checks,
+)
 from universal_aws_data_pipeline_spark.operators.transform import transform_chain
 from universal_aws_data_pipeline_spark.sinks.tables import write_partitioned, write_warehouse_table
 from universal_aws_data_pipeline_spark.sources.files import read_source
@@ -78,15 +82,13 @@ def _with_retry(stage: str, fn: Callable[[], Any], retry: RetryPolicy, sleep: Ca
 
 
 def _check_thresholds(thresholds: list[MetricThreshold], metrics: dict[str, float]) -> None:
-    """Metric alarms (sample_source.yaml:98-107): comparison trips the alert."""
-    ops = {"gt": lambda a, b: a > b, "ge": lambda a, b: a >= b, "lt": lambda a, b: a < b,
-           "le": lambda a, b: a <= b, "eq": lambda a, b: a == b}
-    for t in thresholds:
-        value = metrics.get(t.metric)
-        if value is None:
-            continue
-        if not ops[t.comparison](value, t.threshold):
-            raise ValueError(f"metric {t.metric}={value} violates {t.comparison} {t.threshold}")
+    """Metric alarms, CloudWatch semantics (sample_source.yaml:98-107): the
+    comparison IS the alarm condition — ``error_count gt 0`` trips when errors
+    exist, so a clean run passes. Shares ``check_metric_thresholds`` so runner
+    and quality engine can never diverge; missing metrics do not alarm."""
+    alarmed = [r for r in check_metric_thresholds(metrics, thresholds) if not r.passed]
+    if alarmed:
+        raise ValueError("metric alarms tripped: " + ", ".join(r.check for r in alarmed))
 
 
 class PipelineRunner:
@@ -137,8 +139,81 @@ class PipelineRunner:
             return read_stream_source(self.spark, cfg.stream, cfg.stream.get("schema"))
         raise ValueError(f"unknown source type {cfg.type!r}")  # Choice-state Fail (:41-45)
 
+    # -- streaming run -----------------------------------------------------
+    def run_stream(self, cfg: SourceConfig, batch_counts: list[int] | None = None):
+        """``type: stream`` execution: ingest → transform → per-micro-batch
+        quality gate + append write via ``foreachBatch``.
+
+        Returns the started ``StreamingQuery``. Batch-only actions (quality
+        collect, count, df.write) run on each micro-batch DataFrame inside
+        ``foreachBatch`` — never on the streaming plan itself, which would
+        raise AnalysisException. ``cfg.stream`` may carry sink-side keys:
+        ``checkpoint`` (default ``<dest.path>__checkpoint__``) and ``trigger``
+        (default ``{"availableNow": True}``, which drains and terminates).
+        """
+        from universal_aws_data_pipeline_spark.streaming.ops import write_stream_sink
+
+        if cfg.destination is None:
+            raise ValueError(f"stream source {cfg.name!r} requires a destination")
+        dest = cfg.destination
+        now = self.clock() if self.clock else None
+        df = self._ingest(cfg)
+        transformed = transform_chain(df, cfg, processed_at=now, fallback_date=now.date() if now else None)
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if cfg.quality_checks:
+                enforce_quality_checks(batch_df, cfg.quality_checks)
+            obs = Observation(f"stream_{cfg.name}_{batch_id}")
+            observed = batch_df.observe(obs, F.count(F.lit(1)).alias("record_count"))
+            write_partitioned(observed, dest.path, dest.format, dest.partition_by, mode="append")
+            if batch_counts is not None:
+                batch_counts.append(int(obs.get.get("record_count", 0)))
+
+        return write_stream_sink(
+            transformed,
+            {
+                "type": "foreach_batch",
+                "fn": _sink,
+                "checkpoint": cfg.stream.get("checkpoint", f"{dest.path.rstrip('/')}__checkpoint__"),
+                "output_mode": "append",
+                "trigger": cfg.stream.get("trigger", {"availableNow": True}),
+            },
+        )
+
+    def _run_stream_to_completion(self, cfg: SourceConfig) -> RunResult:
+        """run() semantics for a stream source: drain with availableNow, block
+        until terminated, aggregate batch counts into a RunResult."""
+        result = RunResult(source_name=cfg.name, status="failed")
+        counts: list[int] = []
+        try:
+            trigger = cfg.stream.get("trigger", {"availableNow": True})
+            if "availableNow" not in trigger and "once" not in trigger:
+                raise ValueError(
+                    f"stream source {cfg.name!r}: run() only supports draining triggers "
+                    "(availableNow/once); for continuous triggers call run_stream() directly"
+                )
+            query = _with_retry("ingest", lambda: self.run_stream(cfg, batch_counts=counts), cfg.retry, self.sleep)
+            result.stages.append("ingest")
+            query.awaitTermination()
+            result.stages.extend(["transform", "write"])
+            result.record_count = sum(counts)
+            _check_thresholds(cfg.metric_thresholds,
+                              {"record_count": result.record_count, "error_count": result.error_count})
+            result.status = "success"
+            self.notify({"status": "success", "source": cfg.name, "stages": result.stages,
+                         "record_count": result.record_count})
+            return result
+        except Exception as e:  # noqa: BLE001 — catch → notify (workflow :82-93)
+            result.error = str(e)
+            self.notify({"status": "failed", "source": cfg.name,
+                         "stage": getattr(e, "stage", result.stages[-1] if result.stages else "init"),
+                         "error": str(e)})
+            return result
+
     # -- run ---------------------------------------------------------------
     def run(self, cfg: SourceConfig) -> RunResult:
+        if cfg.type == "stream":
+            return self._run_stream_to_completion(cfg)
         result = RunResult(source_name=cfg.name, status="failed")
         now = self.clock() if self.clock else None
         try:

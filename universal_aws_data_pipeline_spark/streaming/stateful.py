@@ -39,17 +39,39 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_running_totals(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [round(total, 2)]})
+def make_running_totals_fn(idle_timeout_ms: int | None = None):
+    """Build the per-group update function, closing over the timeout config.
+
+    Timeout protocol (ProcessingTimeTimeout): when a key has seen no data for
+    ``idle_timeout_ms``, Spark invokes the function once more with an empty
+    batch iterator and ``state.hasTimedOut=True`` — that invocation must
+    ``state.remove()`` and emit nothing, otherwise the "eviction" would
+    re-store the state and re-emit a stale row. Every data invocation re-arms
+    the clock via ``state.setTimeoutDuration``.
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # evict: drop state, emit nothing
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [round(total, 2)]})
+
+    return _update
+
+
+# Default (no-timeout) instance, kept for direct use in tests/plans.
+_update_running_totals = make_running_totals_fn(None)
 
 
 def running_totals(
@@ -62,11 +84,11 @@ def running_totals(
     Emits the updated cumulative row for every key seen in each batch —
     downstream sinks see a changelog of per-user totals. With
     ``idle_timeout_ms``, keys idle longer than the timeout are evicted
-    (bounded state).
+    (bounded state) via the timeout protocol in ``make_running_totals_fn``.
     """
     timeout = GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms else GroupStateTimeout.NoTimeout
     return events.groupBy(key_col).applyInPandasWithState(
-        _update_running_totals,
+        make_running_totals_fn(idle_timeout_ms),
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
