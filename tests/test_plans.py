@@ -64,3 +64,24 @@ def test_q15_no_cartesian(spark, sf_dir):
 def test_q18_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q18_cosine_pairs_blocked")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scaling_tables_not_forced_broadcast(spark, sf_dir):
+    """Customer/supplier/part grow with SF (~15B customer rows at 100 TB): the
+    catalog must not FORCE-broadcast them. With size-based broadcasting off
+    (threshold -1), any BroadcastHashJoin left is a hint — only the fixed-size
+    dims (region: 5 rows, nation: 25 rows) may appear as build sides."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # q04: exactly the 2 hinted dims broadcast; customer/supplier shuffle
+        plan = _plan(spark, sf_dir, "q04_region_revenue")
+        assert plan.count("BroadcastHashJoin") == 2
+        assert plan.count("SortMergeJoin") == 3  # li*o, *customer, *supplier
+        for name, n_hinted in [("q03_topk_unshipped", 0), ("q23_rollup", 1), ("q38_pivot_revenue", 1)]:
+            p = _plan(spark, sf_dir, name)
+            assert p.count("BroadcastHashJoin") == n_hinted, f"{name}: forced broadcast crept back in"
+        # part joins (q25/q31) are size-based only
+        assert "BroadcastHashJoin" not in _plan(spark, sf_dir, "q25_promo_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

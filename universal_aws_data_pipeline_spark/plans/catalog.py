@@ -11,10 +11,11 @@ test tables. Conventions that make the oracle hash-match deterministic:
   year()/month()/etc cast to INTEGER (DuckDB returns BIGINT, Spark INT)
 - top-k queries carry a unique-key tiebreaker in the ORDER BY
 
-Scale notes per query are inline; the common ones: dimension joins are
-broadcast (region/nation/supplier/customer at TPC-H proportions), aggregates
-are partial (map-side combine) by construction, filters/projections push into
-the parquet scan.
+Scale notes per query are inline; the common ones: broadcast hints go ONLY on
+the fixed-size dims (region, nation) — scaling tables (customer/supplier/part)
+are left to AQE's size-based choice, since a hint forces the build side at any
+SF. Aggregates are partial (map-side combine) by construction;
+filters/projections push into the parquet scan.
 """
 
 from __future__ import annotations
@@ -144,9 +145,10 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q03 — top-k revenue orders (TPC-H Q3 shape): 3-way join + agg + sort/limit.
-# Scale: customer side is the small build side (broadcast); lineitem⋈orders is
-# the one real shuffle. Top-k via orderBy+limit = TakeOrderedAndProject (no
-# full sort materialization).
+# Scale: customer (even filtered to one segment) scales with SF, so no forced
+# broadcast — AQE picks broadcast at small SF and shuffle join at large.
+# lineitem⋈orders is the one unavoidable shuffle. Top-k via orderBy+limit =
+# TakeOrderedAndProject (no full sort materialization).
 # --------------------------------------------------------------------------
 @register(
     "q03_topk_unshipped",
@@ -174,7 +176,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") > _ntz(cutoff))
         .join(o.filter(F.col("o_orderdate") < _ntz(cutoff)), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -190,9 +192,11 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q04 — regional revenue (TPC-H Q5 shape): 6-way star join + agg.
-# Scale: region/nation/supplier/customer are broadcast dims; the only big
-# shuffle is lineitem⋈orders. At 100 TB, AQE demotes/promotes broadcasts by
-# runtime stats; the explicit hints keep the plan stable at any SF.
+# Scale: only the FIXED-size dims (region: 5 rows, nation: 25) carry broadcast
+# hints — a hint forces the build side regardless of runtime stats, so putting
+# one on a scaling table (customer/supplier: SF-proportional, ~15B customer
+# rows at 100 TB) would OOM executors at large SF. Customer/supplier joins are
+# left to AQE: broadcast at small SF, shuffle join beyond the threshold.
 # --------------------------------------------------------------------------
 @register(
     "q04_region_revenue",
@@ -220,9 +224,9 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -813,7 +817,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("year"), "o_totalprice")
         .rollup("nation", "year")
@@ -868,7 +872,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1))) & (F.col("l_shipdate") < _ntz(dt.datetime(1997, 2, 1)))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("part_type"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -1033,7 +1037,8 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated subquery is expressed as its decorrelated form — an
     aggregate on l_partkey joined back (exactly what Catalyst rewrites EXISTS/
     scalar-subqueries into). Scale: the avg-per-part aggregate shuffles once
-    on partkey, the join reuses that partitioning; part is broadcast."""
+    on partkey, the join reuses that partitioning; part (SF-scaling) is left
+    to AQE's size-based broadcast choice."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     avg_qty = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")).withColumnRenamed(
@@ -1042,7 +1047,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -1258,7 +1263,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"), "o_totalprice")
         .groupBy("nation")
