@@ -94,3 +94,46 @@ def test_incremental_neardup_filter(spark):
         for r in incremental_neardup_filter(new, existing, threshold=0.5, num_hashes=8, bands=4).collect()
     )
     assert kept == [101]
+
+
+def test_neardup_index_build_probe_matches_recompute(spark, tmp_path):
+    """Stored-index probe must return exactly what the recompute path returns,
+    and the index probe must read bands via the bk_bucket partition layout."""
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_filter,
+        incremental_neardup_filter_indexed,
+        load_neardup_index,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    alt = " ".join(f"alt{i}" for i in range(40))
+    existing = spark.createDataFrame([(1, base), (2, alt)], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(
+        [(100, base.rsplit(" ", 1)[0]),  # near-dup of 1 -> dropped
+         (101, "completely fresh material nothing like the old corpus at all"),  # kept
+         (102, alt)],  # exact copy of 2 -> dropped
+        "doc_id LONG, text STRING",
+    )
+
+    idx_path = str(tmp_path / "ndidx")
+    build_neardup_index(existing, idx_path, num_hashes=8, bands=4)
+    idx = load_neardup_index(spark, idx_path)
+    assert idx.num_hashes == 8 and idx.num_bands == 4 and idx.id_col == "doc_id"
+
+    kept_idx = sorted(r["doc_id"] for r in incremental_neardup_filter_indexed(new, idx, threshold=0.5).collect())
+    kept_rec = sorted(
+        r["doc_id"]
+        for r in incremental_neardup_filter(new, existing, threshold=0.5, num_hashes=8, bands=4).collect()
+    )
+    assert kept_idx == kept_rec == [101]
+
+    # physical layout: bands table is hive-partitioned on the band-key bucket
+    import os
+
+    band_dirs = [d for d in os.listdir(f"{idx_path}/bands") if d.startswith("bk_bucket=")]
+    assert band_dirs, "bands table not partitioned by bk_bucket"
+
+    # and the probe joins carry the bucket column so partition pruning applies
+    plan = incremental_neardup_filter_indexed(new, idx, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "bk_bucket" in plan

@@ -64,3 +64,58 @@ def test_quality_checks_duplicate_names_disambiguated(spark):
     )
     assert [r.check for r in results] == ["not_null(a)", "not_null(a)#2"]
     assert all(r.violations == 1 for r in results)
+
+
+def test_ivf_index_build_probe(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probe results equal the in-memory ivf_topk (same
+    seed/params), cells are hive-partitioned, and the probe scan carries a
+    _cell partition filter (only nprobe cell dirs are read)."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter("vec_id = 0").select("embedding").head()[0]]
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_clusters=8, seed=42)
+    idx = load_ivf_index(spark, path)
+    assert idx.n_clusters == 8 and len(idx.centroids) == 8
+
+    got = [(r["vec_id"], r["cos_sim"]) for r in ivf_topk_indexed(idx, qvec, k=5, nprobe=3).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in ivf_topk(e, qvec, k=5, nprobe=3, n_clusters=8, seed=42).collect()]
+    assert got == want
+
+    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("_cell=")]
+    assert len(cell_dirs) == 8
+
+    plan = ivf_topk_indexed(idx, qvec, k=5, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ann_recall_vs_exact_ground_truth(spark, sf_dir):
+    """ANN tiers must APPROXIMATE, not just run: recall@10 against exact
+    cosine top-k at fixed seed. Thresholds are deliberately conservative —
+    the gate catches 'bucketing broke and returns arbitrary vectors', not
+    parameter-tuning noise."""
+    from universal_aws_data_pipeline_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query_ids = [0, 7, 23]
+    recalls_ivf, recalls_lsh = [], []
+    for qid in query_ids:
+        qvec = [float(x) for x in e.filter(f"vec_id = {qid}").select("embedding").head()[0]]
+        truth = {r["vec_id"] for r in cosine_topk(e, qvec, k=10).collect()}
+        got_ivf = {r["vec_id"] for r in ivf_topk(e, qvec, k=10, nprobe=4, n_clusters=8, seed=42).collect()}
+        got_lsh = {r["vec_id"] for r in lsh_topk(e, qvec, k=10, seed=42).collect()}
+        recalls_ivf.append(len(truth & got_ivf) / 10.0)
+        recalls_lsh.append(len(truth & got_lsh) / 10.0)
+    mean_ivf = sum(recalls_ivf) / len(recalls_ivf)
+    mean_lsh = sum(recalls_lsh) / len(recalls_lsh)
+    assert mean_ivf >= 0.7, f"IVF recall@10 collapsed: {recalls_ivf}"
+    assert mean_lsh >= 0.7, f"LSH recall@10 collapsed: {recalls_lsh}"

@@ -26,6 +26,8 @@ are driver-mandated extensions); exact dedup's keep-first semantics follow its
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,8 +77,30 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.select(F.col(id_col), word_shingles(F.col(text_col), n=shingle_n).alias("sh"))
 
 
+def shingle_index_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh, shx): shingle strings PLUS their 28-bit digests — the payload
+    to checkpoint as a corpus index. The md5 pass (the single most expensive
+    expression in the pipeline: |corpus| × |shingles/doc| digests) is paid
+    once at build; signature probes read ``shx`` and run only the cheap
+    universal-hash integer mixes, Jaccard verification reads ``sh``.
+
+    Document-corpus parquet is tiny on disk relative to the CPU cost of this
+    map (compressed text), so a scan-aligned partitioning underparallelizes
+    it badly — repartition the input to the cluster's core count first.
+    """
+    shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n=shingle_n).alias("sh"))
+    return shingled.select(
+        F.col(id_col),
+        "sh",
+        F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")).alias("shx"),
+    )
+
+
 def _signatures_from_shingles(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """(id, mh0..mhK-1) from a (id, sh) table.
+    """(id, mh0..mhK-1) from a (id, sh) table — or (id, sh, shx), in which
+    case the stored digests are used and no md5 runs at all.
 
     Two chained projections on purpose: the shingle-digest array is a column
     of its own, referenced by all K signature expressions — Catalyst's
@@ -85,10 +109,13 @@ def _signatures_from_shingles(shingled: DataFrame, id_col: str, num_hashes: int)
     """
     if num_hashes > len(MINHASH_AB):
         raise ValueError(f"num_hashes > {len(MINHASH_AB)} needs more (a,b) parameter pairs")
-    hashed = shingled.select(
-        F.col(id_col),
-        F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")).alias("_shx"),
-    )
+    if "shx" in shingled.columns:
+        hashed = shingled.select(F.col(id_col), F.col("shx").alias("_shx"))
+    else:
+        hashed = shingled.select(
+            F.col(id_col),
+            F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")).alias("_shx"),
+        )
 
     def _mix(k: int):
         a, b = MINHASH_AB[k]
@@ -166,6 +193,7 @@ def neardup_pairs_jaccard(
     num_hashes: int = 8,
     bands: int = 2,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard.
 
@@ -174,9 +202,14 @@ def neardup_pairs_jaccard(
     The (id, shingle-array) table is computed ONCE and persisted — it feeds
     both the signature/banding stage and the two verification joins. Without
     the shared materialization the corpus would be re-shingled three times
-    (and re-hashed once per join side).
+    (and re-hashed once per join side). Callers that already materialized it
+    (e.g. a parquet checkpoint shared across queries — the corpus-index shape)
+    pass it via ``shingled``; the expensive text pass is then skipped
+    entirely, and a COLD run costs one pass instead of a lazy persist racing
+    the first action.
     """
-    shingled = shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n).persist()
+    if shingled is None:
+        shingled = shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n).persist()
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n, shingled=shingled)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -209,7 +242,10 @@ def incremental_neardup_filter(
     brute force), candidates verified by exact Jaccard, survivors anti-joined
     out. At 100 TB the existing side's band keys and shingles are precomputed
     once and stored as index tables keyed by band_key — each batch touches
-    only colliding buckets; this function recomputes them for API simplicity.
+    only colliding buckets. This function recomputes the existing side per
+    call (two-DataFrame convenience form); the production shape is
+    ``build_neardup_index`` + ``incremental_neardup_filter_indexed``, which
+    probe the stored, bucket-partitioned index instead.
     """
     rows_per_band = num_hashes // bands
 
@@ -272,3 +308,139 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     agg = toks.groupBy(id_col).agg(*bit_sums)
     bit_chars = [F.when(F.col(f"s{k}") >= 0, F.lit("1")).otherwise(F.lit("0")) for k in range(32)]
     return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Persisted corpus index: build once, probe per ingestion batch.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class NeardupIndex:
+    """Loaded corpus dedup index: the (id, band_key) table bucketed for
+    partition-pruned probes, the (id, sh) shingle table for Jaccard verify,
+    and the LSH parameters it was built with (probe batches MUST hash with
+    the same parameters or band keys never collide)."""
+
+    bands: DataFrame  # (id_col, band_key, bk_bucket)
+    shingles: DataFrame  # (id_col, sh)
+    id_col: str
+    num_hashes: int
+    num_bands: int
+    shingle_n: int
+    n_buckets: int
+
+
+def _band_keys_expr(num_hashes: int, bands: int) -> F.Column:
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws("|", F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+
+
+def _bands_table(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, bands: int, shingle_n: int,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band_key) from raw text (or a precomputed shingle table)."""
+    if shingled is None:
+        shingled = shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n)
+    sig = _signatures_from_shingles(shingled, id_col, num_hashes)
+    return sig.select(F.col(id_col), F.explode(_band_keys_expr(num_hashes, bands)).alias("band_key"))
+
+
+def build_neardup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Write the corpus near-dup index: ``<path>/shingles`` (id, sh) and
+    ``<path>/bands`` (id, band_key) partitioned by ``bk_bucket =
+    pmod(xxhash64(band_key), n_buckets)``, plus ``<path>/meta``.
+
+    Amortizes the expensive text pass (shingle + md5 + minhash) across every
+    future ingestion batch: probes equi-join on (bk_bucket, band_key), so a
+    batch carrying few distinct band keys reads only the matching bucket
+    partitions (dynamic partition pruning) instead of rescanning the corpus.
+    The shingle pass runs ONCE — bands are derived from the stored shingle
+    table, not a second scan of the text.
+    """
+    spark = df.sparkSession
+    shingled_path = f"{path.rstrip('/')}/shingles"
+    shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n).write.mode("overwrite").parquet(
+        shingled_path
+    )
+    stored_sh = spark.read.parquet(shingled_path)
+    bands_df = _bands_table(None, id_col, text_col, num_hashes, bands, shingle_n, shingled=stored_sh)
+    (
+        bands_df.withColumn("bk_bucket", F.pmod(F.xxhash64("band_key"), F.lit(n_buckets)))
+        .repartition("bk_bucket")  # one writer task per bucket dir, few files
+        .write.mode("overwrite")
+        .partitionBy("bk_bucket")
+        .parquet(f"{path.rstrip('/')}/bands")
+    )
+    meta = spark.createDataFrame(
+        [(id_col, num_hashes, bands, shingle_n, n_buckets)],
+        "id_col string, num_hashes int, num_bands int, shingle_n int, n_buckets int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/meta")
+
+
+def load_neardup_index(spark, path: str) -> NeardupIndex:
+    """Open a stored index; parameters come from the meta table so probes are
+    guaranteed to hash identically to the build."""
+    m = spark.read.parquet(f"{path.rstrip('/')}/meta").head()
+    return NeardupIndex(
+        bands=spark.read.parquet(f"{path.rstrip('/')}/bands"),
+        shingles=spark.read.parquet(f"{path.rstrip('/')}/shingles"),
+        id_col=m["id_col"],
+        num_hashes=int(m["num_hashes"]),
+        num_bands=int(m["num_bands"]),
+        shingle_n=int(m["shingle_n"]),
+        n_buckets=int(m["n_buckets"]),
+    )
+
+
+def incremental_neardup_filter_indexed(
+    new_docs: DataFrame,
+    index: NeardupIndex,
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """``incremental_neardup_filter`` probing a stored index instead of
+    recomputing the existing side per batch.
+
+    The batch's band keys join the index's bands on (bk_bucket, band_key) —
+    bucket equality first, so dynamic partition pruning restricts the index
+    scan to the buckets the batch actually hits. Jaccard verification joins
+    candidates to the STORED corpus shingles; only the new batch is shingled.
+    """
+    id_col = index.id_col
+    new_sh = shingled_docs(new_docs.select(id_col, text_col), id_col, text_col, index.shingle_n).persist()
+    new_b = _bands_table(
+        None, id_col, text_col, index.num_hashes, index.num_bands, index.shingle_n, shingled=new_sh
+    ).withColumn("bk_bucket", F.pmod(F.xxhash64("band_key"), F.lit(index.n_buckets))).withColumnRenamed(
+        id_col, "new_id"
+    )
+    old_b = index.bands.withColumnRenamed(id_col, "old_id")
+    cands = new_b.join(old_b, ["bk_bucket", "band_key"]).select("new_id", "old_id").distinct()
+
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new"))
+    b = index.shingles.select(F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old"))
+    joined = cands.join(a, "new_id").join(b, "old_id")
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_old"))).cast("double")
+    union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
+    dupes = (
+        joined.filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dupes, id_col, "left_anti")

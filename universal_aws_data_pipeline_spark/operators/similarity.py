@@ -18,6 +18,8 @@ but engine-specific, so graded rows-only).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -182,3 +184,91 @@ def lsh_topk(
     qv = Vectors.dense([float(v) / qnorm for v in query_vec])
     res = model.approxNearestNeighbors(unit, qv, k)
     return res.select(F.col(id_col), F.round(F.col("distCol"), 6).alias("approx_dist"))
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index: build once (partitioned by cell), probe per query.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class IvfIndex:
+    """Loaded IVF index: the cell-partitioned vector table plus the centroid
+    list (tiny — n_clusters rows — held driver-side for probe selection)."""
+
+    cells: DataFrame  # (id_col, vec_col, _cell) — hive-partitioned on _cell
+    centroids: list[list[float]]
+    id_col: str
+    vec_col: str
+    n_clusters: int
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index: ``<path>/cells`` written
+    ``partitionBy("_cell")`` (so a probe's ``_cell IN (...)`` filter becomes
+    file-level partition pruning — the scan reads nprobe/n_clusters of the
+    corpus), ``<path>/centroids`` (n_clusters tiny rows), ``<path>/meta``.
+
+    This is the amortization the per-query ``ivf_topk`` convenience form
+    lacks: KMeans runs once at build time, never per query.
+    """
+    spark = df.sparkSession
+    assigned, centroids = ivf_index(df, n_clusters, id_col, vec_col, seed)
+    (
+        assigned.repartition("_cell")  # one writer task per cell dir
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{path.rstrip('/')}/cells")
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
+    spark.createDataFrame(
+        [(id_col, vec_col, n_clusters)], "id_col string, vec_col string, n_clusters int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/meta")
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    m = spark.read.parquet(f"{path.rstrip('/')}/meta").head()
+    cent_rows = spark.read.parquet(f"{path.rstrip('/')}/centroids").collect()
+    centroids = [list(map(float, r["centroid"])) for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    return IvfIndex(
+        cells=spark.read.parquet(f"{path.rstrip('/')}/cells"),
+        centroids=centroids,
+        id_col=m["id_col"],
+        vec_col=m["vec_col"],
+        n_clusters=int(m["n_clusters"]),
+    )
+
+
+def ivf_topk_indexed(
+    index: IvfIndex,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a stored IVF index: pick the ``nprobe`` nearest centroids
+    driver-side (n_clusters-element loop — no Spark job), then brute-force
+    cosine inside only those cell partitions. The ``_cell IN (...)`` predicate
+    is a partition filter on the stored layout: the other cells' files are
+    never opened."""
+    import math
+
+    def _dist(c: list[float]) -> float:
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+
+    probe = sorted(range(len(index.centroids)), key=lambda i: _dist(index.centroids[i]))[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        index.cells.filter(F.col("_cell").isin(probe))
+        .select(F.col(index.id_col), F.round(cosine_similarity(F.col(index.vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(index.id_col))
+        .limit(k)
+    )
