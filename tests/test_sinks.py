@@ -81,3 +81,55 @@ def test_compact_table(spark, df, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_after == 1  # tiny table → one file
     assert spark.read.parquet(path).count() == 30
+
+
+def test_write_warehouse_jdbc_staging_swap(spark, tmp_path):
+    """JDBC warehouse load (redshift_loader/handler.py:76-183 semantics over a
+    live connection): staging table + RENAME swap, old data readable until the
+    swap, second load replaces the first atomically."""
+    from universal_aws_data_pipeline_spark.config.model import DestinationConfig
+    from universal_aws_data_pipeline_spark.sinks.tables import write_warehouse_table
+
+    url = f"jdbc:derby:{tmp_path}/wh_db;create=true"
+    dest = DestinationConfig(path="events_tbl", jdbc_url=url, dist_key="user_id", sort_keys=["seq"])
+
+    df1 = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "user_id int, seq int, payload string")
+    n = write_warehouse_table(df1, dest)
+    assert n == 2
+    back = spark.read.jdbc(url, "events_tbl")
+    assert back.count() == 2
+
+    # reload with different data: swap replaces, no residue staging/old tables
+    df2 = spark.createDataFrame([(3, 30, "c")], "user_id int, seq int, payload string")
+    counts: dict[str, int] = {}
+    n2 = write_warehouse_table(df2, dest, counts)
+    assert n2 == 1 and counts["record_count"] == 1
+    back2 = spark.read.jdbc(url, "events_tbl")
+    assert [r["payload"] for r in back2.collect()] == ["c"]
+    for residue in ("events_tbl__staging", "events_tbl__old"):
+        try:
+            spark.read.jdbc(url, residue).count()
+            assert False, f"{residue} left behind"
+        except Exception:
+            pass
+
+
+def test_write_warehouse_jdbc_maxerror(spark, tmp_path):
+    """Corrupt rows past max_errors abort the JDBC load BEFORE the swap — the
+    previous table version survives."""
+    from universal_aws_data_pipeline_spark.config.model import DestinationConfig
+    from universal_aws_data_pipeline_spark.sinks.tables import TolerantLoadError, write_warehouse_table
+
+    url = f"jdbc:derby:{tmp_path}/wh_db2;create=true"
+    dest = DestinationConfig(path="tol_tbl", jdbc_url=url, max_errors=0)
+
+    good = spark.createDataFrame([(1, None)], "id int, _corrupt_record string")
+    assert write_warehouse_table(good, dest) == 1
+
+    bad = spark.createDataFrame([(2, None), (None, "junk line")], "id int, _corrupt_record string")
+    import pytest
+
+    with pytest.raises(TolerantLoadError):
+        write_warehouse_table(bad, dest)
+    # old version intact
+    assert [r["id"] for r in spark.read.jdbc(url, "tol_tbl").collect()] == [1]

@@ -153,6 +153,11 @@ class DestinationConfig:
     dist_key: str | None = None
     sort_keys: list[str] = field(default_factory=list)
     max_errors: int = 0  # tolerant-load cap (reference MAXERROR 10)
+    # JDBC warehouse variant: load over a live connection instead of managed
+    # parquet (the reference's actual Redshift COPY shape). ``path`` then
+    # names the TABLE; jdbc_url/jdbc_driver configure the connection.
+    jdbc_url: str | None = None
+    jdbc_driver: str | None = None
 
 
 @dataclass
@@ -210,6 +215,8 @@ class SourceConfig:
                 dist_key=d.get("dist_key", d.get("distkey")),
                 sort_keys=list(d.get("sort_keys", d.get("sortkeys", []))),
                 max_errors=int(d.get("max_errors", 0)),
+                jdbc_url=d.get("jdbc_url"),
+                jdbc_driver=d.get("jdbc_driver"),
             )
         checks = [
             QualityCheck(type=c["type"], columns=list(c.get("columns", [c.get("column")])), pattern=c.get("pattern"))

@@ -233,7 +233,7 @@ class PipelineRunner:
 
             if cfg.destination is not None:
                 dest = cfg.destination
-                if dest.dist_key or dest.sort_keys or dest.max_errors:
+                if dest.jdbc_url or dest.dist_key or dest.sort_keys or dest.max_errors:
                     counts: dict[str, int] = {}
                     _with_retry("load", lambda: write_warehouse_table(transformed, dest, counts),
                                 cfg.retry, self.sleep)

@@ -67,6 +67,25 @@ def write_partitioned(
     writer.save(path)
 
 
+def _observe_and_layout(df: DataFrame, dest: DestinationConfig) -> tuple[DataFrame, Observation, bool]:
+    """Shared head of every warehouse load: observe (record_count,
+    error_count) in the write job, filter corrupt rows, apply DISTKEY/SORTKEY
+    physical layout (redshift_loader/handler.py:80-84)."""
+    obs = Observation(f"load_metrics_{uuid.uuid4().hex[:8]}")
+    has_corrupt = CORRUPT_COL in df.columns
+    metrics = [F.count(F.lit(1)).alias("record_count")]
+    if has_corrupt:
+        metrics.append(F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("error_count"))
+    observed = df.observe(obs, *metrics)
+    if has_corrupt:
+        observed = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    if dest.dist_key:
+        observed = observed.repartition(F.col(dest.dist_key))
+    if dest.sort_keys:
+        observed = observed.sortWithinPartitions(*dest.sort_keys)
+    return observed, obs, has_corrupt
+
+
 def write_warehouse_table(
     df: DataFrame,
     dest: DestinationConfig,
@@ -76,23 +95,13 @@ def write_warehouse_table(
 
     Returns the number of rows loaded (from an observe metric — a single job
     computes data + counts, unlike the reference's triple-action bug at
-    transform_data.py:234-238).
+    transform_data.py:234-238). With ``dest.jdbc_url`` set, the load goes
+    over a live JDBC connection (staging TABLE + rename swap) instead of
+    managed parquet — see ``write_warehouse_jdbc``.
     """
-    # MAXERROR-style tolerant load: count corrupt records in the same job.
-    obs = Observation("load_metrics")
-    has_corrupt = CORRUPT_COL in df.columns
-    metrics = [F.count(F.lit(1)).alias("record_count")]
-    if has_corrupt:
-        metrics.append(F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("error_count"))
-    observed = df.observe(obs, *metrics)
-    if has_corrupt:
-        observed = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-
-    # DISTKEY/SORTKEY physical layout (redshift_loader/handler.py:80-84)
-    if dest.dist_key:
-        observed = observed.repartition(F.col(dest.dist_key))
-    if dest.sort_keys:
-        observed = observed.sortWithinPartitions(*dest.sort_keys)
+    if dest.jdbc_url:
+        return write_warehouse_jdbc(df, dest, record_count_out)
+    observed, obs, has_corrupt = _observe_and_layout(df, dest)
 
     staging = f"{dest.path.rstrip('/')}.__staging__.{uuid.uuid4().hex[:8]}"
     writer = observed.write.format(dest.format).mode("overwrite")
@@ -120,6 +129,80 @@ def write_warehouse_table(
             os.rename(old, target)  # roll back
         raise
     shutil.rmtree(old, ignore_errors=True)
+
+    if record_count_out is not None:
+        record_count_out["record_count"] = n_rows - n_err
+        record_count_out["error_count"] = n_err
+    return n_rows - n_err
+
+
+def write_warehouse_jdbc(
+    df: DataFrame,
+    dest: DestinationConfig,
+    record_count_out: dict[str, int] | None = None,
+) -> int:
+    """Warehouse load over a live JDBC connection — the reference's actual
+    Redshift COPY shape (redshift_loader/handler.py:76-183): load into
+    ``<table>__staging``, then atomically swap it in with RENAME TABLE, with
+    MAXERROR enforcement before the swap.
+
+    ``dest.path`` names the target TABLE. Executors write the staging table
+    in parallel via ``DataFrameWriter.jdbc`` (one connection per partition —
+    size the partition count to what the warehouse accepts); only the
+    rename/drop DDL runs on the driver's single connection. DISTKEY/SORTKEY
+    become repartition + sortWithinPartitions, so rows arrive clustered the
+    way the warehouse wants to store them.
+    """
+    observed, obs, has_corrupt = _observe_and_layout(df, dest)
+    table = dest.path
+    staging, old = f"{table}__staging", f"{table}__old"
+
+    props = {"driver": dest.jdbc_driver} if dest.jdbc_driver else {}
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(dest.jdbc_url)
+    try:
+        def _table_exists(name: str) -> bool:
+            rs = conn.getMetaData().getTables(None, None, name.upper(), None)
+            try:
+                return bool(rs.next())
+            finally:
+                rs.close()
+
+        def _exec(sql: str) -> None:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(sql)
+            finally:
+                st.close()
+
+        if _table_exists(staging):
+            _exec(f"DROP TABLE {staging}")
+        observed.write.mode("overwrite").jdbc(dest.jdbc_url, staging, properties=props)
+
+        got = obs.get
+        n_rows = int(got.get("record_count", 0))
+        n_err = int(got.get("error_count", 0)) if has_corrupt else 0
+        if n_err > dest.max_errors:
+            _exec(f"DROP TABLE {staging}")
+            raise TolerantLoadError(f"{n_err} corrupt records > max_errors={dest.max_errors}")
+
+        # swap (redshift_loader/handler.py:153-165): target stays readable
+        # until the instant of the rename; roll back if the swap-in fails.
+        if _table_exists(old):
+            _exec(f"DROP TABLE {old}")
+        had_target = _table_exists(table)
+        if had_target:
+            _exec(f"RENAME TABLE {table} TO {old}")
+        try:
+            _exec(f"RENAME TABLE {staging} TO {table}")
+        except Exception:
+            if had_target:
+                _exec(f"RENAME TABLE {old} TO {table}")  # roll back
+            raise
+        if had_target:
+            _exec(f"DROP TABLE {old}")
+    finally:
+        conn.close()
 
     if record_count_out is not None:
         record_count_out["record_count"] = n_rows - n_err
