@@ -5,12 +5,21 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 Each query is materialized via a count-collapsing action that still executes
 the full plan (``df.write.format("noop")``), so timings include the complete
 scan→shuffle→output path without driver-side collect overhead.
+
+Two series are reported so cold-path regressions stay visible:
+
+- ``queries_cold`` / ``value_cold``: first run per query against a scrubbed
+  artifact cache — includes one-time index builds (q15 shingle checkpoint,
+  q28 IVF build) and any lazy materialization.
+- ``queries`` / ``value`` (headline): best-of-2 steady state — amortized
+  index builds excluded, resistant to shared-VM scheduling noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -26,10 +35,15 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM (whole-stage codegen compilation, parquet reader classes)
-    # by executing every query once at the smallest SF: per-query timings then
-    # measure the query, not one-time JIT costs. Falls back to the bench dir
-    # if sf0.001 isn't present.
+    # Scrub the build-once artifact cache so the cold series really is cold
+    # (index builds included), then warm the JVM (whole-stage codegen
+    # compilation, parquet reader classes) by executing every query once at
+    # the smallest SF: per-query timings then measure the query, not one-time
+    # JIT costs. Falls back to the bench dir if sf0.001 isn't present.
+    cache_root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    )
+    shutil.rmtree(cache_root, ignore_errors=True)
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
@@ -39,16 +53,20 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2 per query: reports steady-state latency, resistant to the
-    # rig's scheduling noise (single-run numbers swing 3-10x on shared VMs)
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, spec in QUERIES.items():
+        t0 = time.monotonic()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.monotonic() - t0, 3)
+        # best-of-2 steady state: reports amortized latency, resistant to the
+        # rig's scheduling noise (single-run numbers swing 3-10x on shared VMs)
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        warm[name] = round(best, 3)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -57,9 +75,11 @@ def main() -> None:
         sf_value = sf_label
     out = {
         "metric": "catalog_query_wall_clock_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": warm,
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
         "sf": sf_value,
     }
     print(json.dumps(out))

@@ -96,3 +96,48 @@ def test_unload_table(spark, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(out, "year=2024"))
+
+
+def test_merge_rescue_mode_keeps_base_type_and_adds_rescue_col(spark):
+    """Irreconcilable conflict (struct vs atomic): error mode raises, rescue
+    mode keeps the registered type and appends _rescued_data."""
+    import pytest
+
+    from universal_aws_data_pipeline_spark.config.registry import (
+        RESCUE_COL,
+        SchemaConflictError,
+        merge_schemas,
+    )
+
+    base = StructType([StructField("id", LongType()), StructField("meta", LongType())])
+    new = StructType(
+        [StructField("id", LongType()),
+         StructField("meta", StructType([StructField("x", StringType())]))]
+    )
+    with pytest.raises(SchemaConflictError):
+        merge_schemas(base, new)
+    merged = merge_schemas(base, new, mode="rescue")
+    by_name = {f.name: f.dataType for f in merged.fields}
+    assert by_name["meta"] == LongType()  # registered readers stay valid
+    assert RESCUE_COL in by_name
+
+
+def test_read_with_rescue_captures_nonconforming_values(spark, tmp_path):
+    """Rows whose values don't cast to the registered type keep the raw value
+    in _rescued_data instead of silently nulling."""
+    import json as _json
+
+    from universal_aws_data_pipeline_spark.config.registry import RESCUE_COL, read_with_rescue
+
+    p = tmp_path / "in"
+    p.mkdir()
+    with open(p / "a.json", "w") as f:
+        f.write(_json.dumps({"id": 1, "amount": "12.5"}) + "\n")
+        f.write(_json.dumps({"id": 2, "amount": "not-a-number"}) + "\n")
+        f.write(_json.dumps({"id": 3}) + "\n")
+    schema = StructType([StructField("id", LongType()), StructField("amount", DoubleType())])
+    out = read_with_rescue(spark, str(p), "json", schema)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["amount"] == 12.5 and rows[1][RESCUE_COL] is None
+    assert rows[2]["amount"] is None and rows[2][RESCUE_COL] == {"amount": "not-a-number"}
+    assert rows[3]["amount"] is None and rows[3][RESCUE_COL] is None  # absent ≠ non-conforming

@@ -233,3 +233,36 @@ def test_stateful_timeout_protocol():
     state3 = FakeState(has_timed_out=False)
     list(fn_nt((2,), iter([batch]), state3))
     assert state3.timeout_ms is None
+
+
+def test_kafka_reader_option_contract():
+    """Kafka source config → resolved reader options (no broker in this
+    environment; .load() is the only uncovered line)."""
+    from universal_aws_data_pipeline_spark.streaming.ops import kafka_reader_options
+
+    opts = kafka_reader_options(
+        {
+            "type": "kafka",
+            "bootstrap_servers": "b1:9092,b2:9092",
+            "topic": "events",
+            "starting_offsets": "earliest",
+            "max_offsets_per_trigger": 5000,
+            "fail_on_data_loss": False,
+            "kafka.security.protocol": "SASL_SSL",
+        }
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+        "failOnDataLoss": "false",
+        "kafka.security.protocol": "SASL_SSL",
+    }
+
+    # topic_pattern variant + missing-field validation
+    assert kafka_reader_options({"bootstrap_servers": "b", "topic_pattern": "ev.*"})["subscribePattern"] == "ev.*"
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        kafka_reader_options({"topic": "t"})
+    with pytest.raises(ValueError, match="topic"):
+        kafka_reader_options({"bootstrap_servers": "b"})

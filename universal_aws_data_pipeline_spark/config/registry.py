@@ -91,12 +91,16 @@ class SchemaRegistry:
 
         return read_source(spark, path, data_format).schema
 
-    def crawl(self, spark: SparkSession, name: str, path: str, data_format: str = "json") -> StructType:
+    def crawl(
+        self, spark: SparkSession, name: str, path: str, data_format: str = "json", mode: str = "error"
+    ) -> StructType:
         """Discover + merge with the registered schema + register. Returns the
-        effective (possibly widened) schema — one call ≈ one crawler run."""
+        effective (possibly widened) schema — one call ≈ one crawler run.
+        ``mode="rescue"`` routes irreconcilable type conflicts to a rescued-data
+        column instead of raising (see ``merge_schemas``)."""
         discovered = self.discover(spark, path, data_format)
         if self.versions(name):
-            merged = merge_schemas(self.load(name), discovered)
+            merged = merge_schemas(self.load(name), discovered, mode=mode)
         else:
             merged = discovered
         self.register(name, merged)
@@ -117,29 +121,102 @@ def _widen(a: DataType, b: DataType) -> DataType:
     raise SchemaConflictError(f"cannot reconcile {a.simpleString()} with {b.simpleString()}")
 
 
-def merge_schemas(base: StructType, new: StructType) -> StructType:
+RESCUE_COL = "_rescued_data"
+
+
+def merge_schemas(base: StructType, new: StructType, mode: str = "error") -> StructType:
     """Crawler-style evolution: keep base field order, widen type conflicts,
     append new fields as nullable, keep base-only fields (late data may still
-    carry them)."""
+    carry them).
+
+    ``mode``: what to do with IRRECONCILABLE conflicts (nothing in the widen
+    lattice covers them, e.g. struct vs atomic, array vs struct):
+
+    - ``"error"`` (default): raise ``SchemaConflictError`` — the crawler-run
+      fails loudly and a human decides.
+    - ``"rescue"``: the merged field keeps the BASE type (registered readers
+      stay valid) and the schema gains a ``_rescued_data map<string,string>``
+      column; ``read_with_rescue`` then captures the non-conforming raw
+      values there instead of silently nulling them.
+    """
+    if mode not in ("error", "rescue"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    rescued = False
+
+    def _resolve(a: DataType, b: DataType) -> DataType:
+        nonlocal rescued
+        try:
+            return _widen(a, b)
+        except SchemaConflictError:
+            if mode == "rescue":
+                rescued = True
+                return a  # keep the registered type; rescue column catches strays
+            raise
+
     by_name = {f.name: f for f in new.fields}
     fields: list[StructField] = []
     for f in base.fields:
         if f.name in by_name:
             n = by_name.pop(f.name)
             if isinstance(f.dataType, StructType) and isinstance(n.dataType, StructType):
-                merged: DataType = merge_schemas(f.dataType, n.dataType)
+                merged: DataType = merge_schemas(f.dataType, n.dataType, mode=mode)
             elif isinstance(f.dataType, ArrayType) and isinstance(n.dataType, ArrayType):
                 inner_b, inner_n = f.dataType.elementType, n.dataType.elementType
                 if isinstance(inner_b, StructType) and isinstance(inner_n, StructType):
-                    merged = ArrayType(merge_schemas(inner_b, inner_n))
+                    merged = ArrayType(merge_schemas(inner_b, inner_n, mode=mode))
                 else:
-                    merged = ArrayType(_widen(inner_b, inner_n))
+                    merged = ArrayType(_resolve(inner_b, inner_n))
             else:
-                merged = _widen(f.dataType, n.dataType)
+                merged = _resolve(f.dataType, n.dataType)
             fields.append(StructField(f.name, merged, nullable=True))
         else:
             fields.append(StructField(f.name, f.dataType, nullable=True))
     for n in new.fields:
         if n.name in by_name:  # preserve new-field order
             fields.append(StructField(n.name, n.dataType, nullable=True))
+    if rescued and RESCUE_COL not in {f.name for f in fields}:
+        from pyspark.sql.types import MapType
+
+        fields.append(StructField(RESCUE_COL, MapType(StringType(), StringType()), nullable=True))
     return StructType(fields)
+
+
+def read_with_rescue(spark: SparkSession, path: str, data_format: str, schema: StructType):
+    """Enforced-schema read that CAPTURES non-conforming atomic values in
+    ``_rescued_data`` instead of silently nulling them (the quarantine half of
+    ``mode="rescue"``).
+
+    Mechanics: read every top-level atomic field as string (no inference
+    pass), then cast to the target type; where the cast fails but the raw
+    value exists, the (field → raw) entry lands in the rescue map. All
+    map-only column expressions — pushdown-friendly, zero Python UDFs."""
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.sources.files import read_source
+
+    target_fields = [f for f in schema.fields if f.name != RESCUE_COL]
+    raw_schema = StructType(
+        [
+            StructField(f.name, StringType() if isinstance(f.dataType, AtomicType) else f.dataType, nullable=True)
+            for f in target_fields
+        ]
+    )
+    raw = read_source(spark, path, data_format, schema=raw_schema)
+    cols = []
+    names, strays = [], []
+    for f in target_fields:
+        if isinstance(f.dataType, AtomicType) and not isinstance(f.dataType, StringType):
+            # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+            # cast THROWS on malformed input — quarantine needs NULL + capture
+            casted = F.col(f.name).try_cast(f.dataType)
+            cols.append(casted.alias(f.name))
+            names.append(F.lit(f.name))
+            strays.append(F.when(casted.isNull() & F.col(f.name).isNotNull(), F.col(f.name)))
+        else:
+            cols.append(F.col(f.name))
+    if strays:
+        rescue = F.map_filter(
+            F.map_from_arrays(F.array(*names), F.array(*strays)), lambda _k, v: v.isNotNull()
+        )
+        cols.append(F.when(F.size(F.map_keys(rescue)) > 0, rescue).alias(RESCUE_COL))
+    return raw.select(*cols)

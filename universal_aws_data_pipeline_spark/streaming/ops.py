@@ -67,14 +67,41 @@ def read_stream_source(
             .load()
         )
     if kind == "kafka":
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", stream["bootstrap_servers"])
-            .option("subscribe", stream["topic"])
-            .option("startingOffsets", stream.get("starting_offsets", "latest"))
-            .load()
-        )
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_reader_options(stream).items():
+            reader = reader.option(k, v)
+        return reader.load()
     raise ValueError(f"unknown stream source type {kind!r}")
+
+
+def kafka_reader_options(stream: dict[str, Any]) -> dict[str, str]:
+    """Resolve a kafka stream config into DataStreamReader options.
+
+    Factored out of ``read_stream_source`` so the option contract is testable
+    without a broker (none in this environment — ``.load()`` itself needs the
+    kafka connector + a reachable cluster; everything up to it is covered).
+    Config keys: bootstrap_servers, topic (or topic_pattern), starting_offsets,
+    max_offsets_per_trigger, fail_on_data_loss, plus any ``kafka.*``-prefixed
+    passthrough (security protocol, SASL, etc.).
+    """
+    if "bootstrap_servers" not in stream:
+        raise ValueError("kafka stream requires bootstrap_servers")
+    opts: dict[str, str] = {"kafka.bootstrap.servers": stream["bootstrap_servers"]}
+    if "topic_pattern" in stream:
+        opts["subscribePattern"] = stream["topic_pattern"]
+    elif "topic" in stream:
+        opts["subscribe"] = stream["topic"]
+    else:
+        raise ValueError("kafka stream requires topic or topic_pattern")
+    opts["startingOffsets"] = stream.get("starting_offsets", "latest")
+    if "max_offsets_per_trigger" in stream:
+        opts["maxOffsetsPerTrigger"] = str(int(stream["max_offsets_per_trigger"]))
+    if "fail_on_data_loss" in stream:
+        opts["failOnDataLoss"] = str(bool(stream["fail_on_data_loss"])).lower()
+    for k, v in stream.items():
+        if k.startswith("kafka."):
+            opts[k] = str(v)
+    return opts
 
 
 def windowed_agg(
