@@ -92,6 +92,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_rows: int = 100_000,
 ):
     """IVF (inverted-file) index build: seeded KMeans partitions the corpus
     into coarse cells; each vector is assigned to its nearest centroid.
@@ -100,15 +101,22 @@ def ivf_index(
     assigned table is written ``partitionBy("_cell")`` so a probe reads only
     nprobe/n_clusters of the data — file-level partition pruning does the
     index lookup.
+
+    The KMeans FIT runs on a seeded sample of ~``fit_sample_rows`` rows when
+    the corpus is bigger (coarse centroids converge on a sample; fitting an
+    iterative algorithm over 10^10 vectors would be 8 full passes for no
+    recall gain) — the TRANSFORM (cell assignment) is the only full pass.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     feat = df.select(F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"))
+    n = feat.count()
+    fit_input = feat.sample(fraction=fit_sample_rows / n, seed=seed) if n > fit_sample_rows else feat
     # coarse cells don't need convergence — 8 iterations bounds the build cost
-    # (each iteration is a full pass); recall is governed by nprobe, not by
-    # centroid polish
-    model = KMeans(k=n_clusters, seed=seed, maxIter=8, featuresCol="_fv", predictionCol="_cell").fit(feat)
+    # (each iteration is a pass over the fit sample); recall is governed by
+    # nprobe, not by centroid polish
+    model = KMeans(k=n_clusters, seed=seed, maxIter=8, featuresCol="_fv", predictionCol="_cell").fit(fit_input)
     assigned = model.transform(feat).drop("_fv")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids

@@ -1,0 +1,118 @@
+"""Temporal join operators Spark's built-in surface lacks: as-of join
+(nearest prior match) and range join (bounded time-interval match).
+
+Both are implemented as compositions of existing DataFrame ops with the
+standard scale tricks — NOT inequality theta-joins, which Spark plans as
+broadcast-nested-loop (quadratic, a 100 TB death sentence):
+
+- **as-of join**: union the two tagged inputs and take a running
+  ``last(..., ignorenulls=True)`` over (keys, time) — ZERO joins, one shuffle
+  on the key, state is one row per right-column. The same plan shape works at
+  any scale and never materializes candidate pairs.
+  (Reference point: pandas ``merge_asof``; DuckDB ``ASOF JOIN`` — used as the
+  correctness oracle for q40.)
+- **range join**: bin both sides into fixed-width time buckets so the
+  interval predicate becomes an equi-join on (key, bin) over at most
+  ⌈span/width⌉+1 candidate bins, then the exact range filter prunes the
+  bin-edge false positives. This is the binning rewrite Databricks' range-join
+  optimization and Flink's interval join perform internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Left as-of join: each left row picks the LATEST right row with
+    ``right_ts <= left_ts`` (``<`` when ``allow_exact_matches=False``) per
+    key; unmatched left rows keep nulls.
+
+    Plan: tag and union both inputs, sort within key by (ts, tag) and take a
+    running ``last(ignorenulls=True)`` of the right columns, keep left rows.
+    The tag breaks ts ties: right-before-left ⇒ inclusive (exact match
+    visible), left-before-right ⇒ strict. Right columns come back suffixed
+    (``right_ts`` too — its value is the matched row's timestamp).
+    """
+    overlap = {c for c in right_cols} | {right_ts}
+    r_tagged = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0 if allow_exact_matches else 1).alias("_tag"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in sorted(overlap)],
+    )
+    left_others = [c for c in left.columns if c not in on and c != left_ts]
+    l_tagged = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1 if allow_exact_matches else 0).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in sorted(overlap)],
+        *left_others,
+    )
+    l_tag = 1 if allow_exact_matches else 0
+    combined = r_tagged.select(
+        *on, "_ats", "_tag", *[f"{c}{suffix}" for c in sorted(overlap)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_others],
+    ).unionByName(l_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats"), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = combined.select(
+        *on,
+        "_ats",
+        "_tag",
+        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in sorted(overlap)],
+        *left_others,
+    )
+    out_cols = [*on, F.col("_ats").alias(left_ts), *left_others, *[f"{c}{suffix}" for c in sorted(overlap)]]
+    return filled.filter(F.col("_tag") == l_tag).select(*out_cols)
+
+
+def range_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_epoch: str,
+    right_epoch: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Matched (left row × right row) pairs where
+    ``left_epoch + lower <= right_epoch < left_epoch + upper`` per key —
+    epochs are integer seconds (callers convert timestamps first, keeping tz
+    handling at the edge).
+
+    Plan: bin width = span; the left side explodes to the (at most 2)
+    candidate bins its window can touch, equi-joins right on (keys, bin),
+    then the exact predicate filters edge false-positives. Candidate
+    cardinality is |matches| + O(|left|), never |left|×|right| — this is
+    what makes an interval join survive 10^10-row tables. Columns collide ⇒
+    right columns come back suffixed ``_r``.
+    """
+    span = upper - lower
+    if span <= 0:
+        raise ValueError("upper must be > lower")
+    r = right.select(
+        *[F.col(k) for k in on],
+        *[F.col(c).alias(f"{c}_r") for c in right.columns if c not in on],
+    ).withColumn("_bin", F.floor(F.col(f"{right_epoch}_r") / F.lit(span)))
+    lo_bin = F.floor((F.col(left_epoch) + F.lit(lower)) / F.lit(span))
+    hi_bin = F.floor((F.col(left_epoch) + F.lit(upper) - 1) / F.lit(span))
+    l = left.withColumn("_bin", F.explode(F.array_distinct(F.array(lo_bin, hi_bin))))
+    joined = l.join(r, [*on, "_bin"]).drop("_bin")
+    return joined.filter(
+        (F.col(f"{right_epoch}_r") >= F.col(left_epoch) + lower)
+        & (F.col(f"{right_epoch}_r") < F.col(left_epoch) + upper)
+    )

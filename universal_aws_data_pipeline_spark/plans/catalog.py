@@ -1318,3 +1318,193 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2))
         .select("nation", F.col("1996").alias("y1996"), F.col("1997").alias("y1997"))
     )
+
+
+def _q39_oracle() -> str:
+    """Incremental-dedup oracle: the exact engine pipeline (shingle → minhash
+    → band join vs the EXISTING side only → Jaccard verify → anti-join) in
+    DuckDB SQL, parameterized over two corpus halves."""
+    shing_sql = """
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+    ELSE [norm] END AS sh
+  FROM {toks}"""
+    mh = ", ".join(f"{_mh_sql(k)} AS mh{k}" for k in range(8))
+    return f"""
+WITH existing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 250
+), newb AS (
+  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '\\s+\\S+$', '') AS text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id >= 250
+), toks_e AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM existing
+), toks_n AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM newb
+), shing_e AS ({shing_sql.format(toks="toks_e")}
+), shing_n AS ({shing_sql.format(toks="toks_n")}
+), sigs_e AS (
+  SELECT doc_id, sh, {mh} FROM shing_e
+), sigs_n AS (
+  SELECT doc_id, sh, {mh} FROM shing_n
+), banded_e AS (
+  SELECT doc_id, concat_ws('|', 0, mh0, mh1, mh2, mh3) AS band_key FROM sigs_e
+  UNION ALL
+  SELECT doc_id, concat_ws('|', 1, mh4, mh5, mh6, mh7) FROM sigs_e
+), banded_n AS (
+  SELECT doc_id, concat_ws('|', 0, mh0, mh1, mh2, mh3) AS band_key FROM sigs_n
+  UNION ALL
+  SELECT doc_id, concat_ws('|', 1, mh4, mh5, mh6, mh7) FROM sigs_n
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
+  FROM banded_n n JOIN banded_e e ON n.band_key = e.band_key
+), dupes AS (
+  SELECT DISTINCT new_id
+  FROM cand JOIN shing_n sn ON sn.doc_id = new_id JOIN shing_e se ON se.doc_id = old_id
+  WHERE CAST(len(list_intersect(sn.sh, se.sh)) AS DOUBLE)
+        / (len(sn.sh) + len(se.sh) - len(list_intersect(sn.sh, se.sh))) >= 0.5
+)
+SELECT doc_id FROM newb WHERE doc_id NOT IN (SELECT new_id FROM dupes)
+"""
+
+
+@register(
+    "q39_incremental_dedup",
+    _q39_oracle(),
+    "incremental corpus near-dup filter vs a persisted band-key index (X2d/X2e): survivors of a new batch",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: the accumulated corpus (doc_id < 250) is a
+    STORED index (built once per dataset under the artifact cache, bands
+    bucket-partitioned); each new batch — 50 tail-mutated near-dups that must
+    be filtered plus the genuinely-new back half — probes it via band-key
+    equi-join and exact-Jaccard verify, survivors pass. The oracle replays
+    the identical pipeline in SQL, so this is hash-graded, not rows-only."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_filter_indexed,
+        load_neardup_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = d.filter(F.col("doc_id") < 250)
+    new_batch = (
+        d.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), F.regexp_replace("text", r"\s+\S+$", "").alias("text"))
+        .unionByName(d.filter(F.col("doc_id") >= 250).select((F.col("doc_id") + 300000).alias("doc_id"), "text"))
+    )
+    idx_path = _artifact_dir("neardup_lt250", sf_dir)
+    if not os.path.exists(os.path.join(idx_path, "meta")):
+        build_neardup_index(existing, idx_path, num_hashes=8, bands=2, shingle_n=3)
+    kept = incremental_neardup_filter_indexed(new_batch, load_neardup_index(spark, idx_path), threshold=0.5)
+    return kept.select("doc_id")
+
+
+@register(
+    "q40_asof_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             max(event_id) AS event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, es
+    )
+    SELECT p.event_id, p.user_id,
+           p.es AS purchase_epoch,
+           c.event_id AS click_event_id,
+           p.es - c.es AS gap_s
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.es >= c.es
+    """,
+    "as-of join: each purchase matched to the user's most recent prior click (operator Spark lacks natively)",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-prior temporal join via union + running last (zero joins, one
+    shuffle on user_id) — NOT an inequality theta-join, which Spark would
+    plan as a broadcast-nested-loop (quadratic at scale). Clicks are deduped
+    to one row per (user, second) — max event_id — so the as-of winner is
+    deterministic in both engines. Oracle: DuckDB's native ASOF JOIN."""
+    from universal_aws_data_pipeline_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("es"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "es")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "es")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], left_ts="es", right_ts="es", right_cols=["event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("es").alias("purchase_epoch"),
+        F.col("event_id_r").alias("click_event_id"),
+        (F.col("es") - F.col("es_r")).alias("gap_s"),
+    )
+
+
+@register(
+    "q41_range_join",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ), err AS (
+      SELECT event_id, user_id, es FROM ev WHERE event_type = 'error'
+    )
+    SELECT l.event_id, l.user_id, CAST(count(r.event_id) AS BIGINT) AS n_prior_10m
+    FROM err l LEFT JOIN ev r
+      ON l.user_id = r.user_id AND r.es >= l.es - 600 AND r.es < l.es
+    GROUP BY l.event_id, l.user_id
+    """,
+    "range (interval) join: per error event, activity count in the prior 10 minutes — binned equi-join, no theta-join",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucket binning: the [-600s, 0) window becomes
+    an equi-join on (user_id, bin) over ≤2 candidate bins + exact filter.
+    The oracle states the same predicate as the naive inequality join DuckDB
+    can afford at this SF; Spark at 10^10 rows cannot — hence the rewrite."""
+    from universal_aws_data_pipeline_spark.operators.temporal import range_join_pairs
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("es"))
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "es")
+    pairs = range_join_pairs(
+        errors, ev.select("event_id", "user_id", "es"), on=["user_id"],
+        left_epoch="es", right_epoch="es", lower=-600, upper=0,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_prior_10m"))
+    return (
+        errors.join(counts, "event_id", "left")
+        .select("event_id", "user_id", F.coalesce("n_prior_10m", F.lit(0)).alias("n_prior_10m"))
+    )
+
+
+@register(
+    "q42_embedding_centroids",
+    """
+    SELECT label, CAST(i AS INTEGER) AS dim, round(avg(embedding[i+1]), 6) AS centroid
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+    "vector aggregation: per-label mean-pooled centroid embedding (class prototypes)",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label via posexplode + two-level key
+    aggregation. The explode is the SCALABLE shape, not a compromise: (label,
+    dim) becomes the grouping key, partial avgs combine map-side, and the
+    shuffle carries |labels|×dim tiny rows per partition — vs collect_list
+    of whole vectors per label, which holds an unbounded array buffer per
+    group and OOMs at corpus scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
