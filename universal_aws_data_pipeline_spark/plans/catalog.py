@@ -1508,3 +1508,42 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+_Q43_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_Q15_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
+@register(
+    "q43_dup_clusters",
+    _Q43_ORACLE,
+    "connected components over the near-dup pair graph: duplicate groups + canonical survivor per group (X2)",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of q15's near-dup pairs: pairwise a~b, b~c becomes
+    one duplicate group {a,b,c} with the min-id doc as the canonical
+    survivor — the keep/drop list an actual dedup sweep needs (pairs alone
+    under-delete chains). Iterative min-label propagation, one shuffle-join
+    per round, rounds = graph diameter (~2 for near-clique dup groups);
+    localCheckpoint per round keeps lineage flat. The oracle computes the
+    same closure via DuckDB's recursive CTE — hash-graded, not rows-only."""
+    from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
+
+    pairs = QUERIES["q15_neardup_minhash_lsh"].fn(spark, sf_dir)
+    return dedup_clusters(pairs, src="id_a", dst="id_b")
