@@ -1,0 +1,68 @@
+"""Deterministic sampling + shard packing unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    pack_into_shards,
+)
+
+
+def test_hash_sample_deterministic_and_layout_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_sample(df, "k", 0.25).collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(7), "k", 0.25).collect()}
+    assert a == b  # membership is a function of the key, not the layout
+    assert 0.18 < len(a) / 2000 < 0.32
+
+
+def test_hash_sample_subset_monotone(spark):
+    # raising the rate only ever adds rows — the property that makes
+    # hash-mod samples reusable across experiments
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", 0.3).collect()}
+    assert small <= big
+
+
+def test_hash_sample_stratified_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = hash_sample(df, "k", 0.1, strata_col="s", fractions={"true": 0.5}).collect()
+    by = {"true": 0, "false": 0}
+    for r in out:
+        by[r["s"]] += 1
+    assert 0.40 < by["true"] / 1500 < 0.60
+    assert 0.05 < by["false"] / 1500 < 0.16
+
+
+def test_pack_into_shards_matches_global_prefix_sum(spark):
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") % 7 + 1).alias("w"))
+    got = {r["id"]: r["shard_id"] for r in pack_into_shards(df, "id", "w", budget=50).collect()}
+    # oracle: single-pass exclusive prefix sum on the driver
+    rows = sorted((r["id"], r["w"]) for r in df.collect())
+    acc = 0
+    for i, w in rows:
+        assert got[i] == acc // 50, f"id={i}"
+        acc += w
+    # shards fill to ~budget: every shard except the last overflows 50 only
+    # by at most one row's weight
+    assert len(set(got.values())) == (acc - 1) // 50 + 1
+
+
+def test_pack_into_shards_partition_count_invariant(spark):
+    df = spark.range(0, 300).select(F.col("id"), F.lit(3).alias("w"))
+    a = {(r["id"], r["shard_id"]) for r in pack_into_shards(df, "id", "w", 30, num_partitions=2).collect()}
+    b = {(r["id"], r["shard_id"]) for r in pack_into_shards(df, "id", "w", 30, num_partitions=13).collect()}
+    assert a == b
+
+
+def test_hash_bucket_portable_value(spark):
+    import hashlib
+
+    row = spark.range(42, 43).select(hash_bucket(F.col("id")).alias("b")).head()
+    assert row["b"] == int(hashlib.md5(b"42").hexdigest()[:4], 16)

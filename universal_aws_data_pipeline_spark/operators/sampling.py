@@ -1,0 +1,96 @@
+"""Deterministic sampling and shard packing for training-data pipelines.
+
+Sampling at corpus scale must be (a) reproducible across reruns and engines
+— seeds on `df.sample()` are NOT stable across partition layouts — and (b)
+a pure map-side filter, so it composes with scan pushdown and costs zero
+shuffles. Both operators here key off a content hash (md5 of the row key),
+the standard "hash mod" sampling used by large corpus pipelines: the same
+row is in or out of the sample forever, regardless of cluster layout,
+engine, or which other rows exist.
+
+Shard packing (``pack_into_shards``) assigns documents to fixed-token-budget
+training shards by cumulative token count. The naive Spark spelling is a
+global window (``sum().over(Window.orderBy(...))`` with no partition key)
+— which Catalyst executes as a SINGLE task holding the whole corpus: a
+non-starter at 100 TB. This implementation is the classic two-phase
+distributed prefix sum instead: range-partition by the sort key, per-
+partition running sums in parallel, then a tiny per-partition-totals
+aggregate (one row per partition, collected to the driver) provides each
+partition's global offset. Total cost: one range shuffle + one |partitions|-
+row collect, fully parallel otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# first 4 md5 nibbles → bucket in [0, 65536): plenty of resolution for
+# sampling rates down to ~0.002% while staying cheap to reproduce in SQL
+_HASH_BUCKETS = 1 << 16
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 65536) from md5 of the stringified key.
+    Engine-portable: any system with md5 + hex parsing reproduces it."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    strata_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic (hash-mod) sample: keep rows whose md5 bucket falls
+    below fraction × 65536. With ``strata_col``/``fractions``, per-stratum
+    rates (falling back to ``fraction``) — stratified sampling without
+    ``sampleBy``'s seed/layout instability. Map-side filter; no shuffle."""
+    bucket = hash_bucket(F.col(key_col))
+    if strata_col is None or not fractions:
+        return df.filter(bucket < int(fraction * _HASH_BUCKETS))
+    thresh: Column = F.lit(int(fraction * _HASH_BUCKETS))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(int(frac * _HASH_BUCKETS))).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def pack_into_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a ``shard_id`` so consecutive rows (in ``order_col``
+    order) accumulate ~``budget`` total weight per shard:
+    shard_id = floor(exclusive_prefix_sum(weight) / budget).
+
+    Distributed prefix sum, not a global window: range-partition on the sort
+    key, per-partition running sums (parallel windows keyed by partition id),
+    then per-partition totals — |partitions| rows — are collected and turned
+    into broadcast offsets. Equivalent to
+    ``sum(weight) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING) - weight``
+    but never funnels the corpus through one task.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w))
+
+    totals = sorted(
+        ranged.groupBy("_pid").agg(F.max("_cum_in").alias("t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["t"]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
+    )
+    cum_before = offset_expr + F.col("_cum_in") - F.col(weight_col)
+    return ranged.withColumn("shard_id", F.floor(cum_before / F.lit(budget))).drop("_pid", "_cum_in")

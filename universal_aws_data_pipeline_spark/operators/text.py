@@ -104,3 +104,36 @@ def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         lang_id(t).alias("lang_guess"),
         md5_fingerprint(t).alias("fingerprint"),
     )
+
+
+# PII patterns kept to the Java-regex ∩ RE2 common subset so the same
+# expressions run verbatim in Spark and in SQL engines (\b, character
+# classes, bounded repetition — no lookarounds).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (pre-redaction). Counted on the raw
+    text, with earlier categories masked out first so e.g. the digits of an
+    email's domain can't double-count as a phone — the counting order
+    matches the replacement order in redact_pii."""
+    out: dict[str, Column] = {}
+    masked = text
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.regexp_count(masked, F.lit(pat))
+        masked = F.regexp_replace(masked, pat, repl)
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / SSNs with typed mask tokens.
+    Pure chained regexp_replace — JVM-side, map-only, codegen-friendly;
+    runs at scan speed over a 100 TB corpus (no UDF, no shuffle)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
