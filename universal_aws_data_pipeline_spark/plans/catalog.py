@@ -1674,3 +1674,192 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     return pack_into_shards(d, "doc_id", "n_tokens", budget=2000).select("doc_id", "n_tokens", "shard_id")
+
+
+@register(
+    "q47_cube_revenue",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "CUBE multi-dimensional rollup over orders: every (priority, status) margin in one pass",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.cube() compiles to a single Expand + hash aggregate — all four
+    grouping sets in ONE scan/shuffle instead of four unioned GROUP BYs.
+    Partial aggregation still applies per grouping set, so the shuffle
+    carries |sets| × |groups| rows per partition, not data rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "q48_quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles per group (distribution profiling for quality gates)",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile() (linearly interpolated, same R-7 definition as
+    DuckDB's quantile_cont) — hash-gradeable because l_quantity is integer-
+    valued and the quarter fractions are dyadic, so both engines produce
+    bit-identical doubles. At 100 TB the same query shape swaps in
+    approx_percentile (t-digest sketch, mergeable map-side) — the exact
+    form is the correctness oracle for it in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q49_value_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sd, 3) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE (e.value - s.mu) / s.sd >= 3 OR (e.value - s.mu) / s.sd <= -3
+    """,
+    "per-group z-score outlier flagging (data-quality anomaly sweep)",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass z-score: tiny per-group stats aggregate (|event types| rows,
+    AQE broadcasts it) joined back to the stream — never a window over the
+    full table partitioned by a 5-value key, which would funnel 1/5 of the
+    corpus through each of 5 tasks at scale."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(F.avg("value").alias("mu"), F.stddev("value").alias("sd"))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(stats, "event_type")
+        .filter((z >= 3) | (z <= -3))
+        .select("event_id", "event_type", F.round(z, 3).alias("z"))
+    )
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@register(
+    "q50_column_profile",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM customer
+    """
+        for c in _PROFILE_COLS
+    ),
+    "one-pass column profiling of a table: nulls, exact distinct, min/max per column (crawler statistics)",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table data profile in ONE scan: all per-column aggregates run
+    in a single agg (multi-distinct compiles to one Expand pass), then a
+    stack() unpivot turns the 1×(4·K) row into K profile rows — vs the
+    naive per-column loop that scans the table K times. The oracle states
+    the per-column UNION ALL form."""
+    c = _t(spark, sf_dir, "customer")
+    aggs = []
+    for col in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"nn_{col}"),
+            F.count_distinct(F.col(col)).alias(f"nd_{col}"),
+            F.min(F.col(col)).cast("string").alias(f"mn_{col}"),
+            F.max(F.col(col)).cast("string").alias(f"mx_{col}"),
+        ]
+    one = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}" for col in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@register(
+    "q51_scd2_merge",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             true AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 < 3 THEN c_acctbal + 100 ELSE c_acctbal END AS u_acctbal,
+             c_mktsegment AS u_seg,
+             DATE '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 10 <= 3
+    ), chg AS (
+      SELECT d.c_custkey, u.u_acctbal, u.u_seg, u.eff, d.c_acctbal, d.c_mktsegment,
+             d.valid_from
+      FROM dim d JOIN upd u USING (c_custkey)
+      WHERE u.u_acctbal <> d.c_acctbal OR u.u_seg <> d.c_mktsegment
+    )
+    SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.eff END AS valid_to,
+           c.c_custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN chg c USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, u_acctbal, c_mktsegment, eff, CAST(NULL AS DATE), true
+    FROM chg
+    """,
+    "SCD type-2 dimension merge: close changed current rows, insert new versions, keep history (warehouse parity)",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_apply on a dimension seeded from customer: keys ending 0-2 get
+    an acctbal change (closed row + new open row), keys ending 3 arrive as
+    no-op updates (null-safe column compare filters them out), the rest
+    pass through. One equi-join total — the updates side is the small one,
+    AQE broadcasts it; history rows are never rewritten."""
+    from universal_aws_data_pipeline_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(dt.date(2020, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 10 <= 3).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 < 3, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.col("c_mktsegment"),
+        F.lit(dt.date(2024, 6, 1)).alias("eff"),
+    )
+    return scd2_apply(
+        dim, updates, key="c_custkey", tracked=["c_acctbal", "c_mktsegment"], effective="eff"
+    )
