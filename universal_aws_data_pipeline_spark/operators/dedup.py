@@ -71,6 +71,20 @@ def shingle_hash_ints(text: Column, shingle_n: int = 3) -> Column:
     )
 
 
+def parallelize_text_scan(df: DataFrame) -> DataFrame:
+    """Spread a compressed-text scan across the cluster's cores before a
+    CPU-bound map (shingle + md5). Text parquet is tiny on disk relative to
+    the per-row hash cost, so scan-aligned splits (maxPartitionBytes) can
+    leave most cores idle — a single-file local fixture shingles on 1-2
+    tasks, ~16x under-parallel. Repartitions only when the scan has fewer
+    partitions than defaultParallelism; already-well-split inputs (any real
+    multi-file corpus) pass through shuffle-free."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def shingled_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3) -> DataFrame:
     """(id, sh) distinct-shingle-array table — the shared input of signature
     computation AND Jaccard verification. Compute once, persist, reuse."""
@@ -209,7 +223,9 @@ def neardup_pairs_jaccard(
     the first action.
     """
     if shingled is None:
-        shingled = shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n).persist()
+        shingled = shingled_docs(
+            parallelize_text_scan(df.select(id_col, text_col)), id_col, text_col, shingle_n
+        ).persist()
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n, shingled=shingled)
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -248,6 +264,8 @@ def incremental_neardup_filter(
     probe the stored, bucket-partitioned index instead.
     """
     rows_per_band = num_hashes // bands
+    new_docs_par = parallelize_text_scan(new_docs.select(id_col, text_col))
+    existing_par = parallelize_text_scan(existing.select(id_col, text_col))
 
     def _bands(df: DataFrame) -> DataFrame:
         sig = _signatures_from_shingles(
@@ -261,14 +279,14 @@ def incremental_neardup_filter(
         )
         return sig.select(F.col(id_col), F.explode(keys).alias("band_key"))
 
-    new_b = _bands(new_docs).withColumnRenamed(id_col, "new_id")
-    old_b = _bands(existing).withColumnRenamed(id_col, "old_id")
+    new_b = _bands(new_docs_par).withColumnRenamed(id_col, "new_id")
+    old_b = _bands(existing_par).withColumnRenamed(id_col, "old_id")
     cands = new_b.join(old_b, "band_key").select("new_id", "old_id").distinct()
 
-    new_sh = shingled_docs(new_docs.select(id_col, text_col), id_col, text_col, shingle_n).withColumnRenamed(
+    new_sh = shingled_docs(new_docs_par, id_col, text_col, shingle_n).withColumnRenamed(
         id_col, "new_id"
     ).withColumnRenamed("sh", "sh_new")
-    old_sh = shingled_docs(existing.select(id_col, text_col), id_col, text_col, shingle_n).withColumnRenamed(
+    old_sh = shingled_docs(existing_par, id_col, text_col, shingle_n).withColumnRenamed(
         id_col, "old_id"
     ).withColumnRenamed("sh", "sh_old")
     joined = cands.join(new_sh, "new_id").join(old_sh, "old_id")
@@ -364,7 +382,7 @@ def build_neardup_index(
 ) -> None:
     """Write the corpus near-dup index: ``<path>/shingles`` (id, sh) and
     ``<path>/bands`` (id, band_key) partitioned by ``bk_bucket =
-    pmod(xxhash64(band_key), n_buckets)``, plus ``<path>/meta``.
+    pmod(xxhash64(band_key), n_buckets)``, plus ``<path>/meta.json``.
 
     Amortizes the expensive text pass (shingle + md5 + minhash) across every
     future ingestion batch: probes equi-join on (bk_bucket, band_key), so a
@@ -375,9 +393,9 @@ def build_neardup_index(
     """
     spark = df.sparkSession
     shingled_path = f"{path.rstrip('/')}/shingles"
-    shingled_docs(df.select(id_col, text_col), id_col, text_col, shingle_n).write.mode("overwrite").parquet(
-        shingled_path
-    )
+    shingled_docs(
+        parallelize_text_scan(df.select(id_col, text_col)), id_col, text_col, shingle_n
+    ).write.mode("overwrite").parquet(shingled_path)
     stored_sh = spark.read.parquet(shingled_path)
     bands_df = _bands_table(None, id_col, text_col, num_hashes, bands, shingle_n, shingled=stored_sh)
     (
@@ -387,17 +405,32 @@ def build_neardup_index(
         .partitionBy("bk_bucket")
         .parquet(f"{path.rstrip('/')}/bands")
     )
-    meta = spark.createDataFrame(
-        [(id_col, num_hashes, bands, shingle_n, n_buckets)],
-        "id_col string, num_hashes int, num_bands int, shingle_n int, n_buckets int",
-    )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/meta")
+    # tiny sidecar — plain JSON on purpose: a 1-row spark.createDataFrame
+    # costs a full Python-worker round trip (~4 s) vs ~0 for json.dump
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path.rstrip('/')}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "id_col": id_col,
+                "num_hashes": num_hashes,
+                "num_bands": bands,
+                "shingle_n": shingle_n,
+                "n_buckets": n_buckets,
+            },
+            fh,
+        )
 
 
 def load_neardup_index(spark, path: str) -> NeardupIndex:
     """Open a stored index; parameters come from the meta table so probes are
     guaranteed to hash identically to the build."""
-    m = spark.read.parquet(f"{path.rstrip('/')}/meta").head()
+    import json
+
+    with open(f"{path.rstrip('/')}/meta.json") as fh:
+        m = json.load(fh)
     return NeardupIndex(
         bands=spark.read.parquet(f"{path.rstrip('/')}/bands"),
         shingles=spark.read.parquet(f"{path.rstrip('/')}/shingles"),
@@ -424,7 +457,9 @@ def incremental_neardup_filter_indexed(
     candidates to the STORED corpus shingles; only the new batch is shingled.
     """
     id_col = index.id_col
-    new_sh = shingled_docs(new_docs.select(id_col, text_col), id_col, text_col, index.shingle_n).persist()
+    new_sh = shingled_docs(
+        parallelize_text_scan(new_docs.select(id_col, text_col)), id_col, text_col, index.shingle_n
+    ).persist()
     new_b = _bands_table(
         None, id_col, text_col, index.num_hashes, index.num_bands, index.shingle_n, shingled=new_sh
     ).withColumn("bk_bucket", F.pmod(F.xxhash64("band_key"), F.lit(index.n_buckets))).withColumnRenamed(

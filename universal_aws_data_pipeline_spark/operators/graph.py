@@ -54,6 +54,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: the edge set is consumed every round — without
+        # this, each iteration re-executes the (possibly expensive) upstream
+        # pair-mining plan that produced the edges
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
     labels = labels.localCheckpoint(eager=True)

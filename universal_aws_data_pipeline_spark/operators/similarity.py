@@ -222,7 +222,7 @@ def build_ivf_index(
     """Materialize the IVF index: ``<path>/cells`` written
     ``partitionBy("_cell")`` (so a probe's ``_cell IN (...)`` filter becomes
     file-level partition pruning — the scan reads nprobe/n_clusters of the
-    corpus), ``<path>/centroids`` (n_clusters tiny rows), ``<path>/meta``.
+    corpus), ``<path>/meta.json`` (params + centroids sidecar).
 
     This is the amortization the per-query ``ivf_topk`` convenience form
     lacks: KMeans runs once at build time, never per query.
@@ -235,21 +235,33 @@ def build_ivf_index(
         .partitionBy("_cell")
         .parquet(f"{path.rstrip('/')}/cells")
     )
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
-    spark.createDataFrame(
-        [(id_col, vec_col, n_clusters)], "id_col string, vec_col string, n_clusters int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/meta")
+    # centroids + params are a tiny sidecar — plain JSON on purpose: each
+    # 1-row/N-row spark.createDataFrame costs a Python-worker round trip
+    # (~4 s) vs ~0 for json.dump, and the probe path reloads this per query
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path.rstrip('/')}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "n_clusters": n_clusters,
+                "centroids": [[float(v) for v in c] for c in centroids],
+            },
+            fh,
+        )
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
-    m = spark.read.parquet(f"{path.rstrip('/')}/meta").head()
-    cent_rows = spark.read.parquet(f"{path.rstrip('/')}/centroids").collect()
-    centroids = [list(map(float, r["centroid"])) for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    import json
+
+    with open(f"{path.rstrip('/')}/meta.json") as fh:
+        m = json.load(fh)
     return IvfIndex(
         cells=spark.read.parquet(f"{path.rstrip('/')}/cells"),
-        centroids=centroids,
+        centroids=[[float(v) for v in c] for c in m["centroids"]],
         id_col=m["id_col"],
         vec_col=m["vec_col"],
         n_clusters=int(m["n_clusters"]),

@@ -638,7 +638,11 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the stored shingles."""
     import os
 
-    from universal_aws_data_pipeline_spark.operators.dedup import neardup_pairs_jaccard, shingle_index_table
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        neardup_pairs_jaccard,
+        parallelize_text_scan,
+        shingle_index_table,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.select(
@@ -648,11 +652,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.unionByName(mutated)
     sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q15")
     if not os.path.exists(sh_path):
-        # repartition: compressed text parquet is tiny on disk but the
-        # shingle+md5 map is CPU-bound — scan-aligned splits would use 2 of
-        # 32 cores. defaultParallelism-many tasks ≙ the cluster's core count.
-        n_tasks = corpus.sparkSession.sparkContext.defaultParallelism
-        shingle_index_table(corpus.repartition(n_tasks), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
+        shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
     shingled = spark.read.parquet(sh_path)
     return neardup_pairs_jaccard(
         corpus, threshold=0.5, num_hashes=8, bands=2, shingle_n=3, shingled=shingled
@@ -998,7 +998,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     idx_path = _artifact_dir("ivf", sf_dir)
-    if not os.path.exists(os.path.join(idx_path, "meta")):
+    if not os.path.exists(os.path.join(idx_path, "meta.json")):
         build_ivf_index(e, idx_path, n_clusters=16, seed=42)
     return ivf_topk_indexed(load_ivf_index(spark, idx_path), qvec, k=10, nprobe=4)
 
@@ -1398,7 +1398,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d.filter(F.col("doc_id") >= 250).select((F.col("doc_id") + 300000).alias("doc_id"), "text"))
     )
     idx_path = _artifact_dir("neardup_lt250", sf_dir)
-    if not os.path.exists(os.path.join(idx_path, "meta")):
+    if not os.path.exists(os.path.join(idx_path, "meta.json")):
         build_neardup_index(existing, idx_path, num_hashes=8, bands=2, shingle_n=3)
     kept = incremental_neardup_filter_indexed(new_batch, load_neardup_index(spark, idx_path), threshold=0.5)
     return kept.select("doc_id")
