@@ -119,3 +119,30 @@ def test_ann_recall_vs_exact_ground_truth(spark, sf_dir):
     mean_lsh = sum(recalls_lsh) / len(recalls_lsh)
     assert mean_ivf >= 0.7, f"IVF recall@10 collapsed: {recalls_ivf}"
     assert mean_lsh >= 0.7, f"LSH recall@10 collapsed: {recalls_lsh}"
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The 100 TB swap-in for q48's exact percentile: t-digest sketch
+    (mergeable map-side) must track the exact interpolated quantile within
+    the fixture's value range."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) <= 1.0
+
+
+def test_hll_sketch_estimate_error_bound(spark, sf_dir):
+    """HLL sketch distinct-count (the q50 profile's scale path: mergeable,
+    constant memory) stays within ~3% of the exact count."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = o.agg(
+        F.count_distinct("o_custkey").alias("exact"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("approx"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.03

@@ -184,3 +184,27 @@ def test_email_source_dataframe(spark):
     rows = df.orderBy("filename").collect()
     assert [r["filename"] for r in rows] == ["one.csv", "two.json"]
     assert rows[0]["n_bytes"] == 1 and bytes(rows[1]["payload"]) == b"{}"
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.sources.files import read_source
+
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    df.write.mode("overwrite").orc(str(tmp_path / "t.orc"))
+    back = read_source(spark, str(tmp_path / "t.orc"), data_format="orc")
+    assert back.count() == 100
+    assert {f.name for f in back.schema.fields} == {"id", "v"}
+
+
+def test_binary_file_source(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.sources.files import read_source
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (d / "b.bin").write_bytes(b"payload-b")
+    rows = read_source(spark, str(d), data_format="binary").collect()
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert set(by_name) == {"a.bin", "b.bin"}
+    assert bytes(by_name["a.bin"]["content"]) == b"\x00\x01\x02payload-a"
+    assert by_name["b.bin"]["length"] == 9

@@ -266,3 +266,64 @@ def test_kafka_reader_option_contract():
         kafka_reader_options({"topic": "t"})
     with pytest.raises(ValueError, match="topic"):
         kafka_reader_options({"bootstrap_servers": "b"})
+
+
+CLICKS = [
+    (101, "2024-01-01 10:00:00", 1),
+    (102, "2024-01-01 10:04:00", 1),
+    (103, "2024-01-01 10:30:00", 2),
+    (104, "2024-01-01 11:00:00", 3),
+]
+PURCHASES = [
+    (201, "2024-01-01 10:05:00", 1),  # joins 101 (5m) and 102 (1m)
+    (202, "2024-01-01 10:45:00", 2),  # 103 is 15m earlier -> outside window
+    (203, "2024-01-01 11:02:00", 3),  # joins 104
+]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps({"event_id": r[0], "ts": r[1], "user_id": r[2]}) + "\n")
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.streaming.ops import interval_join_streams
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(), pdir.mkdir()
+    _write_jsonl(cdir / "b0.json", CLICKS)
+    _write_jsonl(pdir / "b0.json", PURCHASES)
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+
+    def _join(purchases, clicks):
+        out = interval_join_streams(
+            purchases.withColumnRenamed("event_id", "purchase_id"),
+            clicks.withColumnRenamed("event_id", "click_id"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts_c",
+            lower="10 MINUTES",
+            upper="0 SECONDS",
+            left_watermark="1 minute",
+            right_watermark="1 minute",
+        )
+        return out.select("purchase_id", "click_id", "user_id")
+
+    sp = spark.readStream.schema(schema).json(str(pdir))
+    sc = spark.readStream.schema(schema).json(str(cdir)).withColumnRenamed("ts", "ts_c")
+    _run_to_memory(_join(sp, sc), "ssjoin", tmp_path)
+    got = {(r["purchase_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ssjoin").collect()}
+
+    bp = spark.createDataFrame(PURCHASES, "event_id LONG, ts STRING, user_id LONG").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    bc = (
+        spark.createDataFrame(CLICKS, "event_id LONG, ts STRING, user_id LONG")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumnRenamed("ts", "ts_c")
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in _join(bp, bc).collect()}
+    assert got == want
+    assert (201, 101) in got and (201, 102) in got and (203, 104) in got
+    assert (202, 103) not in got  # outside the 10-minute interval

