@@ -85,3 +85,41 @@ def test_scaling_tables_not_forced_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" not in _plan(spark, sf_dir, "q25_promo_revenue")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q47_cube_single_scan(spark, sf_dir):
+    """CUBE compiles to one Expand + aggregate over ONE orders scan — not a
+    union of four GROUP BYs (four scans)."""
+    plan = _plan(spark, sf_dir, "q47_cube_revenue")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q50_profile_single_scan(spark, sf_dir):
+    """The whole-table column profile reads customer ONCE (multi-distinct
+    via Expand), not once per profiled column."""
+    plan = _plan(spark, sf_dir, "q50_column_profile")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q53_broadcast_scalar_and_anti(spark, sf_dir):
+    """The scalar-average threshold arrives as a broadcast (1 row) and the
+    NOT EXISTS is a LeftAnti join — no per-row subquery execution."""
+    plan = _plan(spark, sf_dir, "q53_rich_inactive_customers")
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+
+
+def test_q46_no_global_window(spark, sf_dir):
+    """Shard packing must never plan an unpartitioned data-wide window (a
+    single task holding the corpus): every Window node keys on _pid."""
+    plan = _plan(spark, sf_dir, "q46_token_shards")
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(0) or "_pid" in m.group(1)
+
+
+def test_q45_sample_filter_is_map_side(spark, sf_dir):
+    """Hash sampling is a pure filter over the scan: no shuffle (Exchange)
+    anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q45_hash_sample")
+    assert "Exchange" not in plan
