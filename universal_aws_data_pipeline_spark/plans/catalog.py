@@ -2018,3 +2018,103 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("view_epoch") < F.col("click_epoch"))
         & (F.col("click_epoch") < F.col("purchase_epoch"))
     )
+
+
+_Q56_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT id AS vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
+@register(
+    "q56_semantic_dedup",
+    _Q56_ORACLE,
+    "SemDeDup shape: embedding-cosine pair graph -> connected components -> canonical per semantic cluster (X3b/X2g)",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication over the embedding space (the SemDeDup
+    pipeline shape): blocked cosine pairs become edges, connected components
+    merge transitively-similar documents into one semantic cluster, the
+    min-id member survives. Same clustering engine as q43, different pair
+    miner — text LSH and embedding cosine share the closure stage."""
+    from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
+    from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id")
+    return dedup_clusters(pairs, src="id_a", dst="id_b").withColumnRenamed("doc_id", "vec_id")
+
+
+_Q57_ORACLE = f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+), train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+), bt AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM bench
+), bsh AS (
+  SELECT DISTINCT unnest(CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+    ELSE [norm] END) AS s
+  FROM bt
+), tt AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM train
+), tsh AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+    ELSE [norm] END) AS s
+  FROM tt
+), cont AS (
+  SELECT DISTINCT tsh.doc_id FROM tsh JOIN bsh USING (s)
+)
+SELECT t.doc_id, c.doc_id IS NOT NULL AS is_contaminated
+FROM train t LEFT JOIN cont c USING (doc_id)
+"""
+
+
+@register(
+    "q57_benchmark_decontamination",
+    _Q57_ORACLE,
+    "eval-set decontamination: flag training docs sharing any n-gram shingle with the benchmark set (X2/X4)",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the n-gram overlap sweep every serious
+    pretraining pipeline runs): docs sharing any 3-gram shingle with the
+    held-out set (doc_id % 97 == 0 stands in for the benchmark) are flagged.
+    Scale shape: the benchmark's distinct shingles are small — exploded and
+    BROADCAST — so the corpus side is explode + broadcast-hash-join + distinct,
+    one shuffle total (the distinct), never corpus×corpus."""
+    from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    bsh = (
+        bench.select(F.explode(word_shingles(F.col("text"), n=3)).alias("s")).distinct()
+    )
+    tsh = train.select("doc_id", F.explode(word_shingles(F.col("text"), n=3)).alias("s"))
+    cont = tsh.join(F.broadcast(bsh), "s").select("doc_id").distinct()
+    return (
+        train.join(cont.withColumn("_hit", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("is_contaminated"))
+    )
