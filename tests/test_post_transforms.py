@@ -1,0 +1,111 @@
+"""Declarative post-transform stages (config-driven LLM-pipeline operators)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.config.model import SourceConfig
+from universal_aws_data_pipeline_spark.operators.post import apply_post_transforms
+from universal_aws_data_pipeline_spark.runner import PipelineRunner
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string, ts: long")
+
+
+def test_exact_dedup_spec(spark):
+    df = _docs(spark, [(1, "a", 10), (1, "a-late", 20), (2, "b", 5)])
+    out = apply_post_transforms(df, [{"op": "exact_dedup", "keys": ["doc_id"], "order_by": "ts"}])
+    got = {(r["doc_id"], r["text"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_neardup_filter_spec_keeps_first(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(1, base, 0), (2, base + " tail", 0), (3, "totally different words here entirely", 0)])
+    out = apply_post_transforms(
+        df, [{"op": "neardup_filter", "id": "doc_id", "column": "text", "threshold": 0.5}]
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_redact_and_repetition_specs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at bob@example.com now", 0),
+            (2, "spam spam spam spam spam spam spam spam spam ham", 0),
+        ],
+    )
+    out = apply_post_transforms(
+        df,
+        [
+            {"op": "repetition_filter", "column": "text", "max_dup_word_frac": 0.7},
+            {"op": "redact_pii", "column": "text"},
+        ],
+    )
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["text"] == "mail me at [EMAIL] now"
+
+
+def test_hash_sample_spec(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"), F.lit(0).alias("ts"))
+    out = apply_post_transforms(df, [{"op": "hash_sample", "key": "doc_id", "fraction": 0.25}])
+    assert 150 < out.count() < 350
+
+
+def test_unknown_op_raises(spark):
+    with pytest.raises(ValueError, match="unknown post_transform"):
+        apply_post_transforms(_docs(spark, [(1, "x", 0)]), [{"op": "nope"}])
+
+
+def test_cross_row_op_rejected_on_stream(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b0.json").write_text(json.dumps({"doc_id": 1, "text": "x", "ts": 1}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, text STRING, ts LONG").json(str(d))
+    with pytest.raises(ValueError, match="cannot run on a stream"):
+        apply_post_transforms(stream, [{"op": "exact_dedup", "keys": ["doc_id"], "order_by": "ts"}])
+
+
+def test_runner_config_driven_post_transforms(spark, tmp_path):
+    """E2E: a config file with post_transforms runs dedup + PII redaction
+    through the PipelineRunner's batch path."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [
+        {"id": 1, "text": "contact alice@corp.example please", "ts": 1},
+        {"id": 1, "text": "dup of one", "ts": 2},
+        {"id": 2, "text": "clean row", "ts": 1},
+    ]
+    with open(raw / "p0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = SourceConfig.from_dict(
+        {
+            "name": "docs",
+            "type": "file",
+            "data_format": "json",
+            "input_path": str(raw),
+            "schema": {
+                "mapping": {"doc_id": "id", "text": "text", "ts": "ts"},
+                "required": ["doc_id"],
+                "transformations": [{"field": "ts", "type": "long"}],
+            },
+            "post_transforms": [
+                {"op": "exact_dedup", "keys": ["doc_id"], "order_by": "ts"},
+                {"op": "redact_pii", "column": "text"},
+            ],
+            "destination": {"path": str(tmp_path / "out"), "partition_by": []},
+            "retry": {"attempts": 1, "interval_seconds": 0.0},
+        }
+    )
+    result = PipelineRunner(spark).run(cfg)
+    assert result.status == "success", result.error
+    out = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[1] == "contact [EMAIL] please"
+    assert set(out) == {1, 2}

@@ -182,6 +182,10 @@ class SourceConfig:
     api: dict[str, Any] = field(default_factory=dict)  # rest_api connector config
     email: dict[str, Any] = field(default_factory=dict)  # email connector config
     stream: dict[str, Any] = field(default_factory=dict)  # streaming connector config
+    # declarative post-transform stages (operators/post.py dispatcher):
+    # exact_dedup / neardup_filter / hash_sample / redact_pii /
+    # repetition_filter — the LLM-pipeline operators as config steps
+    post_transforms: list[dict[str, Any]] = field(default_factory=list)
 
     @staticmethod
     def from_dict(raw: dict[str, Any], extra_vars: dict[str, str] | None = None) -> "SourceConfig":
@@ -246,6 +250,7 @@ class SourceConfig:
             api=raw.get("api", {}),
             email=raw.get("email", {}),
             stream=raw.get("stream", {}),
+            post_transforms=list(raw.get("post_transforms", [])),
         )
 
 

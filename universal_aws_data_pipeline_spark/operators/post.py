@@ -1,0 +1,84 @@
+"""Declarative post-transform stages: the LLM-pipeline operators as config
+steps.
+
+The reference is config-driven end to end (YAML → transform chain); the
+dedup/sampling/PII operators deserve the same door, not just a Python API.
+``apply_post_transforms`` dispatches a list of spec dicts (from
+``SourceConfig.post_transforms``) onto the operator modules:
+
+- ``{op: exact_dedup, keys: [...], order_by: col}``
+- ``{op: neardup_filter, id: col, column: text_col, threshold: 0.6}``
+  (batch-only: cross-row state; rejected on streaming DataFrames)
+- ``{op: hash_sample, key: col, fraction: 0.1, strata?: col,
+  fractions?: {stratum: rate}}``
+- ``{op: redact_pii, column: text_col}``
+- ``{op: repetition_filter, column: text_col, max_dup_word_frac: 0.8}``
+
+Row-local ops (sample / redact / repetition) are streaming-safe and pass
+through unchanged on streams; cross-row ops raise on a streaming frame with
+a pointer at the batch API instead of failing later inside an action.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CROSS_ROW_OPS = {"exact_dedup", "neardup_filter"}
+
+
+def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFrame:
+    for spec in specs:
+        op = spec.get("op")
+        if df.isStreaming and op in _CROSS_ROW_OPS:
+            raise ValueError(
+                f"post_transform {op!r} needs cross-row state and cannot run on a stream; "
+                "dedup streams with streaming.ops.dedup_within_watermark or run batch"
+            )
+        if op == "exact_dedup":
+            from universal_aws_data_pipeline_spark.operators.dedup import exact_dedup
+
+            df = exact_dedup(df, list(spec["keys"]), spec["order_by"])
+        elif op == "neardup_filter":
+            from universal_aws_data_pipeline_spark.operators.dedup import neardup_pairs_jaccard
+
+            id_col, text_col = spec.get("id", "doc_id"), spec.get("column", "text")
+            pairs = neardup_pairs_jaccard(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=float(spec.get("threshold", 0.6)),
+                shingle_n=int(spec.get("shingle_n", 3)),
+            )
+            # drop the larger id of each surviving pair (keep-first)
+            df = df.join(
+                pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+            )
+        elif op == "hash_sample":
+            from universal_aws_data_pipeline_spark.operators.sampling import hash_sample
+
+            df = hash_sample(
+                df,
+                spec["key"],
+                float(spec.get("fraction", 1.0)),
+                strata_col=spec.get("strata"),
+                fractions={k: float(v) for k, v in spec.get("fractions", {}).items()} or None,
+            )
+        elif op == "redact_pii":
+            from universal_aws_data_pipeline_spark.operators.text import redact_pii
+
+            col = spec.get("column", "text")
+            df = df.withColumn(col, redact_pii(F.col(col)))
+        elif op == "repetition_filter":
+            from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+            col = spec.get("column", "text")
+            cap = float(spec.get("max_dup_word_frac", 0.8))
+            toks = tokens_col(F.col(col))
+            dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            df = df.filter(dup_frac < cap)
+        else:
+            raise ValueError(f"unknown post_transform op {op!r}")
+    return df

@@ -159,6 +159,10 @@ class PipelineRunner:
         now = self.clock() if self.clock else None
         df = self._ingest(cfg)
         transformed = transform_chain(df, cfg, processed_at=now, fallback_date=now.date() if now else None)
+        if cfg.post_transforms:
+            from universal_aws_data_pipeline_spark.operators.post import apply_post_transforms
+
+            transformed = apply_post_transforms(transformed, cfg.post_transforms)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if cfg.quality_checks:
@@ -224,6 +228,10 @@ class PipelineRunner:
                 df, cfg, processed_at=now,
                 fallback_date=now.date() if now else None,
             )
+            if cfg.post_transforms:
+                from universal_aws_data_pipeline_spark.operators.post import apply_post_transforms
+
+                transformed = apply_post_transforms(transformed, cfg.post_transforms)
             result.stages.append("transform")
 
             if cfg.quality_checks:
