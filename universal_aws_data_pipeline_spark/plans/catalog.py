@@ -2118,3 +2118,79 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(cont.withColumn("_hit", F.lit(True)), "doc_id", "left")
         .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("is_contaminated"))
     )
+
+
+@register(
+    "q58_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, best_price,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY best_price, l_suppkey) AS rn
+      FROM cost
+    )
+    SELECT r.l_partkey AS partkey, p.p_brand, r.l_suppkey AS suppkey, r.best_price
+    FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rn = 1 AND p.p_brand = 'Brand#1'
+    """,
+    "TPC-H Q2 shape: cheapest supplier per part — struct-min argmin aggregation, not a per-group window sort",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin WITHOUT a window: min(struct(price, suppkey)) per part is a
+    hash aggregate — partial mins combine map-side, the shuffle carries one
+    candidate per (part, partition) — where the window spelling sorts every
+    partition's rows per key. The struct's lexicographic order (price, then
+    suppkey) is exactly the oracle's ORDER BY tiebreak. Brand filter pushes
+    into the part scan and prunes before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("best_price"))
+    best = (
+        per_supp.groupBy("l_partkey")
+        .agg(F.min(F.struct("best_price", "l_suppkey")).alias("_b"))
+        .select(F.col("l_partkey"), F.col("_b.l_suppkey").alias("l_suppkey"), F.col("_b.best_price").alias("best_price"))
+    )
+    return best.join(p, best["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_partkey").alias("partkey"), "p_brand", F.col("l_suppkey").alias("suppkey"), "best_price"
+    )
+
+
+@register(
+    "q59_supplier_share",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS suppkey, round(revenue, 2) AS revenue,
+           round(100.0 * revenue / (SELECT sum(revenue) FROM rev), 4) AS share_pct
+    FROM rev
+    WHERE revenue > 0.011 * (SELECT sum(revenue) FROM rev)
+    """,
+    "TPC-H Q11 shape: per-supplier revenue share filtered against a fraction of the global total",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total with a scalar threshold. The global total comes from
+    an unpartitioned window over the ALREADY-AGGREGATED per-supplier table:
+    one task streams |suppliers| tiny rows — vs the scalar-subquery
+    spelling, which (without runtime exchange reuse) re-aggregates the fact
+    table a second time. One scan of lineitem, guaranteed by the plan, is
+    worth a single-task pass over the aggregate at any realistic scale."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return (
+        rev.withColumn("_total", total)
+        .filter(F.col("revenue") > 0.011 * F.col("_total"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.lit(100.0) * F.col("revenue") / F.col("_total"), 4).alias("share_pct"),
+        )
+    )
