@@ -4,7 +4,7 @@ The canonical last stage of a dedup pipeline: MinHash-LSH emits near-dup
 *pairs*; keeping one representative per duplicate *group* requires the
 transitive closure of those pairs (a ~ b, b ~ c ⇒ {a,b,c} are one group).
 The reference pipeline stops at pairwise containment checks
-(`/root/reference/src/glue_jobs/data_transformation.py` drops rows per-file,
+(`/root/reference/src/glue/transformation/transform_data.py` drops rows per-file,
 never cross-file), so this is part of the driver-mandated LLM-pipeline
 extension surface rather than reference parity.
 

@@ -1,8 +1,10 @@
 """Declarative post-transform stages: the LLM-pipeline operators as config
 steps.
 
-The reference is config-driven end to end (YAML → transform chain); the
-dedup/sampling/PII operators deserve the same door, not just a Python API.
+The reference is config-driven end to end (YAML → transform chain:
+`/root/reference/src/config/sources/sample_source.yaml` drives
+`transform_data.py`'s schema mapping); the dedup/sampling/PII
+operators deserve the same door, not just a Python API.
 ``apply_post_transforms`` dispatches a list of spec dicts (from
 ``SourceConfig.post_transforms``) onto the operator modules:
 

@@ -1,5 +1,10 @@
 """Deterministic sampling and shard packing for training-data pipelines.
 
+Reference parity: none — the reference has no sampling surface (its
+transform job, `/root/reference/src/glue/transformation/transform_data.py`,
+processes every row); these are driver-mandated LLM-pipeline extensions
+(SURVEY §2.11).
+
 Sampling at corpus scale must be (a) reproducible across reruns and engines
 — seeds on `df.sample()` are NOT stable across partition layouts — and (b)
 a pure map-side filter, so it composes with scan pushdown and costs zero
