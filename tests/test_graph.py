@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from universal_aws_data_pipeline_spark.operators.graph import connected_components, dedup_clusters
 
@@ -39,5 +40,14 @@ def test_dedup_clusters_canonical_and_sizes(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # a 100-node chain cannot flood min-labels to the far end in 2
+    # iterations (4 propagation steps), even with pointer jumping
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_edges(spark, [(i, i + 1) for i in range(1, 12)]), max_iter=2)
+        connected_components(_edges(spark, [(i, i + 1) for i in range(1, 100)]), max_iter=2)
+
+
+def test_long_chain_converges_fast(spark):
+    # pointer jumping: O(log D) rounds — a 500-hop chain finishes well
+    # inside the default cap (plain propagation would need 499 rounds)
+    out = connected_components(_edges(spark, [(i, i + 1) for i in range(1, 500)]))
+    assert out.filter(F.col("component") != 1).count() == 0

@@ -2054,12 +2054,21 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline shape): blocked cosine pairs become edges, connected components
     merge transitively-similar documents into one semantic cluster, the
     min-id member survives. Same clustering engine as q43, different pair
-    miner — text LSH and embedding cosine share the closure stage."""
+    miner — text LSH and embedding cosine share the closure stage. Pairs are
+    checkpointed to a parquet artifact (mined once per dataset; every
+    re-cluster probes the stored table), mirroring q43."""
+    import os
+
     from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
     from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
 
-    e = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id")
+    pairs_path = os.path.join(_artifact_dir("semantic_pairs", sf_dir), "q56")
+    if not os.path.exists(pairs_path):
+        e = _t(spark, sf_dir, "embeddings")
+        cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id").write.mode(
+            "overwrite"
+        ).parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
     return dedup_clusters(pairs, src="id_a", dst="id_b").withColumnRenamed("doc_id", "vec_id")
 
 
