@@ -146,3 +146,60 @@ def test_hll_sketch_estimate_error_bound(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("approx"),
     ).head()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.03
+
+
+def test_accepted_values_and_range_checks(spark):
+    from universal_aws_data_pipeline_spark.config.model import QualityCheck
+    from universal_aws_data_pipeline_spark.operators.quality import run_quality_checks
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 50.0), ("zz", None), (None, -1.0)],
+        "status: string, score: double",
+    )
+    results = {
+        r.check: r
+        for r in run_quality_checks(
+            df,
+            [
+                QualityCheck(type="accepted_values", columns=["status"], values=["a", "b"]),
+                QualityCheck(type="range", columns=["score"], min_value=0, max_value=10),
+            ],
+        )
+    }
+    # 'zz' violates the enum; NULL status does not (not_null's job)
+    assert results["accepted_values(status)"].violations == 1
+    # 50.0 above max and -1.0 below min violate; NULL score does not
+    assert results["range(score)"].violations == 2
+
+
+def test_range_check_single_bound_and_config_parse(spark):
+    from universal_aws_data_pipeline_spark.config.model import SourceConfig
+    from universal_aws_data_pipeline_spark.operators.quality import run_quality_checks
+
+    cfg = SourceConfig.from_dict(
+        {
+            "name": "x",
+            "type": "file",
+            "input_path": "/dev/null",
+            "quality_checks": [
+                {"type": "range", "column": "v", "min_value": 0},
+                {"type": "accepted_values", "column": "s", "values": ["ok"]},
+            ],
+        }
+    )
+    assert cfg.quality_checks[0].min_value == 0 and cfg.quality_checks[0].max_value is None
+    df = spark.createDataFrame([(1.0, "ok"), (-2.0, "ok")], "v: double, s: string")
+    res = {r.check: r for r in run_quality_checks(df, cfg.quality_checks)}
+    assert res["range(v)"].violations == 1
+    assert res["accepted_values(s)"].violations == 0
+
+
+def test_quality_check_config_validation():
+    import pytest
+
+    from universal_aws_data_pipeline_spark.config.model import QualityCheck
+
+    with pytest.raises(ValueError, match="requires 'values'"):
+        QualityCheck(type="accepted_values", columns=["c"])
+    with pytest.raises(ValueError, match="min_value and/or max_value"):
+        QualityCheck(type="range", columns=["c"])

@@ -102,15 +102,22 @@ class SchemaConfig:
 
 @dataclass
 class QualityCheck:
-    type: str  # not_null | unique | regex
+    type: str  # not_null | unique | regex | accepted_values | range
     columns: list[str]
     pattern: str | None = None
+    values: list[str] | None = None  # accepted_values membership list
+    min_value: float | None = None  # range lower bound (inclusive)
+    max_value: float | None = None  # range upper bound (inclusive)
 
     def __post_init__(self) -> None:
-        if self.type not in ("not_null", "unique", "regex"):
+        if self.type not in ("not_null", "unique", "regex", "accepted_values", "range"):
             raise ValueError(f"unknown quality check type {self.type!r}")
         if self.type == "regex" and not self.pattern:
             raise ValueError("regex quality check requires 'pattern'")
+        if self.type == "accepted_values" and not self.values:
+            raise ValueError("accepted_values quality check requires 'values'")
+        if self.type == "range" and self.min_value is None and self.max_value is None:
+            raise ValueError("range quality check requires min_value and/or max_value")
 
 
 # CloudWatch-style comparison names (sample_source.yaml:102,106) normalize to
@@ -223,7 +230,14 @@ class SourceConfig:
                 jdbc_driver=d.get("jdbc_driver"),
             )
         checks = [
-            QualityCheck(type=c["type"], columns=list(c.get("columns", [c.get("column")])), pattern=c.get("pattern"))
+            QualityCheck(
+                type=c["type"],
+                columns=list(c.get("columns", [c.get("column")])),
+                pattern=c.get("pattern"),
+                values=list(c["values"]) if "values" in c else None,
+                min_value=float(c["min_value"]) if "min_value" in c else None,
+                max_value=float(c["max_value"]) if "max_value" in c else None,
+            )
             for c in raw.get("quality_checks", [])
         ]
         thresholds = [

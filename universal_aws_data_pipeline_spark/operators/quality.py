@@ -65,6 +65,24 @@ def quality_check_df(df: DataFrame, checks: list[QualityCheck]) -> DataFrame:
             elif chk.type == "unique":
                 name = _name(f"unique({col})")
                 aggs.append((F.count(F.col(col)) - F.count_distinct(F.col(col))).alias(name))
+            elif chk.type == "accepted_values":
+                # dbt-style enum membership; NULLs are not violations (that's
+                # not_null's job — composable, not conflated)
+                name = _name(f"accepted_values({col})")
+                bad = F.col(col).isNotNull() & ~F.col(col).cast("string").isin(
+                    [str(v) for v in (chk.values or [])]
+                )
+                aggs.append(F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(name))
+            elif chk.type == "range":
+                name = _name(f"range({col})")
+                cond = F.lit(False)
+                if chk.min_value is not None:
+                    cond = cond | (F.col(col) < chk.min_value)
+                if chk.max_value is not None:
+                    cond = cond | (F.col(col) > chk.max_value)
+                aggs.append(
+                    F.coalesce(F.sum((F.col(col).isNotNull() & cond).cast("long")), F.lit(0)).alias(name)
+                )
             else:  # pragma: no cover - validated in config
                 raise ValueError(chk.type)
             names.append(name)

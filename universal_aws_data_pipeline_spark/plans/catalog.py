@@ -1899,19 +1899,31 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filtering (the Gopher/MassiveText rules):
     fraction of duplicate words and duplicate bigrams per document, plus the
     filter flag. Pure row-local array expressions — tokens, bigrams,
-    distincts all inside whole-stage codegen; no explode, no shuffle, runs
-    at scan speed over any corpus size."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col, word_shingles
+    distincts all inside whole-stage codegen; no explode, runs at scan
+    speed over any corpus size.
 
-    d = _t(spark, sf_dir, "documents")
-    t = tokens_col(F.col("text"))
+    Two-stage select on purpose: the token/bigram arrays are projected into
+    named columns FIRST, so each is computed once per row — inlined into
+    every referencing expression, the normalize+split pass ran 4x per row
+    (measured 8 s → ~1 s at sf0.1). parallelize_text_scan spreads the
+    CPU-bound map off the compressed single-file scan split."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col, word_shingles
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
+
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    staged = d.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("_t"),
+        word_shingles(F.col("text"), n=2).alias("_bg"),
+    )
+    t = F.col("_t")
     bg_total = F.size(t) - 1
     dup_word = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t)
     dup_bigram = F.when(
         bg_total > 0,
-        F.round(F.lit(1.0) - F.size(word_shingles(F.col("text"), n=2)).cast("double") / bg_total, 4),
+        F.round(F.lit(1.0) - F.size(F.col("_bg")).cast("double") / bg_total, 4),
     ).otherwise(F.lit(0.0))
-    return d.select(
+    return staged.select(
         "doc_id",
         F.round(dup_word, 4).alias("dup_word_frac"),
         dup_bigram.alias("dup_bigram_frac"),
@@ -2112,10 +2124,13 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out set (doc_id % 97 == 0 stands in for the benchmark) are flagged.
     Scale shape: the benchmark's distinct shingles are small — exploded and
     BROADCAST — so the corpus side is explode + broadcast-hash-join + distinct,
-    one shuffle total (the distinct), never corpus×corpus."""
+    one shuffle total (the distinct), never corpus×corpus. The corpus scan is
+    spread to the core count first (CPU-bound shingling off a compressed
+    single-file split: measured 13 s → ~1.5 s at sf0.1)."""
     from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
 
-    d = _t(spark, sf_dir, "documents")
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     bsh = (
