@@ -327,3 +327,42 @@ def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
     assert got == want
     assert (201, 101) in got and (201, 102) in got and (203, 104) in got
     assert (202, 103) not in got  # outside the 10-minute interval
+
+
+def test_idempotent_batch_writer_replay_has_no_duplicates(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.streaming.ops import idempotent_batch_writer
+
+    out = str(tmp_path / "sink")
+    write = idempotent_batch_writer(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+    b1 = spark.createDataFrame([(3, "c")], "id: long, v: string")
+    write(b0, 0)
+    write(b0, 0)  # crash-replay of the same batch id
+    write(b1, 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["id"] for r in got.collect()} == {1, 2, 3}
+    # replay overwrote only its own partition; batch 1 untouched
+    assert got.filter("_batch_id = 0").count() == 2
+
+
+def test_idempotent_batch_writer_in_stream(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.streaming.ops import idempotent_batch_writer, write_stream_sink
+
+    d = tmp_path / "in2"
+    d.mkdir()
+    _write_jsonl(d / "b0.json", CLICKS)
+    stream = spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG").json(str(d))
+    out = str(tmp_path / "sink2")
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "foreach_batch",
+            "fn": idempotent_batch_writer(out),
+            "checkpoint": str(tmp_path / "ckpt2"),
+            "output_mode": "append",
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(CLICKS)

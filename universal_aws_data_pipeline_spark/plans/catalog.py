@@ -2218,3 +2218,39 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(100.0) * F.col("revenue") / F.col("_total"), 4).alias("share_pct"),
         )
     )
+
+
+@register(
+    "q60_salted_skew_join",
+    """
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS hot_user,
+             value
+      FROM events
+    )
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(ev.value), 2) AS total_value
+    FROM ev JOIN customer c ON c.c_custkey = ev.hot_user
+    GROUP BY c.c_mktsegment
+    """,
+    "skew-salted fact-dimension join: hot key spread over salt buckets, dimension replicated S× (100 TB skew lever)",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deliberately pathological key (a third of all events collapse onto
+    user 1) joined through ``salted_join``: the hot key's rows spread over 8
+    salt buckets — 8 tasks instead of one straggler — and the dimension side
+    is replicated 8× (cheap: it's the small side). The oracle states the
+    plain join; salting must be invisible in the result."""
+    from universal_aws_data_pipeline_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(1)).otherwise(F.col("user_id")).alias("hot_user"),
+        "value",
+    ).withColumnRenamed("hot_user", "c_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, on="c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )

@@ -228,3 +228,27 @@ def interval_join_streams(
     for k in on:
         out = out.drop(F.col(f"r.{k}"))
     return out
+
+
+def idempotent_batch_writer(path: str, partition_cols: tuple[str, ...] = ()):
+    """Exactly-once-effect parquet sink for ``foreachBatch``.
+
+    Structured Streaming guarantees at-least-once for foreachBatch: after a
+    crash between the write and the checkpoint commit, the SAME batch_id is
+    re-delivered. Writing each batch into a ``_batch_id=<n>`` partition with
+    dynamic partition overwrite makes the replay overwrite its own previous
+    (possibly partial) output instead of appending duplicates — idempotent
+    per batch, hence exactly-once end to end. This is the standard recipe
+    when the sink is a plain file store with no transaction log.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", *partition_cols)
+            .parquet(path)
+        )
+
+    return _write
