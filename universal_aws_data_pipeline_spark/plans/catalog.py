@@ -2254,3 +2254,80 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@register(
+    "q61_weekly_retention",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT a.week, CAST(count(*) AS BIGINT) AS retained_users
+    FROM wk a JOIN wk b ON a.user_id = b.user_id AND b.week = a.week + 7
+    GROUP BY a.week
+    """,
+    "cohort retention: users active in week w who return in week w+1 (self-join on the deduped activity table)",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention. The self-join runs on the DEDUPED
+    (user, week) activity table — |users|×|weeks| rows, not raw events² —
+    and joins on (user_id, week+7) as a pure equi-key. distinct is the one
+    full shuffle; everything after operates on the reduced table.
+
+    Dates derive from the UTC epoch day (unix_timestamp // 86400), not a
+    session-tz cast — the stored timestamps are naive wall clocks, and a
+    non-UTC driver session would shift boundary events to the wrong week."""
+    e = _t(spark, sf_dir, "events")
+    utc_day = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("int"),
+    )
+    wk = e.select(
+        "user_id", F.date_trunc("week", utc_day).cast("date").alias("week")
+    ).distinct()
+    nxt = wk.select("user_id", F.date_sub(F.col("week"), 7).alias("week"))
+    return (
+        wk.join(nxt, ["user_id", "week"])
+        .groupBy("week")
+        .agg(F.count("*").alias("retained_users"))
+    )
+
+
+@register(
+    "q62_rolling_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT d, CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum(n_events) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_7d
+    FROM daily
+    """,
+    "rolling 7-day totals via a RANGE (value-based) window frame over the daily aggregate",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, handles calendar gaps — a ROWS frame would
+    silently span missing days). Spark's rangeBetween needs a numeric sort
+    key, so the date becomes an epoch-day int; the frame [-6, 0] is then
+    exactly the oracle's INTERVAL 6 DAY PRECEDING. The window runs over the
+    |days| daily-aggregate rows, not the event stream. The day derives from
+    the UTC epoch (tz-free) like q61, not a session-tz date cast."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    utc_day = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("int"),
+    )
+    daily = e.groupBy(utc_day.alias("d")).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "d", "n_events", F.sum("n_events").over(w).alias("n_7d")
+    )
