@@ -94,3 +94,58 @@ def running_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def running_totals_v2(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """``transformWithStateInPandas`` (Spark 4 state API v2) twin of
+    ``running_totals``: per-key cumulative count/sum, update mode.
+
+    v2 advantages over ``applyInPandasWithState``: named state variables
+    with per-state TTL handled by the state store itself (no manual
+    setTimeoutDuration/hasTimedOut dance like the v1 operator above),
+    multiple state variables per key, and timers. State stays bounded by
+    the live-key set via ``ttl_ms``.
+
+    The processor class is defined locally: it must travel to the state
+    worker via cloudpickle, and importing this module must not require the
+    v2 API to exist on older Sparks.
+
+    Environment note: executing this operator requires ``google.protobuf``
+    (the v2 state-server wire protocol) — not installed in this container,
+    so the pytest is gated on its presence (like the Kafka broker path).
+    The v1 ``running_totals`` above is the fully-exercised operator here.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _RunningTotalsV2(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((int(n), float(total)))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [int(n)], "value_sum": [float(total)]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsV2(),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
