@@ -2331,3 +2331,110 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", "n_events", F.sum("n_events").over(w).alias("n_7d")
     )
+
+
+@register(
+    "q63_gdpr_cascade_delete",
+    """
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+    del_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del))
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT) AS rows_kept,
+           CAST((SELECT count(*) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM del)) AS BIGINT) AS rows_deleted
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)) AS BIGINT)
+    """,
+    "right-to-be-forgotten cascade: deletion keys swept through the fact chain via broadcast anti-join accounting",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request propagation (customer → orders → lineitem): each
+    table takes ONE pass — a broadcast left join against the (small)
+    deletion key set with conditional counts — rather than separate
+    kept/deleted scans. The deleted-orders key set cascades to lineitem the
+    same way. At 100 TB the deletion list is always broadcast-size; the
+    facts are never shuffled."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_keys = c.filter(F.col("c_custkey") % 50 == 0).select("c_custkey").withColumn("_d", F.lit(1))
+
+    def _sweep(df: DataFrame, name: str, key: str, dead: DataFrame, dead_key: str) -> DataFrame:
+        joined = df.join(
+            F.broadcast(dead.withColumnRenamed(dead_key, key)), key, "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("table_name"),
+            F.coalesce(F.sum((F.col("_d").isNull()).cast("long")), F.lit(0)).alias("rows_kept"),
+            F.coalesce(F.sum((F.col("_d").isNotNull()).cast("long")), F.lit(0)).alias("rows_deleted"),
+        )
+
+    dead_orders = (
+        o.join(F.broadcast(del_keys.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey")
+        .select("o_orderkey")
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        _sweep(c, "customer", "c_custkey", del_keys, "c_custkey")
+        .unionByName(_sweep(o, "orders", "o_custkey", del_keys, "c_custkey"))
+        .unionByName(_sweep(li, "lineitem", "l_orderkey", dead_orders, "o_orderkey"))
+    )
+
+
+@register(
+    "q64_snapshot_diff_cdc",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 31 <> 0
+      UNION ALL
+      SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
+    """,
+    "CDC derivation by snapshot diff: full outer join emits insert/delete/update change set between table versions",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture without a log: diff two table snapshots with one
+    full outer join on the key (null side ⇒ insert/delete, value compare ⇒
+    update; unchanged rows drop out). The synthetic 'new' snapshot deletes
+    doc_id%31, rewrites doc_id%7, inserts 20 fresh ids — all three change
+    types exercised. One shuffle on the key; row-local comparisons."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 31 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(d.filter(F.col("doc_id") < 20).select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
+    )
+    o = d.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("insert"))
+        .when(F.col("n.doc_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.filter(
+            F.col("o.doc_id").isNull()
+            | F.col("n.doc_id").isNull()
+            | (F.col("o.text") != F.col("n.text"))
+        )
+        .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"), change.alias("change_type"))
+    )
