@@ -2438,3 +2438,40 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"), change.alias("change_type"))
     )
+
+
+@register(
+    "q65_doc_chunking",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / 40 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, s + 1, s + 50)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(t, s + 1, s + 50), ' ')) AS chunk_md5
+    FROM toks, unnest(range(0, greatest(len(t), 1), 40)) u(s)
+    """,
+    "context-window chunking: fixed 50-token chunks, 10-token overlap, per-chunk fingerprints (X4)",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into model-context-sized chunks (50 tokens, stride
+    40 ⇒ 10-token overlap) — the step between a cleaned corpus and a
+    tokenized training set. Row-local throughout: tokens → explode of the
+    stride sequence → slice per chunk; no shuffle, output is one row per
+    chunk. The chunk md5 doubles as the join key for chunk-level dedup
+    downstream."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    staged = d.select("doc_id", t.alias("_t")).select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(40))).alias("s"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("s") + 1, 50)
+    return staged.select(
+        "doc_id",
+        (F.col("s") / 40).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
