@@ -2475,3 +2475,73 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+@register(
+    "q66_sliding_window_counts",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ), starts AS (
+      SELECT h AS s FROM hourly UNION SELECT h - 1 FROM hourly
+    )
+    SELECT s.s * 3600 AS window_start_epoch,
+           (s.s + 2) * 3600 AS window_end_epoch,
+           CAST(coalesce(a.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_events
+    FROM starts s
+    LEFT JOIN hourly a ON a.h = s.s
+    LEFT JOIN hourly b ON b.h = s.s + 1
+    WHERE coalesce(a.n, 0) + coalesce(b.n, 0) > 0
+    """,
+    "sliding windows (2h size, 1h slide) on a batch frame — same F.window code path as the stream",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows via ``F.window(ts, '2 hours', '1 hour')``
+    — each event lands in size/slide = 2 windows (a row-local expansion),
+    then one aggregation; the IDENTICAL expression runs on the streaming
+    path (test_sliding_window), which is the batch/stream-parity design
+    point. The oracle reconstructs the same windows from hourly counts:
+    every hour adjacent to data opens a window; empty windows don't emit."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    out = e.groupBy(win.alias("w")).agg(F.count("*").alias("n_events"))
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        F.unix_timestamp(F.col("w.end")).alias("window_end_epoch"),
+        "n_events",
+    )
+
+
+@register(
+    "q67_train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 52428 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+    "deterministic train/val/test split (80/10/10 by content hash) with per-language counts (X6)",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset splitting for training: hash-range assignment (80/10/10 of
+    the md5 bucket space) — membership is a pure function of the document
+    id, so the split never leaks rows across sets when the corpus grows or
+    repartitions (df.randomSplit does). Map-side label + one aggregation;
+    the per-language counts are the split-balance audit."""
+    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < int(0.8 * 65536), F.lit("train"))
+        .when(bucket < int(0.9 * 65536), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
