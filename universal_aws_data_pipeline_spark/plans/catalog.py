@@ -2545,3 +2545,37 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+@register(
+    "q68_video_frame_sampling",
+    """
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(length(substring(text, i * greatest(n // 4, 1) + 1, 256)) AS BIGINT) AS frame_len,
+           md5(substring(text, i * greatest(n // 4, 1) + 1, 256)) AS frame_md5
+    FROM b, unnest(range(0, 4)) u(i)
+    """,
+    "video frame sampling: 1 payload row -> N frame rows via generator mapInPandas (X5, hash-graded stub)",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video path of the multimodal surface, graded end to end: binary
+    payloads flow through the Arrow generator UDF (mapInPandas yielding
+    more rows than it consumes — the UDTF shape), 4 evenly-spaced frames
+    per payload. The decoder is the documented deterministic byte-slice
+    stub (no ffmpeg in this container), which makes the frame bytes —
+    ASCII text slices — oracle-checkable via substring+md5. The Spark-side
+    plumbing (schemas, Arrow batching, 1→N row expansion) is the real
+    deliverable; swap the slicing for keyframe extraction in production."""
+    from universal_aws_data_pipeline_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(d), n_frames=4, frame_bytes=256)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
