@@ -2579,3 +2579,225 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("long").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — nation-pair shipping volume (TPC-H Q7 shape): 5-way join, pair
+# predicate, year rollup. Scale: both nation joins are broadcast (fixed 25
+# rows); the pair filter is applied via the PRE-FILTERED nation dims so
+# supplier/customer shrink ~2/25 before touching the fact shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q69_nation_pair_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey  = l_orderkey
+      JOIN supplier ON s_suppkey   = l_suppkey
+      JOIN customer ON c_custkey   = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-of-pairs predicate references BOTH sides of the join, so
+    Catalyst cannot push it into either scan on its own. The manual (and
+    standard Q7) rewrite: pre-filter each nation dim to the two nations of
+    interest — that DOES push down — broadcast-join them into supplier and
+    customer (each shrinks to ~2/25 of its rows *before* the fact joins),
+    and keep the exact pair condition as a cheap post-join residual over
+    the already-tiny cross of 2×2 nation names. The lineitem date range
+    pushes into the parquet scan. Reference parity: the reference has no
+    join surface at all (SURVEY §2.3); this is the native-engine extension."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < _ntz(dt.datetime(1998, 1, 1)))
+    )
+    pair = ["NATION_1", "NATION_2"]
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+    c = _t(spark, sf_dir, "customer").join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — product-line profit by supplier nation and order year (TPC-H Q9
+# shape, minus partsupp which the test schema omits). Scale: the p_name
+# LIKE filter prunes part BEFORE its join; nation is broadcast; the two
+# fact-fact joins (lineitem⋈orders, ⋈part) are AQE's call.
+# --------------------------------------------------------------------------
+@register(
+    "q70_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM lineitem
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN part     ON p_partkey  = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 shape: profit on a product line by supplier nation and order year",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join order matters at scale: part is filtered by the LIKE (pushes to
+    its scan as a StringContains), and joining lineitem⋈part FIRST shrinks
+    the fact stream before the orders join — the selective reduction
+    happens as early as possible. Only nation gets a broadcast hint;
+    part/supplier/orders all scale with SF, so AQE picks their strategies
+    from runtime sizes. 'gear' matches ~1/8 of part names in the fixture —
+    enough rows that every (nation, year) cell is populated."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q71 — disjunctive bracket revenue (TPC-H Q19 shape): OR-of-ANDs spanning
+# both join sides. Scale: the implied per-side envelopes are hoisted
+# manually (Catalyst doesn't factor ORs across sides), so both scans prune
+# before the join instead of shipping every row to the filter.
+# --------------------------------------------------------------------------
+@register(
+    "q71_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape: OR-of-ANDs bracket predicate across both join sides",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook Q19 lesson: the disjunction references columns from
+    BOTH tables, so no optimizer can push it into either scan as written.
+    But each side has a derivable envelope — part: brand IN the 3 brands
+    AND size ≤ 35; lineitem: quantity in [1, 30] — and applying those
+    envelopes BEFORE the join is semantics-preserving (every OR branch
+    implies them). Part shrinks ~3/25, lineitem ~60%, and both prune at
+    the parquet scan (PushedFilters: In(p_brand), LessThanOrEqual). The
+    exact OR stays as the post-join residual. AQE then sees a few-thousand
+    -row part side and broadcasts it on its own — no hint needed."""
+    li = _t(spark, sf_dir, "lineitem").filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#2", "Brand#5", "Brand#8") & (F.col("p_size") <= 35)
+    )
+    bracket = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#8") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q72 — large-volume orders (TPC-H Q18 shape): HAVING-filtered aggregate
+# joined back to its parents, top-k. Scale: the groupBy(orderkey) HAVING
+# keeps ~0.1% of orders, so the joins run on the tiny survivor set; the
+# final ordering is TakeOrderedAndProject, never a full sort.
+# --------------------------------------------------------------------------
+@register(
+    "q72_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice, round(qty, 2) AS sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    "TPC-H Q18 shape: customers behind the largest-quantity orders (HAVING + join-back + top-k)",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join, never join-then-aggregate: summing lineitem
+    per order FIRST (partial agg, map-side combine) and HAVING-filtering
+    to >300 leaves a survivor set ~3 orders in 1000 — the orders and
+    customer joins then touch only those. AQE broadcasts the survivor
+    side at any SF (it shrinks with the same 0.1% selectivity as data
+    grows). orderBy().limit(20) compiles to TakeOrderedAndProject: each
+    task keeps a 20-row heap, the driver merges — no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            F.round("qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
