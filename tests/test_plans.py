@@ -123,3 +123,38 @@ def test_q45_sample_filter_is_map_side(spark, sf_dir):
     anywhere in the plan."""
     plan = _plan(spark, sf_dir, "q45_hash_sample")
     assert "Exchange" not in plan
+
+
+def test_q69_pair_filter_pushes_to_dims(spark, sf_dir):
+    """Q7's OR-of-pairs can't push as written; the rewrite pre-filters the
+    nation dims (In(n_name) reaches the nation scans) and broadcasts only
+    those. With size-based broadcast off, exactly the 2 nation joins are
+    broadcast — supplier/customer/orders shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "q69_nation_pair_volume")
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "In(n_name" in plan  # pair filter reached the nation scan
+        assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q71_envelopes_push_to_both_scans(spark, sf_dir):
+    """The hoisted per-side envelopes of the Q19 disjunction must reach BOTH
+    parquet scans — brand IN-list on part, quantity range on lineitem."""
+    plan = _plan(spark, sf_dir, "q71_bracket_revenue")
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan and "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_q72_topk_and_agg_before_join(spark, sf_dir):
+    """Q18 shape: top-k is TakeOrderedAndProject (no global sort), and the
+    lineitem aggregate runs BEFORE any join (aggregate-then-join)."""
+    plan = _plan(spark, sf_dir, "q72_large_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "").replace("SortAggregate", "")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = min(p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin")) if p >= 0)
+    assert agg_pos > join_pos  # plan prints top-down: joins appear above the agg they consume
