@@ -158,3 +158,11 @@ def test_q72_topk_and_agg_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = min(p for p in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin")) if p >= 0)
     assert agg_pos > join_pos  # plan prints top-down: joins appear above the agg they consume
+
+
+def test_q74_exists_decorrelates_to_semi(spark, sf_dir):
+    """The correlated EXISTS must compile to a LeftSemi join (with the
+    l_shipdate > o_orderdate residual), never a per-row subquery."""
+    plan = _plan(spark, sf_dir, "q74_priority_exists")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan

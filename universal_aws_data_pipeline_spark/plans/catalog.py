@@ -2801,3 +2801,115 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — nation market share within a region (TPC-H Q8 shape): conditional
+# aggregation sum(CASE WHEN)/sum over a 6-way star. Scale: region+nation
+# broadcast; the share is computed in the SAME aggregate pass as the total
+# (one shuffle), never as two aggregations joined back.
+# --------------------------------------------------------------------------
+@register(
+    "q73_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'REGION_1'
+    ) all_sales
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: one nation's share of a region's purchase volume per year",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerator and denominator in ONE aggregate: the CASE-WHEN guard
+    makes the nation-specific sum a conditional aggregate alongside the
+    total — one shuffle over |years| groups. The two-query spelling (agg,
+    agg, join) would scan and shuffle twice. The region filter pushes into
+    the 5-row region scan and prunes customers via the broadcast chain
+    region→nation→customer before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    cust_in_region = (
+        c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_in_region, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("_n2_key") == F.col("s_nationkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))) / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — order-priority check (TPC-H Q4 shape): correlated EXISTS through
+# the SQL door. Scale: Catalyst decorrelates the subquery into a LeftSemi
+# join — one pass over each table, no per-row subquery execution.
+# --------------------------------------------------------------------------
+@register(
+    "q74_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS subquery, decorrelated to a semi-join",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submitted as SQL text (the engine's second door, like q34) to grade
+    Catalyst's subquery decorrelation: the correlated EXISTS with a
+    non-equi correlate (l_shipdate > o_orderdate) must become a LeftSemi
+    join on orderkey carrying the date comparison as the join residual —
+    plan-asserted in test_plans.py. A row-at-a-time EXISTS probe would be
+    O(orders × lineitem-lookup); the semi-join is one shuffle of each
+    side, and the 3-month orders filter pushes to the scan first."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v
+        WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
