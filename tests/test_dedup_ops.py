@@ -137,3 +137,33 @@ def test_neardup_index_build_probe_matches_recompute(spark, tmp_path):
     # and the probe joins carry the bucket column so partition pruning applies
     plan = incremental_neardup_filter_indexed(new, idx, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
     assert "bk_bucket" in plan
+
+
+def test_prefix_filter_is_superset_of_lsh_and_exact(spark):
+    """Prefix filtering is guaranteed-recall: its pair set must contain
+    every LSH-verified pair (LSH may miss, never the reverse), and every
+    returned jaccard must meet the threshold exactly as computed on the
+    shingle sets."""
+    from universal_aws_data_pipeline_spark.operators.dedup import jaccard_pairs_prefix_filter
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),      # near-dup of 1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine"),            # near-dup of 3
+        (5, "totally unrelated content that matches nothing else here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix_filter(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup_pairs_jaccard(df, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert (1, 2) in exact and (3, 4) in exact
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    assert all(j >= 0.5 for j in exact.values())

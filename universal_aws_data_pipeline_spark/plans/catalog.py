@@ -2913,3 +2913,67 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — exact near-dup pairs via prefix filtering (AllPairs/PPJoin family):
+# guaranteed-recall alternative to q15's MinHash-LSH. Scale: candidates from
+# an equi-join on each doc's RAREST shingles (high-df boilerplate shingles
+# fall out of every prefix, bounding bucket sizes); df-agg + per-doc window
+# are the extra cost vs LSH. Oracle is BRUTE-FORCE all-pairs Jaccard — the
+# hash match proves the recall guarantee, not just plausibility.
+# --------------------------------------------------------------------------
+_Q75_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
+), toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM corpus
+), shing AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+    ELSE [norm] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
+"""
+
+
+@register(
+    "q75_jaccard_prefix_filter",
+    _Q75_ORACLE,
+    "exact near-dup pairs: prefix-filtered n-gram Jaccard self-join graded against brute-force ground truth (X2)",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus (and same checkpointed shingle index artifact) as q15,
+    different algorithm family: prefix filtering gives EXACT results, so
+    the oracle is brute-force all-pairs Jaccard — a hash match here means
+    the pruning provably lost nothing. The engine never runs the N^2 join
+    the oracle runs; it equi-joins on rarest-prefix shingles
+    (operators/dedup.py::jaccard_pairs_prefix_filter)."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+        parallelize_text_scan,
+        shingle_index_table,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q15")
+    if not os.path.exists(sh_path):
+        shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
+    shingled = spark.read.parquet(sh_path)
+    return jaccard_pairs_prefix_filter(corpus, threshold=0.5, shingle_n=3, shingled=shingled)
