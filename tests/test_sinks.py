@@ -133,3 +133,47 @@ def test_write_warehouse_jdbc_maxerror(spark, tmp_path):
         write_warehouse_table(bad, dest)
     # old version intact
     assert [r["id"] for r in spark.read.jdbc(url, "tol_tbl").collect()] == [1]
+
+
+def test_sortkey_write_produces_skippable_row_groups(spark, tmp_path):
+    """SORTKEY's whole point at scale is parquet row-group min/max pruning:
+    after sortWithinPartitions, each file's row groups must cover disjoint
+    (ordered) sortkey ranges, so a point/range predicate skips all but the
+    matching groups. Asserted on the actual parquet footers — a regression
+    to unsorted writes (overlapping stats) would make every row group match
+    every predicate."""
+    import pyarrow.parquet as pq
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)  # tiny row groups for the fixture
+    try:
+        rows = [(i, f"u{i}", i % 5) for i in range(200_000)]
+        big = spark.createDataFrame(rows, "id LONG, name STRING, bucket INT").repartition(2)
+        dest = DestinationConfig(path=str(tmp_path / "wh"), dist_key="bucket", sort_keys=["id"])
+        write_warehouse_table(big, dest)
+    finally:
+        if prev_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev_block)
+
+    checked_files = 0
+    for root, _dirs, files in os.walk(dest.path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(root, fname)).metadata
+            if meta.num_row_groups < 2:
+                continue  # single-group files are trivially skippable
+            checked_files += 1
+            idx = [c for c in range(meta.row_group(0).num_columns)
+                   if meta.row_group(0).column(c).path_in_schema == "id"][0]
+            prev_max = None
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                assert st is not None and st.has_min_max
+                if prev_max is not None:
+                    assert st.min >= prev_max  # disjoint, ordered ranges
+                prev_max = st.max
+    assert checked_files >= 1, "fixture too small: no multi-row-group file to check"
