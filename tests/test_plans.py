@@ -166,3 +166,11 @@ def test_q74_exists_decorrelates_to_semi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q74_priority_exists")
     assert "LeftSemi" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q77_grouping_sets_single_scan(spark, sf_dir):
+    """GROUPING SETS compiles to one Expand + aggregate over ONE orders
+    scan — not a 3-way union of separate GROUP BYs."""
+    plan = _plan(spark, sf_dir, "q77_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 3  # orders + customer + nation, once each

@@ -2977,3 +2977,141 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
     shingled = spark.read.parquet(sh_path)
     return jaccard_pairs_prefix_filter(corpus, threshold=0.5, shingle_n=3, shingled=shingled)
+
+
+# --------------------------------------------------------------------------
+# q76 — quality-weighted canonical selection per near-dup cluster: the step
+# a real training-data pipeline runs AFTER clustering — keep the BEST
+# member (not the min-id one) of every duplicate group. Composition query:
+# q43's connected-components clusters × q14's quality scorer. Scale: the
+# cluster table is tiny relative to the corpus; the quality join is one
+# shuffle on doc_id and the argmax is a hash aggregate (max-struct, no
+# window sort).
+# --------------------------------------------------------------------------
+_Q76_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_Q15_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
+),
+qbase AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n,
+         len(string_split_regex(trim(text), '\\s+')) AS ntok
+  FROM corpus
+),
+qcls AS (
+  SELECT doc_id, n, ntok,
+    (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+    (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+    (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+  FROM qbase
+),
+qual AS (
+  SELECT doc_id,
+    round((least(1.0, ntok / 100.0) + alpha_ratio
+           + (1.0 - least(1.0, digit_ratio + punct_ratio))
+           + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+          4) AS quality
+  FROM qcls
+)
+SELECT c.cluster_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       (list(c.doc_id ORDER BY q.quality DESC, c.doc_id))[1] AS best_doc_id,
+       round(max(q.quality), 4) AS best_quality
+FROM comp c JOIN qual q USING (doc_id)
+GROUP BY c.cluster_id
+"""
+
+
+@register(
+    "q76_keep_best_per_cluster",
+    _Q76_ORACLE,
+    "quality-weighted canonical per near-dup cluster: clusters (q43) joined with quality scores (q14), argmax survivor (X2/X4 composition)",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-id canonicals (q43) are arbitrary; production keeps the HIGHEST-
+    QUALITY member of each duplicate group. The argmax is
+    max(struct(quality, -doc_id)) — a plain hash aggregate with map-side
+    combine and a deterministic min-id tiebreak — never a per-cluster
+    window sort. Reuses the checkpointed pair artifact through q43's
+    clustering engine, so the marginal cost is one quality map over the
+    corpus plus a join against the (tiny) cluster table."""
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    clusters = QUERIES["q43_dup_clusters"].fn(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    qual = d.unionByName(mutated).select("doc_id", quality_score(F.col("text")).alias("quality"))
+    joined = clusters.join(qual, "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("_neg"))).alias("_b"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            (-F.col("_b._neg")).alias("best_doc_id"),
+            F.round(F.col("_b.quality"), 4).alias("best_quality"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — asymmetric GROUPING SETS: (segment, nation), (segment), (nation) —
+# a margin combination neither ROLLUP (q23) nor CUBE (q47) can express
+# (no grand total, both one-dim margins). Scale: one Expand pass over ONE
+# scan — each input row fans out to its 3 grouping-set rows map-side, then
+# a single hash aggregate; the naive spelling is 3 scans + a union.
+# --------------------------------------------------------------------------
+@register(
+    "q77_grouping_sets",
+    """
+    SELECT c_mktsegment AS segment, n_name AS nation,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name))
+    """,
+    "asymmetric GROUPING SETS margins (one Expand pass) — completes the rollup (q23) / cube (q47) family",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Through the SQL door (GROUPING SETS has no DataFrame-API spelling).
+    Compiles to Expand(3 projections) + one hash aggregate over one scan —
+    plan-asserted in test_plans.py. Nation broadcast comes from AQE size
+    stats; NULL-vs-grouped-out ambiguity doesn't arise in the fixture
+    (both grouping columns are non-null), matching the oracle bitwise."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment, n_name AS nation,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders_v
+        JOIN customer_v ON c_custkey  = o_custkey
+        JOIN nation_v   ON n_nationkey = c_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name))
+        """
+    )
