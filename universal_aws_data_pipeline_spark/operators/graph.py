@@ -82,20 +82,25 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
+    # Convergence check: labels are MONOTONE NON-INCREASING (every update is
+    # a min), so the label-sum strictly decreases until the fixpoint and
+    # "sum unchanged" ⇔ "no label changed". One scalar aggregate per round —
+    # no old-vs-new join. decimal(38,0) so planet-scale id sums can't wrap.
+    def _checksum(lbl: DataFrame) -> int:
+        return int(
+            lbl.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).head()["s"] or 0
+        )
+
+    prev_sum = _checksum(labels)
     for _ in range(max_iter):
         # two propagation steps per materialization: the checkpoint action +
-        # convergence count are the per-round fixed cost (they dominate on
+        # convergence check are the per-round fixed cost (they dominate on
         # all but huge graphs), so sync half as often as we propagate
-        new_labels = _step(_step(labels)).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = _step(_step(labels)).localCheckpoint(eager=True)
+        new_sum = _checksum(labels)
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {2 * max_iter} steps")
 
 
