@@ -174,3 +174,30 @@ def test_q77_grouping_sets_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q77_grouping_sets")
     assert "Expand" in plan
     assert plan.count("FileScan parquet") == 3  # orders + customer + nation, once each
+
+
+def test_q78_bm25_no_explode_topk(spark, sf_dir):
+    """BM25 for a fixed query must stay row-local: no Generate (explode)
+    node anywhere, the corpus stats join is a broadcast, and the top-k is
+    TakeOrderedAndProject — never a full sort."""
+    plan = _plan(spark, sf_dir, "q78_bm25_topk")
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q79_linkage_blocked_not_allpairs(spark, sf_dir):
+    """Record linkage must candidate via the blocking-key equi-join —
+    a cartesian/nested-loop pair enumeration is the scale failure mode."""
+    plan = _plan(spark, sf_dir, "q79_fuzzy_entity_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q81_skew_profile_single_scan_topk(spark, sf_dir):
+    """The skew profiler reads events once (per-key agg + 1-row stats both
+    hang off the same aggregate) and cuts the top-k with
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "q81_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan parquet") == 2  # per_key agg + stats reuse the scan pair

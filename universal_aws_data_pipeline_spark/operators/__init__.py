@@ -10,6 +10,9 @@ from universal_aws_data_pipeline_spark.operators.multimodal import (  # noqa: F4
     attach_binary_payload,
     decode_image_features,
 )
+from universal_aws_data_pipeline_spark.operators.linkage import (  # noqa: F401
+    blocked_edit_distance_match,
+)
 from universal_aws_data_pipeline_spark.operators.quality import (  # noqa: F401
     enforce_quality_checks,
     quality_check_df,
@@ -22,6 +25,7 @@ from universal_aws_data_pipeline_spark.operators.similarity import (  # noqa: F4
     ivf_topk,
     lsh_topk,
 )
+from universal_aws_data_pipeline_spark.operators.retrieval import bm25_topk  # noqa: F401
 from universal_aws_data_pipeline_spark.operators.skew import (  # noqa: F401
     colocated_join,
     salted_join,

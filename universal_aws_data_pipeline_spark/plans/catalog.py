@@ -3115,3 +3115,274 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — BM25 relevance top-k (retrieval X10): score the corpus against a
+# fixed term query. Scale: NO explode/inverted index for a fixed query —
+# per-doc tf is a row-local array expression, corpus stats (N, avgdl, df)
+# reduce to ONE row broadcast back over the scoring pass, top-k is
+# TakeOrderedAndProject. Two map passes + a 1-row aggregate, period.
+# --------------------------------------------------------------------------
+_Q78_TERMS = ("hash", "join", "vector")
+_Q78_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         CAST(len(list_filter(t, x -> x = 'hash'))   AS DOUBLE) AS tf0,
+         CAST(len(list_filter(t, x -> x = 'join'))   AS DOUBLE) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
+  FROM base
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM d
+)
+SELECT doc_id,
+       round(  ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+FROM d, s
+WHERE tf0 + tf1 + tf2 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+@register(
+    "q78_bm25_topk",
+    _Q78_ORACLE,
+    "BM25 top-k retrieval: row-local tf, 1-row corpus stats broadcast, TakeOrdered — no explode, no inverted index for a fixed query",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over documents for the fixed
+    query {hash, join, vector}. Ordering uses the ROUNDED score + doc_id in
+    both engines so the top-k cut is deterministic cross-engine."""
+    from universal_aws_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_Q78_TERMS), id_col="doc_id", text_col="text", k=15
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — blocked fuzzy entity resolution (linkage X11): a corrupted ingest
+# batch matched back to the clean master by Levenshtein distance inside
+# blocks. Scale: equi-join on the blocking key (the corruption-stable name
+# suffix) — never all-pairs; the edit-distance DP runs only within blocks.
+# --------------------------------------------------------------------------
+_Q79_ORACLE = """
+WITH clean AS (
+  SELECT c_custkey AS id, lower(trim(c_name)) AS nm FROM customer
+), dirty AS (
+  SELECT id + 1000000 AS did,
+         substr(nm, 1, (id % 5) + 2) || substr(nm, (id % 5) + 4) AS nm
+  FROM clean
+)
+SELECT c.id AS clean_id, d.did AS dirty_id,
+       CAST(levenshtein(c.nm, d.nm) AS INTEGER) AS distance
+FROM clean c JOIN dirty d ON right(c.nm, 4) = right(d.nm, 4)
+WHERE levenshtein(c.nm, d.nm) <= 1
+"""
+
+
+@register(
+    "q79_fuzzy_entity_match",
+    _Q79_ORACLE,
+    "blocked edit-distance record linkage: dirty batch equi-joined to master on a corruption-stable block key, levenshtein <= 1 inside blocks",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirty batch drops one character from each master name at a
+    key-dependent position inside the alphabetic prefix, so the digit
+    suffix survives as the blocking key (right(nm, 4)). Every dirty row
+    is provably 1 edit from its source and >= 2 edits from every other
+    block member, so distance <= 1 recovers the exact linkage."""
+    from universal_aws_data_pipeline_spark.operators.linkage import blocked_edit_distance_match
+
+    clean = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lower(F.trim(F.col("c_name"))).alias("nm")
+    )
+    dirty = clean.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.expr("concat(substr(nm, 1, (id % 5) + 2), substr(nm, (id % 5) + 4))").alias("nm"),
+    )
+    return blocked_edit_distance_match(
+        clean, dirty, block_fn=lambda c: F.substring(c, -4, 4),
+        id_col="id", name_col="nm", max_distance=1,
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — bigram language-model counts (text X4f): token-transition counts and
+# conditional probabilities over the corpus. Scale: bigrams are a row-local
+# slice-zip (no per-token shuffle until the count aggregate); the
+# conditional-probability window runs over the AGGREGATED bigram table,
+# never the corpus.
+# --------------------------------------------------------------------------
+_Q80_ORACLE = f"""
+WITH base AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS bigram
+  FROM base WHERE len(t) >= 2
+), cnt AS (
+  SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+)
+SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+       CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY string_split(bigram, ' ')[1]), 4) AS p_next
+FROM cnt
+ORDER BY n DESC, w1, w2
+LIMIT 20
+"""
+
+
+@register(
+    "q80_bigram_lm",
+    _Q80_ORACLE,
+    "bigram LM: row-local slice-zip bigrams -> count aggregate -> conditional probability window over the aggregated table",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(w2 | w1) = count(w1 w2) / count(w1 ·), top-20 bigrams by count.
+    The explode happens AFTER the row-local bigram build, and the
+    normalizing window partitions the aggregated (vocabulary-sized) table
+    by w1 — corpus-size shuffles carry only (bigram, partial count)."""
+    from pyspark.sql import Window
+
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
+
+    t = tokens_col(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    cnt = (
+        parallelize_text_scan(_t(spark, sf_dir, "documents").select("text"))
+        .filter(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    return (
+        cnt.select(
+            w1.alias("w1"), w2.alias("w2"), F.col("n"),
+            F.round(F.col("n") / F.sum("n").over(Window.partitionBy(w1)), 4).alias("p_next"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — key-skew profiler (ops X12): the diagnosis tool behind the q60
+# salting decision — per-key counts, heavy-hitter top-k, and each hot key's
+# multiple of the mean. Scale: one hash aggregate on the key (map-side
+# partial), a 1-row stats aggregate over the AGGREGATED key table broadcast
+# back, TakeOrdered for the top-k. The corpus is scanned once.
+# --------------------------------------------------------------------------
+_Q81_ORACLE = """
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(sum(n_events) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_keys
+  FROM per_key
+)
+SELECT user_id, n_events,
+       n_events / total           AS share,
+       n_events * n_keys / total  AS x_mean
+FROM per_key, s
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""
+
+
+@register(
+    "q81_key_skew_profile",
+    _Q81_ORACLE,
+    "heavy-hitter key-skew profiler: per-key hash agg -> 1-row stats broadcast -> TakeOrdered top-k; feeds the q60 salting decision",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest join/agg keys with their share of all rows and
+    multiple of the mean key load — the numbers that decide between a
+    plain shuffle join, AQE skew handling, and explicit salting (q60)."""
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # integer-derived stats, deterministic op order, and NO rounding: the
+    # operands are exact-integer-valued doubles, so both engines compute
+    # bit-identical quotients — whereas round() semantics diverge exactly
+    # on decimal ties (85*150/10000 = 1.275: Spark's shortest-string
+    # HALF_UP says 1.28, DuckDB's binary-value round says 1.27).
+    stats = per_key.agg(
+        F.sum("n_events").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id", "n_events",
+            (F.col("n_events") / F.col("_total")).alias("share"),
+            (F.col("n_events") * F.col("_keys") / F.col("_total")).alias("x_mean"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — event transition matrix (behavioral X13): P(next event type | current)
+# from per-user event sequences — the Markov-chain view of the event log.
+# Scale: the lag window partitions by user_id (bounded state per user, the
+# natural key distribution), and the probability window runs over the
+# AGGREGATED |types|^2 transition table.
+# --------------------------------------------------------------------------
+_Q82_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register(
+    "q82_event_transitions",
+    _Q82_ORACLE,
+    "Markov transition matrix over per-user event sequences: user-partitioned lag window -> count agg -> probability window on the aggregated table",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition counts and conditional probabilities between event types.
+    (ts, event_id) ordering makes the lag deterministic under timestamp
+    ties; ts itself never reaches the output, so the query is session-tz
+    safe."""
+    from pyspark.sql import Window
+
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    win = Window.partitionBy("prev_type")
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prev_type", "next_type", "n",
+            F.round(F.col("n") / F.sum("n").over(win), 4).alias("p"),
+        )
+    )
