@@ -33,14 +33,17 @@ from universal_aws_data_pipeline_spark.operators.transform import transform_chai
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read it as long nanos and truncate to
-    microseconds with exact integer division (matching DuckDB's ns→µs
-    truncation — float division would lose precision at 1e18 magnitudes)."""
+    """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS):
+    Spark ≥ 4.1 reads it natively as TIMESTAMP_NTZ (ns→µs truncation, same
+    as DuckDB); older readers reject it unless ``nanosAsLong`` is set, in
+    which case we truncate to microseconds with exact integer division
+    (float division would lose precision at 1e18 magnitudes)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
