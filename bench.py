@@ -53,20 +53,31 @@ def main() -> None:
         except Exception:
             pass
 
+    # Per-query fault isolation: one failing query must never abort the
+    # series — its error is recorded and every other timing still lands.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in QUERIES.items():
         t0 = time.monotonic()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — harness must degrade, not die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         cold[name] = round(time.monotonic() - t0, 3)
         # best-of-2 steady state: reports amortized latency, resistant to the
         # rig's scheduling noise (single-run numbers swing 3-10x on shared VMs)
         best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        warm[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+            warm[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            warm[name] = cold[name]
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -82,6 +93,8 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 3),
         "sf": sf_value,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -201,3 +201,39 @@ def test_q81_skew_profile_single_scan_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q81_key_skew_profile")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("FileScan parquet") == 2  # per_key agg + stats reuse the scan pair
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_analysis_smoke(spark, sf_dir, name):
+    """Analysis-only smoke over the whole catalog (VERDICT r2, item 7):
+    resolving the schema forces Catalyst analysis, so type-mismatch breaks
+    (exactly the shape of the r2 q33 TIMESTAMP_NTZ regression) surface in
+    seconds without executing any data."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize(
+    "name,needles",
+    [
+        # top-20 never materializes a full sort; dims broadcast
+        ("q83_returned_item_report", ["TakeOrderedAndProject", "BroadcastHashJoin"]),
+        # returnflag + date filters reach the scans
+        ("q83_returned_item_report", ["PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"]),
+        # outer join keeps the residual as a join predicate, not a post-filter
+        ("q85_order_count_distribution", ["LeftOuter"]),
+        # scalar max arrives via broadcast (Catalyst plans the equality
+        # against the 1-row max as a BroadcastHashJoin on the normalized
+        # float key) — never a single-partition global window
+        ("q86_top_revenue_supplier", ["BroadcastHashJoin", "BroadcastExchange"]),
+        # exclusion is a broadcast anti join
+        ("q87_part_supplier_stats", ["BroadcastHashJoin", "LeftAnti"]),
+        # IN-subquery collapses to LeftSemi; p_name prefix pushes into part scan
+        ("q88_bulk_shippers", ["LeftSemi", "StringStartsWith(p_name,hot)"]),
+        ("q89_sole_returning_supplier", ["LeftSemi", "TakeOrderedAndProject"]),
+    ],
+)
+def test_new_tpch_plan_contains(spark, sf_dir, name, needles):
+    plan = _plan(spark, sf_dir, name)
+    for needle in needles:
+        assert needle in plan, f"{name}: expected {needle!r} in plan:\n{plan}"

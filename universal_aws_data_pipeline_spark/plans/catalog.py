@@ -33,16 +33,31 @@ from universal_aws_data_pipeline_spark.operators.transform import transform_chai
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS):
-    Spark ≥ 4.1 reads it natively as TIMESTAMP_NTZ (ns→µs truncation, same
-    as DuckDB); older readers reject it unless ``nanosAsLong`` is set, in
-    which case we truncate to microseconds with exact integer division
-    (float division would lose precision at 1e18 magnitudes)."""
+    """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS).
+    Depending on the reader, it surfaces as one of: native TIMESTAMP_NTZ
+    (ns→µs truncation, same as DuckDB — what the pinned PySpark 4.1.2 does),
+    or raw nanos ``bigint`` when only the ``nanosAsLong`` legacy escape hatch
+    is available, which we truncate to microseconds with exact integer
+    division (float division would lose precision at 1e18 magnitudes).
+    Whatever the branch, the column is normalized to TIMESTAMP_NTZ so every
+    downstream expression sees one type regardless of reader version. The
+    normalization is pure epoch arithmetic (``timestampadd`` onto the NTZ
+    epoch literal) — no LTZ intermediate, so a non-UTC session timezone
+    cannot shift wall clocks between the two paths."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn(
+                "ts",
+                F.expr("timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1150,15 +1165,19 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap = epoch-second difference (double in both engines: DuckDB epoch()
-    keeps the micros fraction, Spark unix_micros/1e6 reproduces it); floor of
-    the average avoids float-tail formatting drift."""
+    keeps the micros fraction; Spark timestampdiff(MICROSECOND)/1e6
+    reproduces it and — unlike unix_micros — accepts TIMESTAMP_NTZ, the type
+    ``_t`` normalizes events.ts to); floor of the average avoids float-tail
+    formatting drift."""
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
-    prev_sec = F.unix_micros(F.lag("ts").over(w)) / F.lit(1000000.0)
-    gaps = e.select("user_id", (sec - prev_sec).alias("gap")).filter(F.col("gap").isNotNull())
+    gaps = (
+        e.select("user_id", "ts", F.lag("ts").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.expr("timestampdiff(MICROSECOND, prev, ts)") / F.lit(1000000.0)).alias("gap"))
+    )
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.floor(F.avg("gap")).cast("long").alias("avg_gap_floor_s"),
@@ -3388,4 +3407,293 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type", "next_type", "n",
             F.round(F.col("n") / F.sum("n").over(win), 4).alias("p"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q83–q89 — the remaining classic TPC-H join shapes (Q10, Q12, Q13, Q15,
+# Q16, Q20, Q21), adapted to the test schema (no partsupp/comment/shipmode/
+# commitdate columns). Together with q01/q03/q04/q25/q31/q34/q35/q53/q58/
+# q59/q69–q74 this completes the 22-query TPC-H shape sweep. Reference
+# parity: the reference has no join surface at all (SURVEY §2.3); these are
+# native-engine extensions graded as first-class catalog queries.
+# --------------------------------------------------------------------------
+@register(
+    "q83_returned_item_report",
+    """
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: top-20 customers by returned-item revenue (fact-fact join + broadcast dims + TakeOrdered)",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fact filters (order date-range, returnflag='R') push into their
+    parquet scans BEFORE the fact-fact join; nation is broadcast; the final
+    top-20 is TakeOrderedAndProject (never a full sort). Ties at the limit
+    boundary are broken by c_custkey so the result is deterministic in both
+    engines."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(dt.datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < _ntz(dt.datetime(1997, 7, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q84_priority_class_matrix",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q12 shape: join + conditional aggregation (sum-of-CASE) over priority classes",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date filter pushes into the lineitem scan; orders is projected to
+    two columns before the join so the shuffle carries (o_orderkey, priority)
+    only; the CASE flags collapse map-side via partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < _ntz(dt.datetime(1998, 1, 1)))
+    ).select("l_orderkey", "l_returnflag", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q85_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: left-outer join with residual predicate + two-level count distribution",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-equi residual (priority <> '1-URGENT') stays a join predicate
+    of the outer hash join — NOT a post-filter, which would turn absent
+    matches into dropped customers and break outer semantics. count(o_orderkey)
+    counts non-null matches only, so customers with zero qualifying orders
+    land in the c_count=0 bucket. Two aggregations, each one shuffle; the
+    second operates on |customers| rows already reduced to one per key."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q86_top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "TPC-H Q15 shape: per-supplier quarterly revenue, scalar-max subquery selects the top supplier(s)",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar max is a 1-row aggregate broadcast-cross-joined into the
+    per-supplier revenue table — never a global window over a single
+    partition (the single-task shape that dies at scale). Revenue is rounded
+    to cents BEFORE the max comparison so double summation-order noise
+    cannot make the two engines pick different winners."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < _ntz(dt.datetime(1997, 4, 1)))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q87_part_supplier_stats",
+    """
+    SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape: distinct part-supplier pairs + anti-join exclusion + count-distinct rollup",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem stands in for partsupp (the test schema omits it): distinct
+    (partkey, suppkey) pairs reduce the fact before any join. The excluded-
+    supplier set (negative balance, Q16's 'complaints' analogue) is a
+    broadcast anti-join; part filters push into its scan. countDistinct
+    plans as two-phase partial/final — no single-point bottleneck."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(list(range(1, 9)))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q88_bulk_shippers",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'hot%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 40
+    )
+    """,
+    "TPC-H Q20 shape: nested semi-join chain — per-(supplier,part) HAVING feeds an IN-subquery",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p_name prefix filter prunes part before its join (plan-asserted
+    pattern, cf. q69); the HAVING runs on the grouped fact — the IN collapses
+    to a LeftSemi join on s_suppkey, so the supplier table is never
+    multiplied. nation is broadcast."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("hot%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < _ntz(dt.datetime(1998, 1, 1)))
+    )
+    heavy = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q89_sole_returning_supplier",
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ), ostats AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, CAST(sum(ret) AS BIGINT) AS n_ret
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN ostats USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE per.ret = 1 AND ostats.n_supp > 1 AND ostats.n_ret = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape: correlated EXISTS/NOT-EXISTS over co-suppliers, decorrelated to per-order aggregates",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's 'exists another supplier / not exists another late supplier'
+    pair (l_returnflag='R' stands in for the missing receipt-vs-commit
+    lateness) is decorrelated by hand into per-order aggregates: one
+    grouped pass computes each order's supplier count and returning-supplier
+    count, and the exists/not-exists becomes (n_supp > 1 AND n_ret = 1) —
+    two shuffles on the same l_orderkey key instead of two correlated
+    subquery joins that each re-scan lineitem. The finished-orders filter
+    pushes into the orders scan before its join."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"))
+    )
+    ostats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per.filter(F.col("ret") == 1)
+        .join(ostats.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1)), "l_orderkey", "left_semi")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )
