@@ -17,6 +17,7 @@ Two series are reported so cold-path regressions stay visible:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -52,6 +53,8 @@ def main() -> None:
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+        spark.catalog.clearCache()
+        gc.collect()
 
     # Per-query fault isolation: one failing query must never abort the
     # series — its error is recorded and every other timing still lands.
@@ -78,6 +81,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             warm[name] = cold[name]
+        # State hygiene between queries: several operators persist
+        # intermediates (shingle tables, blocked-pair inputs) whose lifetime
+        # is the query, and iterative ops leave localCheckpoint RDDs behind.
+        # Across ~270 executions those accumulate until cache eviction and
+        # GC pressure contaminate later timings (observed: a query's warm
+        # runs 3x slower than its own cold run). Clear the cache and drop
+        # Python-side refs so the ContextCleaner can reap checkpoint blocks.
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -3697,3 +3697,217 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q90–q93 — training-data-pipeline extensions round 3: a deterministic
+# distinct-count sketch, an exact-size stratified sample, a z-order
+# clustering key (multi-dimensional data-skipping layout), and TF-IDF
+# top-terms. All hash-oracle-able: every stochastic-looking step is a pure
+# function of row keys via the portable md5 scheme (functions/texthash.py),
+# so DuckDB replays the exact computation.
+# --------------------------------------------------------------------------
+def _hex_int_sql(inner: str, ndigits: int) -> str:
+    """DuckDB SQL for the first ``ndigits`` hex digits of md5(inner) as an
+    integer — the oracle twin of ``F.conv(F.substring(F.md5(...), 1, n), 16,
+    10)`` (DuckDB has no base-conv function; strpos over the hex alphabet)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5({inner}),{i + 1},1))-1)*{16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        )
+        + ")"
+    )
+
+
+_Q90_THETA = 1 << 30  # keep hashes below 2^30 of the 2^32 space → θ = 1/4
+
+
+@register(
+    "q90_theta_distinct_sketch",
+    f"""
+    SELECT event_type,
+           CAST(count(DISTINCT h) * 4 AS BIGINT) AS est_distinct_users,
+           CAST(count(DISTINCT h) AS BIGINT) AS sampled_distinct
+    FROM (
+      SELECT event_type, {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} AS h
+      FROM events
+    )
+    WHERE h < {_Q90_THETA}
+    GROUP BY event_type
+    """,
+    "theta-sketch distinct count: fixed-threshold KMV over a portable hash — map-side filter prunes 3/4 of the key space before the shuffle",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per event type via a θ=1/4 threshold sketch:
+    hash every user to 32 bits, keep only hashes below θ·2^32 (a map-side
+    filter — at 100 TB this prunes the shuffle to a quarter of the distinct
+    keys before any exchange), count the survivors exactly, scale by 1/θ.
+    Unlike approx_count_distinct (whose HLL registers are engine-internal
+    and not reproducible in an oracle), the sketch is a pure function of the
+    data via the portable md5 hash — DuckDB computes the identical estimate,
+    collisions and all. Two-phase: distinct (type, h) partials combine
+    map-side, the final count is exact over the θ-sample."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        e.select("event_type", h.alias("h"))
+        .filter(F.col("h") < _Q90_THETA)
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.col("h")).alias("sampled_distinct"))
+        .select(
+            "event_type",
+            (F.col("sampled_distinct") * 4).alias("est_distinct_users"),
+            "sampled_distinct",
+        )
+    )
+
+
+@register(
+    "q91_stratified_topn_sample",
+    f"""
+    SELECT doc_id, lang, rank
+    FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)}, doc_id
+             ) AS BIGINT) AS rank
+      FROM documents
+    )
+    WHERE rank <= 16
+    """,
+    "exact-size deterministic stratified sample: n smallest hash values per stratum (complement of q45's rate-based hash sample)",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum sampling by hash rank: the n documents with the
+    smallest (md5-bucket, doc_id) per language. Unlike rate-based sampling
+    (q45), the output size is exact; unlike df.sample, membership is a pure
+    row-key function — stable across engines, reruns, and partition layouts.
+    The window is partitioned by stratum (grouped shuffle, no global sort);
+    at scale the rank-filter could be preceded by a per-partition top-n
+    combine, which Spark's WindowGroupLimit pushdown already performs for
+    row_number <= k predicates."""
+    from pyspark.sql.window import Window
+
+    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash_bucket(F.col("doc_id")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= 16)
+    )
+
+
+def _q92_z_sql() -> str:
+    """DuckDB bit-interleave of two 8-bit bucket columns (ub, db)."""
+    terms = [f"(((ub >> {i}) & 1) * {4 ** i} + ((db >> {i}) & 1) * {2 * 4 ** i})" for i in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q92_zorder_cells",
+    f"""
+    SELECT z_cell, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT user_id, {_q92_z_sql()} AS z_cell
+      FROM (
+        SELECT user_id,
+               CAST(user_id % 256 AS BIGINT) AS ub,
+               CAST(floor(epoch(ts) / 86400) % 256 AS BIGINT) AS db
+        FROM events
+      )
+    )
+    GROUP BY z_cell
+    """,
+    "z-order (Morton) clustering key over (user, day): the multi-dimensional sort key behind data-skipping layouts",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order cell assignment: interleave the low 8 bits of the user
+    bucket and the epoch-day bucket so rows close in BOTH dimensions land in
+    the same cell. Production use at 100 TB: repartitionByRange(z) before a
+    partitioned write gives files whose min/max stats are tight in user AND
+    time simultaneously — parquet row-group skipping then prunes 2-D
+    predicates that a single-column sort can only prune in one dimension.
+    The query itself audits the layout: per-cell row and user counts. The
+    interleave is pure integer bit arithmetic — map-only, codegen'd, and
+    bit-identical in the oracle."""
+    e = _t(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 256).cast("long")
+    db = (F.floor(F.unix_timestamp("ts") / 86400) % 256).cast("long")
+    z = None
+    for i in range(8):
+        bit_u = F.shiftright(ub, i).bitwiseAND(F.lit(1)) * F.lit(4**i)
+        bit_d = F.shiftright(db, i).bitwiseAND(F.lit(1)) * F.lit(2 * 4**i)
+        z = bit_u + bit_d if z is None else z + bit_u + bit_d
+    return (
+        e.select("user_id", z.alias("z_cell"))
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q93_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (n.n_docs + 1) / (df.df + 1.0) AS weight
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, round(weight, 4) AS weight
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY weight DESC, term
+      ) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    "TF-IDF top terms per document: tf x inverse-relative-df weighting, top-3 via per-doc window",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: tf × (N+1)/(df+1) — the log-free
+    odds form of TF-IDF. Log-free on purpose: the ranking then involves only
+    integer products and one IEEE division (both exactly specified), so both
+    engines order candidates bit-identically; ln() comes from each engine's
+    libm and a last-ulp divergence could flip near-ties in the top-3 cut.
+    Plan: one explode feeds tf (grouped by doc,term) and df (grouped by
+    term); df joins back on term — at 100 TB that join is vocabulary-sized
+    on one side and AQE broadcasts it; N is a 1-row broadcast; the top-3 is
+    a WindowGroupLimit-prunable row_number per doc."""
+    from pyspark.sql.window import Window
+
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct(F.col("doc_id")).alias("df"))
+    n = toks.agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn("weight", F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + F.lit(1.0)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("weight", 4).alias("weight"))
+    )
