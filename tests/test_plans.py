@@ -237,3 +237,21 @@ def test_new_tpch_plan_contains(spark, sf_dir, name, needles):
     plan = _plan(spark, sf_dir, name)
     for needle in needles:
         assert needle in plan, f"{name}: expected {needle!r} in plan:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name,needles",
+    [
+        # theta filter is map-side: Filter sits directly on the scan, before
+        # any exchange, and the scan reads only (user_id, event_type)
+        ("q90_theta_distinct_sketch", ["< 1073741824", "ReadSchema: struct<user_id:bigint,event_type:string>"]),
+        # rank <= 16 pushes into per-partition top-n combines
+        ("q91_stratified_topn_sample", ["WindowGroupLimit", "Partial"]),
+        # z-interleave is map-only into partial aggregation; 2-column scan
+        ("q92_zorder_cells", ["partial_count", "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"]),
+    ],
+)
+def test_r3_extension_plan_contains(spark, sf_dir, name, needles):
+    plan = _plan(spark, sf_dir, name)
+    for needle in needles:
+        assert needle in plan, f"{name}: expected {needle!r} in plan:\n{plan}"

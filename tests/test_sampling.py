@@ -66,3 +66,48 @@ def test_hash_bucket_portable_value(spark):
 
     row = spark.range(42, 43).select(hash_bucket(F.col("id")).alias("b")).head()
     assert row["b"] == int(hashlib.md5(b"42").hexdigest()[:4], 16)
+
+
+def test_stratified_prefix_sum_matches_per_stratum_window(spark):
+    from pyspark.sql import Window
+
+    from universal_aws_data_pipeline_spark.operators.sampling import stratified_prefix_sum
+
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        ((F.col("id") * 7) % 11 + 1).alias("w"),
+    )
+    got = {
+        (r["id"], r["cum_before"])
+        for r in stratified_prefix_sum(
+            df, "grp", [F.col("w").desc(), F.col("id")], "w", num_partitions=7
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("w").desc(), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["id"], r["cum_before"])
+        for r in df.withColumn("cum_before", F.sum("w").over(w) - F.col("w")).collect()
+    }
+    assert got == want
+
+
+def test_stratified_prefix_sum_partition_count_invariant(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import stratified_prefix_sum
+
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("grp"), F.lit(5).alias("w")
+    )
+    a = {
+        (r["id"], r["cum_before"])
+        for r in stratified_prefix_sum(df, "grp", [F.col("id")], "w", num_partitions=2).collect()
+    }
+    b = {
+        (r["id"], r["cum_before"])
+        for r in stratified_prefix_sum(df, "grp", [F.col("id")], "w", num_partitions=17).collect()
+    }
+    assert a == b

@@ -99,3 +99,53 @@ def pack_into_shards(
     )
     cum_before = offset_expr + F.col("_cum_in") - F.col(weight_col)
     return ranged.withColumn("shard_id", F.floor(cum_before / F.lit(budget))).drop("_pid", "_cum_in")
+
+
+def stratified_prefix_sum(
+    df: DataFrame,
+    strata_col: str,
+    order_cols: list[Column],
+    weight_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running sum of ``weight_col`` WITHIN each stratum, under
+    ``order_cols`` order — the primitive behind budget-constrained data
+    selection ("take the best documents per language until the token budget
+    is spent").
+
+    The naive spelling is ``sum().over(Window.partitionBy(strata).orderBy
+    (...))`` — but a stratum is NOT a safe window partition at corpus scale:
+    one language can be 90% of a 100 TB corpus, and Spark puts an entire
+    window partition in one task. Same two-phase distributed prefix sum as
+    ``pack_into_shards``, stratified: range-partition on (stratum, order)
+    so strata are contiguous but still SPLIT across many partitions,
+    per-(partition, stratum) running sums in parallel, then the
+    |partitions|x|strata| totals table (tiny) is collected and becomes
+    broadcast offsets keyed by (partition, stratum).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(strata_col), *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid", strata_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w))
+
+    totals = ranged.groupBy("_pid", strata_col).agg(F.max("_cum_in").alias("t")).collect()
+    acc: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(totals, key=lambda r: (str(r[strata_col]), r["_pid"])):
+        s = r[strata_col]
+        offsets[(r["_pid"], s)] = acc.get(s, 0)
+        acc[s] = acc.get(s, 0) + r["t"]
+    key = F.concat_ws("|", F.col("_pid").cast("string"), F.col(strata_col).cast("string"))
+    omap = F.create_map(
+        *[x for (pid, s), off in offsets.items() for x in (F.lit(f"{pid}|{s}"), F.lit(off))]
+    )
+    return ranged.withColumn(
+        out_col, F.element_at(omap, key) + F.col("_cum_in") - F.col(weight_col)
+    ).drop("_pid", "_cum_in")

@@ -3911,3 +3911,152 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", F.round("weight", 4).alias("weight"))
     )
+
+
+# --------------------------------------------------------------------------
+# q94–q95 — pipeline-operations extensions: budget-constrained data
+# selection (the "fill the token budget with the best data" step of a
+# training-data pipeline) and a PSI distribution-drift monitor (the
+# statistical upgrade of the reference's threshold alarms,
+# src/config/sources/sample_source.yaml:100-107).
+# --------------------------------------------------------------------------
+_Q94_BUDGET = 2000
+
+
+@register(
+    "q94_token_budget_selection",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round((least(1.0, ntok / 100.0) + alpha_ratio
+                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
+                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+                   4) AS quality,
+             ntok
+      FROM (
+        SELECT doc_id, lang, n, ntok,
+          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+        FROM (
+          SELECT doc_id, lang, text,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 len(string_split_regex(trim(text), '\\s+')) AS ntok
+          FROM documents
+        )
+      )
+    ), cum AS (
+      SELECT doc_id, lang, quality, ntok,
+             sum(ntok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) - ntok AS cum_before
+      FROM scored
+    )
+    SELECT doc_id, lang, quality, CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_tokens_before
+    FROM cum WHERE cum_before < {_Q94_BUDGET}
+    """,
+    "budget-constrained selection: best-quality-first per language until the token budget fills — two-phase stratified prefix sum, never a one-task-per-language window",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-descending selection under a per-language token
+    budget — the data-selection step between scoring (q14) and shard
+    packing (q46). The cumulative sum uses the stratified two-phase prefix
+    sum (operators/sampling.py::stratified_prefix_sum): a language that
+    dominates the corpus is still split across partitions, unlike the
+    Window.partitionBy(lang) spelling the oracle runs, which holds an
+    entire language in one task. Quality is pre-rounded to 4dp (q14's
+    contract), so cross-engine double noise cannot reorder the greedy fill;
+    doc_id breaks ties."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.sampling import stratified_prefix_sum
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    cum = stratified_prefix_sum(
+        scored,
+        strata_col="lang",
+        order_cols=[F.col("quality").desc(), F.col("doc_id")],
+        weight_col="n_tokens",
+        out_col="cum_tokens_before",
+    )
+    return cum.filter(F.col("cum_tokens_before") < _Q94_BUDGET).select(
+        "doc_id", "lang", "quality", "n_tokens", F.col("cum_tokens_before").cast("long")
+    )
+
+
+_Q95_PIVOT = "2024-01-16 00:00:00"
+_Q95_BINS = 10
+_Q95_WIDTH = 50.0
+
+
+@register(
+    "q95_psi_drift",
+    f"""
+    WITH binned AS (
+      SELECT event_type,
+             least({_Q95_BINS - 1}, greatest(0, CAST(floor(value / {_Q95_WIDTH}) AS BIGINT))) AS bin,
+             CASE WHEN ts < TIMESTAMP '{_Q95_PIVOT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), cells AS (
+      SELECT event_type, bin,
+             sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+      FROM binned GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum( ((c.n_ref + 0.5) / (t.t_ref + {0.5 * _Q95_BINS})
+                      - (c.n_cur + 0.5) / (t.t_cur + {0.5 * _Q95_BINS}))
+                     * ln( ((c.n_ref + 0.5) / (t.t_ref + {0.5 * _Q95_BINS}))
+                         / ((c.n_cur + 0.5) / (t.t_cur + {0.5 * _Q95_BINS})) ) ), 4) AS psi,
+           CAST(max(t.t_ref) AS BIGINT) AS n_ref,
+           CAST(max(t.t_cur) AS BIGINT) AS n_cur
+    FROM cells c JOIN tot t USING (event_type)
+    GROUP BY c.event_type
+    """,
+    "PSI distribution-drift monitor per event type: reference-vs-current value histograms in one scan, drift index over the tiny binned table",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half-month of
+    each event type's value distribution — the statistical upgrade of the
+    reference's scalar threshold alarms. One fact scan: ref/cur histogram
+    counts come from conditional aggregation over (type, bin); the PSI sum,
+    smoothing, and log-ratios then run on the |types|x|bins| table (tiny).
+    Laplace smoothing (+0.5) keeps empty bins finite. ln() only touches
+    already-aggregated cells, and the result is rounded to 4dp, so libm
+    last-ulp divergence between engines cannot surface."""
+    e = _t(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        F.least(
+            F.lit(_Q95_BINS - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / _Q95_WIDTH).cast("long")),
+        ).alias("bin"),
+        F.when(F.col("ts") < F.lit(_Q95_PIVOT).cast("timestamp_ntz"), 1).otherwise(0).alias("is_ref"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    sm = 0.5 * _Q95_BINS
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + sm)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + sm)
+    return (
+        cells.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+            F.max("t_ref").cast("long").alias("n_ref"),
+            F.max("t_cur").cast("long").alias("n_cur"),
+        )
+    )
