@@ -62,8 +62,13 @@ def connected_components(
         # pair-mining plan that produced the edges
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    _sum_expr = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    obs0 = Observation()
+    labels = labels.observe(obs0, _sum_expr).localCheckpoint(eager=True)
 
     def _step(lbl: DataFrame) -> DataFrame:
         # neighbor messages: node b hears a's current label
@@ -84,20 +89,18 @@ def connected_components(
 
     # Convergence check: labels are MONOTONE NON-INCREASING (every update is
     # a min), so the label-sum strictly decreases until the fixpoint and
-    # "sum unchanged" ⇔ "no label changed". One scalar aggregate per round —
-    # no old-vs-new join. decimal(38,0) so planet-scale id sums can't wrap.
-    def _checksum(lbl: DataFrame) -> int:
-        return int(
-            lbl.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).head()["s"] or 0
-        )
-
-    prev_sum = _checksum(labels)
+    # "sum unchanged" ⇔ "no label changed". No old-vs-new join — and no
+    # separate job either: the scalar rides the checkpoint action as an
+    # ``observe()`` metric (accumulator-side, free), so each round costs
+    # exactly ONE action. decimal(38,0) so planet-scale id sums can't wrap.
+    prev_sum = int(obs0.get["s"] or 0)
     for _ in range(max_iter):
-        # two propagation steps per materialization: the checkpoint action +
-        # convergence check are the per-round fixed cost (they dominate on
-        # all but huge graphs), so sync half as often as we propagate
-        labels = _step(_step(labels)).localCheckpoint(eager=True)
-        new_sum = _checksum(labels)
+        # two propagation steps per materialization: the checkpoint action
+        # is the per-round fixed cost (it dominates on all but huge
+        # graphs), so sync half as often as we propagate
+        obs = Observation()
+        labels = _step(_step(labels)).observe(obs, _sum_expr).localCheckpoint(eager=True)
+        new_sum = int(obs.get["s"] or 0)
         if new_sum == prev_sum:
             return labels
         prev_sum = new_sum
