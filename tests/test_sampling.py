@@ -111,3 +111,35 @@ def test_stratified_prefix_sum_partition_count_invariant(spark):
         for r in stratified_prefix_sum(df, "grp", [F.col("id")], "w", num_partitions=17).collect()
     }
     assert a == b
+
+
+def test_theta_sketch_estimate_error_bound(spark):
+    """q90's θ=1/4 KMV estimate must track the exact distinct count (the
+    sketch analogue of the ANN recall gate). Runs at sf0.1 — D=1500 per
+    type, so θ·D ≈ 375 kept hashes and expected relative error
+    ~1/sqrt(θ·D) ≈ 5%; the 20% gate is ~4σ. (At sf0.001 D is only 15:
+    a θ-sample of ~4 hashes estimates nothing — sketches need scale.)"""
+    import os
+
+    import pytest as _pytest
+
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES, _t
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("sf0.1 fixtures not present")
+    est = {
+        r["event_type"]: r["est_distinct_users"]
+        for r in QUERIES["q90_theta_distinct_sketch"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for etype, d in exact.items():
+        rel = abs(est[etype] - d) / d
+        assert rel < 0.2, f"{etype}: est={est[etype]} exact={d} rel_err={rel:.3f}"
