@@ -203,3 +203,43 @@ def test_quality_check_config_validation():
         QualityCheck(type="accepted_values", columns=["c"])
     with pytest.raises(ValueError, match="min_value and/or max_value"):
         QualityCheck(type="range", columns=["c"])
+
+
+def test_ivf_index_append_probe_finds_new_vectors(spark, sf_dir, tmp_path):
+    """Incremental IVF append: new vectors join existing cell partitions
+    (no rebuild, no new cell dirs), and a probe for an appended vector
+    finds it at cos_sim ~ 1 — its assigned cell (argmin centroid) is by
+    construction the probe's first choice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter("vec_id < 400")
+    batch = e.filter("vec_id >= 400").withColumn("vec_id", F.col("vec_id") + 1000000)
+
+    path = str(tmp_path / "ivf_app")
+    build_ivf_index(base, path, n_clusters=8, seed=42)
+    n_dirs_before = len([d for d in os.listdir(f"{path}/cells") if d.startswith("_cell=")])
+
+    append_to_ivf_index(batch, path)
+    idx = load_ivf_index(spark, path)
+
+    # no new cell dirs, total rows = base + batch
+    n_dirs_after = len([d for d in os.listdir(f"{path}/cells") if d.startswith("_cell=")])
+    assert n_dirs_after == n_dirs_before
+    assert idx.cells.count() == base.count() + batch.count()
+
+    # probe with an appended vector as the query: it must be its own top hit
+    probe_row = batch.orderBy("vec_id").select("vec_id", "embedding").head()
+    qvec = [float(x) for x in probe_row["embedding"]]
+    top = ivf_topk_indexed(idx, qvec, k=3, nprobe=1).collect()
+    assert top[0]["vec_id"] == probe_row["vec_id"]
+    assert top[0]["cos_sim"] >= 0.9999

@@ -424,3 +424,70 @@ def test_stateful_v2_plan_builds_without_protobuf(spark, tmp_path):
     out = running_totals_v2(stream, ttl_ms=60000)
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "value_sum"]
+
+
+def test_streaming_drift_monitor_alerts(spark, tmp_path):
+    """X18 streaming twin: per-micro-batch PSI vs a static reference
+    histogram via foreachBatch. Batch 1 matches the reference (no alert);
+    batch 2 is shifted far right (alert row for its group). The alert
+    values must equal the batch-computed PSI (same cell formula as q95)."""
+    import json
+
+    from universal_aws_data_pipeline_spark.operators.drift import (
+        drift_monitor_batch_fn,
+        psi_from_cells,
+        value_histogram,
+    )
+
+    ref_rows = [{"event_id": i, "ts": "2024-01-01 00:00:00", "user_id": 1,
+                 "event_type": "click", "value": float(v)}
+                for i, v in enumerate([10, 60, 110, 160, 210] * 8)]
+    ref_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"]) for r in ref_rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    )
+    ref_hist = value_histogram(ref_df, "event_type", "value")
+
+    d = tmp_path / "drift_in"
+    d.mkdir()
+    # batch 1: same distribution as the reference; batch 2: shifted to the top bins
+    batches = [
+        [dict(r, event_id=1000 + i) for i, r in enumerate(ref_rows)],
+        [dict(r, event_id=2000 + i, value=r["value"] + 300.0) for i, r in enumerate(ref_rows)],
+    ]
+    for i, batch in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as fh:
+            for r in batch:
+                fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "alerts")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1},
+        "event_id long, ts string, user_id long, event_type string, value double",
+    )
+    q = write_stream_sink(
+        stream,
+        {"type": "foreach_batch",
+         "fn": drift_monitor_batch_fn(ref_hist, out, threshold=0.1),
+         "checkpoint": str(tmp_path / "ckpt_drift"), "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+
+    alerts = spark.read.parquet(out).collect()
+    assert len(alerts) == 1 and alerts[0]["event_type"] == "click"
+    # alert PSI equals the batch-computed PSI over the same cells
+    cur = value_histogram(
+        spark.createDataFrame(
+            [(r["event_id"], r["value"], r["event_type"]) for r in batches[1]],
+            "event_id long, value double, event_type string",
+        ),
+        "event_type", "value", count_col="n_cur",
+    )
+    cells = (
+        ref_hist.withColumnRenamed("n", "n_ref")
+        .join(cur, ["event_type", "bin"], "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    want = psi_from_cells(cells, "event_type", 10).head()
+    assert abs(alerts[0]["psi"] - want["psi"]) < 1e-9 and want["psi"] > 0.1

@@ -292,3 +292,50 @@ def ivf_topk_indexed(
         .orderBy(F.col("cos_sim").desc(), F.col(index.id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_index(df: DataFrame, path: str) -> None:
+    """Incrementally grow a stored IVF index: assign new vectors to the
+    EXISTING centroids (broadcast argmin — a row-local array expression, no
+    shuffle, no Spark ML fit) and append them to the cell partitions.
+    ``partitionBy`` + append touches only the cell directories that receive
+    rows — untouched cells' files are never rewritten, so the append cost is
+    O(|batch|), not O(|index|). This is the continuous-ingest shape: new
+    embeddings land in the index between rebuilds.
+
+    The accepted IVF trade: centroids are NOT refit, so recall for vectors
+    near cell boundaries degrades gradually as the appended volume grows;
+    rebuild with ``build_ivf_index`` when appends approach the original
+    corpus size. Probes (``ivf_topk_indexed``) need no changes — the new
+    rows are just more files inside existing ``_cell=`` partitions.
+    """
+    spark = df.sparkSession
+    idx = load_ivf_index(spark, path)
+    # (dist, cell) structs per centroid; array_min = lexicographic argmin
+    # with the cell id as a deterministic tie-break
+    cands = F.array(
+        *[
+            F.struct(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(idx.vec_col).cast("array<double>"),
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("dist"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(idx.centroids)
+        ]
+    )
+    (
+        df.select(F.col(idx.id_col), F.col(idx.vec_col), F.array_min(cands)["cell"].alias("_cell"))
+        .repartition("_cell")
+        .write.mode("append")
+        .partitionBy("_cell")
+        .parquet(f"{path.rstrip('/')}/cells")
+    )

@@ -4032,7 +4032,11 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, and log-ratios then run on the |types|x|bins| table (tiny).
     Laplace smoothing (+0.5) keeps empty bins finite. ln() only touches
     already-aggregated cells, and the result is rounded to 4dp, so libm
-    last-ulp divergence between engines cannot surface."""
+    last-ulp divergence between engines cannot surface. The streaming twin
+    (per-micro-batch PSI vs a static reference histogram) is
+    operators/drift.py::drift_monitor_batch_fn — same cell formula."""
+    from universal_aws_data_pipeline_spark.operators.drift import psi_from_cells
+
     e = _t(spark, sf_dir, "events")
     binned = e.select(
         "event_type",
@@ -4045,18 +4049,4 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = binned.groupBy("event_type", "bin").agg(
         F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
     )
-    tot = cells.groupBy("event_type").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    sm = 0.5 * _Q95_BINS
-    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + sm)
-    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + sm)
-    return (
-        cells.join(tot, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
-            F.max("t_ref").cast("long").alias("n_ref"),
-            F.max("t_cur").cast("long").alias("n_cur"),
-        )
-    )
+    return psi_from_cells(cells, "event_type", _Q95_BINS)
