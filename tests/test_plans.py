@@ -255,3 +255,15 @@ def test_r3_extension_plan_contains(spark, sf_dir, name, needles):
     plan = _plan(spark, sf_dir, name)
     for needle in needles:
         assert needle in plan, f"{name}: expected {needle!r} in plan:\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["q94_token_budget_selection", "q96_training_prep_pipeline"])
+def test_budget_selection_no_global_window(spark, sf_dir, name):
+    """The stratified prefix sum must range-partition and window on
+    (_pid, stratum) — never a bare Window.partitionBy(lang) (one task per
+    language) or a global single-partition window."""
+    plan = _plan(spark, sf_dir, name)
+    assert "rangepartitioning" in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"window not partition-scoped: {line}"

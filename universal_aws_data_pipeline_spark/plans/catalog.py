@@ -4050,3 +4050,96 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
     )
     return psi_from_cells(cells, "event_type", _Q95_BINS)
+
+
+# --------------------------------------------------------------------------
+# q96 — the composed training-data-prep pipeline, end to end in ONE graded
+# query: exact dedup → quality gate → per-language budget selection → shard
+# assignment. Each stage is an already-graded operator (q07/q14/q94/q46
+# family); this query grades their COMPOSITION — the thing a user actually
+# runs — against a single oracle.
+# --------------------------------------------------------------------------
+_Q96_BUDGET = 1500
+_Q96_SHARD = 500
+
+
+@register(
+    "q96_training_prep_pipeline",
+    f"""
+    WITH dedup AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, lang,
+             round((least(1.0, ntok / 100.0) + alpha_ratio
+                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
+                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+                   4) AS quality,
+             ntok
+      FROM (
+        SELECT doc_id, lang, n, ntok,
+          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+        FROM (
+          SELECT doc_id, lang, text,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 len(string_split_regex(trim(text), '\\s+')) AS ntok
+          FROM dedup
+        )
+      )
+    ), gated AS (
+      SELECT * FROM scored WHERE quality >= 0.4
+    ), cum AS (
+      SELECT doc_id, lang, quality, ntok,
+             sum(ntok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) - ntok AS cum_before
+      FROM gated
+    )
+    SELECT doc_id, lang, quality, CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(floor(cum_before / {_Q96_SHARD}) AS BIGINT) AS shard_id
+    FROM cum WHERE cum_before < {_Q96_BUDGET}
+    """,
+    "composed training-data prep: exact dedup -> quality gate -> per-language token-budget selection -> shard assignment, one graded pipeline",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prep pipeline a training-data user runs, as one plan:
+    fingerprint dedup (hash aggregate, q07's operator), quality scoring +
+    gate (map-only, q14's), budget selection per language (stratified
+    two-phase prefix sum, q94's — never a one-task-per-language window),
+    and shard ids derived from the SAME prefix sums (floor(cum/shard) —
+    shard packing without a second pass, q46's contract). Stage fusion
+    matters at scale: Catalyst pipelines dedup's post-shuffle projection,
+    scoring, and the gate into one stage, so the corpus is read once and
+    shuffled twice (dedup key, selection order) total."""
+    from universal_aws_data_pipeline_spark.functions.texthash import md5_fingerprint
+    from universal_aws_data_pipeline_spark.operators.dedup import exact_dedup
+    from universal_aws_data_pipeline_spark.operators.sampling import stratified_prefix_sum
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    deduped = exact_dedup(d.withColumn("fp", md5_fingerprint(F.col("text"))), ["fp"], "doc_id")
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.4)
+    cum = stratified_prefix_sum(
+        scored,
+        strata_col="lang",
+        order_cols=[F.col("quality").desc(), F.col("doc_id")],
+        weight_col="n_tokens",
+        out_col="cum_before",
+    )
+    return cum.filter(F.col("cum_before") < _Q96_BUDGET).select(
+        "doc_id",
+        "lang",
+        "quality",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _Q96_SHARD).cast("long").alias("shard_id"),
+    )
