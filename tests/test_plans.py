@@ -267,3 +267,19 @@ def test_budget_selection_no_global_window(spark, sf_dir, name):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "_pid" in line, f"window not partition-scoped: {line}"
+
+
+def test_q98_bucketed_join_shuffle_free(spark, sf_dir):
+    """With broadcast disabled (forcing the join shape that matters at
+    100 TB, where neither fact side broadcasts), the pre-bucketed tables
+    join WITHOUT any Exchange between the scans and the join — the only
+    shuffle in the plan is the final group-by."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "q98_bucketed_colocated_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    assert "Bucketed: true" in plan
+    join_part = plan.split("Join", 1)[1]
+    assert "Exchange hashpartitioning(l_orderkey" not in join_part
+    assert "Exchange hashpartitioning(o_orderkey" not in join_part

@@ -49,16 +49,37 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table. Joins and
+    """Persist as a bucketed (and optionally sorted) table. Joins and
     aggregations on ``bucket_col`` between tables bucketed the same way skip
-    the shuffle (check the plan: no Exchange above the scans)."""
+    the shuffle (check the plan: no Exchange above the scans). With ``path``
+    the table is external — the data lives under an artifact dir the caller
+    controls (build-once/probe-many layout caching) instead of the session
+    warehouse."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
-def colocated_join(spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner") -> DataFrame:
-    """Join two same-bucketed tables on their bucket key — shuffle-free."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | None,
+    how: str = "inner",
+    left_on: str | None = None,
+    right_on: str | None = None,
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys — shuffle-free.
+    Pass ``on`` when both sides share the column name, or
+    ``left_on``/``right_on`` when the bucket columns are named differently
+    (each side must be bucketed on its own join key with the same bucket
+    count for the Exchange-free plan)."""
+    left, right = spark.table(left_table), spark.table(right_table)
+    if on is not None:
+        return left.join(right, on, how)
+    return left.join(right, left[left_on] == right[right_on], how)

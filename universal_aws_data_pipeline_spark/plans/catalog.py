@@ -4143,3 +4143,100 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(F.col("cum_before") / _Q96_SHARD).cast("long").alias("shard_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q97–q98 — two 100 TB levers graded end-to-end: mergeable-sketch rollups
+# (pre-aggregate once, answer many windows) and bucketed co-located joins
+# (pay the shuffle once at write time, never at query time).
+# --------------------------------------------------------------------------
+@register(
+    "q97_rolling_distinct_sketch",
+    f"""
+    WITH sk AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} AS h
+      FROM events
+      WHERE {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} < {_Q90_THETA}
+    ), days AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+    ), expanded AS (
+      SELECT sk.day + t.k AS day, sk.h
+      FROM sk CROSS JOIN (SELECT unnest(range(7)) AS k) t
+    )
+    SELECT e.day, CAST(count(DISTINCT e.h) * 4 AS BIGINT) AS est_users_7d
+    FROM expanded e JOIN days d ON d.day = e.day
+    GROUP BY e.day
+    """,
+    "mergeable theta-sketch rollup: rolling 7-day distinct users from per-day sketches — the raw data is scanned once, every window is answered from the sketch table",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimates, computed the way sketches are
+    meant to be used at 100 TB: ONE scan reduces the fact table to per-day
+    theta sketches (day, kept-hash) — θ·D rows per day — and every trailing
+    window is then answered by MERGING sketches (union of kept hashes =
+    distinct over the union of days; θ-sketch merge is exact set union, no
+    accuracy loss). The 7-way expansion explodes the tiny sketch table, not
+    the events table; an exact rolling count-distinct would instead re-scan
+    the raw data once per window (or hold per-day user SETS in a window —
+    unbounded state). Same estimator as q90, so the oracle replays it."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    sk = e.select(day.alias("day"), h.alias("h")).filter(F.col("h") < _Q90_THETA).distinct()
+    days = e.select(day.alias("day")).distinct()
+    expanded = sk.select(
+        "day", "h", F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("_k")
+    ).select((F.col("day") + F.col("_k")).alias("day"), "h")
+    return (
+        expanded.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg((F.count_distinct(F.col("h")) * 4).alias("est_users_7d"))
+    )
+
+
+@register(
+    "q98_bucketed_colocated_join",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "bucketed co-located fact-fact join: both tables pre-bucketed on the join key, query-time join is shuffle-free (plan-asserted)",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority over a fact-fact join that never shuffles
+    at query time: lineitem and orders are written ONCE as bucketed tables
+    (16 buckets on the order key, external under the artifact cache), and
+    every subsequent join on that key reads co-located buckets — the
+    100 TB answer to repeated fact-fact joins, where the per-query shuffle
+    is the dominant cost. Results are layout-invariant, so the oracle is
+    the plain join over the original tables; the bucketing win is asserted
+    on the PLAN (no Exchange between the scans and the join) in
+    test_plans.py."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.skew import colocated_join, write_bucketed
+
+    root = _artifact_dir("bucketed", sf_dir)
+    suffix = os.path.basename(root)
+    li_tbl, o_tbl = f"q98_lineitem_{suffix}", f"q98_orders_{suffix}"
+    for tbl, src, cols, key in (
+        (li_tbl, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey"),
+        (o_tbl, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey"),
+    ):
+        p = os.path.join(root, tbl)
+        if not (spark.catalog.tableExists(tbl) and os.path.exists(p)):
+            write_bucketed(
+                _t(spark, sf_dir, src).select(*cols), tbl, key, n_buckets=16, path=p
+            )
+    joined = colocated_join(
+        spark, li_tbl, o_tbl, on=None, how="inner",
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
