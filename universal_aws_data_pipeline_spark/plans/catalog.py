@@ -4240,3 +4240,115 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# q99–q100 — rounding out the pipeline-operator set: quality-proportional
+# deterministic sampling and time-series densification (gap fill).
+# --------------------------------------------------------------------------
+@register(
+    "q99_weighted_hash_sample",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round((least(1.0, ntok / 100.0) + alpha_ratio
+                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
+                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+                   4) AS quality,
+             ({_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} + 0.5) / 65536.0 AS u
+      FROM (
+        SELECT doc_id, lang, n, ntok,
+          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+        FROM (
+          SELECT doc_id, lang, text,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 len(string_split_regex(trim(text), '\\s+')) AS ntok
+          FROM documents
+        )
+      )
+    ), qm AS (
+      SELECT lang, max(quality) AS qmax FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality
+    FROM scored s JOIN qm USING (lang)
+    WHERE s.u < 0.3 * s.quality / qm.qmax
+    """,
+    "quality-proportional deterministic sampling: inclusion probability scales with the quality score, membership is a pure row-key hash function",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (quality-proportional) sampling without randomness: keep a
+    document when its hash-uniform u = (bucket+0.5)/65536 falls below
+    0.3 x quality/qmax(lang) — better documents are proportionally more
+    likely to survive, membership is reproducible across engines/layouts/
+    reruns (same property as q45's uniform sampler), and every comparison
+    uses only exactly-specified IEEE ops (mul/div/compare — no pow/ln, so
+    no libm divergence at the cut boundary). qmax is a per-language 1-row
+    aggregate, broadcast back; the filter itself is map-side."""
+    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        ((hash_bucket(F.col("doc_id")) + 0.5) / 65536.0).alias("u"),
+    )
+    qm = scored.groupBy("lang").agg(F.max("quality").alias("qmax"))
+    return (
+        scored.join(F.broadcast(qm), "lang")
+        .filter(F.col("u") < 0.3 * F.col("quality") / F.col("qmax"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@register(
+    "q100_timeseries_gapfill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY user_id, day
+    ), bounds AS (
+      SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.day, d.v
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled,
+           v IS NULL AS is_gap
+    FROM joined
+    """,
+    "time-series densification: per-user daily grid via sequence + forward fill (last ignore-nulls frame) — gap-free series for downstream windows",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's daily value series to a gap-free calendar and
+    forward-fill missing days — the preprocessing step rolling windows and
+    change detection assume. The grid comes from sequence(min_day, max_day)
+    exploded per user (bounded by each user's own span, never a global
+    calendar cross join); the fill is last(ignorenulls) over a
+    user-partitioned frame — per-user state only. Cell sums are rounded
+    BEFORE the fill so both engines propagate identical values."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = e.groupBy(F.col("user_id"), day.alias("day")).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    grid = bounds.select("user_id", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"))
+    joined = grid.join(daily, ["user_id", "day"], "left_outer")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
