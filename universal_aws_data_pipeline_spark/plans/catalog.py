@@ -34,18 +34,20 @@ from universal_aws_data_pipeline_spark.operators.transform import transform_chai
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS).
-    Depending on the reader, it surfaces as one of: native TIMESTAMP_NTZ
-    (ns→µs truncation, same as DuckDB — what the pinned PySpark 4.1.2 does),
-    or raw nanos ``bigint`` when only the ``nanosAsLong`` legacy escape hatch
-    is available, which we truncate to microseconds with exact integer
-    division (float division would lose precision at 1e18 magnitudes).
-    Whatever the branch, the column is normalized to TIMESTAMP_NTZ so every
-    downstream expression sees one type regardless of reader version. The
+    Depending on the session, it surfaces as one of: native TIMESTAMP_NTZ
+    (ns→µs truncation, same as DuckDB — what the pinned PySpark 4.1.2 does
+    on a plain session), raw nanos ``bigint`` when the session has the
+    ``spark.sql.legacy.parquet.nanosAsLong`` escape hatch on (``session.py::
+    get_spark`` sets it at build time; this function never mutates session
+    conf), or plain TIMESTAMP for re-written copies of the table. Whatever
+    the branch, the column is normalized to TIMESTAMP_NTZ so every
+    downstream expression sees one type regardless of reader/session. The
+    bigint branch truncates nanos to micros with exact integer division
+    (float division would lose precision at 1e18 magnitudes), and the
     normalization is pure epoch arithmetic (``timestampadd`` onto the NTZ
     epoch literal) — no LTZ intermediate, so a non-UTC session timezone
-    cannot shift wall clocks between the two paths."""
+    cannot shift wall clocks between branches."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
