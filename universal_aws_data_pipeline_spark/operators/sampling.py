@@ -84,7 +84,15 @@ def pack_into_shards(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w))
+    # Materialize ONCE before the totals collect: repartitionByRange draws its
+    # range bounds from a sample whose seed varies per execution, so without
+    # this the totals collect and the returned DataFrame could execute the
+    # shuffle twice with rows near range boundaries landing in different
+    # _pid's — misaligned offsets, silently wrong cumulative sums.
+    # localCheckpoint (not persist) so an evicted block fails loudly instead
+    # of recomputing a different partitioning; blocks are disk-backed and
+    # reaped by the ContextCleaner when the result is dropped.
+    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w)).localCheckpoint()
 
     totals = sorted(
         ranged.groupBy("_pid").agg(F.max("_cum_in").alias("t")).collect(),
@@ -133,7 +141,9 @@ def stratified_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w))
+    # Same single-materialization rule as pack_into_shards: the offsets and
+    # the returned column must come from ONE executed range partitioning.
+    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w)).localCheckpoint()
 
     totals = ranged.groupBy("_pid", strata_col).agg(F.max("_cum_in").alias("t")).collect()
     acc: dict[str, int] = {}
