@@ -94,11 +94,19 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def shingle_index_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sh, shx): shingle strings PLUS their 28-bit digests — the payload
-    to checkpoint as a corpus index. The md5 pass (the single most expensive
-    expression in the pipeline: |corpus| × |shingles/doc| digests) is paid
-    once at build; signature probes read ``shx`` and run only the cheap
-    universal-hash integer mixes, Jaccard verification reads ``sh``.
+    """(id, sh, shx, shx64): shingle strings PLUS two digest columns — the
+    payload to checkpoint as a corpus index. The md5 pass (the single most
+    expensive expression in the pipeline: |corpus| × |shingles/doc| digests)
+    is paid once at build; both digests substring the SAME md5 value, so the
+    second column costs a projection, not a second hash.
+
+    * ``shx`` — 28-bit (7 hex nibbles): input to the minhash universal-hash
+      mixes, sized so ``x*a`` (a ≈ 1e9) stays inside signed-64 arithmetic.
+    * ``shx64`` — 60-bit (15 hex nibbles): key space for the PPJoin prefix
+      filter, where within-pair digest collisions would break the
+      guaranteed-recall pruning bounds (birthday at 28 bits is ~2^14
+      shingles; at 60 bits the collision odds for a 10k-shingle pair are
+      ~1e-11 — negligible).
 
     Document-corpus parquet is tiny on disk relative to the CPU cost of this
     map (compressed text), so a scan-aligned partitioning underparallelizes
@@ -109,6 +117,7 @@ def shingle_index_table(
         F.col(id_col),
         "sh",
         F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")).alias("shx"),
+        F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")).alias("shx64"),
     )
 
 
@@ -491,9 +500,11 @@ def jaccard_pairs_prefix_filter(
 ) -> DataFrame:
     """Exact n-gram-Jaccard similarity self-join via prefix filtering — the
     AllPairs/PPJoin family. Returns every pair with jaccard >= threshold:
-    unlike MinHash-LSH (probabilistic candidates, tunable recall < 1) this
-    is GUARANTEED-recall: the output equals brute-force all-pairs Jaccard,
-    which is exactly how q75's oracle grades it.
+    unlike MinHash-LSH (probabilistic candidates, tunable recall < 1) the
+    pruning bounds are exact in shingle space, so the output equals
+    brute-force all-pairs Jaccard — which is exactly how q75's oracle
+    grades it. (The digest-space mining adds a ~1e-11 collision caveat;
+    see the inline comment at the digest computation.)
 
     The pruning argument: order all shingles by ascending document
     frequency (rarest first, shingle string as tiebreak — any total order
@@ -541,18 +552,22 @@ def jaccard_pairs_prefix_filter(
     # The candidate-mining stages (df count, prefix ranking, prefix
     # equi-join) run in DIGEST space — long keys instead of shingle strings,
     # which cuts every shuffle in the mining phase (~2x wall on the sf0.1
-    # corpus). Exactness survives because hashing is a set map: for any map
-    # image, |A∩B| is non-decreasing and |A∪B| non-increasing, so
-    # J_digest >= J_shingle — digest-space prefix candidates are a SUPERSET
-    # of shingle-space qualifying pairs, and verification below computes
-    # exact Jaccard on the true shingle arrays. Collisions only ever ADD
-    # candidates. The stored corpus index already carries the digests
-    # (shingle_index_table's ``shx``); recompute them if absent.
-    if "shx" in shingled.columns:
-        digests = F.array_distinct(F.col("shx"))
+    # corpus). The recall guarantee is PROBABILISTIC, not structural: a
+    # within-pair collision (two shingles of A∪B mapping to one digest) can
+    # shrink the image intersection, so J_digest may fall BELOW J_shingle
+    # and a threshold-boundary pair could in principle be pruned before
+    # verification. 60-bit digests make that negligible — for a pair with
+    # 10k combined shingles the birthday bound is ~1e-11, and only pairs
+    # exactly at the threshold boundary could flip. (False positives are
+    # impossible at any width: verification computes exact Jaccard on the
+    # true shingle arrays.) The stored corpus index carries the wide
+    # digests (shingle_index_table's ``shx64``); recompute if absent —
+    # including over old indexes that only have the narrow minhash ``shx``.
+    if "shx64" in shingled.columns:
+        digests = F.array_distinct(F.col("shx64"))
     else:
         digests = F.array_distinct(
-            F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"))
+            F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
         )
     expl = shingled.select(
         F.col(id_col).alias("_id"), F.size(digests).alias("_sz"), F.explode(digests).alias("s")
