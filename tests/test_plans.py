@@ -249,6 +249,12 @@ def test_new_tpch_plan_contains(spark, sf_dir, name, needles):
         ("q91_stratified_topn_sample", ["WindowGroupLimit", "Partial"]),
         # z-interleave is map-only into partial aggregation; 2-column scan
         ("q92_zorder_cells", ["partial_count", "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"]),
+        # rolling sketch: KMV threshold prunes map-side on the scan, and the
+        # 7-day window kernel is an explode of the [0..6] day offsets
+        ("q97_rolling_distinct_sketch", ["< 1073741824", "explode([0,1,2,3,4,5,6])"]),
+        # gap fill: per-user day grid from sequence(); the daily-aggregate
+        # side broadcasts into the grid join (never a shuffle of the grid)
+        ("q100_timeseries_gapfill", ["explode(sequence(", "BroadcastHashJoin", "LeftOuter"]),
     ],
 )
 def test_r3_extension_plan_contains(spark, sf_dir, name, needles):
@@ -257,11 +263,37 @@ def test_r3_extension_plan_contains(spark, sf_dir, name, needles):
         assert needle in plan, f"{name}: expected {needle!r} in plan:\n{plan}"
 
 
+def test_q97_explodes_sketch_not_events(spark, sf_dir):
+    """The 7-day rolling window must be answered by exploding the tiny
+    (day, kmv-hash) SKETCH table — the explode's direct child is the
+    distinct aggregate, so the 7x row multiplication happens after events
+    has been collapsed to |days|x|k| sketch rows, never on raw events."""
+    lines = _plan(spark, sf_dir, "q97_rolling_distinct_sketch").splitlines()
+    gen = next(i for i, ln in enumerate(lines) if "explode([0,1,2,3,4,5,6])" in ln)
+    assert "HashAggregate" in lines[gen + 1], "\n".join(lines[gen : gen + 3])
+
+
+def test_q100_gapfill_window_is_per_user(spark, sf_dir):
+    """The fill-forward window must partition by user_id — a global (empty
+    partitionBy) window would funnel the whole grid through one task."""
+    plan = _plan(spark, sf_dir, "q100_timeseries_gapfill")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "[user_id" in line.split("windowspecdefinition")[1].split(",")[0] or \
+                ", [user_id" in line, f"window not user-scoped: {line}"
+
+
 @pytest.mark.parametrize("name", ["q94_token_budget_selection", "q96_training_prep_pipeline"])
-def test_budget_selection_no_global_window(spark, sf_dir, name):
+def test_budget_selection_no_global_window(spark, sf_dir, name, monkeypatch):
     """The stratified prefix sum must range-partition and window on
     (_pid, stratum) — never a bare Window.partitionBy(lang) (one task per
-    language) or a global single-partition window."""
+    language) or a global single-partition window. The production path
+    localCheckpoints the ranged plan (single-execution barrier), which
+    truncates lineage out of the final plan string — patch the seam to
+    identity so the full un-truncated plan is assertable."""
+    from universal_aws_data_pipeline_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "_materialize", lambda df: df)
     plan = _plan(spark, sf_dir, name)
     assert "rangepartitioning" in plan, plan
     for line in plan.splitlines():

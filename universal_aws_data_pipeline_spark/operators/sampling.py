@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 _HASH_BUCKETS = 1 << 16
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Single-execution barrier for the two-phase prefix sums: the offsets
+    collect and the returned column must observe ONE executed range
+    partitioning (repartitionByRange samples bounds with a per-execution
+    seed). localCheckpoint — not persist — so a lost block fails loudly
+    instead of recomputing a different layout. Module-level seam so plan
+    tests can patch it out and assert on the un-truncated plan."""
+    return df.localCheckpoint()
+
+
 def hash_bucket(key: Column) -> Column:
     """Deterministic bucket in [0, 65536) from md5 of the stringified key.
     Engine-portable: any system with md5 + hex parsing reproduces it."""
@@ -89,10 +99,7 @@ def pack_into_shards(
     # this the totals collect and the returned DataFrame could execute the
     # shuffle twice with rows near range boundaries landing in different
     # _pid's — misaligned offsets, silently wrong cumulative sums.
-    # localCheckpoint (not persist) so an evicted block fails loudly instead
-    # of recomputing a different partitioning; blocks are disk-backed and
-    # reaped by the ContextCleaner when the result is dropped.
-    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w)).localCheckpoint()
+    ranged = _materialize(ranged.withColumn("_cum_in", F.sum(weight_col).over(w)))
 
     totals = sorted(
         ranged.groupBy("_pid").agg(F.max("_cum_in").alias("t")).collect(),
@@ -143,7 +150,7 @@ def stratified_prefix_sum(
     )
     # Same single-materialization rule as pack_into_shards: the offsets and
     # the returned column must come from ONE executed range partitioning.
-    ranged = ranged.withColumn("_cum_in", F.sum(weight_col).over(w)).localCheckpoint()
+    ranged = _materialize(ranged.withColumn("_cum_in", F.sum(weight_col).over(w)))
 
     totals = ranged.groupBy("_pid", strata_col).agg(F.max("_cum_in").alias("t")).collect()
     acc: dict[str, int] = {}
