@@ -1,0 +1,117 @@
+"""One-off scale-stress harness (VERDICT r3, item 6): replicate the sf0.1
+documents/embeddings fixtures ~10x and measure how the heavy near-dup /
+clustering queries scale, recording the scaling exponent in PERF.md.
+
+Replication is density-preserving, not similarity-creating:
+
+* documents: copy k suffixes every token with ``x{k}`` — each copy is its
+  own token universe, so the per-copy shingle/df distribution replicates
+  and NO cross-copy near-dup pairs appear (a naive replicate-with-light-
+  mutation corpus would make every doc a 10-way near-dup and blow the pair
+  count up quadratically in the replication factor — that would measure
+  the mutation scheme, not the engine).
+* embeddings: copy k keeps vectors but maps label -> label + 10*k, so the
+  blocked-cosine miner sees 10x as many SAME-SIZED blocks (mining is
+  quadratic within a block by design; a real 10x corpus gets finer
+  blocking, not 10x-fatter blocks).
+
+Usage: SPARK_GRAFT_CPUS=32 python scripts/scale_stress.py
+Writes per-query timings + exponents to stdout as one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+from universal_aws_data_pipeline_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.1"
+SCALED = os.path.join(REPO, ".scale10")
+COPIES = 10
+# bench cold order: shared artifacts (q15 shingle index, pair tables) are
+# built by the earliest query that needs them, same as BENCH cold semantics
+HEAVY = ["q15_neardup_minhash_lsh", "q43_dup_clusters", "q56_semantic_dedup", "q75_jaccard_prefix_filter"]
+
+
+def build_scaled(spark) -> None:
+    if os.path.isdir(SCALED):
+        return
+    os.makedirs(SCALED, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for k in range(COPIES):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10000))
+        if k > 0:
+            c = c.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1x{k}"))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10000)).withColumn(
+                "label", F.col("label") + F.lit(10 * k)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/embeddings.parquet")
+
+
+def timed_series(spark, sf_dir: str) -> dict[str, float]:
+    # scrub this dataset's artifact cache so every build cost is inside the
+    # measured window (cold semantics, matching bench.py's cold series)
+    cache_root = os.environ.get("SPARK_GRAFT_INDEX_DIR", os.path.join(REPO, ".cache"))
+    import hashlib
+
+    for kind in ("shingles", "semantic_pairs", "dup_pairs", "ivf"):
+        shutil.rmtree(cache_root, ignore_errors=True)
+    out = {}
+    for name in HEAVY:
+        t0 = time.monotonic()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 2)
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scale_stress", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark)
+
+    base = timed_series(spark, BASE)
+    scaled = timed_series(spark, SCALED)
+    n_base = spark.read.parquet(f"{BASE}/documents.parquet").count()
+    n_scaled = spark.read.parquet(f"{SCALED}/documents.parquet").count()
+    factor = n_scaled / n_base
+    result = {
+        "factor": factor,
+        "base": base,
+        "scaled": scaled,
+        "exponent": {
+            q: round(math.log(scaled[q] / base[q]) / math.log(factor), 2) for q in HEAVY
+        },
+    }
+    sys.stdout.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()
