@@ -315,3 +315,67 @@ def test_q98_bucketed_join_shuffle_free(spark, sf_dir):
     join_part = plan.split("Join", 1)[1]
     assert "Exchange hashpartitioning(l_orderkey" not in join_part
     assert "Exchange hashpartitioning(o_orderkey" not in join_part
+
+
+# ---------------------------------------------------------------- round 4 ops
+def test_q101_span_dedup_single_shuffle_no_sort_window(spark, sf_dir):
+    """One exchange on the span key; the keep-first owner is a min-over-
+    partition window with NO ORDER BY — no per-group sort operator, and
+    never a groupBy+self-join (two exchanges of the span table)."""
+    plan = _plan(spark, sf_dir, "q101_span_dedup_profile")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") == 0, "span ownership must not be a self-join"
+    assert "Window" in plan
+
+
+def test_q102_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """Pass 2's recount restricts to pass-1 candidates via a BROADCAST
+    semi-join — the exploded token stream itself must never shuffle on the
+    token key before that filter."""
+    plan = _plan(spark, sf_dir, "q102_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # pass-1 miner
+
+
+def test_q104_quantized_ann_no_join_on_corpus(spark, sf_dir):
+    """The literal query set explodes per corpus row (Generate) — multi-query
+    scoring costs ONE corpus scan and no join/shuffle on the corpus side;
+    the only exchanges are the per-query top-k windows."""
+    plan = _plan(spark, sf_dir, "q104_quantized_ann")
+    assert "Generate explode" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan, f"unexpected {j} in quantized ANN plan"
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_fact_join(spark, sf_dir):
+    """Spark's runtime row-level filtering (InjectRuntimeFilter) is ON by
+    default in this engine's sessions: a selective dimension-side predicate
+    becomes a bloom_filter_might_contain() guard on the fact scan, pruning
+    shuffle input at runtime — the 100 TB lever for fact-fact joins whose
+    selective side isn't known until runtime. Local fixtures sit under the
+    10 GiB application-side default, so the test lowers that threshold to
+    prove the machinery fires; at target scale the defaults trigger it
+    unaided. Confs are restored afterwards — nothing leaks into the session.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "1b")
+        spark.conf.set(keys[1], "-1")  # force a shuffle join; bloom filters don't apply to broadcasts
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected on the fact scan"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

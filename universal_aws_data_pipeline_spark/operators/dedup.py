@@ -617,3 +617,46 @@ def jaccard_pairs_prefix_filter(
         joined.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_overlap_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-document duplicated-span profile (the exact-substring-dedup
+    diagnostic of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", at span granularity): for every document, the fraction
+    of its distinct ``span_n``-token shingles that already occur in a
+    document with a smaller id ("seen earlier" under keep-first ordering),
+    plus a flag when that fraction reaches ``dup_threshold``.
+
+    Output: (id, n_spans, dup_span_frac, is_span_dup).
+
+    Scale shape: one explode of the distinct-shingle arrays, ONE shuffle on
+    the span key — the keep-first owner is ``min(id) OVER (PARTITION BY
+    span)``, a window with no ORDER BY (unbounded frame, no per-group sort),
+    so the owner and the membership test ride the same exchange instead of
+    a groupBy+self-join's two. The final per-doc rollup shuffles doc-id
+    sized data. Span groups are near-dup cluster sized, never corpus sized,
+    so the window state stays small even when one span is corpus-hot.
+    """
+    from pyspark.sql.window import Window
+
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n=span_n)).alias("_span"),
+    )
+    first_owner = F.min("_id").over(Window.partitionBy("_span"))
+    seen_earlier = (F.col("_first") < F.col("_id")).cast("double")
+    return (
+        spans.withColumn("_first", first_owner)
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(F.avg(seen_earlier), 4).alias("dup_span_frac"),
+        )
+        .withColumn("is_span_dup", F.col("dup_span_frac") >= F.lit(dup_threshold))
+    )

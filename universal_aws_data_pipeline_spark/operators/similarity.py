@@ -18,6 +18,7 @@ but engine-specific, so graded rows-only).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -338,4 +339,100 @@ def append_to_ivf_index(df: DataFrame, path: str) -> None:
         .write.mode("append")
         .partitionBy("_cell")
         .parquet(f"{path.rstrip('/')}/cells")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (tier 4): memory-side ANN.
+# ---------------------------------------------------------------------------
+
+def quantize_vec(vec) -> "tuple":
+    """Columns (scale, int8-ish array) for per-vector symmetric quantization:
+    scale = max|x|/127, q_i = round(x_i/scale) (HALF_UP away from zero —
+    Spark's ROUND; the oracle's round() matches). Integer dot products over
+    q are EXACT in both engines, so the shortlist stage is deterministic."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)), F.lit(1e-12)
+    ) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    return scale, q
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized vectors: (1) shortlist by quantized
+    score — scale_a·scale_b·dot(int8_a, int8_b), 4x smaller vectors and
+    integer multiplies, the form a columnar int8 index serves — then
+    (2) exact float cosine re-rank of the shortlist to top-k.
+
+    Unlike the LSH/IVF tiers, every stage here is DETERMINISTIC arithmetic
+    (round-to-int, exact integer dots, fixed tiebreaks), so the whole
+    pipeline is oracle-able — the approximation is quantization error, not
+    randomness.
+
+    Scale shape: the query set is small and rides the plan as a literal
+    array exploded per corpus row (a broadcast nested loop in effect, one
+    corpus scan for ALL queries — no join, no shuffle on the corpus side).
+    The only shuffle is the per-query top-``shortlist`` window over
+    |queries|·|corpus| scored rows; compose with the IVF cell index
+    (build_ivf_index) to prune that scan when |queries| is large. The exact
+    re-rank touches |queries|·shortlist rows — driver-trivial.
+
+    Output: (q_id, id, cos_sim) — top-k per query by exact cosine among the
+    quantized shortlist, cos_sim rounded to 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    q_structs = []
+    for qid, qv in queries:
+        vals = [float(x) for x in qv]
+        s = max(max(abs(x) for x in vals), 1e-12) / 127.0
+        # HALF_UP away from zero, matching Spark/DuckDB round()
+        qints = [int(math.floor(abs(x) / s + 0.5)) * (1 if x >= 0 else -1) for x in vals]
+        q_structs.append(
+            F.struct(
+                F.lit(int(qid)).alias("q_id"),
+                F.array(*[F.lit(v) for v in vals]).alias("qv"),
+                F.lit(float(s)).alias("q_scale"),
+                F.array(*[F.lit(v) for v in qints]).alias("qq"),
+            )
+        )
+
+    scale, qvec = quantize_vec(F.col(vec_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        scale.alias("_scale"),
+        qvec.alias("_q"),
+    )
+    ex = base.select("id", "_v", "_scale", "_q", F.explode(F.array(*q_structs)).alias("_qr"))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("_qr.qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (F.col("_scale") * F.col("_qr.q_scale")) * int_dot.cast("double")
+    w_short = Window.partitionBy("_qr.q_id").orderBy(F.col("_approx").desc(), F.col("id"))
+    short = (
+        ex.withColumn("_approx", approx)
+        .withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+    )
+    exact = short.select(
+        F.col("_qr.q_id").alias("q_id"),
+        "id",
+        F.round(cosine_similarity(F.col("_v"), F.col("_qr.qv")), 6).alias("cos_sim"),
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return (
+        exact.withColumn("_rk", F.row_number().over(w_final))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "id", "cos_sim")
     )

@@ -137,3 +137,76 @@ def redact_pii(text: Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, w1, w2) — every ADJACENT token pair, one row per occurrence
+    (NOT distinct: language-model scoring weights repeated bigrams).
+    The pair array is built row-locally (transform over an index sequence,
+    same no-explode trick as word_shingles) and exploded once."""
+    toks = tokens_col(F.col(text_col))
+    # guard: sequence(1, 0) counts DOWN in Spark — single-token docs must
+    # yield an empty pair array (explode then drops them, matching the
+    # oracle's len(t) >= 2 predicate), not a reversed bogus one
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality scoring: train an add-alpha-smoothed
+    word-bigram model on the corpus itself, then score every document by its
+    mean negative log-likelihood (high = out-of-distribution / low quality —
+    the signal CCNet thresholds with a KenLM 5-gram; same contract, bigram
+    order, no external model).
+
+        nll(w1 w2) = -ln( (c(w1,w2) + alpha) / (c(w1) + alpha * V) )
+
+    Output: (id, n_bigrams, avg_nll) with avg_nll rounded to 4 dp.
+
+    Scale shape: the model IS two aggregate tables — bigram counts and
+    unigram context counts — built by map-side-combining groupBys over one
+    corpus read each. Scoring joins the exploded doc bigrams to those count
+    tables on their natural keys; both sides are equi-joins, and AQE
+    broadcasts the count tables when the vocabulary is small (word bigrams
+    are heavy-tailed: counts tables are vocab-sized, orders of magnitude
+    under the corpus). V (distinct unigrams) rides a 1-row broadcast. No
+    iteration, no UDF — training a smoothed n-gram LM is nothing but
+    counting, which is the thing a shuffle does best.
+    """
+    bg = doc_bigrams(df, id_col=id_col, text_col=text_col)
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    uni_counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    vocab = uni_counts.select(F.count(F.lit(1)).cast("double").alias("_v"))
+    nll = -F.log(
+        (F.col("_c2") + F.lit(alpha)) / (F.col("_c1") + F.lit(alpha) * F.col("_v"))
+    )
+    return (
+        bg.join(bg_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )

@@ -4356,6 +4356,161 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_span_dedup_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM documents
+    ), spans AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        THEN list_distinct(list_transform(range(1, len(t) - 6),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+        ELSE [norm] END) AS span
+      FROM t
+    ), owned AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY span) AS first_doc FROM spans
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           round(avg(CASE WHEN first_doc < doc_id THEN 1.0 ELSE 0.0 END), 4) AS dup_span_frac,
+           round(avg(CASE WHEN first_doc < doc_id THEN 1.0 ELSE 0.0 END), 4) >= 0.5 AS is_span_dup
+    FROM owned GROUP BY doc_id
+    """,
+    "cross-document duplicated-span profile (Lee et al. exact-substring dedup diagnostic): per-doc fraction of 8-token spans already seen in an earlier doc (X2)",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular exact dedup diagnostic: which documents are mostly made
+    of 8-token spans that an earlier document already contains. One shuffle
+    on the span key (min-over-partition window, no ORDER BY so no per-group
+    sort) + a doc-id rollup; see operators/dedup.py::span_overlap_profile."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan, span_overlap_profile
+
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return span_overlap_profile(d, span_n=8, dup_threshold=0.5)
+
+
+@register(
+    "q102_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, count(*) AS cnt
+    FROM toks, tot
+    GROUP BY tok, n
+    HAVING count(*) * 30 > n
+    """,
+    "exact heavy hitters (tokens with frequency > N/30) via two-pass Misra-Gries-style candidate mining + exact recount (X4, mergeable-sketch family)",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters without a full-vocabulary shuffle: pass 1
+    mines per-partition candidates (local count > local_total/k — a
+    guaranteed superset of the global answer by the averaging argument),
+    pass 2 recounts ONLY candidates via a broadcast semi-join. Shuffle
+    bytes are O(candidates x partitions), not O(distinct tokens) — the
+    difference between word vocab and n-gram/URL vocab at 100 TB. The
+    oracle is the brute-force single-groupBy answer: a hash match proves
+    the pruning lost nothing. See operators/sketch.py."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
+    from universal_aws_data_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("text"))
+    return heavy_hitters_exact(d, text_col="text", k=30)
+
+
+@register(
+    "q103_lm_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), bgl AS (
+      SELECT doc_id, list_transform(range(1, len(t)), i -> [t[i], t[i+1]]) AS pairs
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT doc_id, unnest(pairs) AS p FROM bgl
+    ), bg2 AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg
+    ), uni AS (
+      SELECT tok AS w1, count(*) AS c1
+      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), bgc AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2
+    ), v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((c2 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_nll
+    FROM bg2 JOIN bgc USING (w1, w2) JOIN uni USING (w1), v
+    GROUP BY doc_id
+    """,
+    "CCNet-style corpus-LM quality score: add-alpha word-bigram model trained on the corpus, per-doc mean negative log-likelihood (X4)",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-the-corpus bigram LM scoring (the CCNet quality-filter shape
+    with a transparent bigram model instead of downloaded KenLM weights):
+    the 'model' is two count tables built by map-side-combined groupBys;
+    scoring is two equi-joins on vocab-sized tables (AQE broadcasts them
+    when small). See operators/text.py::bigram_lm_scores."""
+    from universal_aws_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d, alpha=0.5)
+
+
+def _q104_oracle() -> str:
+    cos = _cos_sql("s.embedding", "s.qv")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS s
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, embedding, s,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) AS q
+      FROM base
+    ), queries AS (
+      SELECT vec_id AS q_id, embedding AS qv, s AS q_scale, q AS qq
+      FROM qz WHERE vec_id % 101 = 0
+    ), scored AS (
+      SELECT c.vec_id AS id, q.q_id, c.embedding, q.qv,
+             (c.s * q.q_scale) * CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE) AS approx
+      FROM qz c, queries q
+    ), short AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, id) AS rn FROM scored
+    ), s AS (SELECT * FROM short WHERE rn <= 30), exact AS (
+      SELECT q_id, id, round({cos}, 6) AS cos_sim FROM s
+    )
+    SELECT q_id, id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, id) AS rk FROM exact
+    ) WHERE rk <= 10
+    """
+
+
+@register(
+    "q104_quantized_ann",
+    _q104_oracle(),
+    "int8 scalar-quantized cosine shortlist + exact float re-rank — deterministic two-stage ANN, fully oracle-able (X3)",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier 4: per-vector symmetric int8 quantization (scale = max|x|/127),
+    integer-dot shortlist of 30 per query, exact cosine re-rank to top-10.
+    Every stage is deterministic arithmetic — unlike LSH/IVF this tier hash-
+    matches a SQL oracle that replays the identical pipeline. Queries =
+    vec_id % 101 == 0 (collected driver-side like q17's single lookup; the
+    query set is literal-broadcast, so the corpus is scanned once for all
+    queries with no join). See operators/similarity.py::quantized_cosine_topk."""
+    from universal_aws_data_pipeline_spark.operators.similarity import quantized_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") % 101 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    out = quantized_cosine_topk(e, queries, k=10, shortlist=30, id_col="vec_id")
+    return out.select(F.col("q_id").cast("long").alias("q_id"), "id", "cos_sim")
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
