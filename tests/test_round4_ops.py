@@ -115,3 +115,135 @@ def test_quantized_ann_self_similarity_is_one(spark, sf_dir):
     out = quantized_cosine_topk(e, [(0, [float(x) for x in q])], k=3, shortlist=10).collect()
     top = max(out, key=lambda r: r["cos_sim"])
     assert top["id"] == 0 and top["cos_sim"] == 1.0
+
+
+# ------------------------------------------------------ streaming MG summary
+def test_streaming_mg_invariants_and_replay(spark, tmp_path):
+    """Mergeable MG across 3 micro-batches: every surviving token's true
+    count is within [lb, lb+err]; every token with true count > err
+    survives; a replayed batch_id is a no-op (exactly-once state)."""
+    from collections import Counter
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        heavy_hitters_from_state,
+        heavy_hitters_stream_fn,
+    )
+
+    state = str(tmp_path / "hh_state")
+    k = 4
+    batches = [
+        ["hot hot hot warm cool", "hot warm mild"],
+        ["hot hot warm warm x y z", "hot q r s"],
+        ["hot hot hot hot t u v w", "warm warm"],
+    ]
+    fn = heavy_hitters_stream_fn(state, k=k, text_col="text")
+    truth: Counter = Counter()
+    for bid, docs in enumerate(batches):
+        for t in docs:
+            truth.update(t.split())
+        fn(spark.createDataFrame([(t,) for t in docs], "text STRING"), bid)
+
+    # replay the last batch: state must not change
+    before = sorted(heavy_hitters_from_state(spark, state).collect())
+    fn(spark.createDataFrame([(t,) for t in batches[-1]], "text STRING"), 2)
+    after = sorted(heavy_hitters_from_state(spark, state).collect())
+    assert before == after
+
+    rows = {r["tok"]: r for r in after}
+    assert len(rows) <= k
+    err = next(iter(rows.values()))["cnt_ub"] - next(iter(rows.values()))["cnt_lb"]
+    n = sum(truth.values())
+    assert err <= n / (k + 1)
+    for tok, r in rows.items():
+        assert r["cnt_lb"] <= truth[tok] <= r["cnt_ub"], tok
+    for tok, true_cnt in truth.items():
+        if true_cnt > err:
+            assert tok in rows, f"heavy token {tok} (cnt {true_cnt}) lost"
+    # "hot" dominates the stream — must survive with a tight bound
+    assert "hot" in rows
+
+
+def test_streaming_mg_through_real_stream(spark, tmp_path):
+    """Same maintainer driven by an actual file-source stream via
+    foreachBatch — the deployment shape."""
+    import json as _json
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        heavy_hitters_from_state,
+        heavy_hitters_stream_fn,
+    )
+    from universal_aws_data_pipeline_spark.streaming.ops import (
+        read_stream_source,
+        write_stream_sink,
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, text in enumerate(["hot hot hot cool", "hot hot warm warm warm"]):
+        with open(d / f"b{i}.json", "w") as fh:
+            fh.write(_json.dumps({"doc_id": i, "text": text}) + "\n")
+    state = str(tmp_path / "hh_state2")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1},
+        "doc_id long, text string",
+    )
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "foreach_batch",
+            "fn": heavy_hitters_stream_fn(state, k=3),
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+    rows = {r["tok"]: r for r in heavy_hitters_from_state(spark, state).collect()}
+    assert "hot" in rows and rows["hot"]["cnt_lb"] >= 1
+    assert rows["hot"]["cnt_ub"] >= 5  # true count 5 within the upper bound
+
+
+def test_quantized_index_probe_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted int8 index probe is bit-identical to the in-memory
+    quantized pipeline (same arithmetic) — so it inherits q104's oracle."""
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        build_quantized_index,
+        quantized_index_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = e.filter(F.col("vec_id") % 101 == 0).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    path = str(tmp_path / "qidx")
+    build_quantized_index(e, path)
+    stored = sorted(
+        (r["q_id"], r["id"], r["cos_sim"])
+        for r in quantized_index_topk(spark, path, queries, k=10, shortlist=30).collect()
+    )
+    mem = sorted(
+        (r["q_id"], r["id"], r["cos_sim"])
+        for r in quantized_cosine_topk(e, queries, k=10, shortlist=30).collect()
+    )
+    assert stored == mem and len(stored) > 0
+
+
+def test_quantized_index_shortlist_prunes_float_column(spark, sf_dir, tmp_path):
+    """The shortlist scan must read only (id, scale, q) — pruning the float
+    vectors is the 4x I/O win of persisting the quantized form."""
+    import re
+
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        build_quantized_index,
+        quantized_index_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "qidx2")
+    build_quantized_index(e, path)
+    out = quantized_index_topk(spark, path, [(0, q)], k=5, shortlist=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert len(schemas) >= 2
+    shortlist_scans = [s for s in schemas if '"q"' in s or "q:" in s]
+    assert any("vec" not in s for s in shortlist_scans), schemas

@@ -436,3 +436,86 @@ def quantized_cosine_topk(
         .filter(F.col("_rk") <= k)
         .select("q_id", "id", "cos_sim")
     )
+
+
+def build_quantized_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the int8 index: one parquet table of
+    (id, scale double, q array<tinyint>, vec original floats).
+
+    The point of persisting is the PROBE's scan profile: the shortlist pass
+    selects only (id, scale, q) — parquet column pruning never reads the
+    float vectors (4x the bytes of q), so shortlist I/O is ~1/4 of a
+    full-precision scan (plan-asserted via ReadSchema in tests). The float
+    column is read only for the broadcast-joined shortlist rows during
+    re-rank. Quantization arithmetic is identical to the in-memory
+    ``quantized_cosine_topk`` — a probe returns bit-identical results
+    (tested), so the persisted path inherits q104's oracle."""
+    scale, q = quantize_vec(F.col(vec_col))
+    (
+        df.select(
+            F.col(id_col).alias("id"),
+            scale.alias("scale"),
+            F.transform(q, lambda x: x.cast("tinyint")).alias("q"),
+            F.col(vec_col).alias("vec"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def quantized_index_topk(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    shortlist: int = 30,
+) -> DataFrame:
+    """Probe the persisted int8 index: integer-dot shortlist over the pruned
+    (id, scale, q) columns, then exact cosine re-rank fetching floats for
+    shortlist rows only (broadcast semi of |queries|·shortlist ids)."""
+    from pyspark.sql.window import Window
+
+    q_structs = []
+    for qid, qv in queries:
+        vals = [float(x) for x in qv]
+        s = max(max(abs(x) for x in vals), 1e-12) / 127.0
+        qints = [int(math.floor(abs(x) / s + 0.5)) * (1 if x >= 0 else -1) for x in vals]
+        q_structs.append(
+            F.struct(
+                F.lit(int(qid)).alias("q_id"),
+                F.array(*[F.lit(v) for v in vals]).alias("qv"),
+                F.lit(float(s)).alias("q_scale"),
+                F.array(*[F.lit(v) for v in qints]).alias("qq"),
+            )
+        )
+    idx = spark.read.parquet(path)
+    ex = idx.select("id", "scale", "q", F.explode(F.array(*q_structs)).alias("_qr"))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("_qr.qq"), lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (F.col("scale") * F.col("_qr.q_scale")) * int_dot.cast("double")
+    w_short = Window.partitionBy("_qr.q_id").orderBy(F.col("_approx").desc(), F.col("id"))
+    short = (
+        ex.withColumn("_approx", approx)
+        .withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select(F.col("_qr.q_id").alias("q_id"), "id", F.col("_qr.qv").alias("_qv"))
+    )
+    # fetch floats for shortlist rows only: tiny side broadcasts
+    fetched = idx.select("id", "vec").join(F.broadcast(short), "id")
+    exact = fetched.select(
+        "q_id", "id", F.round(cosine_similarity(F.col("vec"), F.col("_qv")), 6).alias("cos_sim")
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return (
+        exact.withColumn("_rk", F.row_number().over(w_final))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "id", "cos_sim")
+    )

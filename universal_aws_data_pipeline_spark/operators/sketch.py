@@ -100,3 +100,94 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") * k > F.col("_n"))
         .select("tok", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: mergeable Misra–Gries summary maintained across micro-batches
+# ---------------------------------------------------------------------------
+
+def _read_meta(spark, meta_path: str) -> tuple[int, int]:
+    """(decrement_total, last_batch_id) from the state meta, (0, -1) if new."""
+    import os
+
+    if not os.path.exists(meta_path):
+        return 0, -1
+    row = spark.read.parquet(meta_path).head()
+    return int(row["err"]), int(row["last_batch_id"])
+
+
+def heavy_hitters_stream_fn(
+    state_path: str,
+    k: int = 50,
+    text_col: str = "text",
+):
+    """``foreachBatch`` maintainer of a mergeable Misra–Gries heavy-hitter
+    summary (Agarwal et al., "Mergeable Summaries"): state is ≤ k rows of
+    (tok, lower-bound count) plus a scalar decrement total ``err``.
+
+    Per micro-batch: exact batch counts (map-side-combined groupBy — batch
+    vocab sized), summed into the ≤ k-row carried state, then MG-compressed
+    by subtracting the (k+1)-th largest combined count and keeping the
+    positive remainder — at most k survivors, and the subtracted amount
+    accumulates into ``err``. Invariants (tested):
+
+    - for every surviving token: lb ≤ true count ≤ lb + err
+    - every token with true count > err survives (err ≤ N/(k+1) over the
+      whole stream, so nothing genuinely heavy is ever lost)
+
+    Batch ids are recorded in the meta; a replayed batch (foreachBatch's
+    at-least-once contract) is skipped — state updates are exactly-once.
+    Only the (k+1)-row decrement probe and the ≤ k-row state touch the
+    driver; batch counting stays distributed.
+    """
+    import os
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counters_path = os.path.join(state_path, "counters")
+        meta_path = os.path.join(state_path, "meta")
+        err, last_id = _read_meta(spark, meta_path)
+        if batch_id <= last_id:
+            return  # replayed batch: already folded in
+        batch_counts = (
+            batch_df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if os.path.exists(counters_path):
+            prev = [(r["tok"], r["lb"]) for r in spark.read.parquet(counters_path).collect()]
+        else:
+            prev = []
+        if prev:
+            prev_df = spark.createDataFrame(prev, "tok STRING, cnt LONG")
+            combined = batch_counts.unionByName(prev_df).groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+        else:
+            combined = batch_counts
+        top = combined.orderBy(F.col("cnt").desc(), "tok").limit(k + 1).collect()
+        d = int(top[k]["cnt"]) if len(top) > k else 0
+        new_state = (
+            combined.filter(F.col("cnt") > d)
+            .select("tok", (F.col("cnt") - d).alias("lb"))
+        )
+        # materialize before overwriting the path we may have just read
+        rows = [(r["tok"], r["lb"]) for r in new_state.collect()]
+        spark.createDataFrame(rows, "tok STRING, lb LONG").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(counters_path)
+        spark.createDataFrame(
+            [(err + d, batch_id)], "err LONG, last_batch_id LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+    return fn
+
+
+def heavy_hitters_from_state(spark, state_path: str) -> DataFrame:
+    """Read the streaming MG state: (tok, cnt_lb, cnt_ub) where
+    cnt_lb ≤ true ≤ cnt_ub = cnt_lb + accumulated decrement."""
+    import os
+
+    err, _ = _read_meta(spark, os.path.join(state_path, "meta"))
+    return (
+        spark.read.parquet(os.path.join(state_path, "counters"))
+        .select("tok", F.col("lb").alias("cnt_lb"), (F.col("lb") + err).alias("cnt_ub"))
+    )
