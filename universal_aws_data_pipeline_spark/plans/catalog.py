@@ -4448,10 +4448,13 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a transparent bigram model instead of downloaded KenLM weights):
     the 'model' is two count tables built by map-side-combined groupBys;
     scoring is two equi-joins on vocab-sized tables (AQE broadcasts them
-    when small). See operators/text.py::bigram_lm_scores."""
+    when small). parallelize_text_scan spreads the CPU-bound
+    normalize+bigram map off the single-file scan split (measured 14.5 s →
+    2.6 s at sf0.1 on local[32]). See operators/text.py::bigram_lm_scores."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
     from universal_aws_data_pipeline_spark.operators.text import bigram_lm_scores
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return bigram_lm_scores(d, alpha=0.5)
 
 
@@ -4497,6 +4500,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 101 == 0 (collected driver-side like q17's single lookup; the
     query set is literal-broadcast, so the corpus is scanned once for all
     queries with no join). See operators/similarity.py::quantized_cosine_topk."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
     from universal_aws_data_pipeline_spark.operators.similarity import quantized_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -4507,7 +4511,9 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
-    out = quantized_cosine_topk(e, queries, k=10, shortlist=30, id_col="vec_id")
+    # spread the CPU-bound quantize+dot map off the single-file scan split
+    # (results are partitioning-invariant: row_number ties break on id)
+    out = quantized_cosine_topk(parallelize_text_scan(e), queries, k=10, shortlist=30, id_col="vec_id")
     return out.select(F.col("q_id").cast("long").alias("q_id"), "id", "cos_sim")
 
 
