@@ -72,3 +72,66 @@ def test_exact_dedup_idempotent_and_minimal(spark, rows):
     for k, s in rows:
         expected[k] = min(expected.get(k, s), s)
     assert got_once == sorted(expected.items())
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8), st.integers(min_value=2, max_value=8))
+def test_heavy_hitters_matches_ground_truth(spark, texts, k):
+    """For ANY corpus and k, the two-pass result equals the brute-force
+    answer computed driver-side over the same normalization."""
+    from collections import Counter
+
+    from universal_aws_data_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = {(r["tok"], r["cnt"]) for r in heavy_hitters_exact(df, k=k).collect()}
+    truth: Counter = Counter()
+    for t in texts:
+        norm = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        truth.update(norm.split(" "))
+    n = sum(truth.values())
+    expect = {(tok, c) for tok, c in truth.items() if c * k > n}
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["en", "de", "fr"]),
+                       st.floats(min_value=0.0, max_value=1.0, allow_nan=False)),
+             min_size=1, max_size=30),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_quantile_cutoff_is_exact_order_statistic(spark, rows, frac):
+    """The histogram cutoff equals the ceil(frac*n)-th smallest value per
+    group, for ANY value multiset and fraction."""
+    import math as _math
+
+    from universal_aws_data_pipeline_spark.operators.sampling import quantile_cutoff_by_group
+
+    rows = [(g, round(v, 4)) for g, v in rows]
+    df = spark.createDataFrame(rows, "lang STRING, q DOUBLE")
+    got = {r["lang"]: r["qcut"] for r in quantile_cutoff_by_group(df, "lang", "q", frac).collect()}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        assert got[g] == vals[_math.ceil(frac * len(vals)) - 1], (g, vals, frac)
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=2, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=6))
+def test_span_overlap_first_doc_never_duplicated(spark, texts):
+    """Keep-first semantics: the smallest doc_id can never have a nonzero
+    duplicated-span fraction, and every fraction lies in [0, 1]."""
+    from universal_aws_data_pipeline_spark.operators.dedup import span_overlap_profile
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r for r in span_overlap_profile(df, span_n=3).collect()}
+    assert rows[0]["dup_span_frac"] == 0.0
+    assert all(0.0 <= r["dup_span_frac"] <= 1.0 for r in rows.values())

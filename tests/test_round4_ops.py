@@ -247,3 +247,77 @@ def test_quantized_index_shortlist_prunes_float_column(spark, sf_dir, tmp_path):
     assert len(schemas) >= 2
     shortlist_scans = [s for s in schemas if '"q"' in s or "q:" in s]
     assert any("vec" not in s for s in shortlist_scans), schemas
+
+
+# ------------------------------------------------- streaming ingestion dedup
+def test_neardup_stream_fn_cross_batch_and_replay(spark, tmp_path):
+    """Streaming ingestion dedup: batch docs near-dup of the CORPUS are
+    filtered; survivors are appended to the index so a LATER batch's
+    near-dup of an earlier batch's doc is also filtered; replaying a batch
+    id is a no-op (no double-write, no double-append)."""
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        build_neardup_index,
+        neardup_stream_fn,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel1 = "one two three four five six seven eight nine ten"
+    novel2 = "red orange yellow green blue indigo violet mauve teal cyan"
+    corpus = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    idx_path = str(tmp_path / "ndidx")
+    out_path = str(tmp_path / "survivors")
+    build_neardup_index(corpus, idx_path)
+
+    fn = neardup_stream_fn(idx_path, out_path, threshold=0.6)
+    # batch 0: exact duplicate of corpus doc 1 (identical band keys, so the
+    # probe hit is deterministic - J<1 pairs collide only probabilistically
+    # at 8 hashes / 2 bands) + a novel doc
+    fn(
+        spark.createDataFrame(
+            [(10, base), (11, novel1)], "doc_id LONG, text STRING"
+        ),
+        0,
+    )
+    # batch 1: exact duplicate of batch-0 survivor 11 + another novel doc
+    fn(
+        spark.createDataFrame(
+            [(12, novel1), (13, novel2)], "doc_id LONG, text STRING"
+        ),
+        1,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    assert got == {11, 13}
+
+    # replay batch 1: output must not grow
+    n_before = spark.read.parquet(out_path).count()
+    fn(
+        spark.createDataFrame(
+            [(12, novel1), (13, novel2)], "doc_id LONG, text STRING"
+        ),
+        1,
+    )
+    assert spark.read.parquet(out_path).count() == n_before
+
+
+# --------------------------------------------------- quantile cutoff by group
+def test_quantile_cutoff_by_group_hand_computed(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import quantile_cutoff_by_group
+
+    rows = [("en", v) for v in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]]
+    rows += [("de", v) for v in [0.5, 0.5, 0.7]]
+    df = spark.createDataFrame(rows, "lang STRING, quality DOUBLE")
+    cuts = {r["lang"]: r["qcut"] for r in quantile_cutoff_by_group(df, "lang", "quality", 0.3).collect()}
+    # en: n=10, rank ceil(3.0)=3 -> 0.3 ; de: n=3, rank ceil(0.9)=1 -> 0.5
+    assert cuts == {"en": 0.3, "de": 0.5}
+
+
+def test_q105_kept_fraction_at_least_70pct(spark, sf_dir):
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    out = QUERIES["q105_quality_calibration"].fn(spark, sf_dir)
+    agg = out.groupBy("lang").agg(
+        F.avg(F.col("kept").cast("double")).alias("frac"), F.count(F.lit(1)).alias("n")
+    )
+    for r in agg.collect():
+        # ties at the cutoff can only push the kept share ABOVE the target
+        assert r["frac"] >= 0.7 - 1.0 / r["n"], r

@@ -166,3 +166,35 @@ def stratified_prefix_sum(
     return ranged.withColumn(
         out_col, F.element_at(omap, key) + F.col("_cum_in") - F.col(weight_col)
     ).drop("_pid", "_cum_in")
+
+
+def quantile_cutoff_by_group(
+    scored: DataFrame,
+    group_col: str,
+    value_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Exact per-group order-statistic cutoff — the value at ascending rank
+    ceil(fraction * n) — WITHOUT a per-group row window (which would hold a
+    whole group's rows in one task; a corpus-dominating language kills that
+    at scale). Because ``value_col`` is quantized (quality scores are
+    rounded to 4 dp), the exact quantile lives in a (group, value) HISTOGRAM:
+    one map-side-combined groupBy builds it (≤ |groups|·10^4 rows), and the
+    cumulative-count window runs over that tiny table. Pure integer
+    compares — no interpolation, no libm — so the result is bit-identical
+    in any engine.
+
+    Returns (group_col, qcut).
+    """
+    from pyspark.sql.window import Window
+
+    hist = scored.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    return (
+        cum.join(tot, group_col)
+        .filter(F.col("_cum") >= F.ceil(F.lit(fraction) * F.col("_n")))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("qcut"))
+    )

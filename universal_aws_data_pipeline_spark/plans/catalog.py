@@ -4517,6 +4517,67 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("q_id").cast("long").alias("q_id"), "id", "cos_sim")
 
 
+@register(
+    "q105_quality_calibration",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round((least(1.0, ntok / 100.0) + alpha_ratio
+                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
+                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+                   4) AS quality
+      FROM (
+        SELECT doc_id, lang, n, ntok,
+          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+        FROM (
+          SELECT doc_id, lang, text,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 len(string_split_regex(trim(text), '\\s+')) AS ntok
+          FROM documents
+        )
+      )
+    ), hist AS (
+      SELECT lang, quality, count(*) AS c FROM scored GROUP BY lang, quality
+    ), cum AS (
+      SELECT lang, quality, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY quality
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ), cuts AS (
+      SELECT lang, min(quality) AS qcut
+      FROM cum WHERE cumc >= ceil(0.3 * n) GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality, c.qcut, s.quality >= c.qcut AS kept
+    FROM scored s JOIN cuts c USING (lang)
+    """,
+    "per-language quality-threshold calibration: exact 30th-percentile cutoff from a (lang, quality) histogram — keep the top 70% of each language (X4/X6 family)",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-calibrated quality gating (the 'keep the best 70% of each
+    language' step of a filtering pipeline, with the cutoff LEARNED from the
+    corpus rather than hand-set): the exact per-language order statistic
+    comes from a (lang, quality) histogram — quality is 4-dp quantized, so
+    the histogram is ≤ |langs|·10^4 rows and the cumulative window runs on
+    that tiny aggregate, never on per-document rows (a corpus-dominating
+    language would pin a whole-row window to one task; the histogram path
+    is immune). Pure integer compares — no interpolation, no libm — so the
+    cutoff is bit-identical in the oracle. See
+    operators/sampling.py::quantile_cutoff_by_group."""
+    from universal_aws_data_pipeline_spark.operators.sampling import quantile_cutoff_by_group
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+    cuts = quantile_cutoff_by_group(scored, "lang", "quality", 0.3)
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "quality", "qcut", (F.col("quality") >= F.col("qcut")).alias("kept")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
