@@ -109,3 +109,50 @@ def test_runner_config_driven_post_transforms(spark, tmp_path):
     out = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert out[1] == "contact [EMAIL] please"
     assert set(out) == {1, 2}
+
+
+def test_span_dedup_filter_stage(spark):
+    base = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, base, "en"), (2, base, "en"), (3, "k l m n o p q r s t", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    out = apply_post_transforms(
+        df, [{"op": "span_dedup_filter", "span_n": 8, "max_dup_span_frac": 0.5}]
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_quality_calibration_filter_stage(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3, "en") for i in range(8)]
+    rows += [(100 + i, "1 2 3 4 5 .. !! ??", "en") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    # drop_fraction 0.3 -> cutoff = 3rd-smallest quality = the prose value
+    # (the two junk docs tie below it; an inclusive >= at their own value
+    # would keep them, which is why 0.2 would NOT cut anything here)
+    out = apply_post_transforms(
+        df, [{"op": "quality_calibration_filter", "drop_fraction": 0.3}]
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert all(i in kept for i in range(8))        # prose survives
+    assert not any(100 + i in kept for i in range(2))  # digit soup is cut
+    assert set(out.columns) == {"doc_id", "text", "lang"}  # helper cols dropped
+
+
+def test_temperature_rebalance_stage_and_stream_rejection(spark):
+    rows = [(i, "t", "head") for i in range(400)] + [(1000 + i, "t", "tail") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = apply_post_transforms(df, [{"op": "temperature_rebalance", "fraction": 0.3}])
+    by_lang = {r["lang"] for r in out.collect()}
+    assert by_lang == {"head", "tail"}
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value AS doc_id", "'x' AS text", "'en' AS lang")
+    )
+    import pytest as _pytest
+
+    for op in ("span_dedup_filter", "quality_calibration_filter", "temperature_rebalance"):
+        with _pytest.raises(ValueError, match="cross-row"):
+            apply_post_transforms(stream, [{"op": op}])

@@ -321,3 +321,33 @@ def test_q105_kept_fraction_at_least_70pct(spark, sf_dir):
     for r in agg.collect():
         # ties at the cutoff can only push the kept share ABOVE the target
         assert r["frac"] >= 0.7 - 1.0 / r["n"], r
+
+
+# ------------------------------------------------------ temperature rebalance
+def test_temperature_rebalance_flattens_shares(spark):
+    """Kept counts must track sqrt(n_g): the head/tail kept-share ratio
+    shrinks vs the natural ratio, and the overall kept fraction is near the
+    target."""
+    from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
+
+    rows = [(i, "head") for i in range(2000)] + [(10_000 + i, "tail") for i in range(125)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = temperature_rebalance(df, "lang", "doc_id", fraction=0.25).collect()
+    kept = {"head": 0, "tail": 0}
+    for r in out:
+        kept[r["lang"]] += 1
+    # natural head:tail is 16:1; sqrt-flattened target is 4:1
+    ratio = kept["head"] / max(kept["tail"], 1)
+    assert 2.0 < ratio < 8.0, kept
+    total_frac = (kept["head"] + kept["tail"]) / len(rows)
+    assert 0.15 < total_frac < 0.35, kept
+
+
+def test_temperature_rebalance_is_deterministic_and_layout_invariant(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    a = {r["doc_id"] for r in temperature_rebalance(df, "lang", "doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_rebalance(df.repartition(7), "lang", "doc_id").collect()}
+    assert a == b and len(a) > 0

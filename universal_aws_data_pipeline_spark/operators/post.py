@@ -15,6 +15,12 @@ operators deserve the same door, not just a Python API.
   fractions?: {stratum: rate}}``
 - ``{op: redact_pii, column: text_col}``
 - ``{op: repetition_filter, column: text_col, max_dup_word_frac: 0.8}``
+- ``{op: span_dedup_filter, id: col, column: text_col, span_n: 8,
+  max_dup_span_frac: 0.5}`` (batch-only: cross-row span ownership)
+- ``{op: quality_calibration_filter, id: col, column: text_col,
+  group: lang_col, drop_fraction: 0.3}`` (batch-only: learned cutoff)
+- ``{op: temperature_rebalance, group: lang_col, key: id_col,
+  fraction: 0.25}`` (batch-only: group counts)
 
 Row-local ops (sample / redact / repetition) are streaming-safe and pass
 through unchanged on streams; cross-row ops raise on a streaming frame with
@@ -28,7 +34,13 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CROSS_ROW_OPS = {"exact_dedup", "neardup_filter"}
+_CROSS_ROW_OPS = {
+    "exact_dedup",
+    "neardup_filter",
+    "span_dedup_filter",
+    "quality_calibration_filter",
+    "temperature_rebalance",
+}
 
 
 def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFrame:
@@ -81,6 +93,42 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
             toks = tokens_col(F.col(col))
             dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
             df = df.filter(dup_frac < cap)
+        elif op == "span_dedup_filter":
+            from universal_aws_data_pipeline_spark.operators.dedup import span_overlap_profile
+
+            id_col, text_col = spec.get("id", "doc_id"), spec.get("column", "text")
+            cap = float(spec.get("max_dup_span_frac", 0.5))
+            profile = span_overlap_profile(
+                df.select(id_col, text_col),
+                id_col=id_col,
+                text_col=text_col,
+                span_n=int(spec.get("span_n", 8)),
+                dup_threshold=cap,
+            )
+            dropped = profile.filter(F.col("is_span_dup")).select(id_col)
+            df = df.join(dropped, id_col, "left_anti")
+        elif op == "quality_calibration_filter":
+            from universal_aws_data_pipeline_spark.operators.sampling import quantile_cutoff_by_group
+            from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+            id_col = spec.get("id", "doc_id")
+            text_col = spec.get("column", "text")
+            group = spec.get("group", "lang")
+            frac = float(spec.get("drop_fraction", 0.3))
+            scored = df.withColumn("_q", quality_score(F.col(text_col)))
+            cuts = quantile_cutoff_by_group(scored, group, "_q", frac)
+            df = (
+                scored.join(F.broadcast(cuts), group)
+                .filter(F.col("_q") >= F.col("qcut"))
+                .drop("_q", "qcut")
+            )
+        elif op == "temperature_rebalance":
+            from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
+
+            group = spec.get("group", "lang")
+            key = spec.get("key", "doc_id")
+            kept = temperature_rebalance(df, group, key, float(spec.get("fraction", 0.25)))
+            df = df.join(kept.select(key), key, "left_semi")
         else:
             raise ValueError(f"unknown post_transform op {op!r}")
     return df

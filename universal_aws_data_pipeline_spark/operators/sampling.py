@@ -198,3 +198,42 @@ def quantile_cutoff_by_group(
         .groupBy(group_col)
         .agg(F.min(value_col).alias("qcut"))
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fraction: float = 0.25,
+) -> DataFrame:
+    """Temperature-flattened group rebalancing (the multilingual-mixture
+    move of GPT-3/XLM-R data pipelines, T = 0.5): sample ~``fraction`` of
+    the corpus with per-group rates ∝ sqrt(n_g)/n_g, so head groups are
+    downweighted and tail groups upweighted relative to natural frequency
+    (kept counts ∝ sqrt(n_g)).
+
+        rate_g = fraction · N · sqrt(n_g) / (Z · n_g),  Z = Σ_g sqrt(n_g)
+
+    Membership is the same deterministic md5-bucket uniform as hash_sample —
+    layout/rerun-stable, map-side. Every operation at the cut boundary is
+    exactly-specified IEEE (sqrt is correctly rounded; mul/div/compare) —
+    no pow/ln, so T is fixed at 0.5 by design to stay libm-free and
+    oracle-portable. Rates over 1 simply keep the whole (tiny) group.
+
+    The group-rate table is a |groups|-row aggregate broadcast back; the
+    corpus sees one scan + map-side filter.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    z = counts.agg(
+        F.sum(F.sqrt(F.col("_n"))).alias("_z"), F.sum("_n").alias("_tot")
+    )
+    rates = counts.join(F.broadcast(z)).select(
+        group_col,
+        (F.lit(fraction) * F.col("_tot") * F.sqrt(F.col("_n")) / (F.col("_z") * F.col("_n"))).alias("rate"),
+    )
+    u = (hash_bucket(F.col(key_col)) + 0.5) / 65536.0
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("rate"))
+        .select(key_col, group_col, F.round(F.col("rate"), 6).alias("rate"))
+    )

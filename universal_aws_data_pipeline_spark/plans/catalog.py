@@ -4578,6 +4578,36 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q106_temperature_rebalance",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), z AS (
+      SELECT sum(sqrt(n)) AS z, sum(n) AS tot FROM counts
+    ), rates AS (
+      SELECT lang, 0.25 * tot * sqrt(n) / (z * n) AS rate FROM counts, z
+    )
+    SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE ({_hex_int_sql("CAST(d.doc_id AS VARCHAR)", 4)} + 0.5) / 65536.0 < r.rate
+    """,
+    "temperature-flattened language rebalancing (T=0.5): deterministic-hash sampling with per-language rate ∝ sqrt(n)/n — kept counts ∝ sqrt(n), tail languages upweighted (X6 family)",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual mixture rebalancing at T=0.5 (kept counts ∝ sqrt of the
+    natural counts — the flattening GPT-3/XLM-R style pipelines apply before
+    training). T is fixed at 0.5 BY DESIGN: sqrt is IEEE-correctly-rounded,
+    so the cut boundary needs no pow/ln and the membership predicate is
+    bit-identical in the oracle. Rates ride a |langs|-row broadcast; the
+    corpus pays one scan + map-side hash filter. See
+    operators/sampling.py::temperature_rebalance."""
+    from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_rebalance(d, group_col="lang", key_col="doc_id", fraction=0.25)
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
