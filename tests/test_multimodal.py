@@ -58,3 +58,38 @@ def test_sample_frames_expands_rows(spark):
     # deterministic: same input -> same frames
     again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames.collect()}
     assert all(again[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"]) for r in rows)
+
+
+def test_audio_frames_pcm_roundtrip(spark):
+    """Known PCM payloads: a constant-amplitude square wave has RMS =
+    amp/32768 and ZCR = alternation rate; silence has RMS 0 / ZCR 0;
+    frames split at frame_samples with a short zero-padded tail."""
+    import struct
+
+    from universal_aws_data_pipeline_spark.operators.multimodal import extract_audio_frames
+
+    amp = 1000
+    square = struct.pack("<%dh" % 8, *([amp, -amp] * 4))       # 8 samples alternating
+    silence = struct.pack("<%dh" % 6, *([0] * 6))              # 6 samples of silence
+    odd = square + b"\x01"                                     # odd trailing byte dropped
+    df = spark.createDataFrame(
+        [(1, bytearray(square)), (2, bytearray(silence)), (3, bytearray(odd)), (4, bytearray(b""))],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = extract_audio_frames(df, frame_samples=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 8 samples -> 2 full frames; alternating signs -> zcr 1.0
+    assert len(by[1]) == 2
+    for r in by[1]:
+        assert abs(r["rms"] - amp / 32768.0) < 1e-6
+        assert r["zcr"] == 1.0
+        assert r["n_samples"] == 4
+    # doc 2: 6 samples -> frame of 4 + padded tail frame reporting 2 real samples
+    assert [r["n_samples"] for r in sorted(by[2], key=lambda r: r["frame_idx"])] == [4, 2]
+    assert all(r["rms"] == 0.0 and r["zcr"] == 0.0 for r in by[2])
+    # doc 3: odd byte dropped -> same as doc 1
+    assert len(by[3]) == 2
+    # doc 4: empty payload -> no frames
+    assert 4 not in by

@@ -351,3 +351,18 @@ def test_temperature_rebalance_is_deterministic_and_layout_invariant(spark):
     a = {r["doc_id"] for r in temperature_rebalance(df, "lang", "doc_id").collect()}
     b = {r["doc_id"] for r in temperature_rebalance(df.repartition(7), "lang", "doc_id").collect()}
     assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------------------- RRF fusion
+def test_rrf_fuse_hand_computed(spark):
+    from universal_aws_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "id LONG, s1 DOUBLE")
+    dense = spark.createDataFrame([(2, 0.9), (4, 0.8)], "id LONG, s2 DOUBLE")
+    rows = {r["id"]: r for r in rrf_fuse([(lex, "s1"), (dense, "s2")], k=10).collect()}
+    assert rows[2]["rrf"] == round(1 / 62 + 1 / 61, 6) and rows[2]["n_legs"] == 2
+    assert rows[1]["rrf"] == round(1 / 61, 6) and rows[1]["n_legs"] == 1
+    assert rows[4]["rrf"] == round(1 / 62, 6) and rows[4]["n_legs"] == 1
+    # doc in both legs outranks single-leg docs with better single ranks
+    order = sorted(rows.values(), key=lambda r: (-r["rrf"], r["id"]))
+    assert order[0]["id"] == 2

@@ -54,3 +54,42 @@ def test_null_safe_compare(spark):
     out = scd2_apply(dim, _upd(spark, [(1, "v", EFF), (2, None, EFF)]), "k", ["attr"], "eff")
     assert out.filter(F.col("k") == 1).count() == 2
     assert out.filter(F.col("k") == 2).count() == 1
+
+
+def test_scd2_stream_fn_merges_batches_latest_wins_and_replays_noop(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.scd import scd2_stream_fn
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "NY", "2024-01-01", None, True), (2, "LA", "2024-01-01", None, True)],
+        "cust_id LONG, city STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    ).write.parquet(dim_path)
+
+    fn = scd2_stream_fn(dim_path, key="cust_id", tracked=["city"], effective="eff")
+    # batch 0: change customer 1
+    fn(spark.createDataFrame([(1, "SF", "2024-02-01")], "cust_id LONG, city STRING, eff STRING"), 0)
+    # batch 1: two same-key updates - the later effective date must win
+    fn(
+        spark.createDataFrame(
+            [(2, "SEA", "2024-03-01"), (2, "PDX", "2024-03-15")],
+            "cust_id LONG, city STRING, eff STRING",
+        ),
+        1,
+    )
+    dim = spark.read.parquet(dim_path)
+    cur = {r["cust_id"]: r for r in dim.filter("is_current").collect()}
+    assert cur[1]["city"] == "SF" and cur[1]["valid_from"] == "2024-02-01"
+    assert cur[2]["city"] == "PDX" and cur[2]["valid_from"] == "2024-03-15"
+    closed = {(r["cust_id"], r["city"], r["valid_to"]) for r in dim.filter("NOT is_current").collect()}
+    assert closed == {(1, "NY", "2024-02-01"), (2, "LA", "2024-03-15")}
+
+    # replay batch 1: dimension must be unchanged
+    before = sorted(map(tuple, dim.collect()))
+    fn(
+        spark.createDataFrame(
+            [(2, "SEA", "2024-03-01"), (2, "PDX", "2024-03-15")],
+            "cust_id LONG, city STRING, eff STRING",
+        ),
+        1,
+    )
+    assert sorted(map(tuple, spark.read.parquet(dim_path).collect())) == before

@@ -24,6 +24,7 @@ from __future__ import annotations
 import io
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 try:  # optional real image codec — absent in the test container
@@ -199,3 +200,66 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> D
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+
+def extract_audio_frames(df: DataFrame, frame_samples: int = 512) -> DataFrame:
+    """Audio feature extraction over binary payloads via mapInPandas — the
+    1→N audio analogue of ``sample_frames``: interpret the payload as a
+    16-bit little-endian PCM stream (a DETERMINISTIC interpretation of any
+    byte string, so the stub fixtures exercise the full plumbing; a real
+    deployment swaps the frombuffer for a torchaudio/soundfile decode behind
+    the same kernel signature), window it into ``frame_samples``-sample
+    frames, and emit per-frame RMS energy and zero-crossing rate — the two
+    features VAD / silence-trim / segmentation passes start from.
+
+    All math is vectorized numpy over the whole frame matrix (one reshape +
+    two reductions per batch — no per-sample Python). Odd trailing bytes are
+    dropped (int16 alignment) and the final partial frame is zero-padded;
+    empty payloads emit zero frames.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_rms, out_zcr = [], [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw)
+                usable = len(b) - (len(b) % 2)
+                if usable == 0:
+                    continue
+                pcm = np.frombuffer(b, dtype="<i2", count=usable // 2).astype(np.float64)
+                n = len(pcm)
+                n_frames = -(-n // frame_samples)
+                padded = np.zeros(n_frames * frame_samples)
+                padded[:n] = pcm
+                mat = padded.reshape(n_frames, frame_samples)
+                rms = np.sqrt((mat**2).mean(axis=1)) / 32768.0
+                signs = np.signbit(mat)
+                zcr = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+                last_n = n - (n_frames - 1) * frame_samples
+                out_doc.extend([doc_id] * n_frames)
+                out_idx.extend(range(n_frames))
+                out_n.extend([frame_samples] * (n_frames - 1) + [last_n])
+                out_rms.extend(np.round(rms, 6))
+                out_zcr.extend(np.round(zcr, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "n_samples": out_n,
+                    "rms": out_rms,
+                    "zcr": out_zcr,
+                }
+            )
+
+    return df.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)

@@ -81,3 +81,53 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    legs: list[tuple[DataFrame, str]],
+    id_col: str = "id",
+    const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (the standard
+    hybrid-retrieval combiner: Cormack et al., RRF):
+
+        rrf(d) = Σ_legs 1 / (const + rank_leg(d)),   absent ⇒ leg contributes 0
+
+    ``legs`` is a list of (DataFrame, score_col); each frame is a top-k
+    CANDIDATE LIST (tens of rows — the expensive corpus scans already
+    happened inside the rankers), so the global row_number windows and the
+    full-outer joins here touch k-row inputs only; driver-trivial at any
+    corpus size. Ranks derive from (rounded score desc, id) so they are
+    deterministic cross-engine; rank arithmetic is integer → the fused
+    score is bit-identical wherever 1/(c+r) is.
+
+    Returns (id_col, rrf, n_legs) — top-k by fused score, ties on id.
+    """
+    from pyspark.sql.window import Window
+
+    fused: DataFrame | None = None
+    rank_cols = []
+    for i, (df, score_col) in enumerate(legs):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        r = df.select(F.col(id_col), F.row_number().over(w).alias(f"_r{i}"))
+        rank_cols.append(f"_r{i}")
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one leg"
+    score = None
+    for rc in rank_cols:
+        term = F.when(F.col(rc).isNotNull(), 1.0 / (F.lit(float(const)) + F.col(rc))).otherwise(0.0)
+        score = term if score is None else score + term
+    n_legs = None
+    for rc in rank_cols:
+        present = F.col(rc).isNotNull().cast("int")
+        n_legs = present if n_legs is None else n_legs + present
+    return (
+        fused.select(
+            F.col(id_col),
+            F.round(score, 6).alias("rrf"),
+            n_legs.alias("n_legs"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

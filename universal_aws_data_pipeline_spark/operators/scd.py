@@ -88,3 +88,57 @@ def scd2_apply(
     opened = joined.filter(is_change).select(*[_opened_col(c) for c in dim.columns])
 
     return hist.unionByName(passthrough).unionByName(closed).unionByName(opened)
+
+
+def scd2_stream_fn(
+    dim_path: str,
+    key: str,
+    tracked: list[str],
+    effective: str,
+    **scd_kwargs,
+):
+    """``foreachBatch`` SCD2 dimension maintainer: every micro-batch of
+    updates merges into the parquet dimension at ``dim_path`` via
+    ``scd2_apply`` — the streaming twin of the batch merge (q51), turning a
+    CDC/update stream into a continuously-correct history table.
+
+    Exactly-once: each batch writes to ``<dim_path>__v<batch_id>`` then
+    atomically renames over the live path (the same staging-swap discipline
+    as the warehouse sink), and a marker dir under ``<dim_path>__applied``
+    skips replayed batch ids, so foreachBatch's at-least-once delivery
+    cannot double-close a version row. The dimension is read fresh per
+    batch — state lives in parquet, not executor memory, so the query
+    survives restarts with no state-store coupling.
+
+    Within one batch, at most ONE update row per key may be applied (the
+    batch is pre-collapsed to the LATEST update per key by effective date —
+    intermediate same-batch versions are not materialized, matching the
+    one-close-one-open shape of scd2_apply).
+    """
+    import os
+    import shutil
+
+    def fn(updates: DataFrame, batch_id: int) -> None:
+        marker = f"{dim_path}__applied/batch_{batch_id}"
+        if os.path.exists(marker):
+            return
+        spark = updates.sparkSession
+        # latest update per key wins within the micro-batch
+        latest = (
+            updates.groupBy(key)
+            .agg(
+                F.max(F.struct(F.col(effective), *[F.col(c) for c in tracked])).alias("_u")
+            )
+            .select(key, *[F.col(f"_u.{c}").alias(c) for c in [effective, *tracked]])
+        )
+        dim = spark.read.parquet(dim_path)
+        merged = scd2_apply(dim, latest, key, tracked, effective, **scd_kwargs)
+        staging = f"{dim_path}__v{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{dim_path}__old{batch_id}"
+        os.rename(dim_path, old)
+        os.rename(staging, dim_path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(marker, exist_ok=True)
+
+    return fn

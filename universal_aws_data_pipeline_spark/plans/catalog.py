@@ -4608,6 +4608,84 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_rebalance(d, group_col="lang", key_col="doc_id", fraction=0.25)
 
 
+def _q107_oracle() -> str:
+    cos = _cos_sql("e.embedding", "qv.q")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), d AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+             CAST(len(list_filter(t, x -> x = 'hash'))   AS DOUBLE) AS tf0,
+             CAST(len(list_filter(t, x -> x = 'join'))   AS DOUBLE) AS tf1,
+             CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
+      FROM base
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM d
+    ), lex AS (
+      SELECT doc_id AS id,
+             round(  ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+      FROM d, s
+      WHERE tf0 + tf1 + tf2 > 0
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    ), lexr AS (
+      SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r0 FROM lex
+    ), qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT e.vec_id AS id, round({cos}, 6) AS cos_sim
+      FROM embeddings e, qv
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 20
+    ), denser AS (
+      SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS r1 FROM dense
+    ), fused AS (
+      SELECT coalesce(a.id, b.id) AS id,
+             round(  CASE WHEN a.r0 IS NOT NULL THEN 1.0 / (60.0 + a.r0) ELSE 0.0 END
+                   + CASE WHEN b.r1 IS NOT NULL THEN 1.0 / (60.0 + b.r1) ELSE 0.0 END, 6) AS rrf,
+             (CASE WHEN a.r0 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN b.r1 IS NOT NULL THEN 1 ELSE 0 END) AS n_legs
+      FROM lexr a FULL OUTER JOIN denser b USING (id)
+    )
+    SELECT id, rrf, n_legs FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """
+
+
+@register(
+    "q107_hybrid_rrf",
+    _q107_oracle(),
+    "hybrid retrieval: BM25 lexical leg + exact-cosine dense leg fused by reciprocal-rank fusion (1/(60+rank)) — rank-based, fully deterministic (X3/X10)",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the modern retrieval default: the lexical leg is the
+    q78 BM25 ranker (row-local tf, 1-row stats broadcast), the dense leg is
+    the q17 exact-cosine ranker (map-only TakeOrdered), and the combiner is
+    reciprocal-rank fusion — integer ranks only, so the fused score is
+    bit-identical cross-engine (no score normalization games). Both legs'
+    corpus scans are the expensive part and keep their one-pass shapes; the
+    fusion joins two ≤20-row lists. The fixture treats vec_id as the
+    embedding of doc_id (parallel id spaces). See
+    operators/retrieval.py::rrf_fuse."""
+    from universal_aws_data_pipeline_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from universal_aws_data_pipeline_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["hash", "join", "vector"], id_col="doc_id", text_col="text", k=20)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    dense = cosine_topk(emb, qvec, k=20, id_col="vec_id")
+    legs = [
+        (lex.withColumnRenamed("doc_id", "id"), "bm25"),
+        (dense.withColumnRenamed("vec_id", "id"), "cos_sim"),
+    ]
+    return rrf_fuse(legs, id_col="id", const=60, k=10)
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
