@@ -93,3 +93,45 @@ def test_audio_frames_pcm_roundtrip(spark):
     assert len(by[3]) == 2
     # doc 4: empty payload -> no frames
     assert 4 not in by
+
+
+def test_perceptual_hash_and_image_neardup_pairs(spark):
+    """Controlled byte payloads: 64 windows of 8 bytes, window mean far
+    above/below the global mean -> each window is one stable hash bit.
+    Flipping one window flips exactly one bit (Hamming 1); an inverted
+    pattern is far away; identical payloads collide at Hamming 0."""
+    from universal_aws_data_pipeline_spark.operators.multimodal import (
+        image_neardup_pairs,
+        perceptual_hash,
+    )
+
+    hi, lo = bytes([200] * 8), bytes([10] * 8)
+    a = (hi + lo) * 32                 # alternating: bits 1010...
+    b = lo + lo + (hi + lo) * 31       # first window flipped: Hamming 1
+    c = (lo + hi) * 32                 # inverted pattern: Hamming 64
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(a)), (3, bytearray(b)), (4, bytearray(c))],
+        "doc_id LONG, payload BINARY",
+    )
+    hashed = perceptual_hash(df)
+    hs = {r["doc_id"]: r["phash"] for r in hashed.collect()}
+    assert all(len(h) == 64 for h in hs.values())
+    assert hs[1] == hs[2]
+    assert sum(x != y for x, y in zip(hs[1], hs[3])) == 1
+    assert sum(x != y for x, y in zip(hs[1], hs[4])) == 64
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(hashed, max_hamming=4, bands=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert not any(4 in p for p in pairs)
+
+
+def test_image_neardup_pigeonhole_guard(spark):
+    import pytest as _pytest
+
+    from universal_aws_data_pipeline_spark.operators.multimodal import image_neardup_pairs
+
+    df = spark.createDataFrame([(1, "0" * 64)], "doc_id LONG, phash STRING")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(df, max_hamming=8, bands=8)

@@ -379,3 +379,33 @@ def test_runtime_bloom_filter_injects_on_selective_fact_fact_join(spark, sf_dir)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q105_cutoff_window_runs_on_histogram_not_rows(spark, sf_dir):
+    """The cumulative window must consume the (lang, quality) HISTOGRAM
+    aggregate — never per-document rows (a corpus-dominating language would
+    pin a whole-row window to one task). In the physical plan the Window's
+    subtree therefore contains a HashAggregate below it."""
+    plan = _plan(spark, sf_dir, "q105_quality_calibration")
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], "window input is not aggregated"
+    assert "BroadcastHashJoin" in plan  # cutoff table broadcast back
+
+
+def test_q106_rebalance_is_broadcast_and_map_side(spark, sf_dir):
+    """Rates are a |langs|-row broadcast; the corpus side must see one scan
+    + filter with no shuffle on document rows (the groupBy for counts is
+    lang-sized)."""
+    plan = _plan(spark, sf_dir, "q106_temperature_rebalance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q107_rrf_legs_use_takeordered(spark, sf_dir):
+    """Both retrieval legs keep their top-k via TakeOrderedAndProject (k-row
+    heaps per task), and the fusion's joins touch only the k-row lists."""
+    plan = _plan(spark, sf_dir, "q107_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan

@@ -491,3 +491,67 @@ def test_streaming_drift_monitor_alerts(spark, tmp_path):
     )
     want = psi_from_cells(cells, "event_type", 10).head()
     assert abs(alerts[0]["psi"] - want["psi"]) < 1e-9 and want["psi"] > 0.1
+
+
+def test_named_sink_scd2_dim_from_config(spark, tmp_path):
+    """The scd2_dim named sink drives the SCD2 maintainer from pure config
+    (no Python callable) through a real file-source stream."""
+    import json as _json
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "NY", "2024-01-01", None, True)],
+        "cust_id LONG, city STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    ).write.parquet(dim_path)
+
+    d = tmp_path / "updates_in"
+    d.mkdir()
+    with open(d / "b0.json", "w") as fh:
+        fh.write(_json.dumps({"cust_id": 1, "city": "SF", "eff": "2024-02-01"}) + "\n")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1},
+        "cust_id long, city string, eff string",
+    )
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "scd2_dim",
+            "dim_path": dim_path,
+            "key": "cust_id",
+            "tracked": ["city"],
+            "effective": "eff",
+            "checkpoint": str(tmp_path / "ckpt"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+    dim = spark.read.parquet(dim_path)
+    cur = {r["cust_id"]: r["city"] for r in dim.filter("is_current").collect()}
+    assert cur == {1: "SF"}
+    assert dim.filter("NOT is_current").count() == 1
+
+
+def test_named_sink_heavy_hitters_from_config(spark, tmp_path):
+    import json as _json
+
+    from universal_aws_data_pipeline_spark.operators.sketch import heavy_hitters_from_state
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    with open(d / "b0.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": "hot hot hot cool"}) + "\n")
+    state = str(tmp_path / "hh")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json"},
+        "doc_id long, text string",
+    )
+    q = write_stream_sink(
+        stream,
+        {"type": "heavy_hitters", "state_path": state, "k": 3,
+         "checkpoint": str(tmp_path / "ckpt"), "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+    rows = {r["tok"]: r["cnt_lb"] for r in heavy_hitters_from_state(spark, state).collect()}
+    assert rows.get("hot", 0) >= 1

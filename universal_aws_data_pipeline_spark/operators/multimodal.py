@@ -263,3 +263,115 @@ def extract_audio_frames(df: DataFrame, frame_samples: int = 512) -> DataFrame:
             )
 
     return df.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", StringType())]
+)
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per binary payload, as a '0'/'1' bit
+    string — the image analogue of SimHash: perceptually-similar images
+    land within small Hamming distance.
+
+    Decoder resolution mirrors ``decode_image_features``: with PIL and a
+    decodable payload, the real aHash (8x8 grayscale downsample, bit =
+    pixel > mean); otherwise a deterministic byte-domain stand-in (the
+    byte stream mean-pooled into 64 windows via one ``np.add.reduceat``,
+    bit = window mean > payload mean) that keeps the banding/verify
+    plumbing fully exercised on stub fixtures. Empty payloads hash to all
+    zeros.
+    """
+
+    def _hash_one(b: bytes) -> str:
+        if _PILImage is not None and b:
+            try:
+                img = _PILImage.open(io.BytesIO(b)).convert("L").resize((8, 8))
+                px = np.asarray(img, dtype=np.float64).ravel()
+                return "".join("1" if v > px.mean() else "0" for v in px)
+            except Exception:  # noqa: BLE001 - not an image: byte-domain path
+                pass
+        if not b:
+            return "0" * 64
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        n = len(arr)
+        # byte sums are exact integers in float64 (≤255·n ≪ 2^53), so every
+        # mean and comparison below is bit-identical in any engine — the SQL
+        # oracle replays this formula verbatim (window w = bytes
+        # [wn//64, (w+1)n//64); empty windows of short payloads bit to 0
+        # IN PLACE, not compacted)
+        mu = arr.sum() / n
+        bits = []
+        for w in range(64):
+            s, e = (w * n) // 64, ((w + 1) * n) // 64
+            bits.append(e > s and arr[s:e].sum() / (e - s) > mu)
+        return "".join("1" if x else "0" for x in bits)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [_hash_one(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance —
+    same two-stage shape as every dedup op here: band equi-join candidates,
+    exact verify, never all-pairs.
+
+    Pigeonhole guarantee: the 64-bit hash splits into ``bands`` equal
+    substrings; any pair with Hamming ≤ max_hamming < bands shares at
+    least one identical band, so candidate generation (equi-join on
+    (band_idx, band_value)) has GUARANTEED recall. Verification compares
+    the full bit strings position-wise — 64 codegen'd substring equality
+    terms, no UDF.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole recall needs max_hamming < bands")
+    width = 64 // bands
+    pieces = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.substring(F.col(hash_col), i * width + 1, width).alias("band_val"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_h", "_b.band_idx", "_b.band_val")
+    a = pieces.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "band_idx", "band_val"
+    )
+    b = pieces.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("h_a", i + 1, 1) != F.substring("h_b", i + 1, 1)).cast("int")
+        for i in range(64)
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

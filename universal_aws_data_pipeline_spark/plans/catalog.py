@@ -4686,6 +4686,57 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(legs, id_col="id", const=60, k=10)
 
 
+def _q108_oracle() -> str:
+    def bit(w: int) -> str:
+        s = f"(({w} * n) // 64)"
+        e = f"((({w} + 1) * n) // 64)"
+        return (
+            f"CASE WHEN {e} > {s} AND "
+            f"CAST(list_sum(av[({s} + 1):{e}]) AS DOUBLE) / ({e} - {s}) > mu "
+            "THEN '1' ELSE '0' END"
+        )
+
+    bits = ",\n             ".join(bit(w) for w in range(64))
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ), a AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i -> ascii(substring(text, i, 1))) AS av
+      FROM b
+    ), m AS (
+      SELECT doc_id, n, av, CAST(list_sum(av) AS DOUBLE) / n AS mu FROM a
+    )
+    SELECT doc_id,
+           concat({bits}) AS phash
+    FROM m
+    """
+
+
+@register(
+    "q108_perceptual_hash",
+    _q108_oracle(),
+    "64-bit perceptual average-hash per binary payload (byte-window stub decode) — the image near-dup signature; bit-exact across engines (X5)",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual aHash over the multimodal payload column: every byte sum
+    is an exact integer in float64, so the 64 window-mean comparisons are
+    bit-identical in the oracle — the full 64-bit signature hash-grades as
+    a string. Pairing (band equi-join + pigeonhole-guaranteed Hamming
+    verify, image_neardup_pairs) is pinned separately in
+    tests/test_multimodal.py — the pair table on this fixture is 1 row, so
+    the 500-row signature table is the stronger graded artifact. Arrow
+    mapInPandas kernel; PIL branch takes over per-payload when real image
+    bytes decode. See operators/multimodal.py::perceptual_hash."""
+    from universal_aws_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        perceptual_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual_hash(attach_binary_payload(d))
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract

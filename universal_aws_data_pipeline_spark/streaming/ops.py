@@ -165,9 +165,22 @@ def write_stream_sink(
 ) -> StreamingQuery:
     """Start a streaming sink from config.
 
-    ``sink`` keys: type (file|memory|foreach_batch), checkpoint, output_mode,
-    trigger ({"availableNow": True} | {"processingTime": "10 seconds"}), and
-    per-type: path+format (file), name (memory), fn (foreach_batch callable).
+    ``sink`` keys: type (file|memory|foreach_batch|neardup_dedup|scd2_dim|
+    heavy_hitters), checkpoint, output_mode, trigger ({"availableNow": True}
+    | {"processingTime": "10 seconds"}), and per-type: path+format (file),
+    name (memory), fn (foreach_batch callable).
+
+    The last three are NAMED foreachBatch maintainers — the YAML-reachable
+    form of the streaming twins (a config file cannot carry a Python
+    callable, so each exactly-once maintainer gets a declarative spelling):
+
+    - ``{type: neardup_dedup, index_path, out_path, threshold?, column?}``
+      — per-batch probe of the persisted LSH band index, survivors written
+      AND folded back into the index (operators/dedup.py::neardup_stream_fn)
+    - ``{type: scd2_dim, dim_path, key, tracked: [...], effective}``
+      — SCD2 dimension maintainer (operators/scd.py::scd2_stream_fn)
+    - ``{type: heavy_hitters, state_path, k?, column?}``
+      — mergeable Misra–Gries summary (operators/sketch.py)
     """
     writer: DataStreamWriter = df.writeStream
     if "checkpoint" in sink:
@@ -183,6 +196,30 @@ def write_stream_sink(
         return writer.format("memory").queryName(sink["name"]).start()
     if kind == "foreach_batch":
         return writer.foreachBatch(sink["fn"]).start()
+    if kind == "neardup_dedup":
+        from universal_aws_data_pipeline_spark.operators.dedup import neardup_stream_fn
+
+        fn = neardup_stream_fn(
+            sink["index_path"],
+            sink["out_path"],
+            threshold=float(sink.get("threshold", 0.6)),
+            text_col=sink.get("column", "text"),
+        )
+        return writer.foreachBatch(fn).start()
+    if kind == "scd2_dim":
+        from universal_aws_data_pipeline_spark.operators.scd import scd2_stream_fn
+
+        fn = scd2_stream_fn(
+            sink["dim_path"], sink["key"], list(sink["tracked"]), sink["effective"]
+        )
+        return writer.foreachBatch(fn).start()
+    if kind == "heavy_hitters":
+        from universal_aws_data_pipeline_spark.operators.sketch import heavy_hitters_stream_fn
+
+        fn = heavy_hitters_stream_fn(
+            sink["state_path"], k=int(sink.get("k", 50)), text_col=sink.get("column", "text")
+        )
+        return writer.foreachBatch(fn).start()
     raise ValueError(f"unknown stream sink type {kind!r}")
 
 
