@@ -113,11 +113,20 @@ def shingle_index_table(
     it badly — repartition the input to the cluster's core count first.
     """
     shingled = df.select(F.col(id_col), word_shingles(F.col(text_col), n=shingle_n).alias("sh"))
-    return shingled.select(
+    # ONE base-conv per shingle: the 28-bit digest IS the top 28 bits of the
+    # 60-bit one (first 7 of the same 15 hex nibbles), so shx = shx64 >> 32 —
+    # exact bitwise arithmetic, identical values to conv(substring(md5,1,7)),
+    # no second conv/substring pass over the shingle strings
+    with64 = shingled.select(
         F.col(id_col),
         "sh",
-        F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")).alias("shx"),
         F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")).alias("shx64"),
+    )
+    return with64.select(
+        F.col(id_col),
+        "sh",
+        F.transform(F.col("shx64"), lambda x: F.shiftright(x, 32)).alias("shx"),
+        "shx64",
     )
 
 
