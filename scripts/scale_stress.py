@@ -41,7 +41,19 @@ SCALED = os.path.join(REPO, ".scale10")
 COPIES = 10
 # bench cold order: shared artifacts (q15 shingle index, pair tables) are
 # built by the earliest query that needs them, same as BENCH cold semantics
-HEAVY = ["q15_neardup_minhash_lsh", "q43_dup_clusters", "q56_semantic_dedup", "q75_jaccard_prefix_filter"]
+HEAVY = [
+    "q15_neardup_minhash_lsh",
+    "q43_dup_clusters",
+    "q56_semantic_dedup",
+    "q75_jaccard_prefix_filter",
+    # round-4 text/sketch ops: the xk token suffixes multiply the vocab 10x,
+    # so these measure the vocab-scaling path too (per-copy token universes:
+    # no cross-copy spans/bigrams; q102's original hitters dilute below N/k,
+    # exercising candidate mining against a growing corpus)
+    "q101_span_dedup_profile",
+    "q102_heavy_hitters",
+    "q103_lm_perplexity",
+]
 
 
 def build_scaled(spark) -> None:

@@ -4737,6 +4737,44 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_hash(attach_binary_payload(d))
 
 
+@register(
+    "q109_cohort_triangle",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS INTEGER) AS offset_weeks,
+           count(*) AS n_users
+    FROM wk w JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, offset_weeks
+    """,
+    "full cohort-retention triangle: users per (first-activity week, week offset) — the complete retention matrix, not just week-over-week (W family)",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort triangle (the complete retention matrix behind every cohort
+    chart): dedupe activity to (user, epoch-week), derive each user's cohort
+    as min(week) — a hash-agg, map-side combined — then count users per
+    (cohort, offset). Three aggregations + one equi-join on user_id, every
+    stage on deduped user×week tables, never raw events². Weeks are pure
+    epoch arithmetic (floor(epoch/604800)) so a non-UTC driver session
+    cannot shift boundary events (the q61 lesson); counts per (cohort,
+    offset) need no distinct — (user, week) is already unique."""
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    wk = e.select("user_id", week.alias("week")).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).cast("int").alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
