@@ -366,3 +366,37 @@ def test_rrf_fuse_hand_computed(spark):
     # doc in both legs outranks single-leg docs with better single ranks
     order = sorted(rows.values(), key=lambda r: (-r["rrf"], r["id"]))
     assert order[0]["id"] == 2
+
+
+# ------------------------------------------------------- containment dedup
+def test_containment_catches_excerpt_that_jaccard_misses(spark):
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        containment_pairs_prefix_filter,
+        jaccard_pairs_prefix_filter,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))       # 58 3-gram shingles
+    excerpt = " ".join(f"w{i}" for i in range(10))    # 8 shingles, all in long
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long), (2, excerpt), (3, other)], "doc_id LONG, text STRING"
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs_prefix_filter(df, threshold=0.8).collect()}
+    # the excerpt is fully contained in the long doc - ordered pair (2, 1)
+    assert cont == {(2, 1): 1.0}
+    # symmetric Jaccard at the same threshold sees nothing (J = 8/58)
+    assert jaccard_pairs_prefix_filter(df, threshold=0.8).count() == 0
+
+
+def test_containment_threshold_and_direction(spark):
+    from universal_aws_data_pipeline_spark.operators.dedup import containment_pairs_prefix_filter
+
+    a = "a b c d e f g h i j"        # 8 shingles
+    # shares the first 7 shingles of a (tokens a..i), adds 10 novel ones
+    b = "a b c d e f g h i " + " ".join(f"n{k}" for k in range(10))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id LONG, text STRING")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs_prefix_filter(df, threshold=0.8).collect()}
+    # 7/8 = 0.875 >= 0.8 for doc 1 contained in doc 2; the reverse is 7/17
+    assert got == {(1, 2): 0.875}

@@ -750,3 +750,92 @@ def neardup_stream_fn(
         os.makedirs(marker, exist_ok=True)
 
     return fn
+
+
+def containment_pairs_prefix_filter(
+    df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT join: every ORDERED pair (a, b) with
+    ``|Sa ∩ Sb| / |Sa| >= threshold`` — the truncated-copy detector.
+    Containment is the asymmetry Jaccard misses: a document that is a
+    clean excerpt of a 10x-longer one has J ≈ 0.1 (invisible to q75's
+    symmetric join and unreliable for MinHash bands) but containment 1.0.
+
+    Prefix-filter recall argument, asymmetric form: order shingles by
+    global rarity; for the CONTAINED side keep the first
+    ``|Sa| - ceil(t·|Sa|) + 1`` shingles. If containment >= t then at
+    least ceil(t·|Sa|) of a's shingles appear in b, and fewer than the
+    prefix length can be missing from b — so some prefix shingle of a is
+    in b. The container side joins with ALL its shingles (no length
+    restriction exists on b — that is the point), so the equi-join
+    (a-prefix × b-full) finds every qualifying ordered pair. Two
+    exactness-preserving prunes run pre-verification: |Sb| >= t·|Sa|
+    (length), and the positional bound
+    ``1 + min(|Sa|-rank_a, |Sb|-rank_b) >= t·|Sa|`` per matched row.
+    Mining runs in 60-bit digest space (same probabilistic caveat and
+    width as jaccard_pairs_prefix_filter); verification computes exact
+    containment on the true shingle arrays, so false positives are
+    impossible.
+
+    Scale shape: candidate cardinality is governed by the contained side's
+    RAREST shingles — boilerplate shared by the whole corpus has high df
+    and never enters a prefix; the container side is a plain exploded
+    table, shuffled once on the shingle key.
+    """
+    from pyspark.sql import Window
+
+    if shingled is None:
+        shingled = shingled_docs(
+            parallelize_text_scan(df.select(id_col, text_col)), id_col, text_col, shingle_n
+        ).persist()
+    if "shx64" in shingled.columns:
+        digests = F.array_distinct(F.col("shx64"))
+    else:
+        digests = F.array_distinct(
+            F.transform(F.col("sh"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+        )
+    expl = shingled.select(
+        F.col(id_col).alias("_id"), F.size(digests).alias("_sz"), F.explode(digests).alias("s")
+    )
+    freq = expl.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    ranked = expl.join(freq, "s").withColumn("_rn", F.row_number().over(w))
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    eps = 1e-9
+    pa = ranked.filter(F.col("_rn") <= prefix_len).select(
+        F.col("_id").alias("id_a"), "s",
+        F.col("_sz").alias("sz_a"), F.col("_rn").alias("rn_a"),
+    )
+    pb = ranked.select(
+        F.col("_id").alias("id_b"), "s",
+        F.col("_sz").alias("sz_b"), F.col("_rn").alias("rn_b"),
+    )
+    required = F.lit(threshold) * F.col("sz_a")
+    overlap_bound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+    )
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("sz_b") >= required - eps)
+        .filter(overlap_bound >= required - eps)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    cont = inter / F.size("sh_a").cast("double")
+    # filter on the UNROUNDED value (the prefix-filter recall guarantee is
+    # for true containment >= t; the oracle's WHERE matches) — rounding is
+    # presentation only, same convention as cosine_pairs_blocked
+    return (
+        joined.filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )

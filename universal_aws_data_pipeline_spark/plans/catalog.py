@@ -4775,6 +4775,42 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q110_containment_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(range(1, len(t) - 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+        ELSE [norm] END AS s
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+    """,
+    "exact shingle-containment join (truncated-copy detection): ordered pairs with |Sa∩Sb|/|Sa| >= 0.8 via asymmetric prefix filter — oracle is brute-force ALL ordered pairs, hash match proves the pruning lost nothing (X2)",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup — the truncated-copy detector symmetric Jaccard
+    misses (an excerpt of a 10x-longer doc has J ≈ 0.1 but containment
+    1.0). Asymmetric prefix filter: contained side joins its rarity-prefix,
+    container side joins ALL its shingles (no length restriction on the
+    container — that's the point); positional + length prunes before exact
+    verification. Oracle is brute-force all ordered pairs.
+    See operators/dedup.py::containment_pairs_prefix_filter."""
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        containment_pairs_prefix_filter,
+        parallelize_text_scan,
+    )
+
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return containment_pairs_prefix_filter(d, threshold=0.8, shingle_n=3)
+
+
 # --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
