@@ -135,3 +135,29 @@ def test_span_overlap_first_doc_never_duplicated(spark, texts):
     rows = {r["doc_id"]: r for r in span_overlap_profile(df, span_n=3).collect()}
     assert rows[0]["dup_span_frac"] == 0.0
     assert all(0.0 <= r["dup_span_frac"] <= 1.0 for r in rows.values())
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=6), st.sampled_from([0.5, 0.7, 0.9]))
+def test_containment_join_matches_brute_force(spark, texts, t):
+    """The asymmetric prefix filter equals brute-force ordered-pair
+    containment for ANY corpus and threshold."""
+    from universal_aws_data_pipeline_spark.operators.dedup import containment_pairs_prefix_filter
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {(r["id_a"], r["id_b"]) for r in containment_pairs_prefix_filter(df, threshold=t).collect()}
+
+    def shingles(txt: str) -> set:
+        toks = re.sub(r"[^a-z0-9]+", " ", txt.lower()).strip().split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(txt) for i, txt in enumerate(texts)}
+    expect = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a != b and sh[a] and len(sh[a] & sh[b]) / len(sh[a]) >= t
+    }
+    assert got == expect
