@@ -409,3 +409,20 @@ def test_q107_rrf_legs_use_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q107_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q109_cohort_all_hash_aggregates(spark, sf_dir):
+    """Cohort triangle: three hash aggregations + one equi-join on user_id,
+    never a window over raw events and never a cartesian."""
+    plan = _plan(spark, sf_dir, "q109_cohort_triangle")
+    assert plan.count("HashAggregate") >= 4  # distinct + cohort-min + final (partial+final pairs)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q110_containment_no_cartesian_prefix_join(spark, sf_dir):
+    """Containment candidates come from the prefix equi-join — never an
+    all-pairs product; verification joins back on doc ids."""
+    plan = _plan(spark, sf_dir, "q110_containment_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # rarity ranking window (per-doc partitions)

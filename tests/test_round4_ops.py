@@ -400,3 +400,30 @@ def test_containment_threshold_and_direction(spark):
            for r in containment_pairs_prefix_filter(df, threshold=0.8).collect()}
     # 7/8 = 0.875 >= 0.8 for doc 1 contained in doc 2; the reverse is 7/17
     assert got == {(1, 2): 0.875}
+
+
+def test_incremental_containment_filter_indexed(spark, tmp_path):
+    """Batch docs that are excerpts of INDEXED corpus docs are dropped even
+    though their Jaccard vs the container is far below any band-collision
+    regime; novel docs and partial overlaps below threshold survive."""
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_containment_filter_indexed,
+        load_neardup_index,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    corpus = spark.createDataFrame([(1, long)], "doc_id LONG, text STRING")
+    idx_path = str(tmp_path / "cidx")
+    build_neardup_index(corpus, idx_path)
+    index = load_neardup_index(spark, idx_path)
+
+    excerpt = " ".join(f"w{i}" for i in range(12))   # fully contained
+    half = " ".join(f"w{i}" for i in range(5)) + " " + " ".join(f"u{k}" for k in range(6))
+    novel = " ".join(f"z{k}" for k in range(20))
+    batch = spark.createDataFrame(
+        [(10, excerpt), (11, half), (12, novel)], "doc_id LONG, text STRING"
+    )
+    kept = {r["doc_id"] for r in
+            incremental_containment_filter_indexed(batch, index, threshold=0.8).collect()}
+    assert kept == {11, 12}

@@ -839,3 +839,61 @@ def containment_pairs_prefix_filter(
         joined.filter(cont >= threshold)
         .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
     )
+
+
+def incremental_containment_filter_indexed(
+    new_docs: DataFrame,
+    index: "NeardupIndex",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop ingestion-batch documents whose shingle set is >= ``threshold``
+    CONTAINED in some stored corpus document — the truncated-copy guard for
+    the ingestion path (a batch doc that is an excerpt of an indexed doc
+    slips straight past the band-join probe: low Jaccard means its minhash
+    bands almost never collide with the container's).
+
+    Shape: the batch side explodes its shingle digests (batch-sized); the
+    corpus side explodes the STORED shingle arrays — no re-shingling, no
+    text pass, but it is a corpus-wide explode per probe. For high-rate
+    ingestion, persist that exploded (digest, id) postings table once
+    alongside the index and bucket it by digest, the same amortization the
+    band table gets; this probe accepts the arrays as stored. Candidates =
+    shared-digest counts >= ceil(t·|S_new|) (digest-space, same 60-bit
+    probabilistic caveat as every miner here); verification computes exact
+    containment on the true shingle arrays, so nothing is dropped falsely.
+    """
+    id_col = index.id_col
+    new_sh = shingled_docs(
+        parallelize_text_scan(new_docs.select(id_col, text_col)), id_col, text_col, index.shingle_n
+    ).persist()
+    digest = lambda col: F.array_distinct(  # noqa: E731
+        F.transform(col, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    )
+    nb = new_sh.select(
+        F.col(id_col).alias("new_id"),
+        F.size(digest(F.col("sh"))).alias("_szn"),
+        F.explode(digest(F.col("sh"))).alias("s"),
+    )
+    ob = index.shingles.select(
+        F.col(id_col).alias("old_id"), F.explode(digest(F.col("sh"))).alias("s")
+    )
+    shared = (
+        nb.join(ob, "s")
+        .groupBy("new_id", "old_id", "_szn")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    # one unit of slack on the digest-space bound: a within-pair digest
+    # collision can merge two truly-shared shingles into one counted digest;
+    # the slack admits one such merge per pair (cheap — verification is
+    # exact), pushing the residual false-negative odds to two+ collisions
+    cand = shared.filter(
+        F.col("_shared") >= F.ceil(F.lit(threshold) * F.col("_szn")) - F.lit(1)
+    ).select("new_id", "old_id")
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new"))
+    b = index.shingles.select(F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old"))
+    joined = cand.join(a, "new_id").join(b, "old_id")
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_old"))).cast("double")
+    cont = inter / F.size("sh_new").cast("double")
+    dupes = joined.filter(cont >= threshold).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(dupes, id_col, "left_anti")
