@@ -156,3 +156,48 @@ def test_temperature_rebalance_stage_and_stream_rejection(spark):
     for op in ("span_dedup_filter", "quality_calibration_filter", "temperature_rebalance"):
         with _pytest.raises(ValueError, match="cross-row"):
             apply_post_transforms(stream, [{"op": op}])
+
+
+def test_runner_config_driven_round4_stages(spark, tmp_path):
+    """E2E: span dedup + learned quality cutoff + temperature rebalance
+    declared in a config file, run through PipelineRunner's batch path."""
+    raw = tmp_path / "raw4"
+    raw.mkdir()
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [{"id": i, "text": prose + f" extra{i}", "lang": "en"} for i in range(8)]
+        + [{"id": 100, "text": prose + " extra0", "lang": "en"}]  # span-dup of id 0
+        + [{"id": 200 + i, "text": f"tail doc {i} unique words here friend", "lang": "de"}
+           for i in range(4)]
+    )
+    with open(raw / "p0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = SourceConfig.from_dict(
+        {
+            "name": "docs4",
+            "type": "file",
+            "data_format": "json",
+            "input_path": str(raw),
+            "schema": {
+                "mapping": {"doc_id": "id", "text": "text", "lang": "lang"},
+                "required": ["doc_id"],
+                "transformations": [],
+            },
+            "post_transforms": [
+                {"op": "span_dedup_filter", "span_n": 8, "max_dup_span_frac": 0.5},
+                {"op": "quality_calibration_filter", "drop_fraction": 0.1},
+                {"op": "temperature_rebalance", "fraction": 0.9},
+            ],
+            "destination": {"path": str(tmp_path / "out4"), "partition_by": []},
+            "retry": {"attempts": 1, "interval_seconds": 0.0},
+        }
+    )
+    result = PipelineRunner(spark).run(cfg)
+    assert result.status == "success", result.error
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out4")).collect()}
+    assert 0 in kept                        # the first owner of the prose spans survives
+    # every other en doc shares the 12-token prose prefix's 8-gram spans
+    # with doc 0 -> all are span-dups under keep-first, including the clone
+    assert not (kept & set(range(1, 9))) and 100 not in kept
+    assert len(kept & {200, 201, 202, 203}) >= 2  # tail language largely survives
