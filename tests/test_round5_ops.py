@@ -1,0 +1,145 @@
+"""Round-5 operator tests: Gopher rule battery, bloom-filter dedup fast path,
+DSIR importance weighting, table maintenance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.text import gopher_profile
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back to the "
+    "barn with a bone that it found by the river while the farmer was busy "
+    "in the field and the sun was high over the hills so the day felt warm "
+    "and long to everyone who came out to watch the animals play in the "
+    "open yard near the old wooden gate"
+)  # 67 words, stopword-rich, alphabetic
+
+
+def _profile(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = gopher_profile(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_good_doc_passes(spark):
+    p = _profile(spark, [(1, GOOD)])[1]
+    assert p["kept"] is True
+    assert p["n_words"] == 67
+    assert 3.0 <= p["mean_word_len"] <= 10.0
+    assert p["alpha_word_frac"] == 1.0
+    assert p["n_stop_hits"] >= 2
+
+
+def test_gopher_each_rule_rejects(spark):
+    rows = [
+        (1, GOOD),
+        (2, "too short to pass the word count gate"),  # < 50 words
+        (3, GOOD + " " + " ".join(["####"] * 20)),  # symbol ratio > 0.1
+        (4, "\n".join(["- bullet line item"] * 10)),  # 100% bullet lines (also short)
+        (5, " ".join(["wordlike"] * 60)),  # no required stopwords
+        (6, " ".join(["12345"] * 60)),  # no alphabetic words
+        (7, " ".join(["extraordinarily"] * 28) + " the of and to be that"),  # mean word len > 10
+    ]
+    p = _profile(spark, rows)
+    assert p[1]["kept"] is True
+    for bad in (2, 3, 4, 5, 6, 7):
+        assert p[bad]["kept"] is False, bad
+    # rule-specific signals fired for the right reasons
+    assert p[2]["n_words"] < 50
+    assert p[3]["symbol_ratio"] > 0.1
+    assert p[5]["n_stop_hits"] < 2
+    assert p[6]["alpha_word_frac"] == 0.0
+    assert p[7]["mean_word_len"] > 10.0
+
+
+def test_gopher_is_map_only(spark):
+    df = spark.createDataFrame([(1, GOOD)], ["doc_id", "text"])
+    plan = gopher_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- bloom dedup
+def _bloom_fixture(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc body number {i} with shared words") for i in range(200)], ["doc_id", "text"]
+    )
+    # batch: 50 exact dupes of corpus docs (new ids) + 150 novel docs
+    batch = spark.createDataFrame(
+        [(1000 + i, f"doc body number {i} with shared words") for i in range(50)]
+        + [(2000 + i, f"entirely novel content {i}") for i in range(150)],
+        ["doc_id", "text"],
+    )
+    return corpus, batch
+
+
+def test_bloom_dedup_exact_equivalence(spark):
+    from universal_aws_data_pipeline_spark.operators.bloom import bloom_dedup_filter, build_bloom
+
+    corpus, batch = _bloom_fixture(spark)
+    bloom = build_bloom(corpus, "text")
+    got = sorted(r["doc_id"] for r in bloom_dedup_filter(batch, corpus, "text", bloom).collect())
+    want = sorted(r["doc_id"] for r in batch.join(corpus.select("text"), "text", "left_anti").collect())
+    assert got == want
+    assert got == [2000 + i for i in range(150)]
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from universal_aws_data_pipeline_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    corpus, batch = _bloom_fixture(spark)
+    bloom = build_bloom(corpus, "text")
+    probed = {r["doc_id"]: r["_bloom_hit"] for r in bloom_might_contain(batch, "text", bloom).collect()}
+    # every true duplicate MUST hit (zero false negatives — the exactness guarantee)
+    assert all(probed[1000 + i] for i in range(50))
+    # novel docs rarely hit: k=7, 10 bits/key → <1% expected; allow slack
+    fp = sum(probed[2000 + i] for i in range(150))
+    assert fp <= 5, f"implausible FP count {fp}"
+    assert bloom.fp_rate(200) < 0.01
+
+
+def test_bloom_degenerate_sizing_still_exact(spark):
+    """A pathologically small filter (everything collides) must still give
+    the exact answer — sizing moves cost, never results."""
+    from universal_aws_data_pipeline_spark.operators.bloom import BloomFilter, bloom_dedup_filter, build_bloom
+    import numpy as np
+
+    corpus, batch = _bloom_fixture(spark)
+    tiny = build_bloom(corpus, "text", bits_per_key=1, num_hashes=1)
+    got = sorted(r["doc_id"] for r in bloom_dedup_filter(batch, corpus, "text", tiny).collect())
+    assert got == [2000 + i for i in range(150)]
+    # saturated filter: all-ones bitmap → every probe hits, result still exact
+    sat = BloomFilter(bits=np.full(8, 255, dtype=np.uint8), m_bits=64, num_hashes=2)
+    got = sorted(r["doc_id"] for r in bloom_dedup_filter(batch, corpus, "text", sat).collect())
+    assert got == [2000 + i for i in range(150)]
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+        load_bloom,
+        save_bloom,
+    )
+
+    corpus, batch = _bloom_fixture(spark)
+    bloom = build_bloom(corpus, "text")
+    save_bloom(bloom, str(tmp_path / "bloom"))
+    loaded = load_bloom(str(tmp_path / "bloom"))
+    assert loaded.m_bits == bloom.m_bits and loaded.num_hashes == bloom.num_hashes
+    a = bloom_might_contain(batch, "text", bloom).collect()
+    b = bloom_might_contain(batch, "text", loaded).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_bloom_empty_sides(spark):
+    from universal_aws_data_pipeline_spark.operators.bloom import bloom_dedup_filter, build_bloom
+
+    corpus, batch = _bloom_fixture(spark)
+    empty = corpus.filter(F.lit(False))
+    bloom_empty = build_bloom(empty, "text")
+    got = sorted(r["doc_id"] for r in bloom_dedup_filter(batch, empty, "text", bloom_empty).collect())
+    assert len(got) == 200  # nothing in corpus → whole batch survives
+    bloom = build_bloom(corpus, "text")
+    assert bloom_dedup_filter(empty, corpus, "text", bloom).count() == 0

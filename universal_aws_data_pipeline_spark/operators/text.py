@@ -139,6 +139,90 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+# The 8 MassiveText "required stopwords" (Gopher, Rae et al. 2021, table A1):
+# a document must contain at least 2 of them to pass the lexical gate.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(text: Column) -> dict[str, Column]:
+    """The MassiveText/Gopher quality-rule signals (Rae et al. 2021, App. A)
+    as one battery of built-in column expressions — map-only, codegen'd, no
+    UDF/shuffle: the whole battery runs at parquet-scan speed over 100 TB.
+
+    Every ratio is a single IEEE division of integer tallies, so the values
+    (and any threshold comparison on them) are bit-identical across engines
+    — the rule decisions can be hash-graded, not just spot-checked.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("long")
+    sum_word_len = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    symbol_hits = (F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("long")
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_hits = F.size(F.array_intersect(tokens_col(text), stop_arr)).cast("long")
+    nd = n_words.cast("double")
+    return {
+        "n_words": n_words,
+        "mean_word_len": sum_word_len.cast("double") / nd,
+        "alpha_word_frac": n_alpha_words.cast("double") / nd,
+        "symbol_ratio": symbol_hits.cast("double") / nd,
+        "bullet_line_frac": n_bullet_lines.cast("double") / n_lines.cast("double"),
+        "ellipsis_line_frac": n_ellipsis_lines.cast("double") / n_lines.cast("double"),
+        "n_stop_hits": n_stop_hits,
+    }
+
+
+def gopher_pass(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """The conjunction of the Gopher rules as a single boolean filter column.
+    Thresholds are the published MassiveText values (word-count bounds are
+    parameters — the paper's 50/100k — so tests can exercise both branches).
+    Built from the UNROUNDED signals: every comparison sits on exact integer
+    divisions, so the keep/drop decision is engine-portable."""
+    s = gopher_signals(text)
+    return (
+        (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= 3.0)
+        & (s["mean_word_len"] <= 10.0)
+        & (s["symbol_ratio"] <= 0.1)
+        & (s["bullet_line_frac"] < 0.9)
+        & (s["ellipsis_line_frac"] < 0.3)
+        & (s["alpha_word_frac"] >= 0.8)
+        & (s["n_stop_hits"] >= 2)
+    )
+
+
+def gopher_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher rule report: the raw signals (ratios rounded 4 dp
+    for display — decisions use the unrounded values) plus the final keep
+    flag. The filtering front door of a MassiveText-style pipeline."""
+    t = F.col(text_col)
+    s = gopher_signals(t)
+    return df.select(
+        F.col(id_col),
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(s["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        F.round(s["symbol_ratio"], 4).alias("symbol_ratio"),
+        s["n_stop_hits"].alias("n_stop_hits"),
+        gopher_pass(t, min_words=min_words, max_words=max_words).alias("kept"),
+    )
+
+
 def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, w1, w2) — every ADJACENT token pair, one row per occurrence
     (NOT distinct: language-model scoring weights repeated bigrams).

@@ -4812,6 +4812,65 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q111 — Gopher/MassiveText quality-rule battery (X4 family).
+# Operators: full published rule set (word-count bounds, mean word length,
+# symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+# required-stopword gate) as ONE map-only expression battery.
+# Scale: zero shuffles — every signal is a row-local array/regex tally and
+# the keep decision is a conjunction of exact integer-division compares, so
+# the battery runs at parquet-scan speed and the DECISIONS hash-grade.
+# --------------------------------------------------------------------------
+@register(
+    "q111_gopher_rules",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS words,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mean_word_len,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words) AS alpha_word_frac,
+             CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+               / len(words) AS symbol_ratio,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+               / len(lines) AS bullet_line_frac,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+               / len(lines) AS ellipsis_line_frac,
+             CAST(len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS n_stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(alpha_word_frac, 4) AS alpha_word_frac,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS kept
+    FROM sig
+    """,
+    "full Gopher/MassiveText quality-rule battery: word-count/word-length/symbol/bullet/ellipsis/alpha/stopword rules as one map-only pass; keep decisions hash-graded (X4)",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published MassiveText filter (Gopher, Rae et al. 2021, App. A) as
+    a graded query: per-doc signals + the keep flag. All signals are exact
+    integer tallies divided once, so both the 4-dp display values AND the
+    unrounded threshold decisions are bit-identical in the oracle — the
+    whole rule battery is verifiable, not just eyeballed. Map-only: one
+    corpus scan, no shuffle. See operators/text.py::gopher_profile."""
+    from universal_aws_data_pipeline_spark.operators.text import gopher_profile
+
+    return gopher_profile(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
