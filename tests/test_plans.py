@@ -426,3 +426,39 @@ def test_q110_containment_no_cartesian_prefix_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q110_containment_dedup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan  # rarity ranking window (per-doc partitions)
+
+
+@pytest.mark.parametrize(
+    "name,needles",
+    [
+        # the rule battery is a pure projection over a 2-column scan
+        ("q111_gopher_rules", ["ReadSchema: struct<doc_id:bigint,text:string>"]),
+        # bloom probe is an Arrow-vectorized eval; only suspects reach the
+        # confirming LeftAnti join
+        ("q112_bloom_dedup", ["ArrowEvalPython", "LeftAnti"]),
+        # the 256-row DSIR model broadcasts back onto the token stream
+        ("q113_dsir_weights", ["BroadcastHashJoin"]),
+    ],
+)
+def test_r5_extension_plan_contains(spark, sf_dir, name, needles):
+    plan = _plan(spark, sf_dir, name)
+    for needle in needles:
+        assert needle in plan, f"{name}: expected {needle!r} in plan:\n{plan}"
+
+
+def test_q111_gopher_is_map_only(spark, sf_dir):
+    """The whole rule battery must stay inside one map stage — any Exchange
+    means a signal accidentally grew a shuffle."""
+    assert "Exchange" not in _plan(spark, sf_dir, "q111_gopher_rules")
+
+
+def test_q112_confirm_join_sees_only_bloom_hits(spark, sf_dir):
+    """The anti-join's streamed side must be the bloom-HIT filter — novel
+    docs (bloom misses) bypass the join entirely; that asymmetry is the
+    entire point of the fast path."""
+    plan = _plan(spark, sf_dir, "q112_bloom_dedup")
+    # the probe column is projected into pythonUDF references physically:
+    # the join-free union leg keeps misses (Filter NOT pythonUDF), the
+    # anti-join's streamed input keeps hits (Filter pythonUDF)
+    assert "Filter NOT pythonUDF" in plan
+    assert re.search(r"Filter pythonUDF\d+#\d+: boolean", plan), plan

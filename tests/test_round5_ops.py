@@ -143,3 +143,92 @@ def test_bloom_empty_sides(spark):
     assert len(got) == 200  # nothing in corpus → whole batch survives
     bloom = build_bloom(corpus, "text")
     assert bloom_dedup_filter(empty, corpus, "text", bloom).count() == 0
+
+
+# ---------------------------------------------------------------- DSIR
+def test_dsir_target_like_docs_score_higher(spark):
+    from universal_aws_data_pipeline_spark.operators.dsir import dsir_scores
+
+    tgt_vocab = "alpha beta gamma delta epsilon"
+    raw_vocab = "zork quux blarg wibble fnord"
+    rows = (
+        [(i, tgt_vocab, "target") for i in range(20)]
+        + [(100 + i, raw_vocab, "raw") for i in range(20)]
+        # probes: one target-looking raw doc, one raw-looking raw doc
+        + [(500, tgt_vocab, "raw"), (501, raw_vocab, "raw")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "side"])
+    scores = {r["doc_id"]: r["weight_micro"] for r in dsir_scores(df, F.col("side") == "target").collect()}
+    assert scores[500] > 0 > scores[501]
+    assert scores[500] > scores[501]
+
+
+def test_dsir_weight_is_exact_integer_sum(spark):
+    """Per-doc weight must equal the sum of its tokens' bucket weights —
+    pinned by recomputing from the model table in Python."""
+    from universal_aws_data_pipeline_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_scores,
+        hashed_bucket,
+    )
+
+    rows = [(1, "alpha beta beta", "t"), (2, "gamma gamma zork", "r"), (3, "alpha zork", "r")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "side"])
+    is_tgt = F.col("side") == "t"
+    model = {r["bucket"]: r["lw_micro"] for r in dsir_bucket_weights(df, is_tgt).collect()}
+    buckets = {
+        r["tok"]: r["b"]
+        for r in df.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .select("tok", hashed_bucket(F.col("tok")).alias("b"))
+        .collect()
+    }
+    got = {r["doc_id"]: r["weight_micro"] for r in dsir_scores(df, is_tgt).collect()}
+    for doc_id, text, _ in rows:
+        want = sum(model[buckets[t]] for t in text.split())
+        assert got[doc_id] == want, doc_id
+
+
+# ---------------------------------------------------------------- maintenance
+def test_compact_table_reduces_files_and_preserves_data(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.maintenance import (
+        compact_table,
+        compaction_plan,
+        file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = file_stats(spark, path)
+    assert before.count() == 64
+    want = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    result = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    after = file_stats(spark, path)
+    assert result["skipped"] is False
+    assert after.count() < 64
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == want
+
+    # second run is a no-op (idempotent, schedulable)
+    plan = compaction_plan(path, target_file_bytes=10 * 1024 * 1024)
+    assert plan["worth_it"] is False
+    assert compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)["skipped"] is True
+
+
+def test_compact_partitioned_table_keeps_partition_dirs(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.maintenance import compact_table, file_stats
+
+    path = str(tmp_path / "part")
+    df = spark.range(5_000).withColumn("p", (F.col("id") % 3).cast("int"))
+    df.repartition(32).write.partitionBy("p").parquet(path)
+    assert file_stats(spark, path).count() > 30
+    want = sorted((r["id"], r["p"]) for r in spark.read.parquet(path).collect())
+
+    compact_table(spark, path, target_file_bytes=10 * 1024 * 1024, partition_by=["p"])
+    stats = file_stats(spark, path).collect()
+    dirs = {r["partition_dir"] for r in stats}
+    assert dirs == {"p=0", "p=1", "p=2"}  # layout preserved
+    assert len(stats) <= 6  # few files per partition now
+    got = sorted((r["id"], r["p"]) for r in spark.read.parquet(path).collect())
+    assert got == want

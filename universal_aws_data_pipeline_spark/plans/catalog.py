@@ -4871,6 +4871,113 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q112 — bloom-filter fast-path incremental exact dedup (X1 at scale).
+# Operators: distributed bloom build (tree-ORed per-partition bitmaps),
+# map-side membership probe, confirm anti-join for hits only.
+# Scale: the ingest-time exact-dedup lever — novel docs (the vast majority
+# of any real batch) are admitted with ZERO shuffle; only bloom hits (true
+# dups + <1% FP) pay the corpus join. The result is EXACT regardless of
+# filter sizing, which is why the plain anti-join oracle hash-grades it.
+# --------------------------------------------------------------------------
+@register(
+    "q112_bloom_dedup",
+    """
+    WITH batch AS (
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             text || ' novel marker ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 5 = 1
+    )
+    SELECT b.doc_id, length(b.text) AS n_chars
+    FROM batch b ANTI JOIN documents c ON b.text = c.text
+    """,
+    "bloom-filter fast-path exact dedup: ingest batch (50%% exact copies, 50%% novel) probed map-side against a stored corpus bloom; only hits pay the confirm join — result exact, oracle is the plain anti-join (X1)",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact dedup through the Bloom fast path: the corpus
+    filter is built once per dataset (stored under the artifact cache, same
+    discipline as the LSH/IVF indexes), each batch probes it map-side, and
+    only bloom hits are confirmed against the corpus. The oracle is the
+    plain ``batch ANTI JOIN corpus`` — a hash match proves the fast path
+    changed WHERE the work happens, not WHAT comes out.
+    See operators/bloom.py."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.bloom import (
+        bloom_dedup_filter,
+        build_bloom,
+        load_bloom,
+        save_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dup_side = d.filter(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    novel_side = d.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novel marker "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    batch = dup_side.unionByName(novel_side)
+    bloom_path = _artifact_dir("bloom_text", sf_dir)
+    if os.path.exists(os.path.join(bloom_path, "meta.json")):
+        bloom = load_bloom(bloom_path)
+    else:
+        bloom = build_bloom(d, "text")
+        save_bloom(bloom, bloom_path)
+    kept = bloom_dedup_filter(batch, d, "text", bloom)
+    return kept.select("doc_id", F.length("text").alias("n_chars"))
+
+
+# --------------------------------------------------------------------------
+# q113 — DSIR importance weighting for data selection (X6 family).
+# Operators: hashed-n-gram bag-of-buckets importance model (Xie et al. 2023),
+# per-doc log importance weight in integer micro-nats.
+# Scale: the model is a 256-row table (vocab-independent); training is one
+# conditional agg over the token stream, scoring one broadcast join + an
+# EXACT integer sum per doc — order-independent, so it hash-grades.
+# --------------------------------------------------------------------------
+@register(
+    "q113_dsir_weights",
+    f"""
+    WITH bt AS (
+      SELECT doc_id, source = 'src0' AS tgt,
+             {_hex_int_sql("tok", 4)} % 256 AS bucket
+      FROM (
+        SELECT doc_id, source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents
+      )
+    ), counts AS (
+      SELECT bucket,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+      FROM bt GROUP BY bucket
+    ), w AS (
+      SELECT bucket,
+             CAST(round((ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)))
+                        * 1000000.0, 0) AS BIGINT) AS lw_micro
+      FROM (SELECT bucket, ct, cr, sum(ct) OVER () AS nt, sum(cr) OVER () AS nr FROM counts)
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.lw_micro) AS BIGINT) AS weight_micro
+    FROM bt b JOIN w USING (bucket)
+    GROUP BY b.doc_id
+    """,
+    "DSIR importance resampling weights: hashed-unigram bucket multinomials (target = src0 vs raw), per-doc log importance weight as an exact integer micro-nat sum (X6)",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (the DSIR recipe): fit
+    target-vs-raw bag-of-hashed-buckets multinomials, score every doc by
+    sum ln(p_t/p_r) over its tokens. The per-bucket log ratio is quantized
+    to micro-nats on the 256-row model table, so per-doc scores are exact
+    BIGINT sums — the one float surface is 512 ln calls on well-separated
+    values. See operators/dsir.py."""
+    from universal_aws_data_pipeline_spark.operators.dsir import dsir_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_scores(d, F.col("source") == "src0")
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
