@@ -201,3 +201,43 @@ def test_runner_config_driven_round4_stages(spark, tmp_path):
     # with doc 0 -> all are span-dups under keep-first, including the clone
     assert not (kept & set(range(1, 9))) and 100 not in kept
     assert len(kept & {200, 201, 202, 203}) >= 2  # tail language largely survives
+
+
+def test_gopher_filter_stage(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs back to the "
+        "barn with a bone that it found by the river while the farmer was busy "
+        "in the field and the sun was high over the hills so the day felt warm "
+        "and long to everyone who came out to watch the animals play in the "
+        "open yard near the old wooden gate"
+    )
+    df = _docs(spark, [(1, good, 0), (2, "too short", 0)])
+    out = apply_post_transforms(df, [{"op": "gopher_filter", "column": "text"}])
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # custom bounds flip the decision
+    out2 = apply_post_transforms(df, [{"op": "gopher_filter", "column": "text", "min_words": 200}])
+    assert out2.count() == 0
+
+
+def test_bloom_dedup_stage_and_stream_rejection(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.bloom import build_bloom, save_bloom
+
+    corpus = _docs(spark, [(i, f"corpus doc {i}", 0) for i in range(50)])
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "bloom")
+    save_bloom(build_bloom(corpus, "text"), index_path)
+
+    batch = _docs(spark, [(100, "corpus doc 7", 0), (101, "brand new doc", 0)])
+    out = apply_post_transforms(
+        batch,
+        [{"op": "bloom_dedup", "column": "text", "index_path": index_path, "corpus_path": corpus_path}],
+    )
+    assert [r["doc_id"] for r in out.collect()] == [101]
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(ValueError, match="cannot run on a stream"):
+        apply_post_transforms(
+            stream.withColumn("text", F.lit("x")),
+            [{"op": "bloom_dedup", "column": "text", "index_path": index_path, "corpus_path": corpus_path}],
+        )

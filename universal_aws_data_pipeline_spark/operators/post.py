@@ -21,6 +21,12 @@ operators deserve the same door, not just a Python API.
   group: lang_col, drop_fraction: 0.3}`` (batch-only: learned cutoff)
 - ``{op: temperature_rebalance, group: lang_col, key: id_col,
   fraction: 0.25}`` (batch-only: group counts)
+- ``{op: gopher_filter, column: text_col, min_words: 50,
+  max_words: 100000}`` (row-local: streaming-safe)
+- ``{op: bloom_dedup, column: text_col, index_path: dir,
+  corpus_path: parquet_dir}`` (probes a STORED corpus bloom built by
+  ``bloom.build_bloom``+``save_bloom``; map-side probe + confirm join
+  against the corpus parquet — batch-only for the join)
 
 Row-local ops (sample / redact / repetition) are streaming-safe and pass
 through unchanged on streams; cross-row ops raise on a streaming frame with
@@ -40,6 +46,7 @@ _CROSS_ROW_OPS = {
     "span_dedup_filter",
     "quality_calibration_filter",
     "temperature_rebalance",
+    "bloom_dedup",
 }
 
 
@@ -122,6 +129,23 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
                 .filter(F.col("_q") >= F.col("qcut"))
                 .drop("_q", "qcut")
             )
+        elif op == "gopher_filter":
+            from universal_aws_data_pipeline_spark.operators.text import gopher_pass
+
+            col = spec.get("column", "text")
+            df = df.filter(
+                gopher_pass(
+                    F.col(col),
+                    min_words=int(spec.get("min_words", 50)),
+                    max_words=int(spec.get("max_words", 100_000)),
+                )
+            )
+        elif op == "bloom_dedup":
+            from universal_aws_data_pipeline_spark.operators.bloom import bloom_dedup_filter, load_bloom
+
+            col = spec.get("column", "text")
+            corpus = df.sparkSession.read.parquet(spec["corpus_path"]).select(col)
+            df = bloom_dedup_filter(df, corpus, col, load_bloom(spec["index_path"]))
         elif op == "temperature_rebalance":
             from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
 
