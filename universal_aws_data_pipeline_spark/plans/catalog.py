@@ -4802,13 +4802,22 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     container — that's the point); positional + length prunes before exact
     verification. Oracle is brute-force all ordered pairs.
     See operators/dedup.py::containment_pairs_prefix_filter."""
+    import os
+
     from universal_aws_data_pipeline_spark.operators.dedup import (
         containment_pairs_prefix_filter,
         parallelize_text_scan,
+        shingle_index_table,
     )
 
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return containment_pairs_prefix_filter(d, threshold=0.8, shingle_n=3)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # build-once shingle+digest artifact (documents-only corpus — q15/q75's
+    # cache covers documents ∪ mutated, a different pair universe)
+    sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q110")
+    if not os.path.exists(sh_path):
+        shingle_index_table(parallelize_text_scan(d), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
+    shingled = spark.read.parquet(sh_path)
+    return containment_pairs_prefix_filter(d, threshold=0.8, shingle_n=3, shingled=shingled)
 
 
 # --------------------------------------------------------------------------
