@@ -53,6 +53,12 @@ HEAVY = [
     "q101_span_dedup_profile",
     "q102_heavy_hitters",
     "q103_lm_perplexity",
+    # round-5 ops: containment's asymmetric prefix join (candidates grow
+    # with corpus), bloom dedup (build + probe both inside the window),
+    # DSIR (explode + 256-row model join — should be ~linear in tokens)
+    "q110_containment_dedup",
+    "q112_bloom_dedup",
+    "q113_dsir_weights",
 ]
 
 

@@ -241,3 +241,38 @@ def test_bloom_dedup_stage_and_stream_rejection(spark, tmp_path):
             stream.withColumn("text", F.lit("x")),
             [{"op": "bloom_dedup", "column": "text", "index_path": index_path, "corpus_path": corpus_path}],
         )
+
+
+def test_gopher_filter_runs_on_a_real_stream(spark, tmp_path):
+    """Row-local stages must pass through the streaming path unchanged —
+    gopher_filter applied to a file stream drops failing docs per micro-batch."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs back to the "
+        "barn with a bone that it found by the river while the farmer was busy "
+        "in the field and the sun was high over the hills so the day felt warm "
+        "and long to everyone who came out to watch the animals play in the "
+        "open yard near the old wooden gate"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, good), (2, "way too short")], "doc_id: long, text: string"
+    ).coalesce(1).write.json(str(src / "batch0"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+    )
+    filtered = apply_post_transforms(stream, [{"op": "gopher_filter", "column": "text"}])
+    assert filtered.isStreaming
+    q = (
+        filtered.writeStream.format("memory")
+        .queryName("gopher_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select doc_id from gopher_stream").collect()
+    assert [r["doc_id"] for r in rows] == [1]
