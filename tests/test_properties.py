@@ -161,3 +161,23 @@ def test_containment_join_matches_brute_force(spark, texts, t):
         if a != b and sh[a] and len(sh[a] & sh[b]) / len(sh[a]) >= t
     }
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(TEXTS, min_size=1, max_size=8, unique=True),
+    st.lists(TEXTS, min_size=1, max_size=8),
+    st.integers(1, 12),
+    st.integers(1, 5),
+)
+def test_bloom_dedup_equals_anti_join_for_any_sizing(spark, corpus_texts, batch_texts, bits_per_key, num_hashes):
+    """The bloom fast path is an optimization, never an answer: for ANY
+    corpus/batch/sizing, its output multiset equals the plain anti-join."""
+    from universal_aws_data_pipeline_spark.operators.bloom import bloom_dedup_filter, build_bloom
+
+    corpus = spark.createDataFrame([(i, t) for i, t in enumerate(corpus_texts)], "id LONG, text STRING")
+    batch = spark.createDataFrame([(100 + i, t) for i, t in enumerate(batch_texts)], "id LONG, text STRING")
+    bloom = build_bloom(corpus, "text", bits_per_key=bits_per_key, num_hashes=num_hashes)
+    got = sorted(r["id"] for r in bloom_dedup_filter(batch, corpus, "text", bloom).collect())
+    want = sorted(r["id"] for r in batch.join(corpus.select("text"), "text", "left_anti").collect())
+    assert got == want
