@@ -131,7 +131,15 @@ def bloom_dedup_filter(batch: DataFrame, corpus_keys: DataFrame, key_col: str, b
     key the filter rejects are novel by guarantee and bypass the join; only
     Bloom hits are confirmed against the corpus (left_anti keeps the false
     positives). Output ≡ ``batch LEFT ANTI JOIN corpus ON key`` for every
-    filter sizing — the bloom moves cost, never answers."""
+    filter sizing — the bloom moves cost, never answers.
+
+    Catalyst bonus (visible in the physical plan): InferFiltersFromConstraints
+    propagates the probe predicate across the join-key equality onto the
+    CORPUS side too, so the confirm join's corpus input also collapses to
+    bloom hits — a map-side scan-speed probe instead of shuffling/broadcasting
+    the full corpus key set. Safe for anti-join semantics (every matching
+    corpus row necessarily probes true), and exactly the plan you'd want at
+    100 TB."""
     probed = bloom_might_contain(batch, key_col, bloom)
     novel_fast = probed.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
     suspects = probed.filter(F.col("_bloom_hit")).drop("_bloom_hit")
