@@ -462,3 +462,16 @@ def test_q112_confirm_join_sees_only_bloom_hits(spark, sf_dir):
     # anti-join's streamed input keeps hits (Filter pythonUDF)
     assert "Filter NOT pythonUDF" in plan
     assert re.search(r"Filter pythonUDF\d+#\d+: boolean", plan), plan
+
+
+def test_q114_span_surgery_ownership_window_has_no_sort(spark, sf_dir):
+    """Span ownership is min-over-partition — windowspecdefinition must carry
+    an empty ORDER BY (a sorted window would re-introduce the per-group span
+    sort the q101 retune removed), and spans shuffle as 60-bit digests, not
+    raw span strings."""
+    plan = _plan(spark, sf_dir, "q114_span_surgery")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "specifiedwindowframe(RowFrame" in line or "unspecifiedframe" in line.lower() or \
+                re.search(r"windowspecdefinition\(dig\w*#\d+L, ", line), line
+    assert "conv(substring(md5(" in plan  # digest computed before the exchange

@@ -276,3 +276,16 @@ def test_gopher_filter_runs_on_a_real_stream(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("select doc_id from gopher_stream").collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_span_surgery_stage_rewrites_text_in_place(spark):
+    rows = [
+        (1, "one two three four five six seven eight nine ten", 0),
+        (2, "zzz one two three four five six seven eight yyy", 0),
+    ]
+    df = _docs(spark, rows)
+    out = apply_post_transforms(df, [{"op": "span_surgery", "id": "doc_id", "column": "text"}])
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == rows[0][1]
+    assert got[2] == "zzz yyy"
+    assert set(out.columns) == {"doc_id", "text", "ts"}  # other columns carried through

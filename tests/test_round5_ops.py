@@ -320,3 +320,44 @@ def test_theta_sketch_stream_through_real_stream(spark, tmp_path):
     assert len(est) == 1
     # θ=1/4 KMV over 500 users: estimate within a loose 2x band
     assert 200 <= est[0]["est_users"] <= 1000
+
+
+# ---------------------------------------------------------------- span surgery
+def test_span_surgery_excises_copied_run_keeps_novel_frame(spark):
+    from universal_aws_data_pipeline_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "zzz one two three four five six seven eight yyy"),  # 8-token copy inside novel frame
+        (3, "short doc here"),  # < span_n tokens: untouched
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[1]["n_removed"] == 0  # first doc owns its spans
+    assert out[1]["cleaned_text"] == rows[0][1]
+    assert out[2]["n_removed"] == 8
+    assert out[2]["cleaned_text"] == "zzz yyy"
+    assert out[3]["n_removed"] == 0 and out[3]["cleaned_text"] == "short doc here"
+
+
+def test_span_surgery_full_copy_is_emptied_and_intra_doc_repeat_kept(spark):
+    from universal_aws_data_pipeline_spark.operators.dedup import remove_duplicated_spans
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, body),
+        (2, body),  # verbatim copy → fully excised
+        (3, body.upper() + " " + body),  # intra-doc repeat only... but doc1 owns it
+        (4, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"),  # self-repeat, no earlier owner
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert out[2]["cleaned_text"] == "" and out[2]["n_removed"] == out[2]["n_tokens"]
+    # normalization makes doc3 two copies of doc1's body → all removed
+    assert out[3]["cleaned_text"] == ""
+    # doc4 repeats ITSELF: min owner is doc4, nothing earlier → kept whole
+    assert out[4]["n_removed"] == 0

@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
+from universal_aws_data_pipeline_spark.functions.texthash import tokens_col, word_shingles
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -897,3 +897,75 @@ def incremental_containment_filter_indexed(
     cont = inter / F.size("sh_new").cast("double")
     dupes = joined.filter(cont >= threshold).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(dupes, id_col, "left_anti")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+) -> DataFrame:
+    """Span SURGERY — the acting half of Lee et al.'s exact-substring dedup
+    (q101 is the diagnostic): every ``span_n``-token span whose content
+    already appears in an EARLIER document (min doc id owns each span) is
+    excised from the later document's text, token-precisely, instead of
+    dropping the whole document. Output per doc: (id, n_tokens, n_removed,
+    cleaned_text) over normalized tokens — the form the training corpus
+    actually wants (boilerplate and syndicated passages removed, the novel
+    remainder kept).
+
+    Semantics: occurrence-level, cross-doc only (a doc repeating its own
+    phrase keeps it); a token is removed iff covered by >= 1 duplicated
+    span occurrence; docs shorter than ``span_n`` tokens pass untouched.
+
+    Scale shape: ownership is ONE shuffle on a 60-bit span digest
+    (min-over-partition window, no ORDER BY => no per-group sort — the q101
+    retune), duplicated start positions fold to <= |docs| rows via a
+    collect_list keyed by doc, and the excision itself is a row-local
+    higher-order filter over the token array (the per-token covered test is
+    an ``exists`` over that doc's start list). Digest note: mining runs in
+    60-bit md5 space (same probabilistic caveat as the PPJoin prefixes);
+    the oracle replays RAW span strings, so a collision would surface as a
+    hash mismatch rather than hide.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+
+    def _span_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(span_n)])
+
+    spans = F.when(
+        F.size(toks) >= span_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - span_n),
+            lambda i: F.struct(i.alias("pos"), _span_at(i).alias("span")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+
+    expl = df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s")).select(
+        "_id",
+        F.col("_s.pos").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("_s.span")), 1, 15), 16, 10).cast("long").alias("dig"),
+    )
+    owner = F.min("_id").over(Window.partitionBy("dig"))
+    dup_starts = (
+        expl.withColumn("_owner", owner)
+        .filter(F.col("_owner") < F.col("_id"))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+    joined = base.join(
+        dup_starts.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn("_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>")))
+    covered = lambda j: F.exists(  # noqa: E731 — captured by the filter lambda below
+        F.col("_starts"), lambda s: (s <= j) & (j < s + F.lit(span_n))
+    )
+    kept = F.filter(F.col("_tk"), lambda t, j: ~covered(j))
+    return joined.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

@@ -23,6 +23,9 @@ operators deserve the same door, not just a Python API.
   fraction: 0.25}`` (batch-only: group counts)
 - ``{op: gopher_filter, column: text_col, min_words: 50,
   max_words: 100000}`` (row-local: streaming-safe)
+- ``{op: span_surgery, id: col, column: text_col, span_n: 8}``
+  (batch-only: cross-doc span ownership; REWRITES the text column with
+  duplicated spans excised instead of dropping documents)
 - ``{op: bloom_dedup, column: text_col, index_path: dir,
   corpus_path: parquet_dir}`` (probes a STORED corpus bloom built by
   ``bloom.build_bloom``+``save_bloom``; map-side probe + confirm join
@@ -47,6 +50,7 @@ _CROSS_ROW_OPS = {
     "quality_calibration_filter",
     "temperature_rebalance",
     "bloom_dedup",
+    "span_surgery",
 }
 
 
@@ -128,6 +132,21 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
                 scored.join(F.broadcast(cuts), group)
                 .filter(F.col("_q") >= F.col("qcut"))
                 .drop("_q", "qcut")
+            )
+        elif op == "span_surgery":
+            from universal_aws_data_pipeline_spark.operators.dedup import remove_duplicated_spans
+
+            id_col, text_col = spec.get("id", "doc_id"), spec.get("column", "text")
+            cleaned = remove_duplicated_spans(
+                df.select(id_col, text_col),
+                id_col=id_col,
+                text_col=text_col,
+                span_n=int(spec.get("span_n", 8)),
+            ).select(id_col, F.col("cleaned_text"))
+            df = (
+                df.drop(text_col)
+                .join(cleaned, id_col)
+                .withColumnRenamed("cleaned_text", text_col)
             )
         elif op == "gopher_filter":
             from universal_aws_data_pipeline_spark.operators.text import gopher_pass

@@ -4987,6 +4987,62 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q114 — span surgery: exact-substring dedup that REWRITES text (X2 family).
+# Operators: occurrence-level span ownership (min-doc window on a 60-bit
+# digest), per-doc duplicated-start lists, row-local token excision.
+# Scale: one digest shuffle + one per-doc fold; the excision is a
+# higher-order array filter — no per-token rows ever shuffle. The oracle
+# replays RAW span strings (a digest collision would surface, not hide).
+# --------------------------------------------------------------------------
+@register(
+    "q114_span_surgery",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), sp AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3], tk[pos+4],
+                            tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS span
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS pos
+            FROM t WHERE len(tk) >= 8)
+    ), owned AS (
+      SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY span) AS owner FROM sp
+    ), covered AS (
+      SELECT DISTINCT d.doc_id, d.pos + r.range AS j
+      FROM (SELECT doc_id, pos FROM owned WHERE owner < doc_id) d, range(8) r
+    ), toks AS (
+      SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS j FROM t
+    ), kept AS (
+      SELECT tk.doc_id, tk.tok, tk.j
+      FROM toks tk LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.j = c.j
+      WHERE c.j IS NULL
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - count(k.j) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS cleaned_text
+    FROM t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.tk)
+    """,
+    "span surgery (Lee et al. exact-substring dedup, acting form): 8-token spans owned by an earlier doc are excised token-precisely from later docs; per-doc cleaned text hash-graded (X2)",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of exact-substring dedup: q101 diagnoses duplicated
+    spans, this query REMOVES them — syndicated passages and boilerplate
+    excised from later documents token-precisely, novel remainder kept
+    (what a training-data pipeline actually ships). Cross-doc,
+    occurrence-level; sub-``span_n`` docs pass untouched.
+    See operators/dedup.py::remove_duplicated_spans."""
+    from universal_aws_data_pipeline_spark.operators.dedup import (
+        parallelize_text_scan,
+        remove_duplicated_spans,
+    )
+
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return remove_duplicated_spans(d, span_n=8)
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
