@@ -361,3 +361,63 @@ def test_span_surgery_full_copy_is_emptied_and_intra_doc_repeat_kept(spark):
     assert out[3]["cleaned_text"] == ""
     # doc4 repeats ITSELF: min owner is doc4, nothing earlier → kept whole
     assert out[4]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------- IVF rebalance
+def test_ivf_rebalance_splits_hot_cell_only(spark, tmp_path):
+    """A skewed index (80% of vectors in one cell) gets that cell split into
+    sub-cells; cold cells keep their ids and files; probes still find the
+    exact neighbors with full nprobe coverage."""
+    import os
+    import random
+
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_index,
+        rebalance_ivf_index,
+    )
+
+    rng = random.Random(7)
+    # two tight blobs far apart: blob A (80 vectors around +10), blob B (20 around -10)
+    rows = [(i, [10.0 + rng.uniform(-1, 1), 10.0 + rng.uniform(-1, 1)]) for i in range(80)]
+    rows += [(100 + i, [-10.0 + rng.uniform(-1, 1), -10.0 + rng.uniform(-1, 1)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, path, n_clusters=2)
+
+    before = load_ivf_index(spark, path)
+    counts = {
+        r["_cell"]: r["n"] for r in before.cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot_cell = max(counts, key=counts.get)
+    cold_cell = min(counts, key=counts.get)
+    assert counts[hot_cell] >= 70  # the fixture is genuinely skewed
+    cold_dir = os.path.join(path, "cells", f"_cell={cold_cell}")
+    cold_mtime = max(os.path.getmtime(os.path.join(cold_dir, f)) for f in os.listdir(cold_dir))
+
+    result = rebalance_ivf_index(spark, path, max_cell_fraction=0.5, n_split=2)
+    assert list(result["split"]) == [hot_cell]
+    after = load_ivf_index(spark, path)
+    # vector count preserved, cell count grew, hot cell shrank
+    assert sum(result["counts"].values()) == 100
+    assert len(result["counts"]) == 3
+    assert max(result["counts"].values()) < counts[hot_cell]
+    assert len(after.centroids) == 3
+    # cold cell files untouched (no rewrite of unaffected partitions)
+    assert max(os.path.getmtime(os.path.join(cold_dir, f)) for f in os.listdir(cold_dir)) == cold_mtime
+
+    # probe with full coverage still returns the exact nearest vector
+    got = ivf_topk_indexed(after, [10.0, 10.0], k=1, nprobe=3).collect()
+    assert got[0]["vec_id"] < 100  # a blob-A vector
+
+
+def test_ivf_rebalance_noop_when_balanced(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.similarity import build_ivf_index, rebalance_ivf_index
+
+    rows = [(i, [float(i % 7), float((i * 3) % 11)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, path, n_clusters=4)
+    result = rebalance_ivf_index(spark, path, max_cell_fraction=0.9)
+    assert result["split"] == {}

@@ -519,3 +519,90 @@ def quantized_index_topk(
         .filter(F.col("_rk") <= k)
         .select("q_id", "id", "cos_sim")
     )
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    max_cell_fraction: float = 0.25,
+    n_split: int = 4,
+    seed: int = 42,
+) -> dict:
+    """Split oversized IVF cells in place — incremental index maintenance.
+
+    Continuous appends (``append_to_ivf_index``) assign to frozen centroids,
+    so a drifting embedding distribution piles new vectors into a few hot
+    cells: probes that touch them degrade toward a full scan. A full rebuild
+    re-clusters (and rewrites) the whole corpus; this op instead finds cells
+    holding more than ``max_cell_fraction`` of the index and re-KMeans ONLY
+    those cells' vectors into ``n_split`` sub-cells — the hot cell's
+    centroid is replaced by the first sub-centroid and the rest append to
+    the centroid list, so every cold cell's id, files, and probe behavior
+    are untouched. Rewrite cost is O(|hot cells|), not O(|index|); the
+    per-cell read is partition-pruned by the stored layout itself.
+
+    Probes need no code changes: the centroid list just grew, and the
+    driver-side nprobe selection naturally starts choosing the finer
+    sub-cells. Returns {"split": {old_cell: [new_cells]}, "counts": ...}.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    idx = load_ivf_index(spark, path)
+    cells_dir = f"{path.rstrip('/')}/cells"
+    counts = {
+        r["_cell"]: r["n"]
+        for r in idx.cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    hot = sorted(c for c, n in counts.items() if n > max_cell_fraction * total)
+    if not hot:
+        return {"split": {}, "counts": counts}
+
+    centroids = [list(c) for c in idx.centroids]
+    split_map: dict[int, list[int]] = {}
+    for cell in hot:
+        sub = idx.cells.filter(F.col("_cell") == cell).drop("_cell")
+        assigned, sub_cents = ivf_index(
+            sub, n_clusters=n_split, id_col=idx.id_col, vec_col=idx.vec_col, seed=seed
+        )
+        new_ids = [cell] + [len(centroids) + k for k in range(len(sub_cents) - 1)]
+        centroids[cell] = sub_cents[0]
+        centroids.extend(sub_cents[1:])
+        split_map[cell] = new_ids
+        remap = F.array(*[F.lit(i) for i in new_ids])
+        staged = f"{cells_dir}.__rebal__.{uuid.uuid4().hex[:8]}"
+        (
+            assigned.withColumn("_cell", F.element_at(remap, F.col("_cell") + 1))
+            .repartition("_cell")
+            .write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(staged)
+        )
+        # swap: drop the hot dir, move each staged sub-cell dir into place
+        shutil.rmtree(os.path.join(cells_dir, f"_cell={cell}"), ignore_errors=True)
+        for d in os.listdir(staged):
+            if d.startswith("_cell="):
+                os.rename(os.path.join(staged, d), os.path.join(cells_dir, d))
+        shutil.rmtree(staged, ignore_errors=True)
+
+    with open(f"{path.rstrip('/')}/meta.json", "w") as fh:
+        json.dump(
+            {
+                "id_col": idx.id_col,
+                "vec_col": idx.vec_col,
+                "n_clusters": len(centroids),
+                "centroids": [[float(v) for v in c] for c in centroids],
+            },
+            fh,
+        )
+    new_counts = {
+        r["_cell"]: r["n"]
+        for r in load_ivf_index(spark, path)
+        .cells.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {"split": split_map, "counts": new_counts}
