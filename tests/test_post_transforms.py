@@ -289,3 +289,97 @@ def test_span_surgery_stage_rewrites_text_in_place(spark):
     assert got[1] == rows[0][1]
     assert got[2] == "zzz yyy"
     assert set(out.columns) == {"doc_id", "text", "ts"}  # other columns carried through
+
+
+def test_runner_config_driven_round5_stages(spark, tmp_path):
+    """E2E: gopher_filter + span_surgery + bloom_dedup as config stages
+    through the PipelineRunner's batch path — filter the junk, excise the
+    copied span, drop the exact corpus duplicate."""
+    from universal_aws_data_pipeline_spark.operators.bloom import build_bloom, save_bloom
+
+    good_a = (
+        "the quick brown fox jumps over the lazy dog and then runs back to the "
+        "barn with a bone that it found by the river while the farmer was busy "
+        "in the field and the sun was high over the hills so the day felt warm "
+        "and long to everyone who came out to watch the animals play in the "
+        "open yard near the old wooden gate"
+    )
+    # same length/stopword profile, shares an 8-token run with good_a
+    good_b = (
+        "every morning the children walk down to the shore and then runs back to the "
+        "barn with a bone that they trade for shells while the fishermen tell the "
+        "stories of the sea and the wind was strong over the water so the trip felt "
+        "short and bright to everyone who came along to help the crews pull in the "
+        "heavy nets near the old stone pier"
+    )
+    corpus = spark.createDataFrame([(900, "already ingested doc body")], ["doc_id", "text"])
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "bloomidx")
+    save_bloom(build_bloom(corpus, "text"), index_path)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [
+        {"id": 1, "text": good_a, "ts": 1},
+        {"id": 2, "text": good_b, "ts": 1},
+        {"id": 3, "text": "way too short", "ts": 1},  # gopher reject
+        {"id": 4, "text": "already ingested doc body", "ts": 1},  # exact corpus dup
+    ]
+    with open(raw / "p0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    cfg = SourceConfig.from_dict(
+        {
+            "name": "docs5",
+            "type": "file",
+            "data_format": "json",
+            "input_path": str(raw),
+            "schema": {"mapping": {"doc_id": "id", "text": "text", "ts": "ts"}, "required": ["doc_id"]},
+            "post_transforms": [
+                {"op": "bloom_dedup", "column": "text", "index_path": index_path, "corpus_path": corpus_path},
+                {"op": "gopher_filter", "column": "text"},
+                {"op": "span_surgery", "id": "doc_id", "column": "text"},
+            ],
+            "destination": {"path": str(tmp_path / "out"), "partition_by": []},
+            "retry": {"attempts": 1, "interval_seconds": 0.0},
+        }
+    )
+    result = PipelineRunner(spark).run(cfg)
+    assert result.status == "success", result.error
+    out = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(out) == {1, 2}  # 3 failed gopher, 4 was an exact corpus dup
+    assert out[1] == good_a  # first doc owns its spans — untouched
+    # doc 2 lost exactly the span it shares with doc 1
+    assert "runs back to the barn with a bone" not in out[2]
+    assert "every morning the children walk down to the shore" in out[2]
+
+
+def test_bloom_after_span_surgery_composition(spark, tmp_path):
+    """Regression: bloom probing a join-derived text column (span_surgery
+    output) used to hit Spark 4.1's interpreted-subexpression proxy internal
+    error inside the probe UDF's hash args; the stage's lineage barrier
+    prevents it. Also checks the semantics: a doc whose SURGERY RESULT equals
+    a corpus doc is dropped."""
+    from universal_aws_data_pipeline_spark.operators.bloom import build_bloom, save_bloom
+
+    corpus = spark.createDataFrame([(900, "zzz yyy")], ["doc_id", "text"])
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "bloomidx")
+    save_bloom(build_bloom(corpus, "text"), index_path)
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten", 0),
+        (2, "zzz one two three four five six seven eight yyy", 0),  # surgery → "zzz yyy" → corpus dup
+    ]
+    out = apply_post_transforms(
+        _docs(spark, rows),
+        [
+            {"op": "span_surgery", "id": "doc_id", "column": "text"},
+            {"op": "bloom_dedup", "column": "text", "index_path": index_path, "corpus_path": corpus_path},
+        ],
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1}
+    assert got[1] == rows[0][1]

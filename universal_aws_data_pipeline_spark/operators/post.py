@@ -164,7 +164,15 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
 
             col = spec.get("column", "text")
             corpus = df.sparkSession.read.parquet(spec["corpus_path"]).select(col)
-            df = bloom_dedup_filter(df, corpus, col, load_bloom(spec["index_path"]))
+            # lineage barrier: the batch feeds BOTH union legs of the fast
+            # path (miss leg + confirm join), so a complex upstream stage
+            # (e.g. span_surgery's join-derived text) would otherwise be
+            # recomputed per leg — and Spark 4.1's interpreted-projection
+            # subexpression elimination chokes on such expressions inside
+            # the probe UDF's hash args (expressionproxy internal error).
+            # Lazy local checkpoint materializes the batch once; the batch
+            # is the small side of ingest dedup by construction.
+            df = bloom_dedup_filter(df.localCheckpoint(eager=False), corpus, col, load_bloom(spec["index_path"]))
         elif op == "temperature_rebalance":
             from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
 
