@@ -208,3 +208,31 @@ def test_binary_file_source(spark, tmp_path):
     assert set(by_name) == {"a.bin", "b.bin"}
     assert bytes(by_name["a.bin"]["content"]) == b"\x00\x01\x02payload-a"
     assert by_name["b.bin"]["length"] == 9
+
+
+def test_xml_source_rowtag_schema_and_corrupt_capture(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from universal_aws_data_pipeline_spark.sources.files import CORRUPT_COL, read_source
+
+    (tmp_path / "a.xml").write_text(
+        "<feed><item><id>1</id><name>alpha</name></item>"
+        "<item><id>2</id><name>beta</name></item>"
+        "<item><id>notanint</id><name>gamma</name></item></feed>"
+    )
+    # inferred schema
+    inferred = read_source(spark, str(tmp_path), data_format="xml", options={"rowTag": "item"})
+    assert inferred.count() == 3
+    assert {f.name for f in inferred.schema.fields} == {"id", "name"}
+    # enforced schema + tolerant mode: the bad id row lands in _corrupt_record
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    tol = read_source(
+        spark, str(tmp_path), data_format="xml", schema=schema, tolerant=True, options={"rowTag": "item"}
+    )
+    rows = tol.collect()
+    good = {r["name"]: r for r in rows if r[CORRUPT_COL] is None}
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert good["alpha"]["id"] == 1 and good["beta"]["id"] == 2
+    # PERMISSIVE nulls the malformed row's typed fields and captures the raw
+    # element — same contract as the JSON/CSV tolerant path
+    assert len(bad) == 1 and bad[0]["id"] is None and "notanint" in bad[0][CORRUPT_COL]

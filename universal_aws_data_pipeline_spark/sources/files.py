@@ -1,4 +1,4 @@
-"""File scans: json / csv / parquet (+ text), schema-aware.
+"""File scans: json / csv / parquet (+ text / orc / xml / binary), schema-aware.
 
 Parity: the reference's format dispatch (``transform_data.py:186-193``) — two
 lines per format, relying on inference. Here:
@@ -60,6 +60,18 @@ def read_source(
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.orc(path)
+    if fmt == "xml":
+        # Spark 4 native XML (the spark-xml lineage, now built in): one row
+        # per ``rowTag`` element; schema inference or explicit StructType
+        # like JSON. rowTag arrives via options (default "row").
+        reader = reader.format("xml").option("rowTag", (options or {}).get("rowTag", "row"))
+        if tolerant:
+            reader = reader.option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", CORRUPT_COL)
+        if schema is not None:
+            if tolerant and CORRUPT_COL not in schema.fieldNames():
+                schema = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+            reader = reader.schema(schema)
+        return reader.load(path)
     if fmt == "binary":
         # opaque-payload ingestion (images/audio/video landing): one row per
         # file with (path, modificationTime, length, content) — the entry
