@@ -127,3 +127,152 @@ def dedup_clusters(
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    total_micro: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    Power iteration over a DIRECTED edge list; every node must appear as a
+    source at least once (symmetrize bipartite/undirected graphs first —
+    that also removes dangling-mass bookkeeping). All arithmetic is BIGINT
+    floor division (`div`), so the result is bit-exact and order-independent:
+    the same recurrence replayed by any engine (the DuckDB oracle unrolls it
+    as chained CTEs) produces identical ranks — no float-summation-order
+    hazard, which is what makes an iterative numeric algorithm hash-gradable.
+
+    Recurrence (all integer):
+        r0[v]   = total_micro div N
+        base    = (100 - damping_pct) * total_micro div (100 * N)
+        r_k[v]  = base + damping_pct * SUM_{(u,v) in E} (r_{k-1}[u] div outdeg[u]) div 100
+
+    Scale notes:
+    - per iteration: one shuffle join (ranks x edges on src) + one hash
+      aggregation on dst — the textbook distributed PageRank step; edge set
+      is localCheckpoint()ed once so iterations never replay the upstream
+      pair-mining plan, and ranks are checkpointed per round to cut lineage
+      (same device as connected_components above).
+    - the only driver-side values are N (once) and nothing per round —
+      fixed iteration count means no convergence action at all.
+    - skewed in-degree (celebrity nodes) maps to agg-side combine: the
+      contribution sum is associative, so map-side partial aggregation
+      absorbs the hot key before the shuffle.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg.withColumnRenamed("src", "node"), "node", "left")
+    )
+    if nodes.filter(F.col("outdeg").isNull()).limit(1).count() > 0:
+        raise ValueError("pagerank_micro: every node must have an out-edge (symmetrize first)")
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    base = (100 - damping_pct) * total_micro // (100 * n)
+
+    ranks = nodes.select(
+        "node", "outdeg", F.lit(total_micro // n).cast("long").alias("rank_micro")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("rank_micro div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_micro")
+
+
+def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Degree-ordered orientation (the Cohen / "forward" MapReduce algorithm):
+    orient every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, build wedges from each node's out-edge pairs, and close them
+    against the oriented edge list. Each triangle is enumerated exactly once
+    (orientation by a total order is acyclic), then exploded to its three
+    corners for per-node counts.
+
+    Why orientation matters at scale: wedge count is sum_v outdeg(v)^2, and
+    degree-ordering caps every out-degree at O(sqrt(E)) — a celebrity node
+    of degree d contributes d wedges instead of d^2. The result is
+    orientation-invariant (the oracle replays a plain id-ordered listing and
+    hash-matches), only the intermediate size changes.
+
+    Input edges are deduped and self-loops dropped; returns (node, n_tri)
+    for every node of the graph, n_tri = 0 rows included.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
+    )
+    # wedges: two out-edges of the same pivot u; (v, w) kept in a canonical
+    # order so the closing join probes each candidate edge once
+    e1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])  # (p, x, y) = one triangle, once
+    corners = (
+        tris.select(F.col("p").alias("node"))
+        .union(tris.select("x"))
+        .union(tris.select("y"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select("node", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
+    )

@@ -5043,6 +5043,143 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q115 — PageRank over the customer<->supplier trade graph (iterative).
+# Operators: power iteration in exact BIGINT micro-units — the one device
+# that makes an iterative NUMERIC algorithm hash-gradable (float PageRank
+# would drift by summation order; integer floor-div replays bit-exact).
+# Scale: per iteration one shuffle join + one hash agg (map-side combine
+# absorbs celebrity in-degree); edges/ranks localCheckpoint()ed so the
+# 5-round plan never re-executes upstream; no per-round driver action.
+# Oracle: the same recurrence unrolled as 5 chained CTEs.
+# --------------------------------------------------------------------------
+_PR_TOTAL = 1_000_000_000_000
+
+
+def _pr_step(k: int) -> str:
+    prev = "r0" if k == 1 else f"it{k - 1}"
+    return f"""
+    it{k} AS (
+      SELECT d.node, d.outdeg,
+             CAST((15 * {_PR_TOTAL}) // (100 * nn.n)
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM deg d CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r // p.outdeg) AS contrib
+        FROM edges e JOIN {prev} p ON e.src = p.node
+        GROUP BY e.dst
+      ) c ON d.node = c.node
+    )"""
+
+
+@register(
+    "q115_trade_pagerank",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT 'c:' || c AS src, 's:' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's:' || s, 'c:' || c FROM pairs
+    ), deg AS (
+      SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS (
+      SELECT count(*) AS n FROM deg
+    ), r0 AS (
+      SELECT node, outdeg, CAST({_PR_TOTAL} // nn.n AS BIGINT) AS r
+      FROM deg CROSS JOIN nn
+    ),{",".join(_pr_step(k) for k in range(1, 6))}
+    SELECT CAST(substr(node, 3) AS BIGINT) AS s_suppkey, r AS rank_micro
+    FROM it5 WHERE node LIKE 's:%'
+    """,
+    "supplier influence via 5-iteration PageRank on the symmetrized customer-supplier trade graph, exact integer micro-unit arithmetic (iterative-algorithm family)",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which suppliers sit at the center of the trade network? PageRank on
+    the bipartite customer<->supplier graph (edge per distinct trading
+    pair, symmetrized so mass flows both ways and no node dangles).
+    See operators/graph.py::pagerank_micro for the integer recurrence and
+    the per-iteration shuffle budget."""
+    from universal_aws_data_pipeline_spark.operators.graph import pagerank_micro
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_micro(edges, iterations=5, total_micro=_PR_TOTAL)
+    return ranks.filter(F.col("node").startswith("s:")).select(
+        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("s_suppkey"),
+        F.col("rank_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — triangle counting on the part co-purchase graph.
+# Operators: degree-ordered edge orientation (Cohen's MapReduce "forward"
+# algorithm) — wedge generation from out-edge pairs, closed against the
+# oriented edge list; each triangle enumerated exactly once.
+# Scale: orientation caps every out-degree at O(sqrt(E)), so a celebrity
+# part of degree d contributes d wedges instead of d^2; the oracle replays
+# a plain id-ordered listing (orientation changes intermediates, not the
+# result) and hash-matches.
+# --------------------------------------------------------------------------
+@register(
+    "q116_copurchase_triangles",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+      JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+    ), nodes AS (
+      SELECT x AS node FROM e UNION SELECT y FROM e
+    ), corners AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT n.node AS part_id, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
+    FROM nodes n LEFT JOIN corners c ON n.node = c.node
+    """,
+    "frequently-bought-together cohesion: per-part triangle participation counts on the order co-purchase graph, degree-ordered distributed enumeration (graph family)",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triads of parts that all co-occur pairwise in orders — the classic
+    community-cohesion signal on a co-purchase graph. Edges = distinct
+    part pairs sharing an order; counting via degree-ordered orientation.
+    See operators/graph.py::triangle_counts."""
+    from universal_aws_data_pipeline_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select(F.col("o"), F.col("p").alias("pa"))
+    b = li.select(F.col("o"), F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(e).select(F.col("node").alias("part_id"), "n_tri")
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
