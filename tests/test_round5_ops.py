@@ -421,3 +421,77 @@ def test_ivf_rebalance_noop_when_balanced(spark, tmp_path):
     build_ivf_index(df, path, n_clusters=4)
     result = rebalance_ivf_index(spark, path, max_cell_fraction=0.9)
     assert result["split"] == {}
+
+
+# ---------------------------------------------------------------------------
+# Datasketches HLL rollup + Count-Min point estimates (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_estimates_match_direct_sketching(spark):
+    """Rolling fine-grain sketches up to (day) answers the coarser question
+    within sketch error of sketching (day) directly — the property that makes
+    the sketch table a substitute for rescanning the fact table. (Not
+    bit-exact: singly-built sketches use the stream-order-sensitive HIP
+    estimator, unions the composite one — see the module note.)"""
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        hll_group_sketches,
+        hll_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") % 3).alias("etype"),
+        (F.col("id") % 997).alias("user"),
+    )
+    fine = hll_group_sketches(df, ["day", "etype"], "user").localCheckpoint()
+    rolled = {r["day"]: r["distinct_est"] for r in hll_rollup(fine, ["day"]).collect()}
+    direct = {
+        r["day"]: r["distinct_est"]
+        for r in hll_group_sketches(df, ["day"], "user").collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day").agg(F.countDistinct("user").alias("n")).collect()
+    }
+    for day, est in rolled.items():
+        assert abs(est - exact[day]) / exact[day] < 0.05  # lgK=12 ⇒ ~1.6% typical
+        assert abs(est - direct[day]) <= 0.05 * exact[day]
+
+
+def test_cms_estimates_bounds_and_merge(spark):
+    """CMS guarantees est >= true and (w.h.p.) est <= true + (2/width)*N;
+    cell-wise SUM of two stream sketches equals the sketch of the union."""
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        cms_estimates,
+        count_min_build,
+    )
+    from pyspark.sql import functions as F
+
+    # skewed stream: token "hot" 10_000 times, 1000 singletons
+    hot = spark.range(10_000).select(F.lit("hot").alias("tok"))
+    cold = spark.range(1_000).select(
+        F.concat(F.lit("t"), F.col("id")).cast("string").alias("tok")
+    )
+    df = hot.unionByName(cold)
+    n, width = 11_000, 1024
+    sketch = count_min_build(df, "tok", depth=4, width=width).localCheckpoint()
+    probes = spark.createDataFrame([("hot",), ("t5",), ("missing",)], ["tok"])
+    est = {
+        r["tok"]: r["est_count"]
+        for r in cms_estimates(sketch, probes, "tok", depth=4, width=width).collect()
+    }
+    slack = (2 / width) * n
+    assert 10_000 <= est["hot"] <= 10_000 + slack
+    assert 1 <= est["t5"] <= 1 + slack
+    assert est["missing"] <= slack
+    # mergeability: sum of per-stream sketches == sketch of the union
+    s1 = count_min_build(hot, "tok", depth=4, width=width)
+    s2 = count_min_build(cold, "tok", depth=4, width=width)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))

