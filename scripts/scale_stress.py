@@ -59,13 +59,56 @@ HEAVY = [
     "q110_containment_dedup",
     "q112_bloom_dedup",
     "q113_dsir_weights",
+    # graph + sketch ops: trade/co-purchase graphs are replicated as 10
+    # DISJOINT copies (keys shifted per copy) — 10x nodes AND edges, the
+    # same per-node degree distribution, so the measurement is graph volume,
+    # not artificial densification (distinct-pair edges between unshifted
+    # keys would dedup away and show no growth at all); q117's CMS sees a
+    # 10x token stream against a CONSTANT depth*width cell table
+    "q115_trade_pagerank",
+    "q116_copurchase_triangles",
+    "q117_countmin_freq",
 ]
 
 
 def build_scaled(spark) -> None:
-    if os.path.isdir(SCALED):
-        return
     os.makedirs(SCALED, exist_ok=True)
+    _build_scaled_docs(spark)
+    _build_scaled_trade(spark)
+
+
+def _build_scaled_trade(spark) -> None:
+    """10 disjoint copies of orders/lineitem: every key column shifted per
+    copy so the bipartite trade graph and the co-purchase graph replicate as
+    independent components."""
+    if os.path.isdir(f"{SCALED}/orders.parquet"):
+        return
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    o_parts, l_parts = [], []
+    for k in range(COPIES):
+        o_parts.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(k * 10_000_000))
+        )
+        l_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * 10_000_000))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 10_000_000))
+        )
+    out = o_parts[0]
+    for p in o_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/orders.parquet")
+    out = l_parts[0]
+    for p in l_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/lineitem.parquet")
+
+
+def _build_scaled_docs(spark) -> None:
+    if os.path.isdir(f"{SCALED}/documents.parquet"):
+        return
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     parts = []
     for k in range(COPIES):
@@ -92,7 +135,7 @@ def build_scaled(spark) -> None:
     out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/embeddings.parquet")
 
 
-def timed_series(spark, sf_dir: str) -> dict[str, float]:
+def timed_series(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     # scrub this dataset's artifact cache so every build cost is inside the
     # measured window (cold semantics, matching bench.py's cold series)
     cache_root = os.environ.get("SPARK_GRAFT_INDEX_DIR", os.path.join(REPO, ".cache"))
@@ -101,7 +144,7 @@ def timed_series(spark, sf_dir: str) -> dict[str, float]:
     for kind in ("shingles", "semantic_pairs", "dup_pairs", "ivf"):
         shutil.rmtree(cache_root, ignore_errors=True)
     out = {}
-    for name in HEAVY:
+    for name in names or HEAVY:
         t0 = time.monotonic()
         QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.monotonic() - t0, 2)
@@ -115,8 +158,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark)
 
-    base = timed_series(spark, BASE)
-    scaled = timed_series(spark, SCALED)
+    # optional argv prefixes narrow the run (e.g. `scale_stress.py q115 q116`)
+    names = HEAVY
+    if len(sys.argv) > 1:
+        names = [q for q in HEAVY if any(q.startswith(p) for p in sys.argv[1:])]
+    base = timed_series(spark, BASE, names)
+    scaled = timed_series(spark, SCALED, names)
     n_base = spark.read.parquet(f"{BASE}/documents.parquet").count()
     n_scaled = spark.read.parquet(f"{SCALED}/documents.parquet").count()
     factor = n_scaled / n_base
@@ -125,7 +172,7 @@ def main() -> None:
         "base": base,
         "scaled": scaled,
         "exponent": {
-            q: round(math.log(scaled[q] / base[q]) / math.log(factor), 2) for q in HEAVY
+            q: round(math.log(scaled[q] / base[q]) / math.log(factor), 2) for q in names
         },
     }
     sys.stdout.write(json.dumps(result) + "\n")

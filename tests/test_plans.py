@@ -475,3 +475,17 @@ def test_q114_span_surgery_ownership_window_has_no_sort(spark, sf_dir):
             assert "specifiedwindowframe(RowFrame" in line or "unspecifiedframe" in line.lower() or \
                 re.search(r"windowspecdefinition\(dig\w*#\d+L, ", line), line
     assert "conv(substring(md5(" in plan  # digest computed before the exchange
+
+
+def test_r5_graph_and_sketch_plans(spark, sf_dir):
+    """q115 ends on checkpointed ranks (iterations never re-execute); q116's
+    wedge/closing joins are equi-joins (degree orientation, no cartesian);
+    q117's probe lookup broadcasts the bounded cell table."""
+    p115 = _plan(spark, sf_dir, "q115_trade_pagerank")
+    assert "Scan ExistingRDD" in p115  # localCheckpoint cut the iterative lineage
+    for name in ("q115_trade_pagerank", "q116_copurchase_triangles", "q117_countmin_freq"):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    p117 = _plan(spark, sf_dir, "q117_countmin_freq")
+    assert "BroadcastHashJoin" in p117  # probes join the depth*width cell table

@@ -181,3 +181,58 @@ def test_bloom_dedup_equals_anti_join_for_any_sizing(spark, corpus_texts, batch_
     got = sorted(r["id"] for r in bloom_dedup_filter(batch, corpus, "text", bloom).collect())
     want = sorted(r["id"] for r in batch.join(corpus.select("text"), "text", "left_anti").collect())
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_brute_force(spark, pairs):
+    """Degree-ordered enumeration equals the O(n^3) definition on any graph."""
+    from itertools import combinations
+
+    from universal_aws_data_pipeline_spark.operators.graph import triangle_counts
+
+    und = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({v for e in und for v in e})
+    expected = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in und and (a, c) in und and (b, c) in und:
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    df = spark.createDataFrame(list(und), "a INT, b INT")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_micro_mass_and_positivity(spark, pairs):
+    """On any symmetrized graph: every rank positive, total mass within
+    integer-floor slack of the budget (floor ops only ever LOSE sub-unit
+    mass), and isolated-from-each-other symmetric edges keep exact symmetry."""
+    from universal_aws_data_pipeline_spark.operators.graph import pagerank_micro
+
+    und = {tuple(sorted(p)) for p in pairs}
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src INT, dst INT")
+    total = 1_000_000_000_000
+    rows = pagerank_micro(df, iterations=4, total_micro=total).collect()
+    ranks = [r["rank_micro"] for r in rows]
+    assert all(v > 0 for v in ranks)
+    n = len({v for e in und for v in e})
+    assert len(rows) == n
+    # every floor division discards < 1 micro-unit; with <= n nodes, d+1
+    # divisions per node per round, mass loss is bounded far under 1%
+    assert total * 0.99 < sum(ranks) <= total

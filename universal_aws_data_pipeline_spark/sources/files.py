@@ -1,4 +1,4 @@
-"""File scans: json / csv / parquet (+ text / orc / xml / binary), schema-aware.
+"""File scans: json / csv / parquet (+ text / orc / xml / binary / avro), schema-aware.
 
 Parity: the reference's format dispatch (``transform_data.py:186-193``) — two
 lines per format, relying on inference. Here:
@@ -72,6 +72,16 @@ def read_source(
                 schema = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
             reader = reader.schema(schema)
         return reader.load(path)
+    if fmt == "avro":
+        # spark-avro ships with Spark but as an EXTERNAL module (since 2.4):
+        # present on any standard cluster via --packages
+        # org.apache.spark:spark-avro_2.13:<spark version>, absent from this
+        # sandbox's jar dir (no network to fetch it — probed 2026-08-14:
+        # "Failed to find data source: avro"). The dispatch is wired and
+        # gate-tested so the branch lights up wherever the jar exists.
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format("avro").load(path)
     if fmt == "binary":
         # opaque-payload ingestion (images/audio/video landing): one row per
         # file with (path, modificationTime, length, content) — the entry
