@@ -489,3 +489,8 @@ def test_r5_graph_and_sketch_plans(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p, name
     p117 = _plan(spark, sf_dir, "q117_countmin_freq")
     assert "BroadcastHashJoin" in p117  # probes join the depth*width cell table
+    # q119: theta filter reaches the scan (map-side prune), totals broadcast,
+    # overlap is an equi-join on the hash — no cartesian pair explosion
+    p119 = _plan(spark, sf_dir, "q119_audience_overlap")
+    assert "CartesianProduct" not in p119 and "BroadcastNestedLoopJoin" not in p119
+    assert "BroadcastHashJoin" in p119

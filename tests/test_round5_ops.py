@@ -495,3 +495,27 @@ def test_cms_estimates_bounds_and_merge(spark):
         .agg(F.sum("cell_count").alias("cell_count"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
+
+
+def test_variant_path_tolerates_malformed_and_missing(spark):
+    """The q118 VARIANT recipe degrades per-row: malformed JSON and missing
+    paths produce NULLs (counted out of n_with_k), never job failure."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", '{"k": 5}'),
+        ("a", '{"other": 1}'),     # missing path
+        ("a", '{"k": "notint"}'),  # cast failure
+        ("a", "not json at all"),  # malformed
+        ("b", '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "props"])
+    v = df.select("event_type", F.try_parse_json("props").alias("v"))
+    k = v.select("event_type", F.try_variant_get("v", "$.k", "int").alias("k"))
+    out = {
+        r["event_type"]: (r["n"], r["nk"], r["s"])
+        for r in k.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("k").alias("nk"), F.sum("k").alias("s"))
+        .collect()
+    }
+    assert out == {"a": (4, 1, 5), "b": (1, 1, 7)}

@@ -5248,6 +5248,122 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q118 — VARIANT-typed semi-structured analytics (F11 family, Spark 4).
+# Operators: parse_json -> VARIANT (binary-encoded, parsed ONCE) +
+# try_variant_get typed extraction. vs q10 (get_json_object: re-parses the
+# string per extraction) and q36 (from_json: needs the schema up front) —
+# VARIANT is the schema-on-read scale path: shredded binary storage, typed
+# paths evaluated without re-tokenizing, malformed rows -> NULL not abort.
+# Scale: map-only parse + one grouped agg; parse cost paid once per row
+# however many fields downstream reads pull.
+# --------------------------------------------------------------------------
+@register(
+    "q118_variant_events",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    "semi-structured per-type aggregates through Spark 4 VARIANT (parse once, typed try_variant_get paths; tolerant of malformed rows) — F11 family",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern third way to read JSON columns (after q10's dot-path and
+    q36's from_json): parse to VARIANT once, extract typed paths as needed.
+    try_variant_get returns NULL on missing path / cast failure, so dirty
+    rows degrade instead of failing the job."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_type", F.try_parse_json("props").alias("v"))
+    k = v.select(
+        "event_type", F.try_variant_get("v", "$.k", "int").alias("k")
+    )
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.max("k").cast("int").alias("k_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — theta-sketch SET INTERSECTION: audience overlap (sketch family).
+# Operators: the q90 fixed-θ KMV sketches support more than counting —
+# intersection of kept-hash sets estimates |A∩B| at the same 1/θ scale
+# (the textbook theta-sketch intersection, θ_a = θ_b = const). The pairwise
+# overlap matrix runs entirely on the sketch table (|types|·θ·U rows, an
+# equi-self-join on the hash), never rescanning events; the Jaccard is
+# integer micro-units so it hash-grades. At 100 TB: the θ filter prunes the
+# event stream map-side to 1/4 of distinct keys, and the |types|²-pair
+# stage is over sketches, not data.
+# --------------------------------------------------------------------------
+@register(
+    "q119_audience_overlap",
+    f"""
+    WITH k AS (
+      SELECT DISTINCT event_type, h FROM (
+        SELECT event_type, {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} AS h
+        FROM events
+      ) WHERE h < {_Q90_THETA}
+    ), totals AS (
+      SELECT event_type, count(*) AS s FROM k GROUP BY event_type
+    ), ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS sampled_overlap
+      FROM k a JOIN k b ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ov.type_a, ov.type_b,
+           CAST(ov.sampled_overlap * 4 AS BIGINT) AS est_overlap,
+           CAST((ov.sampled_overlap * 1000000)
+                // (ta.s + tb.s - ov.sampled_overlap) AS BIGINT) AS jaccard_micro
+    FROM ov
+    JOIN totals ta ON ov.type_a = ta.event_type
+    JOIN totals tb ON ov.type_b = tb.event_type
+    """,
+    "pairwise audience overlap between event types via theta-sketch intersection (fixed-theta KMV kept-hash sets; estimate + integer-micro Jaccard), computed on sketches without rescanning events (sketch family)",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the audiences of two event types overlap? Intersect the
+    q90 kept-hash sketches: |Ka ∩ Kb| / θ estimates |A ∩ B| because under a
+    shared uniform hash both sets are θ-sampled by the SAME coin flips.
+    Every quantity is exact integer arithmetic over the portable md5 hash,
+    so DuckDB replays the estimate bit-for-bit, collisions included."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    kept = (
+        e.select("event_type", h.alias("h"))
+        .filter(F.col("h") < _Q90_THETA)
+        .distinct()
+    )
+    totals = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    a = kept.select(F.col("event_type").alias("type_a"), "h")
+    b = kept.select(F.col("event_type").alias("type_b"), "h")
+    ov = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("sampled_overlap"))
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb"))
+    return (
+        ov.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("sampled_overlap") * 4).cast("long").alias("est_overlap"),
+            F.expr(
+                "(sampled_overlap * 1000000) div (sa + sb - sampled_overlap)"
+            ).cast("long").alias("jaccard_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
