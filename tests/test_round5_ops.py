@@ -519,3 +519,42 @@ def test_variant_path_tolerates_malformed_and_missing(spark):
         .collect()
     }
     assert out == {"a": (4, 1, 5), "b": (1, 1, 7)}
+
+
+def test_cms_stream_matches_batch_twin_and_replays_noop(spark, tmp_path):
+    """Incremental CMS maintenance must equal the one-shot batch sketch over
+    the full history (cell-wise SUM is the exact merge), point estimates
+    must agree, and replayed batch ids must not change state."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        cms_estimates,
+        cms_stream_fn,
+        count_min_build,
+    )
+
+    def toks(words):
+        return spark.createDataFrame([(w,) for w in words], ["tok"])
+
+    b0 = toks(["hot"] * 300 + [f"a{i}" for i in range(100)])
+    b1 = toks(["hot"] * 200 + [f"b{i}" for i in range(150)])
+
+    state = str(tmp_path / "cms")
+    fn = cms_stream_fn(state, "tok", depth=4, width=256)
+    fn(b0, 0)
+    fn(b1, 1)
+    cells = spark.read.parquet(os.path.join(state, "cells")).localCheckpoint()
+    full_cells = count_min_build(b0.unionByName(b1), "tok", depth=4, width=256)
+    assert sorted(map(tuple, cells.collect())) == sorted(map(tuple, full_cells.collect()))
+
+    probes = toks(["hot", "a5", "nope"]).distinct()
+    est = {
+        r["tok"]: r["est_count"]
+        for r in cms_estimates(cells, probes, "tok", depth=4, width=256).collect()
+    }
+    assert est["hot"] >= 500 and est["a5"] >= 1 and est["nope"] <= (2 / 256) * 750
+
+    # replay of batch 1 is a no-op (exactly-once)
+    fn(b1, 1)
+    again = spark.read.parquet(os.path.join(state, "cells"))
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, cells.collect()))

@@ -401,3 +401,55 @@ def cms_estimates(
         .groupBy(col)
         .agg(F.min(F.coalesce("cell_count", F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def cms_stream_fn(
+    state_path: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """``foreachBatch`` maintainer of a Count-Min cell table: the streaming
+    twin of ``count_min_build``, exploiting that CMS merge is cell-wise SUM
+    (union of streams = sum of sketches — asserted batch-side in tests).
+
+    Per micro-batch: the batch collapses to its own <= depth*width cell
+    table (map-side combine absorbs the token stream), outer-merges with
+    the stored table by summing counts, and lands via staging + atomic
+    rename; batch-id marker dirs make foreachBatch replays no-ops, so the
+    state is exactly-once. The rewrite touches depth*width rows however
+    long the stream has run — frequency state that never grows.
+
+    Point estimates at any time: ``cms_estimates(spark.read.parquet(
+    <state>/cells), probes, col)`` — identical to building one batch CMS
+    over the full history (asserted in tests)."""
+    import os
+    import shutil
+    import uuid
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = os.path.join(state_path, "cells")
+        marker = os.path.join(state_path, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch — already folded in
+        batch_cells = count_min_build(batch_df, col, depth=depth, width=width)
+        if os.path.exists(table):
+            merged = (
+                spark.read.parquet(table)
+                .unionByName(batch_cells)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cell_count").alias("cell_count"))
+            )
+        else:
+            merged = batch_cells
+        staging = f"{table}.__staging__.{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{table}.__old__.{uuid.uuid4().hex[:8]}"
+        if os.path.exists(table):
+            os.rename(table, old)
+        os.rename(staging, table)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(marker, exist_ok=True)
+
+    return fn
