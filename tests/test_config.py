@@ -101,3 +101,56 @@ def test_source_config_full_roundtrip():
     assert cfg.destination.max_errors == 10
     assert cfg.retry.attempts == 5 and cfg.retry.backoff == 3.0
     assert cfg.metric_thresholds[0].comparison == "gt"
+
+
+def test_reference_sample_source_yaml_loads_unchanged():
+    """THE migration claim, tested against the reference's real on-disk file:
+    /root/reference/src/config/sources/sample_source.yaml loads into a full
+    SourceConfig with zero edits — wrapper unwrapped, connector block wired,
+    COPY-time layout mapped to write-time layout, CloudWatch comparisons
+    aliased, and the reference's moment.js datetime bug silently repaired."""
+    import os
+
+    from universal_aws_data_pipeline_spark.config.model import load_reference_config
+
+    path = "/root/reference/src/config/sources/sample_source.yaml"
+    if not os.path.exists(path):
+        import pytest as _pytest
+
+        _pytest.skip("reference checkout not present")
+    cfg = load_reference_config(
+        path,
+        extra_vars={
+            "customer_api_key": "k",
+            "raw": "/tmp/raw",
+            "processed": "/tmp/processed",
+        },
+    )
+    assert cfg.name == "customer_data_api" and cfg.type == "rest_api"
+    assert cfg.api["endpoint"] == "https://api.example.com/customers"
+    assert cfg.api["pagination"]["max_pages"] == 10
+    assert cfg.api["timeout"] == 30  # inline comment stripped, int restored
+    assert cfg.api["headers"]["Authorization"] == "k"  # ${SECRET:} resolved
+    # nested struct mapping survives (the reference declares it but its own
+    # transform drops it — P3)
+    assert cfg.schema.mapping["customerAddress"]["city"] == "address.city"
+    assert cfg.schema.required == ["customerId", "customerName", "customerEmail"]
+    # moment.js format repaired into a Java pattern Spark accepts
+    assert cfg.schema.transformations[0].format == "yyyy-MM-dd HH:mm:ss"
+    # processed destination + redshift layout
+    assert cfg.destination.path == "/tmp/processed/customers/processed"
+    assert cfg.destination.format == "parquet"
+    assert cfg.destination.partition_by == ["year", "month", "day"]
+    assert cfg.destination.dist_key == "customerId"
+    assert cfg.destination.sort_keys == ["customerName", "lastUpdated"]
+    # quality checks incl. the singular-`column` regex shape
+    kinds = [c.type for c in cfg.quality_checks]
+    assert kinds == ["not_null", "unique", "regex"]
+    assert cfg.quality_checks[2].columns == ["customerEmail"]
+    assert cfg.quality_checks[2].pattern.startswith("^[a-zA-Z0-9._%+-]+@")
+    # CloudWatch comparison names alias to the canonical set
+    assert [(m.metric, m.comparison) for m in cfg.metric_thresholds] == [
+        ("record_count", "gt"),
+        ("error_count", "gt"),
+    ]
+    assert cfg.retry.attempts == 3 and cfg.retry.backoff == 2.0

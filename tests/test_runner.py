@@ -255,3 +255,46 @@ quality_checks:
     back = spark.read.parquet(cfg.destination.path)
     assert back.count() == 2
     assert {r["year"] for r in back.select("year").collect()} == {2024}
+
+
+def test_reference_workflow_definition_parity():
+    """Structural parity against the reference's REAL state machine
+    (src/config/pipelines/workflow_definition.json): every Choice route is a
+    source type the runner ingests, the default route is a Fail state (the
+    runner raises on unknown types), and the Task Retry blocks adapt into
+    RetryPolicy with the exact ASL parameters."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from universal_aws_data_pipeline_spark.config.model import retry_policy_from_asl
+
+    path = "/root/reference/src/config/pipelines/workflow_definition.json"
+    if not os.path.exists(path):
+        _pytest.skip("reference checkout not present")
+    wf = json.load(open(path))
+    states = wf["States"]
+
+    choice = states["DetermineSourceType"]
+    routed = {c["StringEquals"] for c in choice["Choices"]}
+    # "api" is the reference's name for the rest_api connector
+    assert routed == {"api", "email", "file", "stream"}
+    supported = {"rest_api", "email", "file", "stream"}
+    assert {"rest_api" if r == "api" else r for r in routed} == supported
+    assert states[choice["Default"]]["Type"] == "Fail"  # runner: ValueError
+
+    # every Task state's Retry block is representable — and the reference's
+    # actual numbers ride through
+    for name, st in states.items():
+        if st.get("Type") == "Task" and "Retry" in st:
+            rp = retry_policy_from_asl(st["Retry"])
+            assert rp.attempts >= 1 and rp.backoff >= 1.0, name
+    api_rp = retry_policy_from_asl(states["APIIngestion"]["Retry"])
+    assert (api_rp.attempts, api_rp.interval_seconds, api_rp.backoff) == (3, 3.0, 2.0)
+
+    # every Catch lands on a notification task then a Fail/end — mirrored by
+    # the runner's catch → notification envelope
+    for name, st in states.items():
+        for c in st.get("Catch", []):
+            assert "Notification" in c["Next"], name

@@ -279,6 +279,119 @@ def load_source_config(path: str, extra_vars: dict[str, str] | None = None) -> S
     return SourceConfig.from_dict(raw, extra_vars)
 
 
+_MOMENT_TO_JAVA = [("YYYY", "yyyy"), ("DD", "dd")]  # moment.js tokens the ref uses
+
+
+def _translate_datetime_format(fmt: str | None) -> str | None:
+    """The reference writes moment.js-style datetime patterns
+    (``sample_source.yaml:52`` ``YYYY-MM-DD HH:mm:ss``) that Spark's Java
+    formatter rejects — one of the reference's latent bugs (its Glue job
+    would throw on first use). Translate the two moment-only tokens; the
+    rest (MM/HH/mm/ss) already agree."""
+    if fmt is None:
+        return None
+    for src, dst in _MOMENT_TO_JAVA:
+        fmt = fmt.replace(src, dst)
+    return fmt
+
+
+def source_config_from_reference(
+    raw: dict[str, Any], extra_vars: dict[str, str] | None = None
+) -> SourceConfig:
+    """Adapt the reference's ACTUAL config-file shape
+    (``src/config/sources/sample_source.yaml``: top-level ``source:``
+    wrapper, ``config:`` connector block, raw/processed destinations,
+    ``redshift:`` dist/sort keys, ``monitoring.metrics``) into a
+    SourceConfig — a reference user's file loads unchanged:
+
+    - ``config:`` block → ``api`` (endpoint/method/headers/parameters/
+      pagination/timeout pass through; sources/rest.py reads these keys)
+    - ``destination.processed`` {bucket,prefix,format,partitionBy} →
+      DestinationConfig path/format/partition_by; ``redshift.distkey/
+      sortkey`` → dist_key/sort_keys (COPY-time layout → write-time layout)
+    - ``monitoring.metrics`` → metric_thresholds (CloudWatch comparison
+      names alias-mapped)
+    - moment.js datetime formats → Java patterns (see
+      _translate_datetime_format; left as-is they'd be rejected)
+    - ``config.retry`` backoff words → multiplier (exponential=2, linear=1)
+    """
+    src = raw.get("source", raw)
+    cfg = dict(src.get("config", {}))
+    canonical: dict[str, Any] = {
+        "name": src["name"],
+        "type": src.get("type", "file"),
+        "data_format": src.get("schema", {}).get("type", "json"),
+        "api": cfg,
+        "quality_checks": src.get("quality_checks", []),
+    }
+    schema_raw = src.get("schema", {})
+    canonical["schema"] = {
+        "mapping": schema_raw.get("mapping", {}),
+        "required": schema_raw.get("required", []),
+        "transformations": [
+            {**t, "format": _translate_datetime_format(t.get("format"))}
+            for t in schema_raw.get("transformations", [])
+        ],
+    }
+    retry_raw = cfg.get("retry", {})
+    if retry_raw:
+        canonical["retry"] = {
+            "attempts": retry_raw.get("attempts", 3),
+            "backoff": {"exponential": 2.0, "linear": 1.0}.get(
+                str(retry_raw.get("backoff", "exponential")).lower(), 2.0
+            ),
+        }
+    proc = src.get("destination", {}).get("processed")
+    if proc:
+        red = src.get("redshift", {})
+        sort_keys = red.get("sortkey", [])
+        canonical["destination"] = {
+            "path": f"{proc['bucket'].rstrip('/')}/{proc['prefix'].strip('/')}",
+            "format": proc.get("format", "parquet"),
+            "partitionBy": proc.get("partitionBy", []),
+            "distkey": red.get("distkey"),
+            "sortkeys": [sort_keys] if isinstance(sort_keys, str) else list(sort_keys),
+        }
+    metrics = src.get("monitoring", {}).get("metrics", [])
+    canonical["metric_thresholds"] = [
+        {
+            "metric": m["name"],
+            "threshold": m["threshold"],
+            "comparison": m.get("comparison", "gt"),
+        }
+        for m in metrics
+    ]
+    return SourceConfig.from_dict(canonical, extra_vars)
+
+
+def retry_policy_from_asl(retry_blocks: list[dict[str, Any]]) -> RetryPolicy:
+    """Adapt a Step-Functions ASL ``Retry`` array (the reference's
+    ``workflow_definition.json`` Task states) to a RetryPolicy: MaxAttempts →
+    attempts, IntervalSeconds → interval_seconds, BackoffRate → backoff.
+    Only the first block matters — the reference always writes a single
+    ``States.ALL`` catch-all."""
+    if not retry_blocks:
+        return RetryPolicy()
+    b = retry_blocks[0]
+    return RetryPolicy(
+        attempts=int(b.get("MaxAttempts", 3)),
+        interval_seconds=float(b.get("IntervalSeconds", 1.0)),
+        backoff=float(b.get("BackoffRate", 2.0)),
+    )
+
+
+def load_reference_config(path: str, extra_vars: dict[str, str] | None = None) -> SourceConfig:
+    """Load a config file written for the REFERENCE pipeline (YAML or JSON,
+    its exact on-disk shape) — the migration entry point."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        raw = json.loads(text)
+    except json.JSONDecodeError:
+        raw = _parse_simple_yaml(text)
+    return source_config_from_reference(raw, extra_vars)
+
+
 def _parse_simple_yaml(text: str) -> dict[str, Any]:
     """Tiny YAML-subset parser (mappings, lists, scalars) — no external deps.
 
@@ -301,6 +414,12 @@ def _parse_simple_yaml(text: str) -> dict[str, Any]:
             return False
         if (s.startswith('"') and s.endswith('"')) or (s.startswith("'") and s.endswith("'")):
             return s[1:-1]
+        # plain scalars: whitespace-preceded '#' starts a trailing comment
+        # (YAML spec; the reference's own files use `timeout: 30 # seconds`);
+        # re-classify the stripped remainder (it may be quoted or numeric)
+        m = _re.search(r"\s#", s)
+        if m:
+            return _scalar(s[: m.start()])
         if _re.fullmatch(r"-?\d+", s):
             return int(s)
         if _re.fullmatch(r"-?\d+\.\d*", s):
