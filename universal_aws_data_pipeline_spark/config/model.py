@@ -317,6 +317,19 @@ def source_config_from_reference(
     """
     src = raw.get("source", raw)
     cfg = dict(src.get("config", {}))
+    # connector-block normalization: the reference writes `parameters:` where
+    # the connector reads `params`, and flags offset pagination as
+    # `enabled: true` + limit/offset param names with no `type`
+    if "parameters" in cfg and "params" not in cfg:
+        cfg["params"] = cfg.pop("parameters")
+    pag = cfg.get("pagination")
+    if isinstance(pag, dict) and pag.get("enabled") and "type" not in pag:
+        pag = dict(pag)
+        pag["type"] = "offset"
+        limit_param = pag.get("limit_param", "limit")
+        if "page_size" not in pag and limit_param in cfg.get("params", {}):
+            pag["page_size"] = cfg["params"][limit_param]
+        cfg["pagination"] = pag
     canonical: dict[str, Any] = {
         "name": src["name"],
         "type": src.get("type", "file"),
@@ -333,6 +346,12 @@ def source_config_from_reference(
             for t in schema_raw.get("transformations", [])
         ],
     }
+    # the reference derives partitions from the first target column whose
+    # name contains "date" (transform_data.py:113-150, a DATA-time scan);
+    # replay that heuristic once at CONFIG time so the runtime stays explicit
+    date_cols = [t for t in canonical["schema"]["mapping"] if "date" in t.lower()]
+    if date_cols:
+        canonical["partition_source_column"] = date_cols[0]
     retry_raw = cfg.get("retry", {})
     if retry_raw:
         canonical["retry"] = {
@@ -412,8 +431,17 @@ def _parse_simple_yaml(text: str) -> dict[str, Any]:
             return True
         if s in ("false", "False"):
             return False
-        if (s.startswith('"') and s.endswith('"')) or (s.startswith("'") and s.endswith("'")):
-            return s[1:-1]
+        if s.startswith('"') and s.endswith('"') and len(s) >= 2:
+            # YAML double-quoted escapes (the reference's email regex writes
+            # `\\.` meaning a literal `\.`)
+            body = s[1:-1]
+            return _re.sub(
+                r"\\([\\\"nt])",
+                lambda m: {"\\": "\\", '"': '"', "n": "\n", "t": "\t"}[m.group(1)],
+                body,
+            )
+        if s.startswith("'") and s.endswith("'") and len(s) >= 2:
+            return s[1:-1].replace("''", "'")  # YAML single-quote escape
         # plain scalars: whitespace-preceded '#' starts a trailing comment
         # (YAML spec; the reference's own files use `timeout: 30 # seconds`);
         # re-classify the stripped remainder (it may be quoted or numeric)
