@@ -5364,6 +5364,74 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q120 — last-touch attribution (marketing-analytics family).
+# Operators: per-user ordered lag (grouped window — shuffle on user_id, no
+# global sort), wall-clock timestampdiff attribution window, channel rollup.
+# The lag ordering is (ts, event_id) so ties are deterministic in both
+# engines; the 30-min window uses timestampdiff (pure wall-clock on NTZ —
+# q33's device), so a non-UTC driver session can't shift boundaries.
+# Scale: one shuffle on user_id + a 5-row channel agg; map-side combine.
+# --------------------------------------------------------------------------
+@register(
+    "q120_last_touch_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             lag(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 30 MINUTE
+                THEN prev_type ELSE 'direct' END AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_revenue
+    FROM o
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    "last-touch attribution: every purchase credited to the user's immediately preceding event within 30 minutes (else 'direct'); revenue rollup per channel (analytics family)",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which activity drives purchases? Credit each purchase to the user's
+    immediately preceding event if it happened within the 30-minute
+    attribution window, otherwise to 'direct'. The whole query is one
+    grouped window pass plus a channel-count aggregate."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("prev_ts").isNotNull()
+                # MICROSECOND, not SECOND: the events timestamps carry
+                # sub-second precision and SECOND truncates, flipping
+                # purchases sitting just past the boundary (q33's device)
+                & (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") <= 1_800_000_000),
+                F.col("prev_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
