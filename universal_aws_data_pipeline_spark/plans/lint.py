@@ -1,0 +1,158 @@
+"""Physical-plan linter: the 100 TB posture as a reusable pre-flight check.
+
+``tests/test_plans.py`` pins these properties query-by-query; this module is
+the same discipline packaged for users — point it at any DataFrame before
+promoting a job and it flags the classic scale-killers from the compiled
+physical plan (the thing that actually runs, post-Catalyst/AQE-prep):
+
+- ``cartesian-product``: CartesianProduct / BroadcastNestedLoopJoin nodes —
+  O(n*m) row pairing that a missing equi-condition usually explains.
+- ``python-row-udf``: BatchEvalPython — row-at-a-time Python in the hot
+  path (10-100x slower than Arrow; ArrowEvalPython is reported separately
+  as informational since vectorized Python is sometimes the right tool).
+- ``single-partition-exchange``: Exchange SinglePartition — every row
+  funneled through one task. Legitimate for 1-row scalar reductions, fatal
+  for global windows/sorts over data-sized inputs, so it is a warning with
+  the node context attached, not an error.
+- ``unpushed-scan-filter``: a Filter node sitting on a columnar file scan
+  whose PushedFilters is empty — predicate evaluated after IO instead of
+  inside it (non-pushable expressions like udf(col) or regex on the filter
+  path do this silently).
+
+Returns structured findings, never raises: the caller decides what blocks.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class LintFinding:
+    rule: str
+    severity: str  # "warn" | "info"
+    detail: str
+
+
+def _plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def lint_plan(df: DataFrame) -> list[LintFinding]:
+    """Lint a DataFrame's compiled physical plan. See module docstring."""
+    plan = _plan_string(df)
+    findings: list[LintFinding] = []
+
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if node in plan:
+            findings.append(
+                LintFinding(
+                    "cartesian-product",
+                    "warn",
+                    f"{node} in plan: row-pairing join without an equi-condition",
+                )
+            )
+
+    if "BatchEvalPython" in plan:
+        findings.append(
+            LintFinding(
+                "python-row-udf",
+                "warn",
+                "BatchEvalPython: row-at-a-time Python UDF on the hot path; "
+                "prefer built-in expressions or an Arrow pandas_udf",
+            )
+        )
+    if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+        findings.append(
+            LintFinding(
+                "arrow-python",
+                "info",
+                "Arrow-batched Python stage present (fine when built-ins "
+                "can't express the kernel)",
+            )
+        )
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        start = plan.rfind("\n", 0, m.start()) + 1
+        end = plan.find("\n", m.end())
+        findings.append(
+            LintFinding(
+                "single-partition-exchange",
+                "warn",
+                plan[start : end if end != -1 else len(plan)].strip(),
+            )
+        )
+
+    findings.extend(_unpushed_scan_filters(plan))
+    return findings
+
+
+# nodes that sit between a Filter and the scan it logically applies to
+_PASS_THROUGH = {
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "Project",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+}
+
+
+def _node_head(line: str) -> str:
+    text = re.sub(r"^[\s:+\-|]*", "", line)
+    m = re.match(r"(?:\*\(\d+\) )?(\w+)", text)
+    return m.group(1) if m else ""
+
+
+def _unpushed_scan_filters(plan: str) -> list[LintFinding]:
+    """Flag file scans with ``PushedFilters: []`` whose nearest non-pass-
+    through ancestor in the plan tree is a Filter: the predicate logically
+    belongs to the scan but runs after IO. Walks the toString tree by
+    indentation (each tree level indents by 3), stopping at the first
+    barrier node (join/aggregate/exchange/...) so a Filter on a DIFFERENT
+    branch can never mis-attribute. A scan with no Filter ancestor simply
+    has no predicate — empty pushdown is then correct, not a finding."""
+    out: list[LintFinding] = []
+    lines = plan.splitlines()
+
+    def off(ln: str) -> int:
+        return len(ln) - len(re.sub(r"^[\s:+\-|]*", "", ln))
+
+    for i, ln in enumerate(lines):
+        if "PushedFilters: []" not in ln or _node_head(ln) != "FileScan":
+            continue
+        cur = off(ln)
+        for j in range(i - 1, -1, -1):
+            o2 = off(lines[j])
+            if o2 >= cur:
+                continue  # sibling subtree, not an ancestor
+            cur = o2
+            head = _node_head(lines[j])
+            if head in _PASS_THROUGH:
+                continue
+            if head == "Filter":
+                out.append(
+                    LintFinding(
+                        "unpushed-scan-filter",
+                        "warn",
+                        "Filter above a file scan with PushedFilters: [] — "
+                        "the predicate runs after IO; check for non-pushable "
+                        "expressions (udf(col), casts, regex) in the filter",
+                    )
+                )
+            break  # any other node is a barrier: filter belongs elsewhere
+    return out
+
+
+def assert_scale_clean(df: DataFrame, allow: set[str] | None = None) -> None:
+    """Raise AssertionError when lint_plan finds WARN-level issues not in
+    ``allow`` — the one-liner for test suites and CI gates."""
+    allow = allow or set()
+    bad = [f for f in lint_plan(df) if f.severity == "warn" and f.rule not in allow]
+    if bad:
+        raise AssertionError(
+            "plan lint: " + "; ".join(f"{f.rule}: {f.detail}" for f in bad)
+        )
