@@ -72,3 +72,52 @@ def test_catalog_flagships_are_scale_clean(spark, sf_dir):
             # 1-row scalar reductions legitimately exchange to one partition
             allow={"single-partition-exchange"},
         )
+
+
+# Queries whose WARN-level findings are adjudicated-legitimate. Every entry
+# is an intentional exception with a reason; anything NOT listed acquiring a
+# warn fails the sweep — new scale-killers can't slip into the catalog.
+_ADJUDICATED = {
+    # 1-row broadcast scalar attaches (corpus totals, N, share denominators):
+    # BroadcastNestedLoopJoin against a single-row side is the cheapest way
+    # to hang a scalar on every row — VERDICT r3 reviewed these by hand.
+    "cartesian-product": {
+        "q102_heavy_hitters", "q103_lm_perplexity", "q106_temperature_rebalance",
+        "q107_hybrid_rrf", "q53_rich_inactive_customers", "q78_bm25_topk",
+        "q81_key_skew_profile", "q93_tfidf_top_terms",
+    },
+    # single-partition exchanges that reduce to 1-row scalars or run windows
+    # over already-aggregated tables (days, types, buckets — hundreds of rows,
+    # not data): the exchange moves a tiny table, by design.
+    "single-partition-exchange": {
+        "q06_quality_checks", "q102_heavy_hitters", "q103_lm_perplexity",
+        "q106_temperature_rebalance", "q107_hybrid_rrf", "q113_dsir_weights",
+        "q34_sql_interface", "q50_column_profile", "q53_rich_inactive_customers",
+        "q54_mixture_report", "q59_supplier_share", "q62_rolling_daily_events",
+        "q63_gdpr_cascade_delete", "q71_bracket_revenue", "q78_bm25_topk",
+        "q81_key_skew_profile", "q86_top_revenue_supplier", "q93_tfidf_top_terms",
+    },
+    # filters intrinsically evaluated post-IO: predicates over transform
+    # outputs (q05 required-filter after casts — reference semantics), salted
+    # keys (q60), tokenization/length expressions (text family), pyspark.ml
+    # LSH internals (q20). Nothing here is a pushable predicate left behind.
+    "unpushed-scan-filter": {
+        "q05_transform_chain", "q107_hybrid_rrf", "q20_lsh_topk",
+        "q60_salted_skew_join", "q76_keep_best_per_cluster", "q78_bm25_topk",
+        "q79_fuzzy_entity_match", "q80_bigram_lm", "q97_rolling_distinct_sketch",
+    },
+    "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
+}
+
+
+def test_catalog_lint_sweep_no_new_scale_killers(spark, sf_dir):
+    """Every catalog query's physical plan stays within the adjudicated
+    exception set — the linter as a whole-catalog regression net."""
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    violations = []
+    for name, spec in QUERIES.items():
+        for f in lint_plan(spec.fn(spark, sf_dir)):
+            if f.severity == "warn" and name not in _ADJUDICATED.get(f.rule, set()):
+                violations.append(f"{name}: {f.rule}")
+    assert not violations, f"unadjudicated plan warnings: {violations}"
