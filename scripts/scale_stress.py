@@ -68,6 +68,13 @@ HEAVY = [
     "q115_trade_pagerank",
     "q116_copurchase_triangles",
     "q117_countmin_freq",
+    # event-family ops over the 10x user-shifted event stream: q27 session
+    # windows (per-user state, should be ~linear in events), q119 theta
+    # intersection (kept-hash sets grow with users; the pair matrix stays
+    # |types|^2), q120 attribution (one grouped window pass)
+    "q27_sessionization",
+    "q119_audience_overlap",
+    "q120_last_touch_attribution",
 ]
 
 
@@ -75,6 +82,26 @@ def build_scaled(spark) -> None:
     os.makedirs(SCALED, exist_ok=True)
     _build_scaled_docs(spark)
     _build_scaled_trade(spark)
+    _build_scaled_events(spark)
+
+
+def _build_scaled_events(spark) -> None:
+    """10 disjoint copies of events: user/event ids shifted per copy (10x
+    users with the same per-user event stream — session/window/sketch state
+    scales with users, not artificially densified timelines)."""
+    if os.path.isdir(f"{SCALED}/events.parquet"):
+        return
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(k * 100_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * 10_000_000))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/events.parquet")
 
 
 def _build_scaled_trade(spark) -> None:

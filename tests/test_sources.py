@@ -254,3 +254,26 @@ def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
         _pytest.skip("spark-avro external module not on classpath (no network in sandbox)")
     back = read_source(spark, str(tmp_path / "t.avro"), data_format="avro")
     assert back.count() == 5 and set(back.columns) == {"id", "s"}
+
+
+def test_parquet_tolerant_skips_corrupt_file_strict_raises(spark, tmp_path):
+    """Columnar tolerance is per-FILE: a truncated parquet part is skipped
+    under tolerant=True (per-read option, not session conf) and still fails
+    a strict read — one poisoned upload can't kill a 100 TB batch, and
+    strict consumers keep their loud failure."""
+    import pytest as _pytest
+
+    from universal_aws_data_pipeline_spark.sources.files import read_source
+
+    d = tmp_path / "t"
+    spark.range(10).coalesce(1).write.parquet(str(d))
+    part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+    good_bytes = part.read_bytes()
+    corrupt = d / "part-corrupt.parquet"
+    corrupt.write_bytes(good_bytes[: len(good_bytes) // 3])  # truncated footer
+
+    tolerant = read_source(spark, str(d), data_format="parquet", tolerant=True)
+    assert tolerant.count() == 10  # good file read, corrupt one skipped
+
+    with _pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        read_source(spark, str(d), data_format="parquet").count()

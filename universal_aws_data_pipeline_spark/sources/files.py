@@ -53,12 +53,21 @@ def read_source(
     if fmt == "parquet":
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if tolerant:
+            # columnar formats have no row-level PERMISSIVE mode — the
+            # tolerance unit is the FILE. At 100 TB a handful of truncated
+            # uploads per day is normal; one poisoned file must not kill the
+            # job. Per-read option (not the session-wide conf), so strict
+            # readers in the same session still fail loudly.
+            reader = reader.option("ignoreCorruptFiles", "true")
         return reader.parquet(path)
     if fmt == "text":
         return reader.text(path)
     if fmt == "orc":
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if tolerant:
+            reader = reader.option("ignoreCorruptFiles", "true")
         return reader.orc(path)
     if fmt == "xml":
         # Spark 4 native XML (the spark-xml lineage, now built in): one row
