@@ -243,3 +243,22 @@ def test_ivf_index_append_probe_finds_new_vectors(spark, sf_dir, tmp_path):
     top = ivf_topk_indexed(idx, qvec, k=3, nprobe=1).collect()
     assert top[0]["vec_id"] == probe_row["vec_id"]
     assert top[0]["cos_sim"] >= 0.9999
+
+
+def test_provenance_column_names_source_files(spark, tmp_path):
+    """Lineage column carries the actual file path per row; re-ingest blast
+    radius of a bad row is a file list."""
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.transform import add_provenance_column
+
+    spark.range(5).write.parquet(str(tmp_path / "a"))
+    spark.range(5, 8).write.parquet(str(tmp_path / "b"))
+    df = add_provenance_column(spark.read.parquet(str(tmp_path / "a"), str(tmp_path / "b")))
+    rows = df.select("id", "_input_file").collect()
+    assert all(r["_input_file"].endswith(".parquet") for r in rows)
+    by_file = {r["id"]: ("/a/" in r["_input_file"]) for r in rows}
+    assert by_file[0] is True and by_file[7] is False
+    # the file set for a predicate IS the re-ingest list
+    bad_files = {r["_input_file"] for r in df.filter(F.col("id") >= 5).collect()}
+    assert len(bad_files) >= 1 and all("/b/" in f for f in bad_files)

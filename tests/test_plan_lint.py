@@ -121,3 +121,10 @@ def test_catalog_lint_sweep_no_new_scale_killers(spark, sf_dir):
             if f.severity == "warn" and name not in _ADJUDICATED.get(f.rule, set()):
                 violations.append(f"{name}: {f.rule}")
     assert not violations, f"unadjudicated plan warnings: {violations}"
+
+
+def test_streaming_dataframe_lints_gracefully(spark, tmp_path):
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    findings = lint_plan(stream)
+    assert [f.rule for f in findings] == ["streaming-plan"]
+    assert_scale_clean(stream)  # info-only ⇒ clean

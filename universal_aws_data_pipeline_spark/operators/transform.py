@@ -152,6 +152,18 @@ def add_metadata_columns(
     return df.withColumn("source_name", F.lit(source_name)).withColumn("processed_timestamp", ts)
 
 
+def add_provenance_column(df: DataFrame, column: str = "_input_file") -> DataFrame:
+    """Record-level lineage: the source file each row came from
+    (``input_file_name()`` — filled by the scan, empty string for non-file
+    sources). At 100 TB this is the column that turns "3 bad rows" into
+    "re-ingest exactly these two objects": filter on it, distinct it, and
+    the blast radius of a poisoned upload is a file list, not a full-table
+    diff. Zero-cost at read (no extra IO; the scan already knows the path);
+    add it BEFORE any join/aggregate — lineage doesn't survive a shuffle
+    that merges rows."""
+    return df.withColumn(column, F.input_file_name())
+
+
 def derive_partition_columns(
     df: DataFrame,
     date_column: str | None,

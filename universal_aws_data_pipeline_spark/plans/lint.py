@@ -43,6 +43,17 @@ def _plan_string(df: DataFrame) -> str:
 
 def lint_plan(df: DataFrame) -> list[LintFinding]:
     """Lint a DataFrame's compiled physical plan. See module docstring."""
+    if df.isStreaming:
+        # streaming logical plans have no executed batch plan until a query
+        # starts; lint the foreachBatch batch_df inside the sink instead
+        return [
+            LintFinding(
+                "streaming-plan",
+                "info",
+                "streaming DataFrame: no batch physical plan to lint before "
+                "the query starts — lint the batch_df inside foreachBatch",
+            )
+        ]
     plan = _plan_string(df)
     findings: list[LintFinding] = []
 
