@@ -5503,6 +5503,66 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q122 — embedding cluster-cohesion diagnostics (X3 family).
+# Operators: q42's mean-pooled centroids (QUANTIZED to 6dp — the rounding
+# makes the reference point identical in both engines, so downstream floats
+# only carry one avg's worth of summation noise) + per-vector cosine to the
+# own-label centroid + per-label cohesion rollup. The report a curator reads
+# before trusting labels as dedup/mixing blocks: low avg = diffuse cluster,
+# low min = mislabeled outlier.
+# Scale: centroid table is |labels| x dim rows built via the q42 explode
+# (map-side combinable); vectors join it BROADCAST on label (one map pass,
+# no vector shuffle); rollup carries |labels| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q122_cluster_cohesion",
+    f"""
+    WITH c AS (
+      SELECT label, i AS dim, round(avg(embedding[i+1]), 6) AS cen
+      FROM embeddings, range(64) t(i)
+      GROUP BY label, i
+    ), cm AS (
+      SELECT label, list(cen ORDER BY dim) AS cvec FROM c GROUP BY label
+    ), scored AS (
+      SELECT e.label, {_cos_sql("e.embedding", "cm.cvec")} AS cos
+      FROM embeddings e JOIN cm ON e.label = cm.label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(cos), 4) AS avg_cohesion,
+           round(min(cos), 4) AS min_cohesion
+    FROM scored GROUP BY label
+    """,
+    "per-label embedding cluster cohesion: avg/min cosine of members to their 6dp-quantized mean-pooled centroid (X3 diagnostics — the audit before labels are trusted as blocking keys)",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How tight is each label's embedding cluster? Mean/min cosine of every
+    vector to its own label centroid. Centroids are the q42 table quantized
+    to 6dp so both engines score against the identical prototype."""
+    from universal_aws_data_pipeline_spark.functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    cen = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cen"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cen"))), lambda s: s["cen"]
+            ).alias("cvec")
+        )
+    )
+    scored = e.join(F.broadcast(cen), "label").select(
+        "label", cosine_similarity(F.col("embedding"), F.col("cvec")).alias("cos")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cos"), 4).alias("avg_cohesion"),
+        F.round(F.min("cos"), 4).alias("min_cohesion"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
