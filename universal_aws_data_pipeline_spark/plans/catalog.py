@@ -5563,6 +5563,75 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q123 — label confusion map: nearest foreign centroid per label (X3).
+# Operators: the q122 quantized-centroid table self-paired (|labels|^2 rows
+# of 64-dim vectors — sketch-sized, broadcastable); per-label argmax via
+# grouped max_by with (cos, -label) tie-break.
+# Scale: the embeddings table is read ONCE to build centroids; everything
+# after runs on |labels| rows. This is the audit that decides whether two
+# labels should share a dedup/mixing block.
+# --------------------------------------------------------------------------
+@register(
+    "q123_label_confusion",
+    f"""
+    WITH c AS (
+      SELECT label, i AS dim, round(avg(embedding[i+1]), 6) AS cen
+      FROM embeddings, range(64) t(i)
+      GROUP BY label, i
+    ), cm AS (
+      SELECT label, list(cen ORDER BY dim) AS cvec FROM c GROUP BY label
+    ), pairs AS (
+      SELECT a.label, b.label AS other,
+             round({_cos_sql("a.cvec", "b.cvec")}, 6) AS cos
+      FROM cm a JOIN cm b ON a.label <> b.label
+    )
+    SELECT label,
+           CAST(arg_max(other,
+                CAST(round(cos * 1000000, 0) AS BIGINT) * 1000 - other
+           ) AS INTEGER) AS nearest_label,
+           max(cos) AS nearest_cos
+    FROM pairs GROUP BY label
+    """,
+    "label confusion map: each label's nearest foreign centroid + cosine, computed on the quantized centroid table without re-reading vectors (X3 diagnostics)",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which labels blur together? Pairwise cosine over the (tiny) quantized
+    centroid table, argmax per label with a deterministic (cos, -label)
+    tie-break — the complement of q122's within-cluster cohesion."""
+    from universal_aws_data_pipeline_spark.functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    cm = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cen"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cen"))), lambda s: s["cen"]
+            ).alias("cvec")
+        )
+    )
+    a = cm.select(F.col("label"), F.col("cvec").alias("va"))
+    b = cm.select(F.col("label").alias("other"), F.col("cvec").alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other"))
+        .select(
+            "label",
+            "other",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    # argmax key: 6dp cosine scaled to an exact BIGINT, lower label winning
+    # ties — integer composite so both engines pick the identical winner
+    key = (F.round(F.col("cos") * 1_000_000, 0).cast("long") * 1000) - F.col("other")
+    return pairs.groupBy("label").agg(
+        F.max_by("other", key).cast("int").alias("nearest_label"),
+        F.max("cos").alias("nearest_cos"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
