@@ -85,6 +85,9 @@ _ADJUDICATED = {
         "q102_heavy_hitters", "q103_lm_perplexity", "q106_temperature_rebalance",
         "q107_hybrid_rrf", "q53_rich_inactive_customers", "q78_bm25_topk",
         "q81_key_skew_profile", "q93_tfidf_top_terms",
+        # q123: label<>label pairing over the CENTROID table — |labels|^2
+        # rows of a sketch-sized broadcast input, the intended all-pairs
+        "q123_label_confusion",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
