@@ -88,6 +88,9 @@ _ADJUDICATED = {
         # q123: label<>label pairing over the CENTROID table — |labels|^2
         # rows of a sketch-sized broadcast input, the intended all-pairs
         "q123_label_confusion",
+        # q124: two 1-row scalar attaches (corpus token total N, bigram
+        # total B) onto the surviving-bigram table
+        "q124_pmi_collocations",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -99,6 +102,7 @@ _ADJUDICATED = {
         "q54_mixture_report", "q59_supplier_share", "q62_rolling_daily_events",
         "q63_gdpr_cascade_delete", "q71_bracket_revenue", "q78_bm25_topk",
         "q81_key_skew_profile", "q86_top_revenue_supplier", "q93_tfidf_top_terms",
+        "q124_pmi_collocations",  # the N and B 1-row reductions
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

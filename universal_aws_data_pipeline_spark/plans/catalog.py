@@ -5632,6 +5632,112 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q124 — PMI collocations: phrase mining over adjacent token pairs (X4).
+# Operators: within-doc bigram generation (row-local transform, no
+# cross-doc adjacency), exact integer counts, pointwise mutual information
+# ln((c_ab/B)/((c_a/N)(c_b/N))) quantized to micro-nats. The ln argument is
+# ONE exact-integer ratio (products stay under 2^53 at grading SFs), so
+# both engines round the identical double — the q113 device again.
+# The op feeds tokenizer-merge candidates / collocation dictionaries.
+# Scale: bigram stream shuffles once into vocab^2-bounded counts
+# (map-side combined); the PMI math runs on the count tables; top-k via
+# TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+@register(
+    "q124_pmi_collocations",
+    f"""
+    WITH t AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok
+    ), bg AS (
+      SELECT bgr, count(*) AS c_ab FROM (
+        SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bgr
+        FROM t WHERE len(tk) >= 2
+      ) GROUP BY bgr
+    ), scal AS (
+      SELECT (SELECT sum(c) FROM uni) AS n, (SELECT sum(c_ab) FROM bg) AS b
+    )
+    SELECT bg.bgr AS bigram,
+           CAST(bg.c_ab AS BIGINT) AS c_ab,
+           CAST(round(ln(CAST(bg.c_ab * scal.n * scal.n AS DOUBLE)
+                         / CAST(scal.b * ua.c * ub.c AS DOUBLE)) * 1000000, 0)
+                AS BIGINT) AS pmi_micro
+    FROM bg CROSS JOIN scal
+    JOIN uni ua ON ua.tok = string_split(bg.bgr, ' ')[1]
+    JOIN uni ub ON ub.tok = string_split(bg.bgr, ' ')[2]
+    WHERE bg.c_ab >= 5
+    ORDER BY pmi_micro DESC, bigram LIMIT 20
+    """,
+    "top-20 PMI collocations over adjacent token pairs (min support 5), micro-nat quantized — phrase-mining / tokenizer-merge candidates (X4)",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which word pairs stick together far more than chance? Classic PMI
+    collocation mining: exact unigram/bigram counts, one ln per surviving
+    bigram on an exact integer ratio, micro-nat output. min-support 5 kills
+    the low-count PMI pathology (hapax pairs score highest)."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select(tokens_col(F.col("text")).alias("tk"))
+    # ONE corpus scan, ONE shuffle: a combined generator emits every unigram
+    # ('u') and adjacent bigram ('b') from one explode; every downstream
+    # table (unigram counts, bigram counts, N, B) derives from the single
+    # (kind, key) count aggregate — the naive four-subtree plan rescanned
+    # documents four times, which is three corpus reads too many at 100 TB.
+    counts = (
+        d.select(
+            F.explode(
+                F.expr(
+                    # zip(tokens, tail) for bigrams: both slices are empty
+                    # for 1-token docs (sequence(0, -1) would DESCEND and
+                    # emit bogus pairs — Spark sequences run backwards when
+                    # stop < start)
+                    "concat(transform(tk, t -> struct('u' AS kind, t AS key)),"
+                    " zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
+                    " (a, b) -> struct('b' AS kind, concat(a, ' ', b) AS key)))"
+                )
+            ).alias("e")
+        )
+        .select("e.kind", "e.key")
+        .groupBy("kind", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = counts.filter(F.col("kind") == "u").select("key", "c")
+    bg = (
+        counts.filter(F.col("kind") == "b")
+        .select(F.col("key").alias("bgr"), F.col("c").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n = uni.agg(F.sum("c").alias("n"))
+    b = counts.filter(F.col("kind") == "b").agg(F.sum("c").alias("b"))
+    ua = uni.select(F.col("key").alias("ta"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("key").alias("tb"), F.col("c").alias("cb"))
+    scored = (
+        bg.withColumn("ta", F.split("bgr", " ")[0])
+        .withColumn("tb", F.split("bgr", " ")[1])
+        .join(F.broadcast(ua), "ta")
+        .join(F.broadcast(ub), "tb")
+        .join(F.broadcast(n))
+        .join(F.broadcast(b))
+        .select(
+            F.col("bgr").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n") * F.col("n")).cast("double")
+                    / (F.col("b") * F.col("ca") * F.col("cb")).cast("double")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(20)
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
