@@ -222,25 +222,28 @@ def theta_sketch_stream_fn(
 
     Per micro-batch: the batch collapses to its own (day, h) kept rows
     (map-side filter prunes 1−θ of the hash space before any shuffle),
-    unions with the stored table, distincts, and lands via staging +
-    atomic rename (readers never see a partial sketch). Batch-id marker
-    dirs make foreachBatch replays no-ops — state is exactly-once. The
-    rewrite touches θ·D·|days| sketch rows, never the stream history;
-    at 100 TB/day the sketch table is megabytes.
+    unions with the stored table, distincts, and lands via the
+    crash-safe commit protocol in ``operators/statestore.py`` — the
+    folded batch id rides inside the staged table, so the swap is the
+    single commit point: a crash at ANY instruction either keeps the old
+    state (and replays the batch) or lands the new state (and skips the
+    replay). Exactly-once without marker dirs. The rewrite touches
+    θ·D·|days| sketch rows, never the stream history; at 100 TB/day the
+    sketch table is megabytes.
 
     Estimates come from ``theta_estimate_from_state`` — distinct-over-
     union by construction, identical to rerunning q90/q97 over the full
     history (asserted in tests)."""
     import os
-    import shutil
-    import uuid
+
+    from universal_aws_data_pipeline_spark.operators import statestore
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         table = os.path.join(state_path, "sketch")
-        marker = os.path.join(state_path, f"_batch_{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch — already folded in
+        statestore.recover(table)
+        if batch_id <= statestore.last_folded(table):
+            return  # replayed batch — already committed
         day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
         batch_sk = (
             batch_df.select(day.alias("day"), _theta_hash(F.col(user_col)).alias("h"))
@@ -251,14 +254,7 @@ def theta_sketch_stream_fn(
             merged = spark.read.parquet(table).unionByName(batch_sk).distinct()
         else:
             merged = batch_sk
-        staging = f"{table}.__staging__.{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{table}.__old__.{uuid.uuid4().hex[:8]}"
-        if os.path.exists(table):
-            os.rename(table, old)
-        os.rename(staging, table)
-        shutil.rmtree(old, ignore_errors=True)
-        os.makedirs(marker, exist_ok=True)
+        statestore.commit(merged, table, batch_id)
 
     return fn
 
@@ -415,24 +411,27 @@ def cms_stream_fn(
 
     Per micro-batch: the batch collapses to its own <= depth*width cell
     table (map-side combine absorbs the token stream), outer-merges with
-    the stored table by summing counts, and lands via staging + atomic
-    rename; batch-id marker dirs make foreachBatch replays no-ops, so the
-    state is exactly-once. The rewrite touches depth*width rows however
+    the stored table by summing counts, and lands via the crash-safe
+    commit protocol in ``operators/statestore.py``. CMS merge is
+    cell-wise SUM, so a re-folded replay would DOUBLE-COUNT — which is
+    exactly why the folded batch id must commit atomically with the
+    state (it rides inside the staged table; the directory swap is the
+    single commit point). The rewrite touches depth*width rows however
     long the stream has run — frequency state that never grows.
 
     Point estimates at any time: ``cms_estimates(spark.read.parquet(
     <state>/cells), probes, col)`` — identical to building one batch CMS
     over the full history (asserted in tests)."""
     import os
-    import shutil
-    import uuid
+
+    from universal_aws_data_pipeline_spark.operators import statestore
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         table = os.path.join(state_path, "cells")
-        marker = os.path.join(state_path, f"_batch_{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch — already folded in
+        statestore.recover(table)
+        if batch_id <= statestore.last_folded(table):
+            return  # replayed batch — already committed
         batch_cells = count_min_build(batch_df, col, depth=depth, width=width)
         if os.path.exists(table):
             merged = (
@@ -443,13 +442,6 @@ def cms_stream_fn(
             )
         else:
             merged = batch_cells
-        staging = f"{table}.__staging__.{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{table}.__old__.{uuid.uuid4().hex[:8]}"
-        if os.path.exists(table):
-            os.rename(table, old)
-        os.rename(staging, table)
-        shutil.rmtree(old, ignore_errors=True)
-        os.makedirs(marker, exist_ok=True)
+        statestore.commit(merged, table, batch_id)
 
     return fn

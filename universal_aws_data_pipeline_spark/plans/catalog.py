@@ -5635,9 +5635,11 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q124 — PMI collocations: phrase mining over adjacent token pairs (X4).
 # Operators: within-doc bigram generation (row-local transform, no
 # cross-doc adjacency), exact integer counts, pointwise mutual information
-# ln((c_ab/B)/((c_a/N)(c_b/N))) quantized to micro-nats. The ln argument is
-# ONE exact-integer ratio (products stay under 2^53 at grading SFs), so
-# both engines round the identical double — the q113 device again.
+# ln((c_ab/B)/((c_a/N)(c_b/N))) quantized to micro-nats. Every count is
+# cast to double BEFORE the products (BIGINT c_ab*n*n overflows int64 past
+# ~3e9 corpus tokens); left-assoc IEEE double multiply/divide is
+# bit-identical in Spark and DuckDB, so both engines feed ln the identical
+# double and round the identical micro-nat — the q113 device again.
 # The op feeds tokenizer-merge candidates / collocation dictionaries.
 # Scale: bigram stream shuffles once into vocab^2-bounded counts
 # (map-side combined); the PMI math runs on the count tables; top-k via
@@ -5660,8 +5662,8 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bg.bgr AS bigram,
            CAST(bg.c_ab AS BIGINT) AS c_ab,
-           CAST(round(ln(CAST(bg.c_ab * scal.n * scal.n AS DOUBLE)
-                         / CAST(scal.b * ua.c * ub.c AS DOUBLE)) * 1000000, 0)
+           CAST(round(ln((CAST(bg.c_ab AS DOUBLE) * CAST(scal.n AS DOUBLE) * CAST(scal.n AS DOUBLE))
+                         / (CAST(scal.b AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1000000, 0)
                 AS BIGINT) AS pmi_micro
     FROM bg CROSS JOIN scal
     JOIN uni ua ON ua.tok = string_split(bg.bgr, ' ')[1]
@@ -5723,9 +5725,22 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bgr").alias("bigram"),
             F.col("c_ab").cast("long").alias("c_ab"),
             F.round(
+                # each count cast to double BEFORE the products: the BIGINT
+                # product c_ab*n*n overflows int64 past ~3e9 corpus tokens;
+                # double products never do, and left-assoc IEEE multiply is
+                # bit-identical in Spark and DuckDB so the ln argument (and
+                # hence the micro-nat rounding) still matches exactly
                 F.log(
-                    (F.col("c_ab") * F.col("n") * F.col("n")).cast("double")
-                    / (F.col("b") * F.col("ca") * F.col("cb")).cast("double")
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.col("n").cast("double")
+                        * F.col("n").cast("double")
+                    )
+                    / (
+                        F.col("b").cast("double")
+                        * F.col("ca").cast("double")
+                        * F.col("cb").cast("double")
+                    )
                 )
                 * 1_000_000,
                 0,
