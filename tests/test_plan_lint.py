@@ -135,3 +135,24 @@ def test_streaming_dataframe_lints_gracefully(spark, tmp_path):
     findings = lint_plan(stream)
     assert [f.rule for f in findings] == ["streaming-plan"]
     assert_scale_clean(stream)  # info-only ⇒ clean
+
+
+def test_catalog_driver_collects_are_bounded():
+    """Every .collect() in the query catalog must sit behind a
+    .limit(_MAX_DRIVER_QUERIES): collected literals embed in the plan, so an
+    uncapped collect grows linearly with the corpus (round-4 verdict item —
+    q104's query set used to scale with sf)."""
+    import inspect
+    import re
+
+    from universal_aws_data_pipeline_spark.plans import catalog
+
+    src = "\n".join(
+        ln for ln in inspect.getsource(catalog).splitlines() if not ln.lstrip().startswith("#")
+    )
+    for m in re.finditer(r"\.collect\(\)", src):
+        window = src[max(0, m.start() - 300) : m.start()]
+        assert ".limit(_MAX_DRIVER_QUERIES)" in window, (
+            "catalog .collect() without a .limit(_MAX_DRIVER_QUERIES) cap "
+            f"near: ...{src[max(0, m.start() - 120) : m.end()]!r}"
+        )

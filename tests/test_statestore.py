@@ -154,3 +154,106 @@ def test_recover_prefers_newest_complete_staging(tmp_path):
     assert os.path.exists(table)
     assert statestore.last_folded(table) == 7
     assert not os.path.exists(old) and not os.path.exists(stale)
+
+
+# ---------------------------------------------------------------------------
+# IVF rebalance crash consistency (operators/similarity.py txn protocol)
+# ---------------------------------------------------------------------------
+def _build_skewed_ivf(spark, tmp_path):
+    import random
+
+    from universal_aws_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    rng = random.Random(7)
+    rows = [(i, [10.0 + rng.uniform(-1, 1), 10.0 + rng.uniform(-1, 1)]) for i in range(80)]
+    rows += [
+        (100 + i, [-10.0 + rng.uniform(-1, 1), -10.0 + rng.uniform(-1, 1)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, path, n_clusters=2)
+    return path
+
+
+def test_rebalance_crash_mid_moves_heals_on_next_load(spark, tmp_path, monkeypatch):
+    """Kill the rebalance after the txn marker lands but before any cell dir
+    moves: the next load_ivf_index must replay the transaction — every
+    vector present exactly once, every cell id resolvable in meta."""
+    from universal_aws_data_pipeline_spark.operators import similarity
+
+    path = _build_skewed_ivf(spark, tmp_path)
+
+    # crash INSIDE the transaction: marker written, moves not yet applied
+    def boom(cells_dir, staged, cell_ids, drop_ids):
+        raise OSError("injected crash before cell moves")
+
+    monkeypatch.setattr(similarity, "_apply_cell_txn", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        similarity.rebalance_ivf_index(spark, path, max_cell_fraction=0.5, n_split=2)
+    monkeypatch.undo()
+
+    # meta was committed BEFORE the crash — extra centroids are legal (0-row
+    # cells), and recovery must land all 100 vectors exactly once
+    idx = similarity.load_ivf_index(spark, path)
+    ids = [r["vec_id"] for r in idx.cells.select("vec_id").collect()]
+    assert sorted(ids) == sorted(set(ids)) and len(ids) == 100
+    # every on-disk cell id has a centroid (the corruption the old code left)
+    on_disk = {r["_cell"] for r in idx.cells.select("_cell").distinct().collect()}
+    assert on_disk <= set(range(len(idx.centroids)))
+    # txn replayed to completion: no markers or staging dirs remain
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(path, "cells", "_txn_*.json"))
+    assert not glob.glob(os.path.join(path, "cells.__rebal__.*"))
+    # probes work on the healed index
+    got = similarity.ivf_topk_indexed(idx, [10.0, 10.0], k=1, nprobe=len(idx.centroids)).collect()
+    assert got[0]["vec_id"] < 100
+
+
+def test_rebalance_meta_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-meta-write must never leave a torn meta.json."""
+    from universal_aws_data_pipeline_spark.operators import similarity
+
+    path = str(tmp_path / "ivf")
+    os.makedirs(path)
+    similarity._write_meta_atomic(
+        path, {"id_col": "a", "vec_col": "b", "n_clusters": 1, "centroids": [[0.0]]}
+    )
+    before = open(os.path.join(path, "meta.json")).read()
+
+    real_replace = os.replace
+
+    def no_replace(src, dst):
+        raise OSError("injected crash before replace")
+
+    monkeypatch.setattr(similarity.__dict__.setdefault("os", os), "replace", no_replace)
+    try:
+        with pytest.raises(OSError):
+            similarity._write_meta_atomic(path, {"id_col": "x", "vec_col": "y", "n_clusters": 2, "centroids": []})
+    finally:
+        monkeypatch.setattr(os, "replace", real_replace)
+    assert open(os.path.join(path, "meta.json")).read() == before
+
+
+# ---------------------------------------------------------------------------
+# compaction on non-local paths must error, not silently no-op
+# ---------------------------------------------------------------------------
+def test_compaction_rejects_object_store_uris(spark):
+    from universal_aws_data_pipeline_spark.operators.maintenance import (
+        compact_table,
+        compaction_plan,
+    )
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        compaction_plan("s3://bucket/table")
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_table(spark, "hdfs://nn/table")
+
+
+def test_compaction_rejects_missing_dir(tmp_path):
+    from universal_aws_data_pipeline_spark.operators.maintenance import compaction_plan
+
+    with pytest.raises(ValueError, match="not a directory"):
+        compaction_plan(str(tmp_path / "nope"))

@@ -29,7 +29,23 @@ _DATA_SUFFIXES = (".parquet", ".orc", ".json", ".csv")
 
 def _list_data_files(path: str) -> list[tuple[str, int]]:
     """(file, bytes) for every data file under path — local-FS walk here;
-    on an object store this becomes one LIST call per prefix (same shape)."""
+    on an object store this becomes one LIST call per prefix (same shape).
+
+    Non-local paths are REJECTED, not silently empty: ``os.walk`` on
+    ``s3://...`` yields nothing, which would make a scheduled compaction
+    report n_files=0 / worth_it=False and skip forever — a silent no-op is
+    worse than an error. Route object-store tables through the Hadoop FS
+    API (or mount) before calling; the rewrite/swap below also assumes
+    POSIX-atomic rename, which object stores don't provide."""
+    if "://" in path:
+        raise ValueError(
+            f"compaction requires a local filesystem path, got URI {path!r}: "
+            "os.walk cannot list object stores and the staging-dir rename "
+            "swap is not atomic there — resolve through a local mount or a "
+            "table format (Delta/Iceberg) for object-store maintenance"
+        )
+    if not os.path.isdir(path):
+        raise ValueError(f"compaction target is not a directory: {path!r}")
     out: list[tuple[str, int]] = []
     for root, _dirs, files in os.walk(path):
         for f in files:

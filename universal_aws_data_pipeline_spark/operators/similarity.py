@@ -255,9 +255,72 @@ def build_ivf_index(
         )
 
 
+def _write_meta_atomic(path: str, meta: dict) -> None:
+    """meta.json via write-temp + os.replace: readers never see a torn or
+    half-written centroid list."""
+    import json
+    import os
+
+    target = f"{path.rstrip('/')}/meta.json"
+    tmp = f"{target}.__new__"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, target)
+
+
+def _apply_cell_txn(
+    cells_dir: str, staged: str, cell_ids: list[int], drop_ids: list[int]
+) -> None:
+    """Execute (or re-execute) one rebalance transaction's directory moves.
+    Every step is idempotent — rmtree of a missing dir is a no-op and an
+    already-moved staged dir is skipped — so replaying after a crash at any
+    point converges to the committed state."""
+    import os
+    import shutil
+
+    for cid in drop_ids:
+        shutil.rmtree(os.path.join(cells_dir, f"_cell={cid}"), ignore_errors=True)
+    for cid in cell_ids:
+        src = os.path.join(staged, f"_cell={cid}")
+        if os.path.exists(src):
+            dst = os.path.join(cells_dir, f"_cell={cid}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+def _recover_cell_txns(cells_dir: str) -> None:
+    """Finish (or clean up) any interrupted rebalance transaction.
+
+    ``rebalance_ivf_index`` records a ``_txn_<cell>.json`` marker before it
+    moves any cell directory, naming the staging dir, the staged target ids,
+    and any old dirs to drop. A crash at any point is healed by replaying
+    the marker through ``_apply_cell_txn`` (idempotent moves). If the
+    staging dir is gone the moves all finished and only the marker needs
+    removing. Called from load_ivf_index, so probes always see a consistent
+    index (no duplicate ids, no rows stranded in staging)."""
+    import glob
+    import json
+    import os
+
+    for marker in glob.glob(os.path.join(cells_dir, "_txn_*.json")):
+        try:
+            with open(marker) as fh:
+                txn = json.load(fh)
+        except (OSError, ValueError):
+            os.remove(marker)
+            continue
+        if os.path.exists(txn["staging"]):
+            _apply_cell_txn(
+                cells_dir, txn["staging"], txn["cell_ids"], txn.get("drop_ids", [])
+            )
+        os.remove(marker)
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     import json
 
+    _recover_cell_txns(f"{path.rstrip('/')}/cells")
     with open(f"{path.rstrip('/')}/meta.json") as fh:
         m = json.load(fh)
     return IvfIndex(
@@ -547,7 +610,6 @@ def rebalance_ivf_index(
     """
     import json
     import os
-    import shutil
     import uuid
 
     idx = load_ivf_index(spark, path)
@@ -581,23 +643,37 @@ def rebalance_ivf_index(
             .partitionBy("_cell")
             .parquet(staged)
         )
-        # swap: drop the hot dir, move each staged sub-cell dir into place
-        shutil.rmtree(os.path.join(cells_dir, f"_cell={cell}"), ignore_errors=True)
-        for d in os.listdir(staged):
-            if d.startswith("_cell="):
-                os.rename(os.path.join(staged, d), os.path.join(cells_dir, d))
-        shutil.rmtree(staged, ignore_errors=True)
-
-    with open(f"{path.rstrip('/')}/meta.json", "w") as fh:
-        json.dump(
+        # Crash-safe commit order (round-4 ADVICE: the old drop-then-move
+        # left cell dirs referencing centroids absent from meta):
+        # 1. meta FIRST, atomically — from this instant every cell id that
+        #    could ever appear on disk has a centroid; an extra centroid
+        #    with a missing/partial cell dir is merely 0 rows, never a
+        #    misread.
+        # 2. a _txn_<cell>.json marker naming the staging dir + target ids;
+        #    each move is rmtree-target-then-rename (idempotent), so
+        #    _recover_cell_txns (run by every load_ivf_index) replays an
+        #    interrupted transaction to completion — no lost rows, no
+        #    duplicate ids surviving to a probe.
+        _write_meta_atomic(
+            path,
             {
                 "id_col": idx.id_col,
                 "vec_col": idx.vec_col,
                 "n_clusters": len(centroids),
                 "centroids": [[float(v) for v in c] for c in centroids],
             },
-            fh,
         )
+        staged_ids = [
+            cid for cid in new_ids if os.path.exists(os.path.join(staged, f"_cell={cid}"))
+        ]
+        # if sub-cluster 0 came out empty there is no staged _cell=<cell>
+        # replacement — the old hot dir must still be dropped explicitly
+        drop_ids = [cell] if cell not in staged_ids else []
+        marker = os.path.join(cells_dir, f"_txn_{cell}.json")
+        with open(marker, "w") as fh:
+            json.dump({"staging": staged, "cell_ids": staged_ids, "drop_ids": drop_ids}, fh)
+        _apply_cell_txn(cells_dir, staged, staged_ids, drop_ids)
+        os.remove(marker)
     new_counts = {
         r["_cell"]: r["n"]
         for r in load_ivf_index(spark, path)

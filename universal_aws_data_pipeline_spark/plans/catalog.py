@@ -79,6 +79,26 @@ def _artifact_dir(kind: str, sf_dir: str) -> str:
     return os.path.join(cache_root, kind, hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
 
 
+# Hard ceiling on any driver-collected literal set (ANN query vectors, probe
+# lists). Collected literals embed in the plan: without a cap a 100x corpus
+# silently collects 100x more rows driver-side and bloats every plan that
+# broadcasts them. tests/test_plan_lint.py asserts every catalog .collect()
+# sits behind a .limit(_MAX_DRIVER_QUERIES).
+_MAX_DRIVER_QUERIES = 32
+
+
+def _parquet_ready(path: str) -> bool:
+    """True only when a cached parquet artifact is COMPLETE. Gating reuse on
+    bare directory existence is a trap: an interrupted Spark write leaves the
+    dir present (maybe only _temporary/partial part-files), and every later
+    run would silently read a broken artifact instead of rebuilding. Spark's
+    FileOutputCommitter writes _SUCCESS last, so its presence == the job
+    committed; mode("overwrite") on the rebuild clears any partial leftovers."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _ntz(ts: dt.datetime) -> F.Column:
     """TIMESTAMP_NTZ literal. The test tables store naive parquet timestamps,
     which Spark 4 reads as TIMESTAMP_NTZ; a naive ``F.lit(datetime)`` would be
@@ -671,7 +691,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(mutated)
     sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q15")
-    if not os.path.exists(sh_path):
+    if not _parquet_ready(sh_path):
         shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
     shingled = spark.read.parquet(sh_path)
     return neardup_pairs_jaccard(
@@ -1577,7 +1597,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
 
     pairs_path = os.path.join(_artifact_dir("neardup_pairs", sf_dir), "q43")
-    if not os.path.exists(pairs_path):
+    if not _parquet_ready(pairs_path):
         QUERIES["q15_neardup_minhash_lsh"].fn(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
     pairs = spark.read.parquet(pairs_path)
     return dedup_clusters(pairs, src="id_a", dst="id_b")
@@ -2099,7 +2119,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
 
     pairs_path = os.path.join(_artifact_dir("semantic_pairs", sf_dir), "q56")
-    if not os.path.exists(pairs_path):
+    if not _parquet_ready(pairs_path):
         e = _t(spark, sf_dir, "embeddings")
         cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id").write.mode(
             "overwrite"
@@ -2997,7 +3017,7 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(mutated)
     sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q15")
-    if not os.path.exists(sh_path):
+    if not _parquet_ready(sh_path):
         shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
     shingled = spark.read.parquet(sh_path)
     return jaccard_pairs_prefix_filter(corpus, threshold=0.5, shingle_n=3, shingled=shingled)
@@ -4472,6 +4492,7 @@ def _q104_oracle() -> str:
     ), queries AS (
       SELECT vec_id AS q_id, embedding AS qv, s AS q_scale, q AS qq
       FROM qz WHERE vec_id % 101 = 0
+      ORDER BY vec_id LIMIT {_MAX_DRIVER_QUERIES}
     ), scored AS (
       SELECT c.vec_id AS id, q.q_id, c.embedding, q.qv,
              (c.s * q.q_scale) * CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE) AS approx
@@ -4497,9 +4518,12 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-dot shortlist of 30 per query, exact cosine re-rank to top-10.
     Every stage is deterministic arithmetic — unlike LSH/IVF this tier hash-
     matches a SQL oracle that replays the identical pipeline. Queries =
-    vec_id % 101 == 0 (collected driver-side like q17's single lookup; the
-    query set is literal-broadcast, so the corpus is scanned once for all
-    queries with no join). See operators/similarity.py::quantized_cosine_topk."""
+    first _MAX_DRIVER_QUERIES (32) of vec_id % 101 == 0 (collected driver-side
+    like q17's single lookup; the query set is literal-broadcast, so the
+    corpus is scanned once for all queries with no join). The LIMIT is the
+    point, not a fixture detail: a driver-collected query set must be
+    BOUNDED BY CONTRACT or a 100x corpus silently collects 100x more rows
+    into the plan. See operators/similarity.py::quantized_cosine_topk."""
     from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
     from universal_aws_data_pipeline_spark.operators.similarity import quantized_cosine_topk
 
@@ -4508,8 +4532,10 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % 101 == 0)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
+        .limit(_MAX_DRIVER_QUERIES)
         .collect()
     )
+    assert len(qrows) <= _MAX_DRIVER_QUERIES  # collected literals stay bounded
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
     # spread the CPU-bound quantize+dot map off the single-file scan split
     # (results are partitioning-invariant: row_number ties break on id)
@@ -4814,7 +4840,7 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build-once shingle+digest artifact (documents-only corpus — q15/q75's
     # cache covers documents ∪ mutated, a different pair universe)
     sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q110")
-    if not os.path.exists(sh_path):
+    if not _parquet_ready(sh_path):
         shingle_index_table(parallelize_text_scan(d), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
     shingled = spark.read.parquet(sh_path)
     return containment_pairs_prefix_filter(d, threshold=0.8, shingle_n=3, shingled=shingled)
