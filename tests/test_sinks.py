@@ -177,3 +177,90 @@ def test_sortkey_write_produces_skippable_row_groups(spark, tmp_path):
                     assert st.min >= prev_max  # disjoint, ordered ranges
                 prev_max = st.max
     assert checked_files >= 1, "fixture too small: no multi-row-group file to check"
+
+
+# ---------------------------------------------------------------------------
+# Manifest-commit protocol: object-store-atomic swap (round-4 verdict item 2)
+# ---------------------------------------------------------------------------
+def test_manifest_commit_roundtrip_and_version_gc(spark, df, tmp_path):
+    from universal_aws_data_pipeline_spark.sinks.tables import (
+        read_manifest_table,
+        write_table_manifest_commit,
+    )
+
+    path = str(tmp_path / "mt")
+    m0 = write_table_manifest_commit(df, path)
+    assert m0["version"] == 0
+    assert read_manifest_table(spark, path).count() == 30
+
+    m1 = write_table_manifest_commit(df.filter("id < 10"), path)
+    assert m1["version"] == 1 and m1["previous"] == [m0["current"]]
+    assert read_manifest_table(spark, path).count() == 10
+
+    # third commit GCs version 0 (keep_versions=2) but keeps version 1
+    m2 = write_table_manifest_commit(df.filter("id < 5"), path)
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v_"))
+    assert vdirs == sorted([m2["current"], m1["current"]])
+    assert read_manifest_table(spark, path).count() == 5
+
+
+def test_manifest_crash_between_data_write_and_commit_keeps_old_table(
+    spark, df, tmp_path, monkeypatch
+):
+    """Kill the writer AFTER the new version's data files land but BEFORE
+    _manifest.json is replaced — the window where a directory-rename swap on
+    an object store leaves a torn table. Readers must keep seeing the old
+    version, and the next successful commit must still work and GC the
+    orphan."""
+    from universal_aws_data_pipeline_spark.sinks import tables
+
+    path = str(tmp_path / "mt")
+    tables.write_table_manifest_commit(df, path)
+    before = sorted(r["id"] for r in tables.read_manifest_table(spark, path).collect())
+
+    def boom(*a, **k):
+        raise OSError("injected crash before manifest commit")
+
+    monkeypatch.setattr(tables, "_commit_manifest", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        tables.write_table_manifest_commit(df.filter("id < 3"), path)
+    monkeypatch.undo()
+
+    # old table fully readable; the orphan version dir is invisible to readers
+    after = sorted(r["id"] for r in tables.read_manifest_table(spark, path).collect())
+    assert after == before
+
+    # next commit succeeds and garbage-collects the orphan
+    m = tables.write_table_manifest_commit(df.filter("id >= 25"), path)
+    live = {m["current"], *m["previous"]}
+    assert {d for d in os.listdir(path) if d.startswith("v_")} == live
+    assert tables.read_manifest_table(spark, path).count() == 5
+
+
+def test_warehouse_table_manifest_mode_swaps_and_gates_maxerror(spark, df, tmp_path):
+    """dest.commit='manifest' end-to-end: load, overwrite, and a failed
+    MAXERROR load that must leave the previous version current."""
+    from universal_aws_data_pipeline_spark.sinks.tables import read_manifest_table
+
+    path = str(tmp_path / "wt")
+    dest = DestinationConfig(path=path, commit="manifest")
+    n = write_warehouse_table(df, dest)
+    assert n == 30
+    assert read_manifest_table(spark, path).count() == 30
+
+    n2 = write_warehouse_table(df.filter("id < 7"), dest)
+    assert n2 == 7
+    assert read_manifest_table(spark, path).count() == 7
+
+    # corrupt load beyond the cap (PERMISSIVE json read, same shape as
+    # test_tolerant_load_cap): raises, manifest still points at the 7-row v1
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with open(raw / "data.json", "w") as f:
+        f.write('{"id": 1}\nNOT JSON\n')
+    from universal_aws_data_pipeline_spark.sources.files import read_source
+
+    bad = read_source(spark, str(raw), "json", tolerant=True)
+    with pytest.raises(TolerantLoadError):
+        write_warehouse_table(bad, DestinationConfig(path=path, commit="manifest", max_errors=0))
+    assert read_manifest_table(spark, path).count() == 7

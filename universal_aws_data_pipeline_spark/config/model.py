@@ -165,6 +165,13 @@ class DestinationConfig:
     # names the TABLE; jdbc_url/jdbc_driver configure the connection.
     jdbc_url: str | None = None
     jdbc_driver: str | None = None
+    # commit protocol for the managed-parquet table swap:
+    #   "rename"   — staging dir + atomic directory rename (POSIX/HDFS only)
+    #   "manifest" — versioned data dirs + _manifest.json pointer written
+    #                last; readers resolve through the manifest, so the swap
+    #                is a single small-object overwrite — atomic on object
+    #                stores too (see sinks/tables.py manifest protocol)
+    commit: str = "rename"
 
 
 @dataclass

@@ -21,9 +21,14 @@ Parity targets:
     * VACUUM/ANALYZE → compaction rewrite (coalesce to target file size) +
       ``ANALYZE TABLE ... COMPUTE STATISTICS`` when a catalog table exists.
 
-TableFormatNote: real 100 TB deployments should back this with Delta/Iceberg
-for ACID swap on object stores; the function signatures here take (df, path,
-layout) only, so swapping the commit protocol changes no call sites.
+TableFormatNote: the directory-rename swap is atomic on POSIX/HDFS only. For
+object stores this module now ships a manifest-commit protocol
+(``write_table_manifest_commit`` / ``read_manifest_table``, or
+``dest.commit = "manifest"``): data lands in immutable version dirs and the
+commit is one small-object ``_manifest.json`` overwrite — atomic on S3 too.
+That is the same idea Delta/Iceberg industrialize; the function signatures
+take (df, path, layout) only, so upgrading the commit protocol to a full
+table format changes no call sites.
 """
 
 from __future__ import annotations
@@ -86,6 +91,108 @@ def _observe_and_layout(df: DataFrame, dest: DestinationConfig) -> tuple[DataFra
     return observed, obs, has_corrupt
 
 
+# ---------------------------------------------------------------------------
+# Manifest-commit protocol: object-store-atomic table swap.
+#
+# Directory renames are atomic on POSIX/HDFS but NOT on S3-style object
+# stores (a "rename" is copy+delete per object — a crash mid-swap leaves a
+# torn table). The standard fix (what Delta/Iceberg do at full scale) is to
+# never move data at all: each load writes a fresh immutable VERSION
+# directory, and a single tiny pointer object — ``_manifest.json`` — is
+# (over)written LAST naming the current version. Readers resolve through the
+# manifest. The commit is therefore one small-object PUT: atomic on local FS
+# (write-temp + os.replace) and atomic on S3 (single-key PUT with
+# read-after-write consistency). A crash anywhere before the manifest lands
+# leaves the old version both current and fully readable; orphan version
+# dirs are garbage-collected by the NEXT successful commit, never by readers.
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(root: str) -> dict | None:
+    import json
+
+    p = os.path.join(root, _MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(
+    path: str,
+    prev: dict | None,
+    vdir: str,
+    fmt: str,
+    partition_by: list[str] | None,
+    keep_versions: int,
+) -> dict:
+    """The commit point: one small-object replace (PUT on an object store)
+    pointing the manifest at an already-written version dir, then GC of
+    versions outside the retained set — only AFTER the commit."""
+    import json
+
+    manifest = {
+        "version": (prev["version"] + 1) if prev else 0,
+        "current": vdir,
+        "format": fmt,
+        "partition_by": list(partition_by or []),
+        "previous": ([prev["current"]] + prev.get("previous", []))[: keep_versions - 1]
+        if prev
+        else [],
+    }
+    tmp = os.path.join(path, f"{_MANIFEST}.__new__.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+    live = {vdir, *manifest["previous"]}
+    for d in os.listdir(path):
+        if d.startswith("v_") and d not in live:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return manifest
+
+
+def write_table_manifest_commit(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Commit ``df`` as the new current version of the manifest table at
+    ``path``. Returns the new manifest dict. See the protocol note above.
+
+    The data lands directly in its version directory — never moved, never
+    double-written; the manifest pointer is the only thing that changes at
+    commit time. ``keep_versions`` bounds retained history (current + N-1
+    predecessors): the previous version always survives one commit, so a
+    reader that resolved the old manifest an instant before the swap still
+    finds its data files. Full time-travel retention is the Delta/Iceberg
+    upgrade — same layout, richer manifest.
+    """
+    os.makedirs(path, exist_ok=True)
+    prev = _read_manifest(path)
+    version = (prev["version"] + 1) if prev else 0
+    vdir = f"v_{version:06d}_{uuid.uuid4().hex[:8]}"
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(os.path.join(path, vdir))
+    return _commit_manifest(path, prev, vdir, fmt, partition_by, keep_versions)
+
+
+def read_manifest_table(spark, path: str) -> DataFrame:
+    """Resolve the current version through ``_manifest.json`` and read it.
+    Never lists version dirs directly — an in-flight or crashed write's
+    directory is invisible until its manifest lands."""
+    m = _read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no {_MANIFEST} at {path!r} — not a manifest table")
+    return spark.read.format(m["format"]).load(os.path.join(path, m["current"]))
+
+
 def write_warehouse_table(
     df: DataFrame,
     dest: DestinationConfig,
@@ -97,10 +204,40 @@ def write_warehouse_table(
     computes data + counts, unlike the reference's triple-action bug at
     transform_data.py:234-238). With ``dest.jdbc_url`` set, the load goes
     over a live JDBC connection (staging TABLE + rename swap) instead of
-    managed parquet — see ``write_warehouse_jdbc``.
+    managed parquet — see ``write_warehouse_jdbc``. With ``dest.commit ==
+    "manifest"``, the swap is the object-store-atomic manifest protocol
+    above instead of a directory rename.
     """
     if dest.jdbc_url:
         return write_warehouse_jdbc(df, dest, record_count_out)
+    if dest.commit == "manifest":
+        observed, obs, has_corrupt = _observe_and_layout(df, dest)
+        path = dest.path.rstrip("/")
+        os.makedirs(path, exist_ok=True)
+        prev = _read_manifest(path)
+        version = (prev["version"] + 1) if prev else 0
+        vdir = f"v_{version:06d}_{uuid.uuid4().hex[:8]}"
+        # the data lands directly in its (invisible-until-committed) version
+        # dir — one write, no rename of data files, ever
+        writer = observed.write.format(dest.format).mode("overwrite")
+        if dest.partition_by:
+            writer = writer.partitionBy(*dest.partition_by)
+        writer.save(os.path.join(path, vdir))
+        got = obs.get
+        n_rows = int(got.get("record_count", 0))
+        n_err = int(got.get("error_count", 0)) if has_corrupt else 0
+        if n_err > dest.max_errors:
+            # MAXERROR gates BEFORE the commit: the manifest never moved, so
+            # the old table stays current and fully readable
+            shutil.rmtree(os.path.join(path, vdir), ignore_errors=True)
+            raise TolerantLoadError(
+                f"{n_err} corrupt records > max_errors={dest.max_errors}"
+            )
+        _commit_manifest(path, prev, vdir, dest.format, dest.partition_by, keep_versions=2)
+        if record_count_out is not None:
+            record_count_out["record_count"] = n_rows - n_err
+            record_count_out["error_count"] = n_err
+        return n_rows - n_err
     observed, obs, has_corrupt = _observe_and_layout(df, dest)
 
     staging = f"{dest.path.rstrip('/')}.__staging__.{uuid.uuid4().hex[:8]}"
