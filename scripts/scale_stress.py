@@ -75,6 +75,21 @@ HEAVY = [
     "q27_sessionization",
     "q119_audience_overlap",
     "q120_last_touch_attribution",
+    # round-4 tail (VERDICT r4 item 6): q114 shares q101's span table (the
+    # digest retune applies to both); q118 VARIANT parse is map-only over
+    # documents; q121's head-fingerprint audit is one hash-agg; q122 is one
+    # vector pass + |labels| rollup; q123 is |labels|^2 BY DESIGN (the
+    # centroid pair matrix) — with the label-shifted copies |labels| goes
+    # 10x, so the pair stage is bounded by (10*|labels|)^2 = 100x of a
+    # sketch-sized table, NOT by the corpus; record the bound, not just the
+    # exponent. q124's bigram count table is vocab^2-bounded; the xk
+    # suffixes multiply the vocab 10x with no cross-copy bigrams.
+    "q114_span_surgery",
+    "q118_variant_events",
+    "q121_split_leakage",
+    "q122_cluster_cohesion",
+    "q123_label_confusion",
+    "q124_pmi_collocations",
 ]
 
 
