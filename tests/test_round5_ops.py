@@ -558,3 +558,85 @@ def test_cms_stream_matches_batch_twin_and_replays_noop(spark, tmp_path):
     fn(b1, 1)
     again = spark.read.parquet(os.path.join(state, "cells"))
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, cells.collect()))
+
+
+# ---------------------------------------------------------------- retrieval r5
+def test_decontaminate_reports_partial_overlap_counts(spark):
+    """A train doc sharing a run of 8-grams with an eval doc reports exactly
+    the window count of the shared run; disjoint docs don't appear."""
+    from universal_aws_data_pipeline_spark.operators.retrieval import decontaminate
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 tokens -> 5 8-gram windows
+    train = spark.createDataFrame(
+        [
+            (1, shared + " tail one two three"),
+            (2, "completely different words " + " ".join(f"z{i}" for i in range(10))),
+        ],
+        "doc_id: long, text: string",
+    )
+    ev = spark.createDataFrame([(100, shared)], "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, shingle_n=8).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_hit_shingles"] == 5  # 12 - 8 + 1
+    assert got[1]["n_eval_docs"] == 1
+    assert got[1]["n_shingles"] == 16 - 8 + 1  # train doc 1 has 16 tokens
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    from universal_aws_data_pipeline_spark.operators.retrieval import decontaminate
+
+    shared = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+    train = spark.createDataFrame([(1, shared + " x y z")], "doc_id: long, text: string")
+    ev = spark.createDataFrame([(9, shared)], "doc_id: long, text: string")
+    assert decontaminate(train, ev, shingle_n=8, min_overlap=1).count() == 1
+    assert decontaminate(train, ev, shingle_n=8, min_overlap=2).count() == 0
+
+
+def test_boolean_search_and_or_modes(spark):
+    from universal_aws_data_pipeline_spark.operators.retrieval import boolean_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the JOIN and the filter and the window"),
+            (2, "join filter but no w-word"),
+            (3, "window only here"),
+            (4, "join join join filter filter window"),  # repeats must not double-count
+        ],
+        "doc_id: long, text: string",
+    )
+    got_and = {r["doc_id"] for r in boolean_search(df, ["join", "filter", "window"]).collect()}
+    assert got_and == {1, 4}
+    got_or = {r["doc_id"] for r in boolean_search(df, ["join", "window"], mode="or").collect()}
+    assert got_or == {1, 2, 3, 4}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        boolean_search(df, [])
+    with pytest.raises(ValueError):
+        boolean_search(df, ["x"], mode="xor")
+
+
+def test_random_projection_preserves_relative_geometry(spark, sf_dir):
+    """JL sanity: identical vectors project identically; the projection is a
+    fixed linear map (proj(2v) == 2*proj(v) in exact integer micro-units
+    when v quantizes without rounding)."""
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    out = QUERIES["q127_random_projection"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) % 16 == 0 and len(rows) > 0
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["out_dim"]] = r["proj_micro"]
+    assert all(len(v) == 16 for v in by_vec.values())
+
+    # linearity on a controlled fixture: v and 2v (exactly representable)
+    from universal_aws_data_pipeline_spark.plans.catalog import _rp_sign
+    import numpy as np
+
+    v = [0.25 * ((j % 5) - 2) for j in range(64)]  # quantizes exactly at 1e-6
+    for k in range(16):
+        dot = sum(round(x * 1_000_000) * _rp_sign(k, j) for j, x in enumerate(v))
+        dot2 = sum(round(2 * x * 1_000_000) * _rp_sign(k, j) for j, x in enumerate(v))
+        assert dot2 == 2 * dot

@@ -131,3 +131,109 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Digest-based decontamination + multi-term boolean search (round 5).
+#
+# q57 is the boolean decontamination flag (3-gram shingle STRINGS, broadcast
+# benchmark side). The operators below are its scale-path quantitative twin:
+# both sides reduce to 60-bit md5 shingle digests, so the join ships 8 bytes
+# per shingle instead of n-gram text, nothing requires the eval side to fit
+# in a broadcast, and the report carries the excision-decision numbers
+# (how MANY shingles hit, out of how many, against how many eval docs)
+# instead of a flag.
+# ---------------------------------------------------------------------------
+
+
+def _shingle_digests(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, digest): distinct 60-bit md5 digests of word-n-gram shingles —
+    row-local shingling (array transform; the explode emits digests, never
+    n-gram text, so the shuffle payload is 8 bytes/shingle)."""
+    from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
+        )
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("digest"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-training-document contamination report against an eval set — the
+    GPT-3-style n-gram decontamination pass (published recipes use 8-13-gram
+    overlap) with the numbers an excision decision needs.
+
+    Returns (id_col, n_hit_shingles, n_shingles, n_eval_docs) for every
+    training document whose distinct ``shingle_n``-gram set intersects the
+    eval set's in at least ``min_overlap`` shingles.
+
+    Plan shape: both sides reduce to DISTINCT (id, digest); the digest
+    equi-join produces only true overlaps (a digest collision is a ~2^-60
+    event); two aggregations later the report is |contaminated docs| rows.
+    The per-doc shingle totals ride along from the same digest table — one
+    corpus tokenization total. A benchmark-sized eval side broadcasts under
+    AQE automatically; a giant one degrades to a plain shuffled equi-join,
+    not a failure.
+    """
+    t = _shingle_digests(train, id_col, text_col, shingle_n)
+    e = _shingle_digests(eval_set, id_col, text_col, shingle_n).select(
+        F.col("digest"), F.col(id_col).alias("_eval_id")
+    )
+    totals = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        t.join(e, "digest")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("digest").alias("n_hit_shingles"),
+            F.count_distinct("_eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_hit_shingles") >= min_overlap)
+    )
+    return hits.join(totals, id_col).select(
+        id_col, "n_hit_shingles", "n_shingles", "n_eval_docs"
+    )
+
+
+def boolean_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "and",
+) -> DataFrame:
+    """Document ids matching ALL (``mode='and'``) or ANY (``'or'``) of the
+    normalized terms. One explode over the DEDUPLICATED token array, a
+    pre-shuffle ``isin`` filter so only matching tokens ever enter the
+    exchange, and one count aggregate — match count equals the term count
+    for AND. No join: the term list is a plan literal (callers with
+    unbounded term tables should use ``decontaminate``'s join shape
+    instead); complements ``bm25_topk``'s row-local scoring with the
+    set-semantics door."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok").isin([t.lower() for t in terms]))
+    matched = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched"))
+    if mode == "and":
+        return matched.filter(F.col("n_matched") == len(set(terms))).select(id_col)
+    if mode == "or":
+        return matched.select(id_col)
+    raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")

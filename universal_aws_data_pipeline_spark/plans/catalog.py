@@ -5779,6 +5779,165 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q125 — digest decontamination report (X2/X4): q57's scale-path twin.
+# Operators: word-8-gram shingles → 60-bit md5 digests both sides, digest
+# equi-join, per-doc hit/total/eval-doc counts. All-integer output.
+# Scale: the join ships 8 bytes/shingle (never n-gram text); the eval side
+# broadcasts when benchmark-sized but nothing requires it; report is
+# |contaminated docs| rows. Fixture: the eval set is the 200-char prefixes
+# of doc_id % 97 == 0 docs, so every hit count is a PARTIAL overlap (the
+# prefix windows), not a trivial self-match of full documents.
+# --------------------------------------------------------------------------
+@register(
+    "q125_decontamination_report",
+    f"""
+    WITH ev AS (
+      SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id % 97 = 0
+    ), tt AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM documents
+    ), et AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM ev
+    ), tsh AS (
+      SELECT doc_id, {_hex_int_sql("sh", 15)} AS digest FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+          THEN list_distinct(list_transform(range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+          ELSE [norm] END) AS sh
+        FROM tt
+      ) GROUP BY doc_id, digest
+    ), esh AS (
+      SELECT doc_id AS eval_id, {_hex_int_sql("sh", 15)} AS digest FROM (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+          THEN list_distinct(list_transform(range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+          ELSE [norm] END) AS sh
+        FROM et
+      ) GROUP BY eval_id, digest
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id
+    ), hits AS (
+      SELECT tsh.doc_id,
+             count(DISTINCT tsh.digest) AS n_hit_shingles,
+             count(DISTINCT esh.eval_id) AS n_eval_docs
+      FROM tsh JOIN esh USING (digest) GROUP BY tsh.doc_id
+    )
+    SELECT h.doc_id, h.n_hit_shingles, t.n_shingles, h.n_eval_docs
+    FROM hits h JOIN totals t USING (doc_id)
+    """,
+    "digest decontamination report: 8-gram 60-bit-md5 overlap counts of training docs vs a truncated eval set — q57's quantitative scale-path twin; 8-byte shuffle payload per shingle (X2/X4)",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How contaminated is each training doc, numerically? The decision data
+    an excision pass needs: hit shingles / total shingles / eval docs hit.
+    The eval stand-in is each benchmark doc's 200-char prefix, so hits are
+    genuine partial overlaps. See operators/retrieval.py::decontaminate."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
+    from universal_aws_data_pipeline_spark.operators.retrieval import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.substring("text", 1, 200).alias("text")
+    )
+    return decontaminate(parallelize_text_scan(d), ev, shingle_n=8)
+
+
+# --------------------------------------------------------------------------
+# q126 — boolean AND search (X4/X10): multi-term set-semantics retrieval.
+# Operators: distinct-token explode with a PRE-SHUFFLE isin filter (only
+# matching tokens enter the exchange), one count aggregate, match-count ==
+# term-count for AND. Complements q78's BM25 ranking (row-local scoring)
+# with the exact-match door.
+# Scale: the exchange carries at most |terms| rows per doc; no join at all
+# for a literal term list.
+# --------------------------------------------------------------------------
+@register(
+    "q126_boolean_search",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS tk FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE list_contains(tk, 'join') AND list_contains(tk, 'filter') AND list_contains(tk, 'window')
+    """,
+    "boolean AND search over normalized tokens: docs containing ALL query terms via pre-shuffle isin + one count aggregate — the exact-match retrieval door next to q78's BM25 (X4)",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which docs contain ALL of {{join, filter, window}}? Set-semantics
+    search: distinct tokens, isin filter before the shuffle, count == 3.
+    See operators/retrieval.py::boolean_search."""
+    from universal_aws_data_pipeline_spark.operators.retrieval import boolean_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boolean_search(d, ["join", "filter", "window"], mode="and")
+
+
+# --------------------------------------------------------------------------
+# q127 — random-projection dimensionality reduction (X3): 64 → 16 dims via
+# a deterministic Rademacher (±1) matrix derived from md5, in exact integer
+# micro-units. Operators: element-wise 1e-6 quantization, row-local signed
+# integer dot per output dim (zip_with + aggregate — no explode, no
+# shuffle, whole-stage codegen).
+# The JL shrink before LSH/blocked-cosine: 4x narrower vectors make every
+# downstream pair stage 4x cheaper, and the integer output hash-grades.
+# Scale: map-only; output is |vectors| x 16 rows (long format).
+# --------------------------------------------------------------------------
+_RP_IN_DIM, _RP_OUT_DIM = 64, 16
+
+
+def _rp_sign(k: int, j: int) -> int:
+    """+1/-1 from the first hex digit of md5('rp|k|j') — the same value the
+    SQL twin derives, so the projection matrix is a cross-engine constant."""
+    import hashlib
+
+    return 1 - 2 * (int(hashlib.md5(f"rp|{k}|{j}".encode()).hexdigest()[0], 16) % 2)
+
+
+def _q127_oracle() -> str:
+    sign = _hex_int_sql("'rp|' || CAST(k.k AS VARCHAR) || '|' || CAST(j AS VARCHAR)", 1)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+      FROM embeddings
+    ), k AS (SELECT unnest(range(0, {_RP_OUT_DIM})) AS k)
+    SELECT vec_id, k.k AS out_dim,
+           CAST(list_sum(list_transform(range(0, {_RP_IN_DIM}),
+                j -> qe[j + 1] * (1 - 2 * ({sign} % 2)))) AS BIGINT) AS proj_micro
+    FROM q CROSS JOIN k
+    """
+
+
+@register(
+    "q127_random_projection",
+    _q127_oracle(),
+    "Johnson-Lindenstrauss shrink 64->16 dims: deterministic md5-Rademacher signs, exact integer micro-unit dots, row-local (no shuffle) — the pre-LSH/pre-blocking width cut (X3)",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shrink embeddings 4x before pair-stage work: project the 1e-6-
+    quantized vectors onto 16 md5-derived +/-1 directions. Integer
+    arithmetic end-to-end (quantize -> signed sum), so both engines produce
+    bit-identical projections with zero float-order hazard. Row-local fold:
+    no explode, no shuffle — the plan is a map over the vector scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
+    )
+    cols = []
+    for k in range(_RP_OUT_DIM):
+        signs = F.array(*[F.lit(_rp_sign(k, j)) for j in range(_RP_IN_DIM)])
+        dot = F.aggregate(
+            F.zip_with(q, signs, lambda a, s: a * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.struct(F.lit(k).cast("long").alias("out_dim"), dot.alias("proj_micro")))
+    return (
+        e.select("vec_id", F.explode(F.array(*cols)).alias("p"))
+        .select("vec_id", F.col("p.out_dim").alias("out_dim"), F.col("p.proj_micro").alias("proj_micro"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
