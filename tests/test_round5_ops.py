@@ -640,3 +640,75 @@ def test_random_projection_preserves_relative_geometry(spark, sf_dir):
         dot = sum(round(x * 1_000_000) * _rp_sign(k, j) for j, x in enumerate(v))
         dot2 = sum(round(2 * x * 1_000_000) * _rp_sign(k, j) for j, x in enumerate(v))
         assert dot2 == 2 * dot
+
+
+def test_chunk_documents_window_math(spark):
+    from universal_aws_data_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(150))),  # 3 windows: 64/64/54
+            (2, "short doc"),                             # 1 window: 2 tokens
+            (3, " ".join(f"u{i}" for i in range(64))),    # exactly one full window
+            (4, " ".join(f"v{i}" for i in range(65))),    # 64 + trailing 17
+        ],
+        "doc_id: long, text: string",
+    )
+    got = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc[1] == [(0, 64), (1, 64), (2, 54)]
+    assert by_doc[2] == [(0, 2)]
+    assert by_doc[3] == [(0, 64)]
+    assert by_doc[4] == [(0, 64), (1, 17)]
+    # overlap property: chunk 1 of doc 1 starts at token 48
+    c1 = next(r for r in got if r["doc_id"] == 1 and r["chunk_idx"] == 1)
+    assert c1["chunk_text"].split(" ")[0] == "t48"
+
+
+def test_mixture_plan_caps_rates_and_filters_unweighted(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 100)] * 5 + [("b", 100)] * 50 + [("c", 100)] * 10,
+        "source: string, n_tokens: long",
+    )
+    # budget 2000, weights a=0.5 b=0.5: a targets 1000 but has 500 -> rate 1.0;
+    # b targets 1000 of 5000 -> rate 0.2; c unweighted -> absent
+    got = {r["source"]: r for r in mixture_plan(df, {"a": 0.5, "b": 0.5}, 2000).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["rate"] == 1.0 and got["a"]["expected_tokens"] == 500
+    assert got["b"]["rate"] == 0.2 and got["b"]["expected_tokens"] == 1000
+    assert got["a"]["target_tokens"] == 1000 and got["b"]["target_tokens"] == 1000
+
+
+def test_snapshot_diff_classifies_and_ignores_column_order(spark):
+    from universal_aws_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)], "k: long, s: string, v: double"
+    )
+    new = spark.createDataFrame(
+        [(20.0, "y", 2), (31.0, "z", 3), (40.0, "w", 4)], "v: double, s: string, k: long"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 unchanged despite column reordering, 3 changed, 4 added
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-key"):
+        snapshot_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def test_snapshot_diff_null_vs_empty_string_distinct(spark):
+    """The digest separator/null-sentinel must distinguish NULL from ''."""
+    from universal_aws_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "")], "k: long, s: string")
+    new = spark.createDataFrame([(1, ""), (2, None)], "k: long, s: string")
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}

@@ -237,3 +237,53 @@ def temperature_rebalance(
         .filter(u < F.col("rate"))
         .select(key_col, group_col, F.round(F.col("rate"), 6).alias("rate"))
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "source",
+    tokens_col_name: str = "n_tokens",
+) -> DataFrame:
+    """Corpus-mixture planning: turn target domain WEIGHTS into per-domain
+    sampling RATES against what the corpus actually holds — the config step
+    before a weighted pretraining mix is materialized.
+
+    For each group g: target_tokens = budget · w_g / Σw, and
+    rate = min(1, target/available) — a domain short of its target samples
+    at 1.0 (it cannot oversample; upweighting beyond availability is an
+    epochs decision, not a sampling one, and is visible here as
+    target > available). Returns
+    (group, n_docs, n_tokens, target_tokens, rate, expected_tokens).
+
+    Scale: ONE map-side-combinable aggregate over the corpus (|groups|
+    rows out); the weight table is a plan literal. Feed the rates to
+    ``hash_sample``'s md5-bucket filter for the actual materialization —
+    deterministic, no per-group shuffles.
+    """
+    total_w = float(sum(weights.values()))
+    w_expr = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    avail = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col_name).cast("long").alias("n_tokens"),
+    )
+    target = F.round(F.lit(float(token_budget)) * w_expr[F.col(group_col)] / total_w, 0).cast(
+        "long"
+    )
+    rate = F.round(
+        F.least(F.lit(1.0), target.cast("double") / F.col("n_tokens")), 6
+    )
+    return (
+        avail.filter(w_expr[F.col(group_col)].isNotNull())
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            target.alias("target_tokens"),
+            rate.alias("rate"),
+            F.round(F.col("n_tokens") * rate, 0).cast("long").alias("expected_tokens"),
+        )
+    )

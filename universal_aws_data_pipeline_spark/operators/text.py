@@ -294,3 +294,49 @@ def bigram_lm_scores(
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking for training prep: split each document into
+    overlapping ``chunk_tokens``-token windows advancing by ``stride``
+    (stride < chunk_tokens ⇒ the standard sliding-window overlap that keeps
+    boundary context).
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_text). Entirely ROW-LOCAL:
+    the window starts are an integer sequence, each chunk a slice of the
+    token array — no shuffle at all, just the 1→N generate. Window count is
+    1 for short docs, else 1 + ceil((len − chunk)/stride) in exact integer
+    arithmetic (DIV), so both engines (and any replay) produce the
+    identical chunk set. At 100 TB this is a map stage whose output is
+    ~len/stride× the row count; write it partitioned by a content-hash
+    bucket so downstream per-chunk jobs parallelize beyond the document
+    count.
+    """
+    base = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk").cast("long")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+        F.lit(1).cast("long")
+        + F.expr(f"(size(_tk) - {chunk_tokens} + {stride - 1}) DIV {stride}")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(F.col("_tk"), (i * stride + 1).cast("int"), chunk_tokens).alias("_ct"),
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.size("_c._ct").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_c._ct")).alias("chunk_text"),
+        )
+    )

@@ -5938,6 +5938,150 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q128 — context-window chunking (X4): training-prep document splitting.
+# Operators: row-local sliding windows (chunk 64, stride 48) — integer
+# window count (DIV ceil), token-array slices, 1→N generate. No shuffle.
+# Scale: map-only; output ~len/stride x rows; write bucketed by content
+# hash for per-chunk parallelism downstream.
+# --------------------------------------------------------------------------
+@register(
+    "q128_document_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), c AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) <= 64 THEN 1
+                  ELSE 1 + (len(tk) - 64 + 47) // 48 END AS nc
+      FROM t
+    )
+    SELECT doc_id, i AS chunk_idx,
+           CAST(len(tk[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
+           array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+    FROM (SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM c)
+    """,
+    "sliding-window document chunking (64-token windows, stride 48): row-local integer window math + array slices, 1->N generate, zero shuffles — the context-window prep step before packing (X4)",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping 64-token context windows
+    advancing by 48 — the chunking step between cleaning and shard packing
+    (q46). See operators/text.py::chunk_documents."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
+    from universal_aws_data_pipeline_spark.operators.text import chunk_documents
+
+    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+# --------------------------------------------------------------------------
+# q129 — corpus mixture planning (X6): domain weights → sampling rates.
+# Operators: one map-side-combinable aggregate (|sources| rows), literal
+# weight map, min(1, target/available) rate with 6dp rounding.
+# Scale: ONE corpus aggregate; the plan output feeds hash_sample's
+# md5-bucket filters — materialization needs no per-group shuffles.
+# --------------------------------------------------------------------------
+_Q129_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_Q129_BUDGET = 8000
+
+
+@register(
+    "q129_mixture_plan",
+    f"""
+    WITH t AS (
+      SELECT source, len(string_split({_NORM_SQL}, ' ')) AS n_toks FROM documents
+    ), a AS (
+      SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ), w AS (
+      SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in _Q129_WEIGHTS.items())}) AS w(source, wt)
+    ), p AS (
+      SELECT a.source, n_docs, n_tokens,
+             CAST(round({_Q129_BUDGET}.0 * wt / {sum(_Q129_WEIGHTS.values())}, 0) AS BIGINT) AS target_tokens
+      FROM a JOIN w USING (source)
+    ), r AS (
+      SELECT *, round(least(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS rate FROM p
+    )
+    SELECT source, n_docs, n_tokens, target_tokens, rate,
+           CAST(round(n_tokens * rate, 0) AS BIGINT) AS expected_tokens
+    FROM r
+    """,
+    "corpus mixture planning: domain weights + token budget -> per-source sampling rates against actual availability (min(1, target/avail)); one corpus aggregate, |sources|-row plan (X6)",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn a target pretraining mix (40/30/20/10 over four sources, 8k-token
+    budget) into per-source sampling rates against what the corpus actually
+    holds; a source short of target pins at rate 1.0 (epochs, not sampling,
+    cover the gap). See operators/sampling.py::mixture_plan."""
+    from universal_aws_data_pipeline_spark.operators.sampling import mixture_plan
+    from universal_aws_data_pipeline_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return mixture_plan(d, _Q129_WEIGHTS, _Q129_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# q130 — snapshot diff / CDC (S-family): added/removed/changed keys between
+# two table versions. Operators: row-local 60-bit md5 row digests (16-byte
+# join payload however wide the table), one full-outer equi-join on the
+# key, CASE classification, unchanged majority filtered immediately.
+# The graded projection is (key, change): classification is string-format-
+# independent (each engine compares ITS OWN old/new strings), so the oracle
+# compares values directly while Spark compares digests — a hash match
+# proves the digest compare classifies identically.
+# Scale: the only shuffle is the key join; digests are map-stage md5.
+# --------------------------------------------------------------------------
+@register(
+    "q130_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0
+    ), j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_custkey <> n.o_custkey OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+             END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+    """,
+    "snapshot diff (CDC): added/removed/changed keys between two table versions via row-local md5 row digests + one key join — the incremental-ingest primitive the reference's full-reload pipeline lacks (S-family)",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between yesterday's and today's orders snapshot? The
+    'new' version drops keys %101==0, bumps o_totalprice for %97==0, and
+    appends shifted copies of %103==0 — the diff must report exactly those
+    keys as removed/changed/added. See operators/diff.py::snapshot_diff."""
+    from universal_aws_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100_000_000
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).select("o_orderkey", "change")
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
