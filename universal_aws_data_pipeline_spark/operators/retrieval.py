@@ -183,30 +183,32 @@ def decontaminate(
     training document whose distinct ``shingle_n``-gram set intersects the
     eval set's in at least ``min_overlap`` shingles.
 
-    Plan shape: both sides reduce to DISTINCT (id, digest); the digest
-    equi-join produces only true overlaps (a digest collision is a ~2^-60
-    event); two aggregations later the report is |contaminated docs| rows.
-    The per-doc shingle totals ride along from the same digest table — one
-    corpus tokenization total. A benchmark-sized eval side broadcasts under
-    AQE automatically; a giant one degrades to a plain shuffled equi-join,
-    not a failure.
+    Plan shape: both sides reduce to DISTINCT (id, digest); a LEFT join on
+    the digest marks overlaps (a digest collision is a ~2^-60 event) and
+    ONE aggregation produces totals, hit counts, and eval-doc counts
+    together — the corpus is tokenized and digested exactly once (a
+    separate totals subtree would recompute the whole digest pass). A
+    benchmark-sized eval side broadcasts under AQE automatically; a giant
+    one degrades to a plain shuffled equi-join, not a failure.
     """
     t = _shingle_digests(train, id_col, text_col, shingle_n)
     e = _shingle_digests(eval_set, id_col, text_col, shingle_n).select(
         F.col("digest"), F.col(id_col).alias("_eval_id")
     )
-    totals = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        t.join(e, "digest")
+    # left join can fan a train digest out over several eval docs; the
+    # count_distincts below are immune to that inflation by construction
+    return (
+        t.join(e, "digest", "left")
         .groupBy(id_col)
         .agg(
-            F.count_distinct("digest").alias("n_hit_shingles"),
+            F.count_distinct("digest").alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("_eval_id").isNotNull(), F.col("digest"))
+            ).alias("n_hit_shingles"),
             F.count_distinct("_eval_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_hit_shingles") >= min_overlap)
-    )
-    return hits.join(totals, id_col).select(
-        id_col, "n_hit_shingles", "n_shingles", "n_eval_docs"
+        .select(id_col, "n_hit_shingles", "n_shingles", "n_eval_docs")
     )
 
 
