@@ -112,6 +112,8 @@ _ADJUDICATED = {
         "q05_transform_chain", "q107_hybrid_rrf", "q20_lsh_topk",
         "q60_salted_skew_join", "q76_keep_best_per_cluster", "q78_bm25_topk",
         "q79_fuzzy_entity_match", "q80_bigram_lm", "q97_rolling_distinct_sketch",
+        "q131_sequence_packing",  # n_tokens > 0 over a computed split-size
+        "q132_incremental_agg",  # CDC fixture's key-modulo selectors
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

@@ -712,3 +712,95 @@ def test_snapshot_diff_null_vs_empty_string_distinct(spark):
     new = spark.createDataFrame([(1, ""), (2, None)], "k: long, s: string")
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_pack_sequences_spans_and_offsets(spark):
+    from universal_aws_data_pipeline_spark.operators.packing import pack_sequences
+
+    # one shard so the in-shard order is fully determined by id
+    df = spark.createDataFrame(
+        [(1, 10), (2, 250), (3, 0), (4, 300), (5, 6)], "doc_id: long, n: long"
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n", 256, n_shards=1).collect()}
+    assert 3 not in got  # empty docs occupy no stream space
+    assert got[1]["tok_offset"] == 0 and got[1]["first_seq"] == 0 and got[1]["last_seq"] == 0
+    # doc 2: offset 10, ends at 259 -> crosses into seq 1
+    assert (got[2]["first_seq"], got[2]["last_seq"], got[2]["n_seqs"]) == (0, 1, 2)
+    # doc 4: offset 260, ends at 559 -> seqs 1..2
+    assert got[4]["tok_offset"] == 260
+    assert (got[4]["first_seq"], got[4]["last_seq"]) == (1, 2)
+    # doc 5: offset 560 -> seq 2 only
+    assert (got[5]["first_seq"], got[5]["last_seq"], got[5]["n_seqs"]) == (2, 2, 1)
+    # stream conservation: offsets are the exclusive prefix sum of kept docs
+    assert got[5]["tok_offset"] == 10 + 250 + 300
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, "doc_id", "n", 0)
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    from universal_aws_data_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(i, 100) for i in range(40)], "doc_id: long, n: long")
+    rows = pack_sequences(df, "doc_id", "n", 128, n_shards=4).collect()
+    # within each shard offsets restart at 0 and step by exactly 100
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["doc_id"], r["tok_offset"]))
+    assert len(by_shard) > 1
+    for docs in by_shard.values():
+        docs.sort()
+        assert [o for _, o in docs] == [i * 100 for i in range(len(docs))]
+
+
+def test_cdc_signed_rows_and_agg_merge_equal_recompute(spark):
+    from universal_aws_data_pipeline_spark.operators.incremental import (
+        apply_cdc_to_agg,
+        cdc_signed_rows,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 20), (3, "g2", 30), (4, "g3", 40)],
+        "k: long, g: string, m: long",
+    )
+    # 1 unchanged, 2 measure-changed, 3 migrated g2->g1, 4 removed, 5 added
+    new = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 25), (3, "g1", 30), (5, "g2", 7)],
+        "k: long, g: string, m: long",
+    )
+    signed = cdc_signed_rows(old, new, ["k"])
+    rows = [(r["k"], r["_sign"], r["g"], r["m"]) for r in signed.collect()]
+    assert (1, 1, "g1", 10) not in rows and (1, -1, "g1", 10) not in rows
+    assert (4, -1, "g3", 40) in rows and (5, 1, "g2", 7) in rows
+    # migration becomes remove-old + add-new
+    assert (3, -1, "g2", 30) in rows and (3, 1, "g1", 30) in rows
+
+    view = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("m").cast("long").alias("m"),
+    )
+    merged = {r["g"]: (r["n_rows"], r["m"]) for r in
+              apply_cdc_to_agg(view, signed, ["g"], ["m"]).collect()}
+    recompute = {r["g"]: (r["n_rows"], r["m"]) for r in new.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("m").cast("long").alias("m"),
+    ).collect()}
+    assert merged == recompute
+    assert "g3" not in merged  # emptied group retired
+
+
+def test_bradley_terry_orders_by_true_strength(spark):
+    from universal_aws_data_pipeline_spark.operators.preference import bradley_terry_micro
+
+    # round-robin where a beats everyone, b beats c,d, c beats d
+    comps = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")] * 3,
+        "winner: string, loser: string",
+    )
+    got = {r["entity"]: r for r in bradley_terry_micro(comps).collect()}
+    assert got["a"]["n_wins"] == 9 and got["a"]["n_games"] == 9
+    assert got["d"]["n_wins"] == 0 and got["d"]["strength_micro"] == 0
+    s = [got[e]["strength_micro"] for e in ("a", "b", "c", "d")]
+    assert s[0] > s[1] > s[2] > s[3]

@@ -24,7 +24,7 @@ import datetime as dt
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from universal_aws_data_pipeline_spark.config.model import QualityCheck, SchemaConfig, TransformationSpec
@@ -6079,6 +6079,244 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["o_orderkey"]).select("o_orderkey", "change")
+
+
+# --------------------------------------------------------------------------
+# q131 — sequence packing (X4): concat-and-chunk docs into fixed-length
+# training sequences. Operators: md5-bucket shards packed independently
+# (ONE hash shuffle + parallel per-shard windows — never a global token
+# order through one task), exclusive prefix sum, integer div spans.
+# Oracle: identical window arithmetic — md5 shard + BIGINT floor div make
+# the packing engine-portable and hash-gradable.
+# --------------------------------------------------------------------------
+_Q131_SEQ_LEN = 256
+_Q131_SHARDS = 16
+
+
+@register(
+    "q131_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+             {_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} % {_Q131_SHARDS} AS shard
+      FROM documents
+    ), o AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, tok_offset,
+           tok_offset // {_Q131_SEQ_LEN} AS first_seq,
+           (tok_offset + n_tokens - 1) // {_Q131_SEQ_LEN} AS last_seq,
+           (tok_offset + n_tokens - 1) // {_Q131_SEQ_LEN}
+             - tok_offset // {_Q131_SEQ_LEN} + 1 AS n_seqs
+    FROM o
+    """,
+    "concat-and-chunk sequence packing: map every doc to its token offset and first/last 256-token training sequence, per-md5-shard prefix sums (one shuffle, shards pack in parallel) — the causal-LM prep step after chunking (X4)",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does each document land in the packed training-token stream?
+    Concat docs per shard in id order, cut every 256 tokens, report each
+    doc's offset and sequence span. See operators/packing.py::pack_sequences
+    for the shard-parallel plan shape."""
+    from universal_aws_data_pipeline_spark.operators.packing import pack_sequences
+    from universal_aws_data_pipeline_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_toks", seq_len=_Q131_SEQ_LEN, n_shards=_Q131_SHARDS
+    )
+
+
+# --------------------------------------------------------------------------
+# q132 — incremental aggregate maintenance (S-family + A-family): keep a
+# materialized group-by current from a CDC change-set. Operators: signed
+# contribution rows (remove+add handles group migration), map-side-
+# combinable delta aggregate over ONLY the changed rows, one |groups|-row
+# outer-join merge. Integer cents so maintained sums never drift.
+# Oracle: a FULL RECOMPUTE over the new snapshot — the hash match IS the
+# proof that incremental maintenance equals recomputation.
+# Scale: O(|changes| + |groups|) vs the reference's O(|table|) full reload.
+# --------------------------------------------------------------------------
+@register(
+    "q132_incremental_agg",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 79 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+             CASE WHEN o_orderkey % 83 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM o WHERE o_orderkey % 89 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, o_custkey, cents FROM o WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM new GROUP BY o_custkey
+    """,
+    "incremental aggregate maintenance: merge a CDC change-set (removes %89, price changes %83, group migrations %79, adds %97) into a per-customer materialized view touching only changed rows + |groups| — graded against a full recompute (S/A-family)",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the per-customer (order count, total cents) view through a
+    synthetic CDC batch without re-reading the base table: removed keys
+    (%89), price updates (%83), customer migrations (%79 — remove+add makes
+    these correct for free), and appended orders (%97, shifted keys). The
+    oracle recomputes from scratch; a hash match proves the merged view is
+    row-identical. See operators/incremental.py."""
+    from universal_aws_data_pipeline_spark.operators.incremental import (
+        apply_cdc_to_agg,
+        cdc_signed_rows,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 89 != 0)
+        .withColumn(
+            "cents",
+            F.when(F.col("o_orderkey") % 83 == 0, F.col("cents") + 100).otherwise(
+                F.col("cents")
+            ),
+        )
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 79 == 0, F.col("o_custkey") + 1).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 200_000_000
+            )
+        )
+    )
+    view = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    signed = cdc_signed_rows(o, new, ["o_orderkey"])
+    return apply_cdc_to_agg(
+        view, signed, ["o_custkey"], ["cents"], count_col="n_orders"
+    )
+
+
+# --------------------------------------------------------------------------
+# q133 — Bradley–Terry preference strengths (iterative family): the RLHF /
+# eval primitive — per-entity strength from pairwise outcomes via the MM
+# algorithm in exact BIGINT micro-units (same hash-gradability device as
+# q115 PageRank). Scale: the comparison log aggregates ONCE to |pairs|
+# rows; each round is one shuffle join + one map-side-combinable agg.
+# Oracle: the identical recurrence unrolled as 3 chained CTE rounds.
+# --------------------------------------------------------------------------
+_BT_SCALE = 1_000_000_000_000
+
+
+def _bt_step(k: int) -> str:
+    prev = "p0" if k == 1 else f"r{k - 1}"
+    return f"""
+    r{k} AS (
+      SELECT e.me,
+             CASE WHEN e.n_wins > 0 AND d.denom > 0
+                  THEN CAST(e.n_wins * CAST({_BT_SCALE} AS BIGINT) // d.denom AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS p
+      FROM ent e LEFT JOIN (
+        SELECT u.me,
+               CAST(sum(u.n_games * CAST({_BT_SCALE} AS BIGINT)
+                        // greatest(a.p + b.p, 1)) AS BIGINT) AS denom
+        FROM und u JOIN {prev} a ON u.me = a.me JOIN {prev} b ON u.opp = b.me
+        GROUP BY u.me
+      ) d ON e.me = d.me
+    )"""
+
+
+@register(
+    "q133_bradley_terry",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_extendedprice,
+             lead(l_suppkey) OVER w AS opp_s,
+             lead(l_extendedprice) OVER w AS opp_p
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_suppkey, l_extendedprice)
+    ), pairs AS (
+      SELECT CASE WHEN l_extendedprice > opp_p
+                    OR (l_extendedprice = opp_p AND l_suppkey < opp_s)
+                  THEN l_suppkey ELSE opp_s END AS w,
+             CASE WHEN l_extendedprice > opp_p
+                    OR (l_extendedprice = opp_p AND l_suppkey < opp_s)
+                  THEN opp_s ELSE l_suppkey END AS l
+      FROM li WHERE opp_s IS NOT NULL AND l_suppkey <> opp_s
+    ), directed AS (
+      SELECT w, l, count(*) AS n FROM pairs GROUP BY w, l
+    ), und AS (
+      SELECT me, opp, CAST(sum(n) AS BIGINT) AS n_games FROM (
+        SELECT w AS me, l AS opp, n FROM directed
+        UNION ALL
+        SELECT l AS me, w AS opp, n FROM directed
+      ) GROUP BY me, opp
+    ), wins AS (
+      SELECT w AS me, CAST(sum(n) AS BIGINT) AS n_wins FROM directed GROUP BY w
+    ), ent AS (
+      SELECT u.me, coalesce(w.n_wins, 0) AS n_wins, u.n_games
+      FROM (SELECT me, CAST(sum(n_games) AS BIGINT) AS n_games
+            FROM und GROUP BY me) u
+      LEFT JOIN wins w ON u.me = w.me
+    ), p0 AS (
+      SELECT me, CAST(1000000 AS BIGINT) AS p FROM ent
+    ),{",".join(_bt_step(k) for k in range(1, 4))}
+    SELECT e.me AS s_suppkey, e.n_wins, e.n_games, r3.p AS strength_micro
+    FROM ent e JOIN r3 ON e.me = r3.me
+    """,
+    "Bradley-Terry supplier strength from per-order price duels: 3 exact integer micro-unit MM rounds over the pairwise-comparison log (the RLHF preference primitive; iterative family alongside q115)",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which suppliers win head-to-head? Consecutive lineitems of an order
+    duel (higher extendedprice wins, price tie broken by lower suppkey);
+    Bradley-Terry MM strengths over the resulting comparison log. See
+    operators/preference.py::bradley_terry_micro for the integer recurrence
+    and per-round shuffle budget."""
+    from universal_aws_data_pipeline_spark.operators.preference import (
+        bradley_terry_micro,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    duels = (
+        li.select(
+            "l_suppkey",
+            "l_extendedprice",
+            F.lead("l_suppkey").over(w).alias("opp_s"),
+            F.lead("l_extendedprice").over(w).alias("opp_p"),
+        )
+        .filter(F.col("opp_s").isNotNull() & (F.col("l_suppkey") != F.col("opp_s")))
+    )
+    first_wins = (F.col("l_extendedprice") > F.col("opp_p")) | (
+        (F.col("l_extendedprice") == F.col("opp_p"))
+        & (F.col("l_suppkey") < F.col("opp_s"))
+    )
+    comparisons = duels.select(
+        F.when(first_wins, F.col("l_suppkey")).otherwise(F.col("opp_s")).alias("winner"),
+        F.when(first_wins, F.col("opp_s")).otherwise(F.col("l_suppkey")).alias("loser"),
+    )
+    return bradley_terry_micro(comparisons, "winner", "loser", iterations=3).select(
+        F.col("entity").alias("s_suppkey"), "n_wins", "n_games", "strength_micro"
+    )
 
 
 # --------------------------------------------------------------------------
