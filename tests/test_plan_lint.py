@@ -88,6 +88,10 @@ _ADJUDICATED = {
         # q123: label<>label pairing over the CENTROID table — |labels|^2
         # rows of a sketch-sized broadcast input, the intended all-pairs
         "q123_label_confusion",
+        # q134: cross-label != join against a BOUNDED broadcast anchor set
+        # (ORDER BY + LIMIT _MAX_DRIVER_QUERIES) — one corpus pass, linear
+        # in the corpus for a fixed probe set; the intended plan
+        "q134_hard_negatives",
         # q124: two 1-row scalar attaches (corpus token total N, bigram
         # total B) onto the surviving-bigram table
         "q124_pmi_collocations",

@@ -804,3 +804,45 @@ def test_bradley_terry_orders_by_true_strength(spark):
     assert got["d"]["n_wins"] == 0 and got["d"]["strength_micro"] == 0
     s = [got[e]["strength_micro"] for e in ("a", "b", "c", "d")]
     assert s[0] > s[1] > s[2] > s[3]
+
+
+def test_hard_negatives_picks_closest_cross_label(spark):
+    from universal_aws_data_pipeline_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, 0, [1.0, 0.0]),   # anchor, label 0
+        (2, 0, [0.99, 0.14]), # same label: must be ignored even though closest
+        (3, 1, [0.9, 0.43]),  # cross label, cos ~0.9
+        (4, 1, [0.0, 1.0]),   # cross label, cos 0
+        (5, 2, [0.9, 0.43]),  # identical direction to 3, different label
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    anchors = df.filter("vec_id = 1")
+    got = hard_negatives(df, anchors, "vec_id", "label", "embedding").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["anchor_id"] == 1 and r["neg_id"] == 3  # tie with 5 broken by lower id
+    assert r["neg_label"] == 1 and abs(r["cos_sim"] - 0.9023) < 1e-3
+
+
+def test_quantile_normalize_matches_window_percent_rank(spark):
+    from universal_aws_data_pipeline_spark.operators.normalize import quantile_normalize
+    from pyspark.sql import Window
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "g%d" % (i % 3), round(rng.random(), 2)) for i in range(300)]
+    rows.append((1000, "solo", 0.5))  # single-row group -> pct 0
+    df = spark.createDataFrame(rows, "id: long, g: string, v: double")
+    got = quantile_normalize(df, "g", "v").collect()
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        r["id"]: round(r["pct"], 6)
+        for r in df.select("id", F.percent_rank().over(w).alias("pct")).collect()
+    }
+    for r in got:
+        assert r["pct_rank"] == want[r["id"]], (r["id"], r["pct_rank"], want[r["id"]])
+        assert 0 <= r["bucket"] <= 9
+    solo = next(r for r in got if r["id"] == 1000)
+    assert solo["pct_rank"] == 0.0 and solo["bucket"] == 0

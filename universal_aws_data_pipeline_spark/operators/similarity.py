@@ -682,3 +682,64 @@ def rebalance_ivf_index(
         .collect()
     }
     return {"split": split_map, "counts": new_counts}
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the single most
+    cosine-similar vector carrying a DIFFERENT label — the canonical
+    negative-sampling step for contrastive/embedding training.
+
+    ``anchors`` must be a BOUNDED probe set (an eval suite, a curriculum
+    batch): it is broadcast, so the plan is ONE pass over the corpus with
+    |anchors| comparisons per row and a max-struct hash aggregate —
+    map-side combine reduces every partition to |anchors| rows before the
+    (only) shuffle. No corpus×corpus pair stage exists at any scale; cost
+    is strictly linear in the corpus for a fixed probe set. For per-corpus-
+    row negatives use ``cosine_pairs_blocked`` and filter cross-label.
+
+    Exactness: per-pair cosine is an array fold (both engines fold in array
+    order — bit-identical doubles), rounded to 6dp; the argmax tiebreak is
+    lowest candidate id, so the result is engine-portable and
+    hash-gradable.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("_aid"),
+            F.col(label_col).alias("_albl"),
+            F.col(vec_col).alias("_ae"),
+        )
+    )
+    cand = df.select(
+        F.col(id_col).alias("_nid"),
+        F.col(label_col).alias("_nlbl"),
+        F.col(vec_col).alias("_ne"),
+    )
+    scored = cand.join(a, F.col("_nlbl") != F.col("_albl")).select(
+        "_aid",
+        "_albl",
+        "_nid",
+        "_nlbl",
+        F.round(cosine_similarity(F.col("_ne"), F.col("_ae")), 6).alias("cos_sim"),
+    )
+    best = scored.groupBy("_aid", "_albl").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"),
+                (-F.col("_nid")).alias("_neg_nid"),
+                F.col("_nlbl").alias("_l"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("_aid").alias("anchor_id"),
+        F.col("_albl").alias("anchor_label"),
+        (-F.col("b._neg_nid")).cast("long").alias("neg_id"),
+        F.col("b._l").alias("neg_label"),
+        F.col("b.cos_sim").alias("cos_sim"),
+    )

@@ -6320,6 +6320,112 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q134 — contrastive hard-negative mining (X3): per-anchor most-similar
+# cross-label vector. Operators: bounded broadcast anchor set (ORDER BY +
+# LIMIT, the q104 capped-probe convention), one corpus pass, max-struct
+# hash aggregate (map-side combine → |anchors| rows/partition before the
+# only shuffle). Cosine is an array fold (bit-identical across engines),
+# round 6dp, lowest-id tiebreak — hash-gradable.
+# Oracle: the same bounded anchor join, argmax via row_number.
+# --------------------------------------------------------------------------
+@register(
+    "q134_hard_negatives",
+    f"""
+    WITH a AS (
+      SELECT vec_id AS aid, label AS albl, embedding AS ae
+      FROM embeddings WHERE vec_id % 13 = 0
+      ORDER BY vec_id LIMIT {_MAX_DRIVER_QUERIES}
+    ), p AS (
+      SELECT a.aid, a.albl, e.vec_id AS nid, e.label AS nlbl,
+             round({_cos_sql("e.embedding", "a.ae")}, 6) AS cos_sim
+      FROM a JOIN embeddings e ON e.label <> a.albl
+    )
+    SELECT aid AS anchor_id, albl AS anchor_label, nid AS neg_id,
+           nlbl AS neg_label, cos_sim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY aid ORDER BY cos_sim DESC, nid) AS rn FROM p)
+    WHERE rn = 1
+    """,
+    "contrastive hard-negative mining: per-anchor most-cosine-similar CROSS-label vector, bounded broadcast probe set + one corpus pass + max-struct argmax (the negative-sampling step for embedding training; X3)",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hardest negative for each probe embedding: most similar vector
+    with a different label — what contrastive training mines per batch.
+    Anchor set is bounded (vec_id %13, first _MAX_DRIVER_QUERIES by id)
+    so the broadcast never scales with the corpus. See
+    operators/similarity.py::hard_negatives for the one-pass plan."""
+    from universal_aws_data_pipeline_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = (
+        e.filter(F.col("vec_id") % 13 == 0).orderBy("vec_id").limit(_MAX_DRIVER_QUERIES)
+    )
+    return hard_negatives(e, anchors, "vec_id", "label", "embedding")
+
+
+# --------------------------------------------------------------------------
+# q135 — per-domain quantile normalization (X4/X6): exact percent_rank of
+# quality WITHOUT the per-domain single-task window sort. Operators:
+# (source, 4dp-score) histogram (map-side combinable, ≤10,001 values/
+# domain), exclusive prefix sums over the tiny histogram, broadcast join
+# back. Oracle: the textbook percent_rank window — a hash match proves the
+# histogram rank equals the window definition (ties share min rank).
+# --------------------------------------------------------------------------
+_Q135_QUAL = """
+    qbase AS (
+      SELECT doc_id, source, text,
+             CAST(length(text) AS DOUBLE) AS n,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok
+      FROM documents
+    ), qcls AS (
+      SELECT doc_id, source, n, ntok,
+        (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+        (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+        (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+      FROM qbase
+    ), qual AS (
+      SELECT doc_id, source,
+        round((least(1.0, ntok / 100.0) + alpha_ratio
+               + (1.0 - least(1.0, digit_ratio + punct_ratio))
+               + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                      THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
+      FROM qcls
+    )
+"""
+
+
+@register(
+    "q135_quantile_normalize",
+    f"""
+    WITH {_Q135_QUAL},
+    r AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct
+      FROM qual
+    )
+    SELECT doc_id, source, quality, round(pct, 6) AS pct_rank,
+           CAST(least(9, floor(pct * 10)) AS BIGINT) AS bucket
+    FROM r
+    """,
+    "per-domain quantile normalization of quality scores: exact percent_rank from a bounded (source, 4dp-score) histogram + broadcast join — no single-task per-domain sort; graded against the textbook window (X4/X6)",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Make quality scores comparable across corpus domains: within-source
+    percent_rank and decile, computed histogram-style so no domain ever
+    sorts through one task. See operators/normalize.py::quantile_normalize."""
+    from universal_aws_data_pipeline_spark.operators.normalize import quantile_normalize
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return quantile_normalize(d, "source", "quality", n_buckets=10).select(
+        "doc_id", "source", "quality", "pct_rank", "bucket"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
