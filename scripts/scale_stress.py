@@ -90,6 +90,20 @@ HEAVY = [
     "q122_cluster_cohesion",
     "q123_label_confusion",
     "q124_pmi_collocations",
+    # round-5 additions: q125's digest equi-join grows with corpus tokens;
+    # q131's per-shard prefix sums should be ~linear (fixed shard count ->
+    # 10x rows/shard); q132's CDC join+merge grows with orders; q133's MM
+    # rounds see 10x duels AND 10x suppliers (disjoint copies — pair table
+    # 10x, not 100x); q134 is the bounded-anchor one-pass (anchor set
+    # CONSTANT by LIMIT, so the measurement is pure corpus linearity);
+    # q135's histogram grows only in the (source, 4dp-value) domain — the
+    # corpus pass dominates.
+    "q125_decontamination_report",
+    "q131_sequence_packing",
+    "q132_incremental_agg",
+    "q133_bradley_terry",
+    "q134_hard_negatives",
+    "q135_quantile_normalize",
 ]
 
 
