@@ -107,6 +107,9 @@ _ADJUDICATED = {
         "q63_gdpr_cascade_delete", "q71_bracket_revenue", "q78_bm25_topk",
         "q81_key_skew_profile", "q86_top_revenue_supplier", "q93_tfidf_top_terms",
         "q124_pmi_collocations",  # the N and B 1-row reductions
+        # q137: one 1-row global-count reduction per audited relationship
+        # (partial aggs run parallel; the exchange ships 1 row each)
+        "q137_referential_audit",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

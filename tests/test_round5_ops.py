@@ -846,3 +846,75 @@ def test_quantile_normalize_matches_window_percent_rank(spark):
         assert 0 <= r["bucket"] <= 9
     solo = next(r for r in got if r["id"] == 1000)
     assert solo["pct_rank"] == 0.0 and solo["bucket"] == 0
+
+
+def test_agg_view_stream_matches_batch_recompute_and_replays_noop(spark, tmp_path):
+    """The streaming view maintainer must equal a full group-by over the
+    stream's net content at every commit, handle removals/migrations via
+    signed rows, and skip replayed batch ids (delta merge is not
+    idempotent)."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.incremental import (
+        agg_view_stream_fn,
+    )
+
+    def signed(rows):
+        return spark.createDataFrame(rows, "g: string, m: long, _sign: int")
+
+    state = str(tmp_path / "aggview")
+    fn = agg_view_stream_fn(state, ["g"], ["m"], count_col="n_rows")
+    # batch 0: inserts only
+    fn(signed([("g1", 10, 1), ("g1", 20, 1), ("g2", 5, 1)]), 0)
+    # batch 1: update g1/10 -> g1/15 (remove+add), remove g2/5 entirely,
+    # migrate nothing, insert g3
+    fn(signed([("g1", 10, -1), ("g1", 15, 1), ("g2", 5, -1), ("g3", 7, 1)]), 1)
+
+    table = os.path.join(state, "view")
+    got = {r["g"]: (r["n_rows"], r["m"]) for r in spark.read.parquet(table).collect()}
+    assert got == {"g1": (2, 35), "g3": (1, 7)}  # g2 retired at count 0
+
+    # replay of batch 1 must not double-apply
+    fn(signed([("g1", 10, -1), ("g1", 15, 1), ("g2", 5, -1), ("g3", 7, 1)]), 1)
+    again = {r["g"]: (r["n_rows"], r["m"]) for r in spark.read.parquet(table).collect()}
+    assert again == got
+
+
+def test_halflife_decay_buckets_and_cap(spark):
+    from universal_aws_data_pipeline_spark.operators.temporal import halflife_decay_micro
+
+    df = spark.createDataFrame(
+        [(-5,), (0,), (179,), (180,), (360,), (1800,), (100000,)], "age: long"
+    )
+    got = [
+        r["w"]
+        for r in df.select(halflife_decay_micro(F.col("age"), 180).alias("w"))
+        .orderBy("age")
+        .collect()
+    ]
+    # future rows 0; same-bucket ages share a weight; halves per bucket;
+    # ancient rows bottom out at 1e6 // 2^20 = 0 without shift wraparound
+    assert got == [0, 1_000_000, 1_000_000, 500_000, 250_000, 976, 0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        halflife_decay_micro(F.col("age"), 0)
+
+
+def test_referential_audit_counts_orphans(spark):
+    from universal_aws_data_pipeline_spark.operators.quality import referential_audit
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,), (None,)], "fk: long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: long")
+    got = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(got) == 1
+    r = got[0]
+    # 9 has no parent; NULL fk is an orphan by definition
+    assert (r["n_children"], r["n_orphans"]) == (5, 2)
+    assert r["orphan_pct"] == 0.4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        referential_audit([])

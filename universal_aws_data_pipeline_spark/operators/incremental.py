@@ -118,3 +118,51 @@ def apply_cdc_to_agg(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def agg_view_stream_fn(
+    state_path: str,
+    group_cols: list[str],
+    measure_cols: list[str],
+    count_col: str = "n_rows",
+):
+    """``foreachBatch`` maintainer of a materialized group-by view: the
+    streaming twin of ``apply_cdc_to_agg``. Each micro-batch must carry
+    SIGNED contribution rows (``_sign`` ±1 + group + integer measures — a
+    CDC feed's before/after images routed through the same convention as
+    ``cdc_signed_rows``); the maintained view is then row-identical to a
+    full group-by over the stream's net content at every commit point.
+
+    Delta merging is NOT idempotent (a re-folded batch double-counts), so
+    state lands through the crash-safe commit protocol in
+    ``operators/statestore.py`` — the folded batch id rides inside the
+    staged table and the directory swap is the single commit point, the
+    same discipline as the CMS/theta maintainers.
+
+    State size is |groups| rows forever; per batch the work is one
+    map-side-combinable aggregate over the batch plus a |groups|-row
+    merge — the view is read fresh per batch (state in parquet, not
+    executor memory), so the query survives restarts with no state-store
+    coupling.
+    """
+    import os
+
+    from universal_aws_data_pipeline_spark.operators import statestore
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = os.path.join(state_path, "view")
+        statestore.recover(table)
+        if batch_id <= statestore.last_folded(table):
+            return  # replayed batch — already committed
+        if os.path.exists(table):
+            view = spark.read.parquet(table)
+        else:
+            view = batch_df.select(*group_cols).limit(0)
+            view = view.withColumn(count_col, F.lit(0).cast("long"))
+            for m in measure_cols:
+                view = view.withColumn(m, F.lit(0).cast("long"))
+        merged = apply_cdc_to_agg(view, batch_df, group_cols, measure_cols, count_col)
+        statestore.commit(merged, table, batch_id)
+
+    return fn

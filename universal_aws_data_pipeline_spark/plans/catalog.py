@@ -6426,6 +6426,108 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q136 — half-life recency-weighted customer value (W/temporal family):
+# time-decayed aggregates that stay BIGINT-exact. Operators: floor-
+# bucketed power-of-two decay (shiftleft, capped at 20 half-lives — no
+# float pow/exp), cents × decay_micro summed map-side-combinably.
+# The staircase decay is the deliberate trade for hash-gradable,
+# merge-exact weighted sums (see operators/temporal.py).
+# Scale: one map expression + one hash aggregate — nothing else.
+# --------------------------------------------------------------------------
+@register(
+    "q136_recency_weighted_value",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             datediff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01') AS age
+      FROM orders
+    ), w AS (
+      SELECT o_custkey, cents,
+             CASE WHEN age < 0 THEN 0
+                  ELSE 1000000 // (1 << least(age // 180, 20)) END AS decay
+      FROM o
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(cents * decay) AS BIGINT) AS weighted_micro_cents
+    FROM w GROUP BY o_custkey
+    """,
+    "half-life recency-weighted customer value: integer-exact power-of-two decay (180-day floor buckets, shiftleft — no float exp) x order cents, one map expression + one hash aggregate (temporal/W family)",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value with recency decay: each order's cents are
+    weighted by 10^6 halved per elapsed 180-day bucket from the 2001-08-01
+    reference date — BIGINT-exact, so the weighted sums hash-grade and
+    merge without drift. See operators/temporal.py::halflife_decay_micro."""
+    from universal_aws_data_pipeline_spark.operators.temporal import (
+        halflife_decay_micro,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.expr("datediff(date'2001-08-01', cast(o_orderdate as date))").alias("age"),
+    )
+    decay = halflife_decay_micro(F.col("age"), 180)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum(F.col("cents") * decay).cast("long").alias("weighted_micro_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q137 — referential-integrity orphan audit (A-family): the FK check the
+# reference's independent per-table COPYs never run. Operators: per
+# relationship DISTINCT parent keys (map-side combinable) + one left
+# equi-join + ONE aggregate; |relationships|-row report. The fixture
+# deletes customers %71==0 so the orders->customer leg has real orphans;
+# lineitem->orders is the clean control.
+# --------------------------------------------------------------------------
+@register(
+    "q137_referential_audit",
+    """
+    WITH cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 71 <> 0
+    ), r1 AS (
+      SELECT 'lineitem->orders' AS relationship,
+             CAST(count(*) AS BIGINT) AS n_children,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    ), r2 AS (
+      SELECT 'orders->customer' AS relationship,
+             CAST(count(*) AS BIGINT) AS n_children,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM cust) c
+        ON o2.o_custkey = c.c_custkey
+    )
+    SELECT relationship, n_children, n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_children, 6) AS orphan_pct
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    """,
+    "referential-integrity orphan audit across table pairs: DISTINCT parent keys + left join + one aggregate per relationship, |relationships|-row report (the FK gate the reference's independent COPYs lack; A-family)",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many child rows point at missing parents? lineitem->orders is
+    the clean control; orders->customer runs against a fixture where
+    customers %71==0 were deleted (the un-cascaded half of the q63 GDPR
+    delete). See operators/quality.py::referential_audit."""
+    from universal_aws_data_pipeline_spark.operators.quality import referential_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 71 != 0)
+    return referential_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("orders->customer", o, "o_custkey", cust, "c_custkey"),
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
