@@ -121,6 +121,7 @@ _ADJUDICATED = {
         "q79_fuzzy_entity_match", "q80_bigram_lm", "q97_rolling_distinct_sketch",
         "q131_sequence_packing",  # n_tokens > 0 over a computed split-size
         "q132_incremental_agg",  # CDC fixture's key-modulo selectors
+        "q138_intra_doc_dedup",  # empty-doc drop over the computed token array
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

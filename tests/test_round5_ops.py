@@ -918,3 +918,31 @@ def test_referential_audit_counts_orphans(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         referential_audit([])
+
+
+def test_dedup_repeated_blocks_keeps_first_in_order(spark):
+    from universal_aws_data_pipeline_spark.operators.text import dedup_repeated_blocks
+
+    a = "one two three four"          # block A (4 toks -> 1 block at size 4)
+    b = "five six seven eight"
+    # doc 1: A B A B A -> cleaned A B; doc 2: all unique; doc 3: empty
+    rows = [
+        (1, " ".join([a, b, a, b, a])),
+        (2, " ".join([a, b])),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in dedup_repeated_blocks(df, block_tokens=4).collect()}
+    assert 3 not in got  # empty docs dropped
+    assert (got[1]["n_blocks"], got[1]["n_unique_blocks"]) == (5, 2)
+    assert got[1]["cleaned_text"] == a + " " + b  # first occurrences, in order
+    assert (got[2]["n_blocks"], got[2]["n_unique_blocks"]) == (2, 2)
+    assert got[2]["cleaned_text"] == a + " " + b
+
+
+def test_dedup_repeated_blocks_is_map_only(spark):
+    from universal_aws_data_pipeline_spark.operators.text import dedup_repeated_blocks
+
+    df = spark.createDataFrame([(1, "x y z w " * 6)], "doc_id: long, text: string")
+    plan = dedup_repeated_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

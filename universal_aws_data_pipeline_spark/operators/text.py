@@ -340,3 +340,52 @@ def chunk_documents(
             F.concat_ws(" ", F.col("_c._ct")).alias("chunk_text"),
         )
     )
+
+
+def dedup_repeated_blocks(
+    df: DataFrame,
+    block_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document redundancy removal: drop every REPEATED
+    ``block_tokens``-token block, keeping first occurrences in order — the
+    Dolma/paragraph-dedup step for boilerplate and copy-pasted runs INSIDE
+    a single document. The deliberate complement of cross-doc span surgery
+    (``dedup.remove_duplicated_spans``), which keeps self-repeats by design.
+
+    Returns (id_col, n_blocks, n_unique_blocks, cleaned_text). Entirely
+    ROW-LOCAL: blocks are consecutive token-array slices, and the
+    keep-first filter is a higher-order lambda (keep block i iff its FIRST
+    index in the block array is i) — zero shuffles at any corpus size; the
+    oracle proves the row-local filter equals the explode + row_number
+    window semantics. Cost is O(blocks²) per row (array_position scan per
+    block) — fine for document-sized inputs, by construction bounded by
+    (len/block_tokens)²; chunk first (``chunk_documents``) for
+    pathological multi-MB rows.
+    """
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+    # empty/whitespace-only docs normalize to the single-empty-token array
+    # [''] — drop them explicitly (they have no blocks to dedup)
+    base = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")).filter(
+        (F.size("_tk") > 0)
+        & ~((F.size("_tk") == 1) & (F.element_at("_tk", 1) == ""))
+    )
+    n_blocks = F.ceil(F.size("_tk") / F.lit(block_tokens)).cast("long")
+    blocks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_blocks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_tk"), (i * block_tokens + 1).cast("int"), block_tokens)
+        ),
+    )
+    withb = base.select(F.col(id_col), blocks.alias("_b"))
+    kept = F.filter(
+        F.col("_b"), lambda x, i: F.array_position(F.col("_b"), x) == i + 1
+    )
+    return withb.select(
+        F.col(id_col),
+        F.size("_b").cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_unique_blocks"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

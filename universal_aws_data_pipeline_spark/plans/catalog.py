@@ -6528,6 +6528,50 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q138 — within-doc repeated-block dedup (X4, the complement of q114's
+# cross-doc surgery which keeps self-repeats by design): drop repeated
+# 8-token blocks inside each document, keep first occurrences in order.
+# Operators: ROW-LOCAL consecutive-slice blocks + keep-first higher-order
+# filter (first-index == own-index) — zero shuffles at any corpus size.
+# Oracle: explode + per-doc row_number window + ordered string_agg — the
+# hash match proves the row-local filter equals the window semantics.
+# --------------------------------------------------------------------------
+@register(
+    "q138_intra_doc_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), c AS (
+      SELECT doc_id, tk, (len(tk) + 7) // 8 AS nb FROM t
+      WHERE len(tk) > 0 AND NOT (len(tk) = 1 AND tk[1] = '')
+    ), blocks AS (
+      SELECT doc_id, nb, i AS p,
+             array_to_string(tk[i*8+1 : i*8+8], ' ') AS block
+      FROM (SELECT doc_id, tk, nb, unnest(range(0, nb)) AS i FROM c)
+    ), firsts AS (
+      SELECT doc_id, nb, block, p,
+             row_number() OVER (PARTITION BY doc_id, block ORDER BY p) AS rn
+      FROM blocks
+    )
+    SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
+           CAST(count(*) AS BIGINT) AS n_unique_blocks,
+           string_agg(block, ' ' ORDER BY p) AS cleaned_text
+    FROM firsts WHERE rn = 1 GROUP BY doc_id
+    """,
+    "within-doc repeated-block dedup (Dolma paragraph-dedup shape): row-local keep-first filter over consecutive 8-token blocks, zero shuffles — the intra-doc complement of q114's cross-doc span surgery (X4)",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip copy-pasted runs and boilerplate INSIDE each document: every
+    repeated 8-token block after its first occurrence is dropped, order
+    preserved. See operators/text.py::dedup_repeated_blocks — entirely
+    row-local; the oracle's explode+window replay proves equivalence."""
+    from universal_aws_data_pipeline_spark.operators.text import dedup_repeated_blocks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_repeated_blocks(d, block_tokens=8)
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
