@@ -946,3 +946,44 @@ def test_dedup_repeated_blocks_is_map_only(spark):
     df = spark.createDataFrame([(1, "x y z w " * 6)], "doc_id: long, text: string")
     plan = dedup_repeated_blocks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_agg_view_stream_through_real_stream(spark, tmp_path):
+    """End-to-end agg-view maintenance through foreachBatch on a real file
+    stream of signed CDC rows: the parquet view must equal a batch group-by
+    over the stream's net content."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.incremental import (
+        agg_view_stream_fn,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # one file = one logical CDC batch: inserts, then an update + delete
+    spark.createDataFrame(
+        [("g1", 10, 1), ("g1", 20, 1), ("g2", 5, 1)], "g: string, m: long, _sign: int"
+    ).coalesce(1).write.json(str(src / "b0"))
+    spark.createDataFrame(
+        [("g1", 20, -1), ("g1", 25, 1), ("g2", 5, -1)], "g: string, m: long, _sign: int"
+    ).coalesce(1).write.json(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("g string, m long, _sign int")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    state = str(tmp_path / "aggview")
+    q = (
+        stream.writeStream.foreachBatch(agg_view_stream_fn(state, ["g"], ["m"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = {
+        r["g"]: (r["n_rows"], r["m"])
+        for r in spark.read.parquet(os.path.join(state, "view")).collect()
+    }
+    assert got == {"g1": (2, 35)}  # g2 retired; g1 update applied
