@@ -987,3 +987,26 @@ def test_agg_view_stream_through_real_stream(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state, "view")).collect()
     }
     assert got == {"g1": (2, 35)}  # g2 retired; g1 update applied
+
+
+def test_corpus_overlap_matrix_counts_and_jaccard(spark):
+    from universal_aws_data_pipeline_spark.operators.retrieval import (
+        corpus_overlap_matrix,
+    )
+
+    s1 = "a b c d e f g h"        # one 8-gram
+    s2 = "p q r s t u v w"        # one 8-gram, disjoint
+    rows = [
+        (1, "A", s1), (2, "A", s2),          # A owns both shingles
+        (3, "B", s1),                         # B shares s1 with A
+        (4, "C", "x y z"),                    # short doc -> whole-text shingle, alone
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in corpus_overlap_matrix(df, "source", "text", 8).collect()
+    }
+    assert set(got) == {("A", "B")}  # zero-overlap pairs absent
+    r = got[("A", "B")]
+    assert (r["n_overlap"], r["n_a"], r["n_b"]) == (1, 2, 1)
+    assert r["jaccard"] == 0.5  # 1 / (2 + 1 - 1)

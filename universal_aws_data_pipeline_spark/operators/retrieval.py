@@ -239,3 +239,80 @@ def boolean_search(
     if mode == "or":
         return matched.select(id_col)
     raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+
+
+def corpus_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus groups (sources, snapshots,
+    datasets): for every group pair that shares at least one distinct
+    ``shingle_n``-gram, the shared-shingle count and Jaccard — the
+    mixing-time diagnostic for "how redundant are these corpora with each
+    other" (feeds dedup-before-mix and mixture-weight decisions).
+
+    Plan shape: per-DOC shingles (never concatenated across docs — no
+    phantom boundary n-grams) reduce to DISTINCT (group, digest); ONE
+    hash aggregation per digest collects the ≤|groups| owning set,
+    row-locally expands its i<j pairs, and a |groups|²-bounded count
+    aggregate finishes. The digest SELF-JOIN a naive spelling would run
+    (quadratic in owners per digest, shuffled twice) never happens —
+    owner sets are bounded by |groups|, so the pair expansion is a
+    map-side array op. Group sizes ride on the same digest table.
+
+    Returns (src_a, src_b, n_overlap, n_a, n_b, jaccard) with
+    src_a < src_b; zero-overlap pairs are absent by construction.
+    """
+    from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
+
+    sh = (
+        df.select(
+            F.col(group_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("digest"),
+        )
+        .distinct()
+    )
+    owners = (
+        sh.groupBy("digest")
+        .agg(F.array_sort(F.collect_set("_g")).alias("_ss"))
+        .filter(F.size("_ss") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ss"), i + 2, F.size(F.col("_ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    pairs = (
+        owners.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.src_a").alias("src_a"), F.col("_p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    sizes = sh.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        pairs.join(sizes.select(F.col("_g").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("_g").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_overlap",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

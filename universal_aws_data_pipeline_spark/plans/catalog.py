@@ -6572,6 +6572,61 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q139 — cross-source n-gram overlap matrix (X2/X6): the corpus-pair
+# redundancy diagnostic before mixing. Operators: per-doc shingles →
+# DISTINCT (source, digest), ONE digest aggregation collecting the
+# ≤|sources| owner set, ROW-LOCAL i<j pair expansion, |sources|²-bounded
+# count — the naive digest self-join never happens. Jaccard from the same
+# digest table's per-source sizes.
+# Oracle: the self-join spelling (fine at oracle scale) — a hash match
+# proves the owner-set expansion equals pairwise-join semantics.
+# --------------------------------------------------------------------------
+@register(
+    "q139_source_overlap_matrix",
+    f"""
+    WITH tt AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm
+      FROM documents
+    ), dg AS (
+      SELECT DISTINCT source, {_hex_int_sql("sh", 15)} AS digest FROM (
+        SELECT source, unnest(CASE WHEN len(t) >= 8
+          THEN list_distinct(list_transform(range(1, len(t) - 6),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
+          ELSE [norm] END) AS sh
+        FROM tt
+      )
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_overlap
+      FROM dg a JOIN dg b ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY source
+    )
+    SELECT src_a, src_b, n_overlap, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_overlap AS DOUBLE) / (sa.n + sb.n - n_overlap), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.src_a = sa.source
+    JOIN sizes sb ON pairs.src_b = sb.source
+    """,
+    "cross-source 8-gram overlap matrix: distinct (source, digest) -> owner-set collection -> row-local pair expansion (|sources|^2-bounded; no digest self-join), shared counts + Jaccard per source pair — the corpus-redundancy diagnostic before mixing (X2/X6)",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the corpus sources overlap n-gram-wise? Shared distinct
+    8-gram counts and Jaccard for every source pair — decides
+    dedup-before-mix and flags near-duplicate corpora. See
+    operators/retrieval.py::corpus_overlap_matrix for why the plan
+    collects bounded owner sets instead of self-joining digests."""
+    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
+    from universal_aws_data_pipeline_spark.operators.retrieval import (
+        corpus_overlap_matrix,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return corpus_overlap_matrix(parallelize_text_scan(d), "source", "text", 8)
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
