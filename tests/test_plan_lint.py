@@ -122,6 +122,7 @@ _ADJUDICATED = {
         "q131_sequence_packing",  # n_tokens > 0 over a computed split-size
         "q132_incremental_agg",  # CDC fixture's key-modulo selectors
         "q138_intra_doc_dedup",  # empty-doc drop over the computed token array
+        "q141_dedup_roi",  # inherits q43's post-shingle similarity filters
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

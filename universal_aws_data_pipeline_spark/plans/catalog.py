@@ -6627,6 +6627,138 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q140 — token frequency spectrum / count-of-counts (X4): the Zipf /
+# Good-Turing vocabulary diagnostic — "how many distinct tokens occur
+# exactly k times", plus the token mass each frequency class carries.
+# Operators: two map-side-combinable aggregations — vocab-sized, then
+# |distinct frequencies|-sized (hundreds of rows); all-integer output.
+# Scale: the token explode is the only corpus-sized stage; the spectrum
+# itself is log-bounded. The singleton row (k=1) is the Good-Turing
+# unseen-mass estimate; the head rows show stopword concentration.
+# --------------------------------------------------------------------------
+@register(
+    "q140_token_spectrum",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT CAST(c AS BIGINT) AS occ_count,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(c * count(*) AS BIGINT) AS token_mass
+    FROM vocab GROUP BY c
+    """,
+    "token frequency spectrum (count-of-counts): vocab aggregate -> |frequencies|-row Zipf/Good-Turing diagnostic with per-class token mass; two map-side-combinable aggregations, all-integer (X4)",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus vocabulary's shape: how many distinct tokens occur k
+    times, and how much token mass each frequency class carries. k=1 is
+    Good-Turing's unseen-mass estimate; the heavy tail drives vocab-size
+    and min-frequency cut decisions."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return vocab.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.col("c") * F.count(F.lit(1))).cast("long").alias("token_mass"),
+    ).select(F.col("c").cast("long").alias("occ_count"), "n_tokens", "token_mass")
+
+
+# --------------------------------------------------------------------------
+# q141 — dedup ROI report (X2 composition): what does near-dup dedup
+# actually BUY? Per cluster-size class: cluster count, total token mass,
+# and tokens saved by keeping only the min-id canonical — the
+# cost-benefit table that justifies (or kills) a dedup pass before it
+# runs at full scale. Operators: q43's CC clusters × token counts, one
+# cluster aggregate, one |size-classes|-row histogram; reuses q43's
+# checkpointed pair/cluster engine so the marginal cost is a token map.
+# Oracle: the same recursive-CTE closure as q43/q76 + token arithmetic.
+# --------------------------------------------------------------------------
+_Q141_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_Q15_ORACLE}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
+),
+tk AS (
+  SELECT doc_id, CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
+  FROM corpus
+),
+cl AS (
+  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(sum(tk.n) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 0 ELSE tk.n END) AS BIGINT) AS saved
+  FROM comp c JOIN tk ON c.doc_id = tk.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(tot) AS BIGINT) AS total_tokens,
+       CAST(sum(saved) AS BIGINT) AS saved_tokens
+FROM cl GROUP BY cluster_size
+"""
+
+
+@register(
+    "q141_dedup_roi",
+    _Q141_ORACLE,
+    "dedup ROI report: per cluster-size class, how many near-dup clusters exist and how many tokens keeping only the canonical saves — the cost-benefit table before a full-scale dedup pass (X2 composition over q43)",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the dedup pass worth it? Tokens saved by collapsing each q43
+    near-dup cluster to its min-id canonical, histogrammed by cluster
+    size. Reuses q43's checkpointed cluster engine (same artifact as q76),
+    so the marginal cost is one token-count map + two tiny aggregates."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+    clusters = QUERIES["q43_dup_clusters"].fn(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    tk = d.unionByName(mutated).select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n")
+    )
+    cl = (
+        clusters.join(tk, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum("n").cast("long").alias("tot"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("cluster_id"), 0).otherwise(F.col("n"))
+            )
+            .cast("long")
+            .alias("saved"),
+        )
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("tot").cast("long").alias("total_tokens"),
+        F.sum("saved").cast("long").alias("saved_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
