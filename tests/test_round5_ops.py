@@ -1010,3 +1010,29 @@ def test_corpus_overlap_matrix_counts_and_jaccard(spark):
     r = got[("A", "B")]
     assert (r["n_overlap"], r["n_a"], r["n_b"]) == (1, 2, 1)
     assert r["jaccard"] == 0.5  # 1 / (2 + 1 - 1)
+
+
+def test_scd2_asof_reconstructs_each_era(spark):
+    import datetime as dt
+
+    from universal_aws_data_pipeline_spark.operators.scd import scd2_asof
+
+    rows = [
+        # key 1: v1 closed 2024-06-01, v2 open
+        (1, 100.0, dt.date(2020, 1, 1), dt.date(2024, 6, 1), False),
+        (1, 200.0, dt.date(2024, 6, 1), None, True),
+        # key 2: never changed
+        (2, 50.0, dt.date(2020, 1, 1), None, True),
+        # key 3: born after the early asof
+        (3, 9.0, dt.date(2023, 5, 1), None, True),
+    ]
+    dim = spark.createDataFrame(
+        rows, "k: long, v: double, valid_from: date, valid_to: date, is_current: boolean"
+    )
+    early = {r["k"]: r["v"] for r in scd2_asof(dim, dt.date(2022, 1, 1)).collect()}
+    late = {r["k"]: r["v"] for r in scd2_asof(dim, dt.date(2024, 7, 1)).collect()}
+    assert early == {1: 100.0, 2: 50.0}  # 3 not yet born
+    assert late == {1: 200.0, 2: 50.0, 3: 9.0}
+    # exactly AT the close date the NEW version is current (valid_to > asof fails)
+    at = {r["k"]: r["v"] for r in scd2_asof(dim, dt.date(2024, 6, 1)).collect()}
+    assert at[1] == 200.0

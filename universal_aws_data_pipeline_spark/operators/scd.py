@@ -142,3 +142,22 @@ def scd2_stream_fn(
         os.makedirs(marker, exist_ok=True)
 
     return fn
+
+
+def scd2_asof(dim: DataFrame, asof, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time reconstruction from an SCD2 history: the rows that
+    were current AS OF ``asof`` — ``valid_from <= asof < valid_to`` (open
+    rows have NULL ``valid_to`` and match any later date). The read-side
+    payoff of keeping type-2 history: any past state of the dimension is
+    one FILTER away, no snapshots stored.
+
+    Map-side predicate only — at 100 TB this composes with partition
+    pruning when the history table is partitioned/sorted on the validity
+    columns (a min/max zone on valid_from skips closed eras entirely).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.lit(asof)
+    return dim.filter(
+        (F.col(valid_from) <= a) & (F.col(valid_to).isNull() | (F.col(valid_to) > a))
+    )

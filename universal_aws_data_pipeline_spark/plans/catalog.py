@@ -1859,9 +1859,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q51_scd2_merge",
-    """
+_Q51_ORACLE = """
     WITH dim AS (
       SELECT c_custkey, c_acctbal, c_mktsegment,
              DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
@@ -1886,7 +1884,12 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT c_custkey, u_acctbal, c_mktsegment, eff, CAST(NULL AS DATE), true
     FROM chg
-    """,
+    """
+
+
+@register(
+    "q51_scd2_merge",
+    _Q51_ORACLE,
     "SCD type-2 dimension merge: close changed current rows, insert new versions, keep history (warehouse parity)",
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6755,6 +6758,131 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("tot").cast("long").alias("total_tokens"),
         F.sum("saved").cast("long").alias("saved_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q142 — SCD2 point-in-time reconstruction (warehouse family): the read
+# side of type-2 history — the dimension AS OF two dates straddling the
+# q51 merge, labeled and unioned. Operators: map-side validity predicate
+# over the merged history (composes with partition pruning on the
+# validity columns at scale — no snapshot storage, ever).
+# Oracle: replays q51's merge SQL (shared constant) + the same filters.
+# --------------------------------------------------------------------------
+@register(
+    "q142_scd2_asof",
+    f"""
+    WITH hist AS ({_Q51_ORACLE}),
+    a AS (
+      SELECT DATE '2022-01-01' AS asof_date, c_custkey, c_acctbal, c_mktsegment
+      FROM hist
+      WHERE valid_from <= DATE '2022-01-01'
+        AND (valid_to IS NULL OR valid_to > DATE '2022-01-01')
+    ), b AS (
+      SELECT DATE '2024-07-01' AS asof_date, c_custkey, c_acctbal, c_mktsegment
+      FROM hist
+      WHERE valid_from <= DATE '2024-07-01'
+        AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')
+    )
+    SELECT * FROM a UNION ALL SELECT * FROM b
+    """,
+    "SCD2 point-in-time reconstruction: the dimension as of dates before AND after the q51 merge via one map-side validity filter each — history time travel with zero snapshot storage (warehouse family)",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the q51 SCD2 history: as of 2022-01-01 every
+    customer shows PRE-update values (the update hadn't happened); as of
+    2024-07-01 the changed keys show their new versions. Both
+    reconstructions are one filter over the same history table — see
+    operators/scd.py::scd2_asof."""
+    import datetime as _dt
+
+    from universal_aws_data_pipeline_spark.operators.scd import scd2_asof
+
+    hist = QUERIES["q51_scd2_merge"].fn(spark, sf_dir)
+
+    def snap(d: _dt.date) -> DataFrame:
+        return scd2_asof(hist, d).select(
+            F.lit(d).alias("asof_date"), "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+
+    return snap(_dt.date(2022, 1, 1)).unionByName(snap(_dt.date(2024, 7, 1)))
+
+
+# --------------------------------------------------------------------------
+# q143 — linear multi-touch attribution (analytics family): q120's
+# complement — every event in the 30-minute lookback shares the
+# purchase's credit equally, in integer micro-credits (10^6 div n — exact,
+# engine-portable). Operators: per-user RANGE-frame window on wall-clock
+# epoch micros (value-based frame ⇒ no tie ambiguity; NTZ-safe
+# timestampdiff device from q33/q120), collect_list of in-window touches,
+# row-local explode + credit split, channel rollup.
+# Oracle: the self-join spelling over the same strict/inclusive bounds —
+# the hash match proves the range-frame collect equals join semantics.
+# Scale: one shuffle on user_id; frames bounded by events-per-user per
+# 30 min; the rollup is |channels| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q143_linear_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_type FROM events
+    ), touch AS (
+      SELECT p.event_id AS pid, t.event_type AS channel
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 30 MINUTE
+    ), ncnt AS (
+      SELECT pid, count(*) AS n FROM touch GROUP BY pid
+    ), credits AS (
+      SELECT tc.channel, 1000000 // n.n AS credit_micro
+      FROM touch tc JOIN ncnt n USING (pid)
+      UNION ALL
+      SELECT 'direct', 1000000
+      FROM p WHERE p.event_id NOT IN (SELECT pid FROM ncnt)
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total
+    FROM credits GROUP BY channel
+    """,
+    "linear multi-touch attribution: every event in the 30-min lookback shares the purchase credit equally in exact integer micro-credits; range-frame window collect (value-based, tie-proof) + row-local split, one user shuffle (analytics family)",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spread each purchase's credit equally over ALL touches in the prior
+    30 minutes (q120 gives it all to the last one): 10^6 div n
+    micro-credits per touch, 'direct' when no touches. The window frame is
+    RANGE on wall-clock epoch micros — inclusive at exactly -30 min,
+    exclusive of same-instant events, matching the oracle's join bounds."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    mic = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    base = e.select("user_id", "event_id", "event_type", mic.alias("tm"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tm")
+        .rangeBetween(-1_800_000_000, -1)
+    )
+    p = (
+        base.withColumn("touches", F.collect_list("event_type").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "touches", F.size("touches").alias("n"))
+    )
+    split = p.filter(F.col("n") > 0).select(
+        F.explode("touches").alias("channel"),
+        F.expr("1000000 div n").alias("credit_micro"),
+    )
+    direct = p.filter(F.col("n") == 0).select(
+        F.lit("direct").alias("channel"),
+        F.lit(1_000_000).cast("long").alias("credit_micro"),
+    )
+    return (
+        split.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.sum("credit_micro").cast("long").alias("credit_micro_total"),
+        )
     )
 
 
