@@ -104,6 +104,16 @@ HEAVY = [
     "q133_bradley_terry",
     "q134_hard_negatives",
     "q135_quantile_normalize",
+    # round-5 tail: q138 is row-local (blocks² per row, corpus-linear);
+    # q139's digest owner-sets see 10x digests but the same ≤|sources|
+    # bound per digest (xk suffixes keep copies disjoint — overlap pairs
+    # come only from the ORIGINAL copy's sources); q140's spectrum sees a
+    # 10x vocab; q143's range-frame windows see 10x users with the same
+    # per-user event density.
+    "q138_intra_doc_dedup",
+    "q139_source_overlap_matrix",
+    "q140_token_spectrum",
+    "q143_linear_attribution",
 ]
 
 
