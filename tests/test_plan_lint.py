@@ -123,6 +123,7 @@ _ADJUDICATED = {
         "q132_incremental_agg",  # CDC fixture's key-modulo selectors
         "q138_intra_doc_dedup",  # empty-doc drop over the computed token array
         "q141_dedup_roi",  # inherits q43's post-shingle similarity filters
+        "q144_pretrain_e2e",  # quality-score gate over computed text metrics
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

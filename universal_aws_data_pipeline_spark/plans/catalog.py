@@ -6887,6 +6887,94 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q144 — pretraining-prep pipeline v2 (flagship composition, X-family):
+# the round-5 operators chained end-to-end the way a real corpus build
+# runs them — quality gate → WITHIN-doc block dedup (q138) → CROSS-doc
+# exact dedup on the CLEANED text (q07's keep-first on a 60-bit digest;
+# cleaning first means boilerplate can't mask true dups) → concat-and-
+# chunk sequence packing of the survivors (q131). Four stages, TWO
+# shuffles total (dedup digest + packing shard); everything else is
+# row-local. The oracle composes the same four stages' SQL spellings —
+# one hash match grades the whole pipeline, stage interactions included.
+# --------------------------------------------------------------------------
+@register(
+    "q144_pretrain_e2e",
+    f"""
+    WITH {_Q135_QUAL},
+    kept AS (
+      SELECT q.doc_id FROM qual q WHERE q.quality >= 0.5
+    ), t AS (
+      SELECT d.doc_id, string_split({_NORM_SQL}, ' ') AS tk
+      FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    ), c AS (
+      SELECT doc_id, tk, (len(tk) + 7) // 8 AS nb FROM t
+      WHERE len(tk) > 0 AND NOT (len(tk) = 1 AND tk[1] = '')
+    ), blocks AS (
+      SELECT doc_id, i AS p, array_to_string(tk[i*8+1 : i*8+8], ' ') AS block
+      FROM (SELECT doc_id, tk, unnest(range(0, nb)) AS i FROM c)
+    ), firsts AS (
+      SELECT doc_id, block, p,
+             row_number() OVER (PARTITION BY doc_id, block ORDER BY p) AS rn
+      FROM blocks
+    ), cleaned AS (
+      SELECT doc_id, string_agg(block, ' ' ORDER BY p) AS ctext
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ), dedup AS (
+      SELECT doc_id, ctext,
+             row_number() OVER (
+               PARTITION BY {_hex_int_sql("ctext", 15)} ORDER BY doc_id) AS dr
+      FROM cleaned
+    ), surv AS (
+      SELECT doc_id, CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_tokens,
+             {_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} % {_Q131_SHARDS} AS shard
+      FROM dedup WHERE dr = 1
+    ), packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      FROM surv WHERE n_tokens > 0
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, tok_offset,
+           tok_offset // {_Q131_SEQ_LEN} AS first_seq,
+           (tok_offset + n_tokens - 1) // {_Q131_SEQ_LEN} AS last_seq
+    FROM packed
+    """,
+    "pretraining-prep pipeline v2: quality gate -> within-doc block dedup -> cross-doc exact dedup on CLEANED text -> sequence packing, composed end-to-end with TWO shuffles total; one hash match grades the whole pipeline including stage interactions (flagship composition)",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build, start to finish: gate on quality >= 0.5, strip
+    within-doc repeated blocks (q138), drop cross-doc exact dups of the
+    CLEANED text keeping the min id (cleaning first so shared boilerplate
+    can't hide true duplicates), then pack survivors into 256-token
+    training sequences (q131). Stage outputs chain as DataFrames — no
+    materialization between stages; Catalyst fuses the row-local middle
+    into the two shuffle stages."""
+    from universal_aws_data_pipeline_spark.operators.packing import pack_sequences
+    from universal_aws_data_pipeline_spark.operators.text import (
+        dedup_repeated_blocks,
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = d.filter(quality_score(F.col("text")) >= 0.5)
+    cleaned = dedup_repeated_blocks(kept, block_tokens=8).select("doc_id", "cleaned_text")
+    dg = F.conv(F.substring(F.md5(F.col("cleaned_text")), 1, 15), 16, 10).cast("long")
+    surv = (
+        cleaned.withColumn("_dg", dg)
+        .groupBy("_dg")
+        .agg(F.min(F.struct("doc_id", "cleaned_text")).alias("_keep"))
+        .select(
+            F.col("_keep.doc_id").alias("doc_id"),
+            F.size(F.split(F.col("_keep.cleaned_text"), " ")).cast("long").alias("n_toks"),
+        )
+    )
+    return pack_sequences(
+        surv, "doc_id", "n_toks", seq_len=_Q131_SEQ_LEN, n_shards=_Q131_SHARDS
+    ).select("shard", "doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
