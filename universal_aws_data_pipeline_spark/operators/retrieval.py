@@ -267,24 +267,20 @@ def corpus_overlap_matrix(
     """
     from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
 
-    sh = (
-        df.select(
-            F.col(group_col),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        )
-        .select(
-            F.col(group_col).alias("_g"),
-            F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("digest"),
-        )
-        .distinct()
+    sh = df.select(
+        F.col(group_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("digest"),
     )
-    owners = (
-        sh.groupBy("digest")
-        .agg(F.array_sort(F.collect_set("_g")).alias("_ss"))
-        .filter(F.size("_ss") >= 2)
-    )
+    # NO pre-distinct: collect_set dedups (group, digest) repeats inside the
+    # partial aggregates, so the corpus crosses exactly ONE shuffle (a
+    # distinct first would shuffle it twice for the same result)
+    owners_all = sh.groupBy("digest").agg(F.array_sort(F.collect_set("_g")).alias("_ss"))
+    owners = owners_all.filter(F.size("_ss") >= 2)
     pair_arr = F.flatten(
         F.transform(
             F.col("_ss"),
@@ -299,7 +295,14 @@ def corpus_overlap_matrix(
         .groupBy(F.col("_p.src_a").alias("src_a"), F.col("_p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
-    sizes = sh.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # per-group distinct-digest sizes from the SAME owner table: explode is
+    # ≤|groups| per digest and the count combines map-side to |groups| rows
+    # per partition — a |groups|-key shuffle of partial counts, not data
+    sizes = (
+        owners_all.select(F.explode("_ss").alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     return (
         pairs.join(sizes.select(F.col("_g").alias("src_a"), F.col("n").alias("n_a")), "src_a")
         .join(sizes.select(F.col("_g").alias("src_b"), F.col("n").alias("n_b")), "src_b")
