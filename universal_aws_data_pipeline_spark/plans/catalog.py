@@ -6975,6 +6975,58 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q145 — MAD robust outliers (A-family): q49's z-score uses mean/stddev,
+# which the outliers themselves inflate (masking); median absolute
+# deviation is breakdown-50% robust. Operators: two tiny per-group
+# percentile aggregates (|event types| rows each, AQE-broadcast back),
+# never a window over the full table. The 1.4826 consistency constant
+# scales MAD to sigma-equivalents; cutoff 3.5 is the standard
+# Iglewicz-Hoaglin threshold.
+# Oracle: quantile_cont twins percentile (interpolated-median parity
+# proven by q48); same mad > 0 guard both sides.
+# --------------------------------------------------------------------------
+@register(
+    "q145_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - m.med) / (1.4826 * d.mad), 3) AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE d.mad > 0
+      AND abs((e.value - m.med) / (1.4826 * d.mad)) >= 3.5
+    """,
+    "MAD robust outliers: median/median-absolute-deviation per group (two tiny percentile aggregates, broadcast back — no per-group window), Iglewicz-Hoaglin 3.5 cutoff — the masking-proof complement of q49's z-score (A-family)",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers the outliers can't hide: robust z via median and MAD
+    instead of mean/stddev (which extreme values inflate until q49 stops
+    flagging them). Two |event-types|-row aggregates broadcast back over
+    one stream read — the same two-pass shape as q49."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) >= 3.5))
+        .select("event_id", "event_type", F.round(rz, 3).alias("robust_z"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
