@@ -110,6 +110,9 @@ _ADJUDICATED = {
         # q137: one 1-row global-count reduction per audited relationship
         # (partial aggs run parallel; the exchange ships 1 row each)
         "q137_referential_audit",
+        # q147: the final latency-percentile reduction is 1 row by design
+        # (per-user mins combine map-side before it)
+        "q147_conversion_latency",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

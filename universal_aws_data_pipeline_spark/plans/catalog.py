@@ -7027,6 +7027,149 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q146 — event-time disorder audit (STR-support family): the measurement
+# that SIZES a streaming watermark — per event type, how often events
+# arrive behind an already-seen later event (per-user lag inversion) and
+# the p95/max backward jump in seconds. Set the watermark delay above the
+# p95 jump and late-drop becomes quantified, not guessed.
+# Operators: one per-user grouped window (arrival order = ts,event_id of
+# the RECORD stream — the fixture's generation order), MICROSECOND
+# timestampdiff (q33's device; SECOND truncation flips boundary rows),
+# |types|-row rollup with exact integer jumps + interpolated percentile
+# (quantile_cont parity from q48).
+# --------------------------------------------------------------------------
+@register(
+    "q146_disorder_audit",
+    """
+    WITH late AS (
+      SELECT event_type, user_id, event_id,
+             CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 6 HOUR
+                  ELSE ts END AS ts
+      FROM events
+    ), o AS (
+      SELECT event_type, user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM late
+    ), j AS (
+      SELECT event_type,
+             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                  THEN datediff('microsecond', ts, prev_ts) ELSE NULL END AS back_us
+      FROM o
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(back_us) AS BIGINT) AS n_inversions,
+           round(CAST(count(back_us) AS DOUBLE) / count(*), 6) AS inversion_rate,
+           CAST(coalesce(max(back_us), 0) AS BIGINT) AS max_back_us,
+           CAST(coalesce(round(quantile_cont(back_us, 0.95), 0), 0) AS BIGINT) AS p95_back_us
+    FROM j GROUP BY event_type
+    """,
+    "event-time disorder audit: per-type inversion rate and p95/max backward jump in exact microseconds over per-user event_id arrival order — the number that sizes a streaming watermark delay (STR-support family)",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is this stream, really? Per event type: the
+    fraction of events carrying a timestamp EARLIER than the user's
+    previously-arrived one (event_id = arrival order), plus p95/max
+    backward jump. The p95 is the evidence-based watermark delay; max is
+    the loss bound if you use it. The fixture's generator emits in
+    timestamp order, so a deterministic late-feed perturbation (every
+    37th event's ts pulled back 6 h — the q130/q132 synthetic-CDC
+    convention; inter-event gaps here run to hours) supplies the
+    disorder the audit must measure."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 37 == 0, F.col("ts") - F.expr("INTERVAL 6 HOUR")
+        ).otherwise(F.col("ts")),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = e.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    back = F.when(
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")),
+        F.expr("timestampdiff(MICROSECOND, ts, prev_ts)"),
+    )
+    return (
+        o.select("event_type", back.alias("back_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("back_us").cast("long").alias("n_inversions"),
+            F.round(
+                F.count("back_us").cast("double") / F.count(F.lit(1)), 6
+            ).alias("inversion_rate"),
+            F.coalesce(F.max("back_us"), F.lit(0)).cast("long").alias("max_back_us"),
+            F.coalesce(F.round(F.expr("percentile(back_us, 0.95)"), 0), F.lit(0))
+            .cast("long")
+            .alias("p95_back_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — conversion-latency percentiles (analytics family): q55 counts
+# funnel conversions; this measures HOW LONG they take — per user, first
+# visit → first purchase, rolled up to latency percentiles. Operators:
+# one per-user conditional min-aggregate (map-side combinable — no
+# window), MICROSECOND-exact latency, one global percentile rollup.
+# Scale: one shuffle on user_id, then a 1-row reduction (adjudicated).
+# --------------------------------------------------------------------------
+@register(
+    "q147_conversion_latency",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT datediff('microsecond', first_view, first_purchase) AS us
+      FROM u
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(round(quantile_cont(us, 0.50), 0) AS BIGINT) AS p50_us,
+           CAST(round(quantile_cont(us, 0.90), 0) AS BIGINT) AS p90_us,
+           CAST(round(quantile_cont(us, 0.99), 0) AS BIGINT) AS p99_us,
+           CAST(max(us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+    "conversion-latency percentiles: first view -> first purchase per user via one conditional min-aggregate (no window), microsecond-exact, global p50/p90/p99 rollup (analytics family)",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long from first sight to first sale? Per-user first-view and
+    first-purchase come from ONE conditional min-aggregate (map-side
+    combinable; never a per-user ordered window), then a single latency
+    percentile reduction. Users who purchased before ever viewing
+    (cross-device, tracking gaps) are excluded explicitly."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = u.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.expr("timestampdiff(MICROSECOND, first_view, first_purchase)").alias("us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(us, 0.50)"), 0).cast("long").alias("p50_us"),
+        F.round(F.expr("percentile(us, 0.90)"), 0).cast("long").alias("p90_us"),
+        F.round(F.expr("percentile(us, 0.99)"), 0).cast("long").alias("p99_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-graded ordering. The correctness driver oracles only the FIRST 50
 # entries of ``queries()``. q20/q28 are ANN top-k — rows-only by contract
 # (approximate results have no SQL oracle; recall is gated separately in
