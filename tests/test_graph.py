@@ -112,3 +112,63 @@ def test_triangle_counts_triangle_free(spark):
     cyc = [("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v3", "v4"), ("v4", "v0")]
     got = triangle_counts(spark.createDataFrame(cyc, ["a", "b"]))
     assert [r["n_tri"] for r in got.collect()] == [0] * 5
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    """4-clique with a pendant chain: 2-core = exactly the clique (chain
+    peels off over successive rounds), core degrees = 3 inside it."""
+    from universal_aws_data_pipeline_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    e = _edges(spark, clique + chain)
+    got = {(r["node"], r["core_deg"]) for r in k_core(e, k=2, rounds=4, src="id_a", dst="id_b").collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_k_core_rounds_past_fixpoint_are_noops(spark):
+    """Once the peel reaches its fixpoint, extra rounds change nothing —
+    the bounded-round result is the true k-core whenever depth <= rounds."""
+    from universal_aws_data_pipeline_spark.operators.graph import k_core
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    r2 = {(r["node"], r["core_deg"]) for r in k_core(e, k=2, rounds=2, src="id_a", dst="id_b").collect()}
+    r6 = {(r["node"], r["core_deg"]) for r in k_core(e, k=2, rounds=6, src="id_a", dst="id_b").collect()}
+    assert r2 == r6 == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_everything_peels(spark):
+    from universal_aws_data_pipeline_spark.operators.graph import k_core
+
+    # a path has no 2-core at all
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert k_core(e, k=2, rounds=4, src="id_a", dst="id_b").count() == 0
+
+
+def test_label_propagation_splits_barbell(spark):
+    """Two 4-cliques joined by one bridge edge: components would merge them;
+    frequency-vote LPA keeps two communities, each labeled by its min id."""
+    from universal_aws_data_pipeline_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 11)]
+    e = _edges(spark, c1 + c2 + bridge)
+    got = {r["node"]: r["community"] for r in label_propagation(e, rounds=4, src="id_a", dst="id_b").collect()}
+    assert set(got) == set(range(1, 5)) | set(range(11, 15))
+    assert len({got[n] for n in range(1, 5)}) == 1
+    assert len({got[n] for n in range(11, 15)}) == 1
+    assert got[1] != got[11]
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    """The smallest-label tie-break makes LPA replayable: identical labels
+    regardless of input partitioning (classic LPA is run-order-dependent)."""
+    from universal_aws_data_pipeline_spark.operators.graph import label_propagation
+
+    pairs = [(i, (i * 7) % 23 + 30) for i in range(1, 23)] + [(30, 31), (31, 32)]
+    e1 = _edges(spark, pairs)
+    e2 = _edges(spark, pairs).repartition(7)
+    g1 = sorted((r["node"], r["community"]) for r in label_propagation(e1, rounds=3, src="id_a", dst="id_b").collect())
+    g2 = sorted((r["node"], r["community"]) for r in label_propagation(e2, rounds=3, src="id_a", dst="id_b").collect())
+    assert g1 == g2

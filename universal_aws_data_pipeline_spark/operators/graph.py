@@ -227,6 +227,118 @@ def pagerank_micro(
     return ranks.select("node", "rank_micro")
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Bounded parallel k-core peeling over an undirected graph.
+
+    Each round removes every node whose degree in the current surviving
+    subgraph is below ``k`` (all at once — the parallel peel). After
+    ``rounds`` rounds, returns ``(node, core_deg)`` for the surviving
+    nodes, ``core_deg`` their degree inside the final induced subgraph.
+    The result equals the true k-core whenever the graph's peel depth is
+    <= ``rounds`` (each round strictly shrinks the survivor set until the
+    fixpoint, after which further rounds are no-ops); with a fixed round
+    count the recurrence is engine-replayable, which is what makes an
+    iterative graph algorithm hash-gradable (same device as
+    ``pagerank_micro``'s fixed iterations).
+
+    Scale notes: per round two shuffle joins (both endpoints against the
+    survivor set, hash-partitioned on node id) + one map-side-combinable
+    degree aggregation. No per-round driver action — all rounds chain
+    lazily into ONE terminal job; the symmetrized edge set is
+    localCheckpoint()ed once so rounds never replay the upstream
+    pair-mining plan.
+    """
+    sym = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .unionByName(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y")).filter(
+                F.col("x") != F.col("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("x").alias("node")).distinct()
+
+    def _deg_within(alive_df: DataFrame) -> DataFrame:
+        return (
+            sym.join(alive_df.withColumnRenamed("node", "x"), "x")
+            .join(alive_df.withColumnRenamed("node", "y"), "y")
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        alive = _deg_within(alive).filter(F.col("deg") >= k).select(
+            F.col("x").alias("node")
+        )
+    return _deg_within(alive).select(
+        F.col("x").alias("node"), F.col("deg").cast("long").alias("core_deg")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (community detection).
+
+    Every node starts labeled with its own integer id; each round every
+    node adopts the label most frequent among its neighbors, ties broken
+    toward the SMALLEST label — the deterministic tie-break is what turns
+    classic LPA (notoriously run-order-dependent) into a replayable
+    recurrence any engine reproduces bit-exactly. Unlike
+    ``connected_components`` (min-label = one component per connected
+    blob), frequency voting splits a connected graph along its dense
+    regions: communities, not components.
+
+    Returns ``(node, community)`` after ``rounds`` rounds. Node ids must
+    be non-negative integers (the tie-break negates them inside a struct
+    max).
+
+    Scale notes: per round one shuffle join (labels x edges) + two hash
+    aggregations, both map-side combinable — the (node,label) vote count
+    absorbs celebrity fan-in before the shuffle, and the argmax is a
+    max-struct aggregate, never a per-node sorted window. Fixed round
+    count: no convergence action, all rounds chain lazily into one job.
+    """
+    sym = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .unionByName(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y")).filter(
+                F.col("x") != F.col("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("x").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "x"), "x")
+            .groupBy(F.col("y").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+        )
+    return labels.select("node", F.col("label").cast("long").alias("community"))
+
+
 def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
