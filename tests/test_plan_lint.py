@@ -95,6 +95,12 @@ _ADJUDICATED = {
         # q124: two 1-row scalar attaches (corpus token total N, bigram
         # total B) onto the surviving-bigram table
         "q124_pmi_collocations",
+        # q152: 1-row total attach onto the 9-row digit histogram
+        "q152_benford_audit",
+        # q150: |V| x k codebook scoring against a BROADCAST k-row (k=8,
+        # fixed constant) centroid table — the intended Lloyd-assignment
+        # plan; vectors never shuffle for scoring
+        "q150_kmeans_vq",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -113,6 +119,8 @@ _ADJUDICATED = {
         # q147: the final latency-percentile reduction is 1 row by design
         # (per-user mins combine map-side before it)
         "q147_conversion_latency",
+        # q152: the 1-row grand-total reduction over the 9-row histogram
+        "q152_benford_audit",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted
@@ -127,6 +135,7 @@ _ADJUDICATED = {
         "q138_intra_doc_dedup",  # empty-doc drop over the computed token array
         "q141_dedup_roi",  # inherits q43's post-shingle similarity filters
         "q144_pretrain_e2e",  # quality-score gate over computed text metrics
+        "q152_benford_audit",  # isnotnull over the computed leading-digit column
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

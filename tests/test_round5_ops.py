@@ -1036,3 +1036,43 @@ def test_scd2_asof_reconstructs_each_era(spark):
     # exactly AT the close date the NEW version is current (valid_to > asof fails)
     at = {r["k"]: r["v"] for r in scd2_asof(dim, dt.date(2024, 6, 1)).collect()}
     assert at[1] == 200.0
+
+
+def test_kmeans_vq_separates_two_blobs(spark):
+    """Two integer blobs far apart, k=2: every point lands with its blob's
+    seed, distances are exact squared integers, centroids are floor-div
+    means recomputed from the final assignment."""
+    from universal_aws_data_pipeline_spark.operators.cluster import kmeans_vq
+
+    rows = [
+        (1, [0, 0]), (2, [2, 0]), (3, [0, 2]),          # blob A near origin
+        (10, [100, 100]), (11, [102, 100]), (12, [100, 103]),  # blob B
+    ]
+    v = spark.createDataFrame(rows, "id: long, qe: array<long>")
+    assigned, cent = kmeans_vq(v, dim=2, k=2, assign_rounds=2)
+    got = {r["id"]: r["cid"] for r in assigned.collect()}
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
+    cv = {r["cid"]: r["cvec"] for r in cent.collect()}
+    # blob A centroid: floor-div means of {0,2,0} and {0,0,2} => [0, 0]
+    assert cv[got[1]] == [0, 0]
+    # blob B centroid: means of {100,102,100}, {100,100,103} => [100, 101]
+    assert cv[got[10]] == [100, 101]
+
+
+def test_kmeans_vq_deterministic_across_partitionings(spark):
+    """Integer arithmetic end-to-end: identical assignment and centroids
+    whatever the input partitioning (float Lloyd drifts by sum order)."""
+    from universal_aws_data_pipeline_spark.operators.cluster import kmeans_vq
+
+    rows = [(i, [(i * 37) % 211 - 100, (i * 53) % 197 - 90]) for i in range(1, 60)]
+    a1, c1 = kmeans_vq(spark.createDataFrame(rows, "id: long, qe: array<long>"), dim=2, k=4)
+    a2, c2 = kmeans_vq(
+        spark.createDataFrame(rows, "id: long, qe: array<long>").repartition(13),
+        dim=2, k=4,
+    )
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert sorted((r["cid"], tuple(r["cvec"])) for r in c1.collect()) == sorted(
+        (r["cid"], tuple(r["cvec"])) for r in c2.collect()
+    )
