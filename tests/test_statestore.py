@@ -138,6 +138,54 @@ def test_crash_with_no_prior_state_rolls_back_to_nothing(spark, tmp_path, monkey
     assert len(est) == 1 and est[0]["est_users"] > 0
 
 
+def test_legacy_marker_dirs_migrate_without_double_fold(spark, tmp_path):
+    """Upgrade path (round-5 ADVICE): a state dir written by the old
+    marker-dir protocol (sibling _batch_N dirs, no _meta.json) must report
+    the legacy max batch id — so a foreachBatch replay of the last
+    committed batch is a no-op, not a double-fold of sum-merged CMS cells —
+    and the stale markers must vanish at the first new-protocol commit."""
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        cms_stream_fn,
+        count_min_build,
+    )
+
+    b0 = _toks(spark, ["hot"] * 30 + ["a", "b"])
+    b1 = _toks(spark, ["hot"] * 20 + ["c"])
+    b2 = _toks(spark, ["hot"] * 10 + ["d"])
+    state = str(tmp_path / "cms")
+    fn = cms_stream_fn(state, "tok", depth=2, width=64)
+    fn(b0, 0)
+    fn(b1, 1)
+    table = os.path.join(state, "cells")
+
+    # rewrite the dir into its legacy shape: no _meta.json, sibling markers
+    os.remove(os.path.join(table, "_meta.json"))
+    os.makedirs(os.path.join(state, "_batch_0"))
+    os.makedirs(os.path.join(state, "_batch_1"))
+    assert statestore.last_folded(table) == 1  # legacy fallback
+
+    after_b1 = _cells(spark, state)
+    fn(b1, 1)  # restart replay of the last legacy-committed batch
+    assert _cells(spark, state) == after_b1  # no double-count
+
+    fn(b2, 2)  # first new-protocol commit
+    want = count_min_build(
+        b0.unionByName(b1).unionByName(b2), "tok", depth=2, width=64
+    )
+    assert _cells(spark, state) == sorted(map(tuple, want.collect()))
+    assert statestore.last_folded(table) == 2
+    # superseded legacy markers are gone
+    assert not [d for d in os.listdir(state) if d.startswith("_batch_")]
+
+
+def test_legacy_markers_without_table_are_ignored(tmp_path):
+    """Markers whose table was lost (legacy crash hole #1) must not claim
+    batches as folded — the rebuilt-empty state needs every batch."""
+    state = tmp_path / "s"
+    os.makedirs(state / "_batch_5")
+    assert statestore.last_folded(str(state / "cells")) == -1
+
+
 def test_recover_prefers_newest_complete_staging(tmp_path):
     """Unit check of the promotion order: complete staging beats __old__."""
     table = str(tmp_path / "t")

@@ -198,20 +198,46 @@ _JPEG_SOI, _JPEG_EOI = b"\xff\xd8", b"\xff\xd9"
 
 
 def _split_mjpeg(b: bytes) -> list[bytes]:
-    """REAL frame boundaries of a concatenated-JPEG (MJPEG) stream: scan
-    SOI/EOI marker pairs. Inside entropy-coded JPEG data every FF byte is
-    stuffed as FF00 by the spec, so an FFD9 scan is unambiguous — this is
-    the actual algorithm MJPEG demuxers use."""
-    frames, pos = [], 0
+    """REAL frame boundaries of a concatenated-JPEG (MJPEG) stream.
+
+    Inside ENTROPY-CODED data every FF is stuffed as FF00, so FFD9 there is
+    unambiguous — but APPn/COM segment PAYLOADS are not entropy-coded: an
+    EXIF APP1 carrying an embedded JPEG thumbnail contains the thumbnail's
+    own EOI, which a naive FFD9 scan terminates on, emitting a truncated
+    frame. So length-bearing marker segments (APPn, COM, DQT, DHT, SOF,
+    DRI, SOS header, ...) are skipped via their 2-byte big-endian length
+    fields; standalone markers (TEM, RSTn) and stuff/fill bytes advance by
+    their own width; anything that is not a marker (entropy-coded data, or
+    the synthetic non-JPEG payloads the stub path feeds through) advances
+    byte-wise. A frame with no EOI before end-of-buffer is dropped, not
+    truncated."""
+    frames, pos, n = [], 0, len(b)
     while True:
         s = b.find(_JPEG_SOI, pos)
         if s < 0:
             break
-        e = b.find(_JPEG_EOI, s + 2)
-        if e < 0:
+        i, end = s + 2, -1
+        while i + 1 < n:
+            if b[i] != 0xFF:
+                i += 1  # entropy-coded / non-marker byte
+                continue
+            m = b[i + 1]
+            if m == 0xD9:  # EOI — frame complete
+                end = i + 2
+                break
+            if m == 0xFF:  # fill byte before a marker
+                i += 1
+            elif m in (0x00, 0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+                i += 2  # FF00 stuffing, TEM, stray SOI, RSTn: standalone
+            else:
+                # length-bearing segment: skip header + payload whole, so
+                # an embedded-thumbnail EOI inside APP1 can't end the frame
+                seg = int.from_bytes(b[i + 2 : i + 4], "big") if i + 3 < n else 0
+                i += 2 + seg if seg >= 2 else 2
+        if end < 0:
             break
-        frames.append(b[s : e + 2])
-        pos = e + 2
+        frames.append(b[s:end])
+        pos = end
     return frames
 
 

@@ -20,6 +20,8 @@ index operators (IVF, LSH band tables) elsewhere in the repo.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -226,16 +228,34 @@ def boolean_search(
     for AND. No join: the term list is a plan literal (callers with
     unbounded term tables should use ``decontaminate``'s join shape
     instead); complements ``bm25_topk``'s row-local scoring with the
-    set-semantics door."""
+    set-semantics door.
+
+    Terms go through the SAME normalization as document tokens (the Python
+    mirror of ``texthash.normalize_text``, parity-pinned by
+    ``test_boolean_search_term_normalization``) — a term with punctuation
+    or casing that normalization strips would otherwise silently never
+    match any document. A term that normalizes to several tokens or to
+    nothing is rejected: this is set membership, not phrase search."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    norm_terms = set()
+    for t in terms:
+        # Python mirror of functions/texthash.py::normalize_text
+        toks = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split()
+        if len(toks) != 1:
+            raise ValueError(
+                f"term {t!r} normalizes to {len(toks)} tokens "
+                f"({toks!r}); boolean_search matches single normalized "
+                "tokens — split phrases into separate terms"
+            )
+        norm_terms.add(toks[0])
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
-    ).filter(F.col("tok").isin([t.lower() for t in terms]))
+    ).filter(F.col("tok").isin(sorted(norm_terms)))
     matched = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched"))
     if mode == "and":
-        return matched.filter(F.col("n_matched") == len(set(terms))).select(id_col)
+        return matched.filter(F.col("n_matched") == len(norm_terms)).select(id_col)
     if mode == "or":
         return matched.select(id_col)
     raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")

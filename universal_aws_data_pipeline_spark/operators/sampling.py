@@ -258,11 +258,20 @@ def mixture_plan(
     (group, n_docs, n_tokens, target_tokens, rate, expected_tokens).
 
     Scale: ONE map-side-combinable aggregate over the corpus (|groups|
-    rows out); the weight table is a plan literal. Feed the rates to
-    ``hash_sample``'s md5-bucket filter for the actual materialization —
-    deterministic, no per-group shuffles.
+    rows out); the weight table is a |weights|-row plan literal LEFT side
+    of the final join, so a weighted source with ZERO corpus rows —
+    including a typo'd source name — still emits its row (n_docs=0,
+    n_tokens=0, rate=1.0, expected_tokens=0) instead of silently vanishing
+    and understating the shortfall the epochs decision needs. Feed the
+    rates to ``hash_sample``'s md5-bucket filter for the actual
+    materialization — deterministic, no per-group shuffles.
     """
+    if not weights:
+        raise ValueError("weights must be non-empty")
     total_w = float(sum(weights.values()))
+    wanted = df.sparkSession.createDataFrame(
+        [(k,) for k in sorted(weights)], f"{group_col}: string"
+    )
     w_expr = F.create_map(
         *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
     )
@@ -273,11 +282,28 @@ def mixture_plan(
     target = F.round(F.lit(float(token_budget)) * w_expr[F.col(group_col)] / total_w, 0).cast(
         "long"
     )
-    rate = F.round(
-        F.least(F.lit(1.0), target.cast("double") / F.col("n_tokens")), 6
+    # n_tokens=0 ⇒ target/n_tokens is null ⇒ rate falls back to 1.0 (sample
+    # everything available, which is nothing — the shortfall stays visible)
+    rate = F.coalesce(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                target.cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0).cast("long")),
+            ),
+            6,
+        ),
+        F.lit(1.0),
     )
     return (
-        avail.filter(w_expr[F.col(group_col)].isNotNull())
+        # |groups|-row aggregate broadcasts as the nullable side (a
+        # broadcast hint on the preserved side of a LEFT join is unusable)
+        wanted.join(F.broadcast(avail), group_col, "left")
+        .select(
+            group_col,
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        )
         .select(
             group_col,
             "n_docs",

@@ -65,6 +65,36 @@ def _is_complete(staging_dir: str) -> bool:
     return os.path.exists(os.path.join(staging_dir, _META))
 
 
+def _legacy_marker_dirs(table: str) -> list[str]:
+    """Marker dirs from the pre-``_meta.json`` protocol.
+
+    The first maintainer generation recorded replays as sibling dirs of
+    the table — ``<parent>/_batch_<n>`` next to ``<parent>/sketch`` —
+    created AFTER the swap. They are invisible to the new swap (which only
+    touches ``table``), so without migration an upgraded state dir reports
+    ``last_folded() == -1`` and a foreachBatch replay of the last committed
+    batch re-folds it once — double-counting sum-merged CMS/agg-view state.
+    """
+    parent = os.path.dirname(table.rstrip("/")) or "."
+    out = []
+    for d in glob.glob(os.path.join(parent, "_batch_*")):
+        tail = os.path.basename(d)[len("_batch_"):]
+        if tail.isdigit():
+            out.append(d)
+    return out
+
+
+def _legacy_last_folded(table: str) -> int:
+    markers = _legacy_marker_dirs(table)
+    if not markers or not os.path.exists(table):
+        # markers without a table mean the legacy state itself was lost
+        # (legacy crash hole #1); treating them as authoritative would skip
+        # folding batches into the rebuilt-empty state — worse than a
+        # single re-fold, so ignore them.
+        return -1
+    return max(int(os.path.basename(d)[len("_batch_"):]) for d in markers)
+
+
 def recover(table: str) -> None:
     """Heal an interrupted swap so ``table`` reflects the last durable
     commit, then remove every stray staging/old directory."""
@@ -88,11 +118,12 @@ def recover(table: str) -> None:
 
 
 def last_folded(table: str) -> int:
-    """Batch id recorded in the table's meta, -1 if none (fresh state or a
-    pre-protocol table)."""
+    """Batch id recorded in the table's meta; for a pre-protocol table
+    (no ``_meta.json``) falls back to the legacy ``_batch_N`` sibling
+    marker dirs; -1 for fresh state."""
     path = os.path.join(table, _META)
     if not os.path.exists(path):
-        return -1
+        return _legacy_last_folded(table)
     with open(path, encoding="utf-8") as f:
         return int(json.load(f)["last_batch_id"])
 
@@ -113,3 +144,7 @@ def commit(merged, table: str, batch_id: int) -> None:
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(staging, table)
+    # first new-protocol commit supersedes any legacy sibling markers —
+    # drop them so they never shadow a future meta-less read
+    for d in _legacy_marker_dirs(table):
+        shutil.rmtree(d, ignore_errors=True)

@@ -318,6 +318,16 @@ def chunk_documents(
     bucket so downstream per-chunk jobs parallelize beyond the document
     count.
     """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 < stride <= chunk_tokens:
+        # stride=0 nulls the DIV expression (every long doc silently
+        # dropped by the explode); stride>chunk_tokens silently skips
+        # tokens between windows — both are config errors, not chunkings
+        raise ValueError(
+            f"stride must satisfy 0 < stride <= chunk_tokens "
+            f"({chunk_tokens}), got {stride}"
+        )
     base = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
     n = F.size("_tk").cast("long")
     n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
