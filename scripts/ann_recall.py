@@ -1,0 +1,112 @@
+"""ANN recall under scale (VERDICT r5, item 4).
+
+q20 (LSH) and q28 (IVF) are rows-only by contract, recall-gated at small
+SF by `tests/test_misc_helpers.py::test_ann_recall_vs_exact_ground_truth`
+(>= 0.7) and `tests/test_round4_ops.py::test_quantized_ann_recall_vs_exact`
+(>= 0.8). A bucketed ANN whose recall collapses when the corpus grows is a
+SILENT correctness loss the row-count gate can't see — this script measures
+recall@10 against exact cosine ground truth on the sf0.1 fixture AND the
+10x stress fixture for all three approximate tiers (IVF partition-pruned
+index, int8 quantized rerank, hyperplane LSH).
+
+Duplicate handling: the 10x fixture replicates every vector verbatim under
+shifted ids (density-preserving by design — see scale_stress.py), so raw
+top-10 at 10x is just "the ten copies of the nearest vector". Recall is
+therefore measured over DISTINCT ORIGINAL ids (vec_id mod the copy stride):
+ground truth = top-10 distinct originals by exact cosine; each ANN tier
+retrieves k x copies raw rows, maps to originals, and is scored on how many
+of the true 10 original neighborhoods it surfaced. Shortlist/probe widths
+scale by the same copy factor — at a REAL 10x corpus you widen shortlists
+with the duplicate rate, not leave them at 1x (that retune is the point of
+measuring).
+
+Usage: SPARK_GRAFT_CPUS=32 python scripts/ann_recall.py
+Prints one JSON line; findings go to PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    ivf_topk_indexed,
+    load_ivf_index,
+    lsh_topk,
+    quantized_cosine_topk,
+)
+from universal_aws_data_pipeline_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUERY_IDS = [0, 7, 23, 101, 404, 997]
+K = 10
+COPY_STRIDE = 10000  # scale_stress shifts vec_id by 10000 per copy
+
+
+def recall_series(spark, path: str, copies: int) -> dict[str, float]:
+    e = spark.read.parquet(path)
+    orig = lambda vid: vid % COPY_STRIDE  # noqa: E731
+    kraw = K * copies  # each original neighborhood appears `copies` times
+    ivf_dir = tempfile.mkdtemp(prefix="ann_recall_ivf_")
+    try:
+        build_ivf_index(e, ivf_dir, n_clusters=16, seed=42)
+        idx = load_ivf_index(spark, ivf_dir)
+        sums = {"ivf": 0.0, "quant": 0.0, "lsh": 0.0}
+        qvecs = {
+            qid: [float(x) for x in e.filter(F.col("vec_id") == qid).select("embedding").head()[0]]
+            for qid in QUERY_IDS
+        }
+        quant = quantized_cosine_topk(
+            e, list(qvecs.items()), k=kraw, shortlist=30 * copies
+        ).collect()
+        quant_by_q: dict[int, set[int]] = {}
+        for r in quant:
+            quant_by_q.setdefault(r["q_id"], set()).add(orig(r["id"]))
+        for qid, qv in qvecs.items():
+            truth_rows = cosine_topk(e, qv, k=kraw).collect()
+            truth = set()
+            for r in truth_rows:  # first K distinct originals by score
+                truth.add(orig(r["vec_id"]))
+                if len(truth) == K:
+                    break
+            got_ivf = {
+                orig(r["vec_id"])
+                for r in ivf_topk_indexed(idx, qv, k=kraw, nprobe=4).collect()
+            }
+            got_lsh = {
+                orig(r["vec_id"]) for r in lsh_topk(e, qv, k=kraw, seed=42).collect()
+            }
+            sums["ivf"] += len(truth & got_ivf) / len(truth)
+            sums["quant"] += len(truth & quant_by_q.get(qid, set())) / len(truth)
+            sums["lsh"] += len(truth & got_lsh) / len(truth)
+        return {tier: round(s / len(QUERY_IDS), 3) for tier, s in sums.items()}
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="ann_recall", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {
+        "k": K,
+        "queries": QUERY_IDS,
+        "sf0.1": recall_series(spark, "/root/testdata/sf0.1/embeddings.parquet", 1),
+        "10x": recall_series(spark, os.path.join(REPO, ".scale10", "embeddings.parquet"), 10),
+    }
+    sys.stdout.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -371,9 +371,29 @@ def test_idempotent_batch_writer_in_stream(spark, tmp_path):
 def test_stateful_v2_running_totals_across_batches(spark, tmp_path):
     """transformWithStateInPandas (state API v2): state persists across
     micro-batches and accumulates per key. The v2 state-server protocol
-    needs protobuf, which this container lacks — skip, don't fail (the
-    operator's plan construction is still covered below)."""
-    pytest.importorskip("google.protobuf")
+    needs `google.protobuf` — vendored for tests by pb_vendor/sitecustomize
+    (round-6 unlock; skip only if no runtime could be vendored) — and a
+    column-family-capable state store, i.e. RocksDB, scoped to this test."""
+    gp = pytest.importorskip("google.protobuf")
+    assert gp.__file__, "namespace-shadow protobuf would crash the worker"
+    from universal_aws_data_pipeline_spark.streaming.stateful import running_totals_v2
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    tmp_path = tmp_path  # checkpoint/state under pytest tmp
+    try:
+        _run_v2_totals(spark, tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _run_v2_totals(spark, tmp_path):
     from universal_aws_data_pipeline_spark.streaming.stateful import running_totals_v2
 
     d = tmp_path / "v2in"
@@ -383,33 +403,31 @@ def test_stateful_v2_running_totals_across_batches(spark, tmp_path):
             f.write(json.dumps({"event_id": e[0], "ts": e[1], "user_id": e[2], "value": e[3]}) + "\n")
     stream = spark.readStream.schema(SCHEMA).json(str(d))
     out = running_totals_v2(stream)
-    q = write_stream_sink(
-        out,
-        {
-            "type": "memory",
-            "name": "v2totals",
-            "checkpoint": str(tmp_path / "v2ckpt"),
-            "output_mode": "update",
-            "trigger": {"availableNow": True},
-        },
-    )
+    # memory sinks can't recover from a checkpoint across query restarts;
+    # collect update-mode rows via foreachBatch (driver-local in local mode)
+    totals: dict[int, tuple[int, float]] = {}
+
+    def fold(batch_df, batch_id):
+        for r in batch_df.collect():
+            totals[r["user_id"]] = (r["n_events"], r["value_sum"])
+
+    sink = {
+        "type": "foreach_batch",
+        "fn": fold,
+        "checkpoint": str(tmp_path / "v2ckpt"),
+        "output_mode": "update",
+        "trigger": {"availableNow": True},
+    }
+    q = write_stream_sink(out, sink)
     q.awaitTermination(120)
-    # second batch arrives: user 1 gains another event
+    assert totals[1][0] == 2  # users 1's first two events folded
+    # second batch arrives: user 1 gains another event — v2 state must
+    # survive the query restart through the checkpoint
     with open(d / "b1.json", "w") as f:
         f.write(json.dumps({"event_id": 9, "ts": "2024-01-01 12:00:00", "user_id": 1, "value": 10.0}) + "\n")
-    q2 = write_stream_sink(
-        out,
-        {
-            "type": "memory",
-            "name": "v2totals2",
-            "checkpoint": str(tmp_path / "v2ckpt"),
-            "output_mode": "update",
-            "trigger": {"availableNow": True},
-        },
-    )
+    q2 = write_stream_sink(out, sink)
     q2.awaitTermination(120)
-    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM v2totals2").collect()}
-    assert rows[1]["n_events"] == 3 and abs(rows[1]["value_sum"] - 13.0) < 1e-9
+    assert totals[1][0] == 3 and abs(totals[1][1] - 13.0) < 1e-9
 
 
 def test_stateful_v2_plan_builds_without_protobuf(spark, tmp_path):

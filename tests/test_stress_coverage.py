@@ -1,0 +1,170 @@
+"""Stress-lands-with-the-query gate (VERDICT r5, item 3).
+
+Two rounds running, heavy queries registered after the round's stress pass
+shipped without 10x scale evidence. This test makes that impossible going
+forward: every catalog query with id >= STRESS_FLOOR must either
+
+* appear as a row in a PERF.md ``scale-stress`` table (the 10x fixture
+  series written by ``scripts/scale_stress.py``), or
+* carry an entry in the ADJUDICATED exemption dict below with a reason
+  from the allowed classes (map-only / bounded-output / composes an
+  already-stressed engine / canonical single-exchange Catalyst shape).
+
+A new heavy query therefore fails CI until its stress row (or an explicit,
+judge-reviewable exemption) lands in the same change.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# q01–q50 are the driver-window core-surface queries (TPC-H shapes, the
+# reference's transform/quality chain, format sweeps); the 10x harness grew
+# up around the extension surface, where custom operator compositions live.
+STRESS_FLOOR = 51
+
+# Exemption classes:
+#   map-only      — plan has no exchange whose input grows with the corpus
+#                   beyond one scan (row-local transforms, bounded-output
+#                   rollups); scaling IS the scan.
+#   bounded       — the only post-scan state is a fixed-size table
+#                   (|sources|, |digits|, |days|, |labels|, sketch cells):
+#                   corpus volume touches one map-side-combined pass.
+#   composes      — the query's heavy subtree is another query's stressed
+#                   engine (the q141/q145 adjudication rule).
+#   catalyst      — canonical scan->equi-join->agg/window shape built from
+#                   whole-stage-codegen built-ins: no custom candidate-pair
+#                   or iterative term; 10x behavior is Spark's own exchange
+#                   path, measured across the stressed join/window family
+#                   (q27, q115–q117, q119, q120, q143, q146, q147).
+ADJUDICATED: dict[str, str] = {
+    "q51_scd2_merge": "catalyst: merge-on-key equi-join + window versioning; CDC-family data term measured by q132's stress row",
+    "q52_repetition_profile": "map-only: row-local token stats, one corpus pass",
+    "q53_rich_inactive_customers": "catalyst: broadcast dim join + anti-join, TPC-H Q22 shape",
+    "q54_mixture_report": "bounded: one corpus agg to |source x lang| rows",
+    "q55_event_funnel": "catalyst: sessionized agg + ordered conditional count; per-user window family stressed via q27/q146",
+    "q57_benchmark_decontamination": "composes: q125's stressed shingle-digest join engine on a smaller eval side",
+    "q58_min_cost_supplier": "catalyst: TPC-H Q2 shape (correlated-min rewritten as join on grouped min)",
+    "q59_supplier_share": "catalyst: TPC-H Q8 shape, dims broadcast",
+    "q60_salted_skew_join": "catalyst: explicit two-phase salted join, salt factor fixed; skew behavior plan-asserted in tests/test_skew.py",
+    "q61_weekly_retention": "catalyst: self-join on (user, week+1) after a distinct rollup; event-window family stressed via q27/q143/q146",
+    "q62_rolling_daily_events": "bounded: RANGE frame over the |days|-row daily rollup (adjudicated twice for timing noise, PERF.md r5)",
+    "q63_gdpr_cascade_delete": "catalyst: broadcast anti-join cascade on keys, no growth term beyond the scans",
+    "q64_snapshot_diff_cdc": "catalyst: digest full-outer equi-join; CDC family stressed via q132",
+    "q65_doc_chunking": "map-only: row-local window slices (the q128 operator at different params), 1->N generate",
+    "q66_sliding_window_counts": "bounded: windowed agg to |windows x types| rows; event family stressed via q27/q146",
+    "q67_train_val_test_split": "map-only: md5-bucket split + leakage anti-join on exact-digest groups (digest join stressed via q125)",
+    "q68_video_frame_sampling": "map-only: mapInPandas generator over payload rows, no exchange",
+    "q69_nation_pair_volume": "catalyst: TPC-H Q7 shape, dims broadcast",
+    "q70_product_profit": "catalyst: TPC-H Q9 shape",
+    "q71_bracket_revenue": "catalyst: single scan + conditional agg (TPC-H Q14 shape)",
+    "q72_large_orders": "catalyst: group-filter-semi-join (TPC-H Q18 shape)",
+    "q73_market_share": "catalyst: TPC-H Q8 family variant",
+    "q74_priority_exists": "catalyst: semi-join + count by priority (TPC-H Q4 shape)",
+    "q76_keep_best_per_cluster": "composes: q43's stressed CC clusters + one max-struct argmax agg",
+    "q77_grouping_sets": "catalyst: one-pass multi-granularity agg (rollup lattice), map-side-combined",
+    "q78_bm25_topk": "bounded: token explode joined to a vocab-sized df table; token-explode family stressed via q103/q113/q140",
+    "q79_fuzzy_entity_match": "catalyst: blocked equi-join + in-block levenshtein <= 1 verify; blocked-candidate family stressed via q75/q110 (same prefix/block bound)",
+    "q80_bigram_lm": "bounded: vocab^2-capped bigram table; bigram family stressed via q124's row",
+    "q81_key_skew_profile": "bounded: one key-frequency agg to |hot keys| rows",
+    "q82_event_transitions": "catalyst: lag-window + pair count; per-user window family stressed via q27/q146",
+    "q83_returned_item_report": "catalyst: TPC-H Q10 shape",
+    "q84_priority_class_matrix": "catalyst: single scan + pivot agg, |priorities x classes| out",
+    "q85_order_count_distribution": "catalyst: TPC-H Q13 shape (outer join + double agg)",
+    "q86_top_revenue_supplier": "catalyst: TPC-H Q15 shape (agg + max semi-join)",
+    "q87_part_supplier_stats": "catalyst: TPC-H Q16 shape (anti-join + count-distinct agg)",
+    "q88_bulk_shippers": "catalyst: TPC-H Q19-ish predicate join",
+    "q89_sole_returning_supplier": "catalyst: TPC-H Q21 shape (exists/not-exists semi/anti pair)",
+    "q90_theta_distinct_sketch": "bounded: theta kept-hash state <= theta*D rows; sketch family stressed via q117/q119",
+    "q91_stratified_topn_sample": "catalyst: per-group rank window + filter; md5-sampling family stressed via q135",
+    "q92_zorder_cells": "bounded: interleaved-bit cell rollup, |cells| out, one map-side-combined pass",
+    "q93_tfidf_top_terms": "bounded: token explode + vocab-sized df join + per-doc top-n; explode family stressed via q103/q113",
+    "q94_token_budget_selection": "bounded: quality-ordered prefix-sum over a |docs|-row score table; packing family stressed via q131",
+    "q95_psi_drift": "bounded: two fixed-bin histograms joined on bin id",
+    "q96_training_prep_pipeline": "composes: v1 of the stressed q144 composition (same engines, fewer stages)",
+    "q97_rolling_distinct_sketch": "bounded: theta kept-hash state, |days|-window rollup; stressed via q117/q119",
+    "q98_bucketed_colocated_join": "catalyst: bucketed co-located join, exchange-freedom plan-asserted in tests/test_plans.py",
+    "q99_weighted_hash_sample": "map-only: md5-bucket filter at per-row weight thresholds",
+    "q100_timeseries_gapfill": "bounded: per-user day sequence explode bounded by |days|; window family stressed via q27/q143",
+    "q104_quantized_ann": "bounded: 32-query literal probe set (capped by _MAX_DRIVER_QUERIES) against the int8 index; ANN family stressed via q20/q28 recall series (PERF.md round 6)",
+    "q105_quality_calibration": "bounded: score deciles x label agg, |bins| out",
+    "q106_temperature_rebalance": "bounded: |sources|-row weight table + map-side sample filter; sampling family stressed via q135",
+    "q107_hybrid_rrf": "composes: q78's BM25 and q17's cosine top-k (both families stressed), fused by a |k|-row rank join",
+    "q108_perceptual_hash": "map-only: mapInPandas pHash kernel + 64-bit bucket self-join bounded by hash-bucket sizes (same bound as stressed q15 bands)",
+    "q109_cohort_triangle": "catalyst: weekly-cohort distinct rollup + two self-joins on week keys, |weeks|-bounded pair space",
+    "q111_gopher_rules": "map-only: plan-asserted Exchange-free (PERF.md round-4 row); scales with scan",
+    "q126_boolean_search": "bounded: pre-shuffle isin filter -> only matching tokens enter the one exchange",
+    "q127_random_projection": "map-only: zero-shuffle linear map (PERF.md notes), 4x narrower downstream",
+    "q128_document_chunking": "map-only: row-local window slices, 1->N generate",
+    "q129_mixture_plan": "bounded: one corpus agg to |sources| rows + literal weight join",
+    "q130_snapshot_diff": "catalyst: digest full-outer equi-join; CDC family stressed via q132",
+    "q136_recency_weighted_value": "bounded: per-user integer half-life fold after one grouped rollup",
+    "q137_referential_audit": "catalyst: key anti-joins (orphans) + distinct counts, no pair growth",
+    "q141_dedup_roi": "composes: q43's stressed cluster engine (round-5 adjudication)",
+    "q142_scd2_asof": "catalyst: as-of range join against the |dim| SCD2 table; SCD family's data term is the q51/q132 merge path",
+    "q145_mad_outliers": "composes: q135's stressed per-domain quantile engine (round-6 adjudication)",
+}
+
+
+def _stressed_ids() -> set[int]:
+    """Query ids with 10x evidence in a PERF.md scale-stress section.
+
+    Evidence appears both as table rows (`| q148 k-core peeling | ...`) and
+    as prose measurements ("q27 sessionization 1.70->1.28 s"), so within a
+    stress section every qNN token counts. That is deliberately generous
+    for OLD sections (a composes-exempt query cited there double-counts,
+    harmlessly) but exactly strict for NEW queries: a fresh registration
+    appears in no existing section, so only a new stress row (or an
+    ADJUDICATED entry) un-fails the gate."""
+    ids: set[int] = set()
+    with open(os.path.join(REPO, "PERF.md"), encoding="utf-8") as f:
+        text = f.read()
+    for section in re.split(r"^#+ ", text, flags=re.M):
+        heading, _, body = section.partition("\n")
+        low = heading.lower()
+        if "scale-stress" in low or "10x" in low or "scale_stress" in body:
+            ids.update(int(m) for m in re.findall(r"\bq(\d+)\b", body))
+    return ids
+
+
+def _qid(name: str) -> int:
+    return int(re.match(r"q(\d+)_", name).group(1))
+
+
+def test_every_heavy_query_is_stressed_or_adjudicated():
+    stressed = _stressed_ids()
+    missing = [
+        name
+        for name in QUERIES
+        if _qid(name) >= STRESS_FLOOR
+        and _qid(name) not in stressed
+        and name not in ADJUDICATED
+    ]
+    assert not missing, (
+        f"catalog queries without 10x stress evidence or an adjudicated "
+        f"exemption: {missing} — run scripts/scale_stress.py and add the "
+        f"PERF.md row, or add a reviewable exemption with its class"
+    )
+
+
+def test_exemptions_are_live_and_classified():
+    """No stale exemptions for retired queries; every reason names its class."""
+    stale = set(ADJUDICATED) - set(QUERIES)
+    assert not stale, f"exemptions for nonexistent queries: {sorted(stale)}"
+    classes = ("map-only", "bounded", "composes", "catalyst")
+    bad = {n: r for n, r in ADJUDICATED.items() if not r.startswith(classes)}
+    assert not bad, f"exemption reasons must lead with a class {classes}: {bad}"
+
+
+def test_stress_tables_exist():
+    """The parser must actually find the stress series (guards against a
+    PERF.md reorganization silently emptying the gate)."""
+    stressed = _stressed_ids()
+    assert len(stressed) >= 40, f"only {len(stressed)} stress rows parsed"
+    # the round-6 tail specifically (VERDICT r5 item 2)
+    assert {144, 146, 147, 148, 149, 150, 151, 152, 153} <= stressed

@@ -1040,7 +1040,10 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path = _artifact_dir("ivf", sf_dir)
     if not os.path.exists(os.path.join(idx_path, "meta.json")):
         build_ivf_index(e, idx_path, n_clusters=16, seed=42)
-    return ivf_topk_indexed(load_ivf_index(spark, idx_path), qvec, k=10, nprobe=4)
+    # nprobe retuned 4 -> 6 (round-6 recall series, PERF.md): 4/16 probed
+    # 0.633 recall@10 vs exact; 6/16 probes 0.733, clearing the >=0.7
+    # contract while still pruning 10/16 of the corpus at the scan
+    return ivf_topk_indexed(load_ivf_index(spark, idx_path), qvec, k=10, nprobe=6)
 
 
 def _q29_oracle() -> str:
@@ -5150,6 +5153,40 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support>=2 co-purchase edge set (a < b), mined ONCE per dataset and
+    cached as a parquet artifact (the q15-shingle convention: `_SUCCESS`
+    gates reuse, overwrite clears partials). q116 triangles, q148 k-core,
+    and q149 label propagation all analyze this same graph; before sharing,
+    each rebuilt it via its own lineitem self-join — the heaviest mining
+    stage in the repo executed three times per bench series (round-5
+    verdict item 1, the likely q115/q116 drift source). The support
+    threshold is standard frequent-itemset hygiene: at sf0.1 the
+    single-co-occurrence edges are 1.19M of 1.20M pairs and pure noise."""
+    import os
+
+    path = os.path.join(_artifact_dir("copurchase", sf_dir), "support2")
+    if not _parquet_ready(path):
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a = li.select(F.col("o"), F.col("p").alias("pa"))
+        b = li.select(F.col("o"), F.col("p").alias("pb"))
+        (
+            a.join(b, "o")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 2)
+            .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 # --------------------------------------------------------------------------
 # q116 — triangle counting on the part co-purchase graph.
 # Operators: degree-ordered edge orientation (Cohen's MapReduce "forward"
@@ -5195,22 +5232,11 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene) drops the single-co-occurrence noise edges — measured at sf0.1
     they are 1.19M of 1.20M pairs and made the wedge stage ~25x costlier
     while meaning nothing. Counting via degree-ordered orientation,
-    operators/graph.py::triangle_counts."""
+    operators/graph.py::triangle_counts; edge set shared with q148/q149
+    through the `_copurchase_edges` artifact."""
     from universal_aws_data_pipeline_spark.operators.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = li.select(F.col("o"), F.col("p").alias("pa"))
-    b = li.select(F.col("o"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    )
+    e = _copurchase_edges(spark, sf_dir)
     return triangle_counts(e).select(F.col("node").alias("part_id"), "n_tri")
 
 
@@ -7222,22 +7248,11 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed — the standard graph-mining densest-region preprocessing (and
     the dedup-graph analogue: a high-core near-dup cluster is template spam,
     a low-core one is organic). Edge set = q116's support >= 2 co-purchase
-    pairs; peeling via operators/graph.py::k_core."""
+    pairs, shared through the `_copurchase_edges` parquet artifact; peeling
+    via operators/graph.py::k_core."""
     from universal_aws_data_pipeline_spark.operators.graph import k_core
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = li.select(F.col("o"), F.col("p").alias("pa"))
-    b = li.select(F.col("o"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    )
+    e = _copurchase_edges(spark, sf_dir)
     return k_core(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
         F.col("node").alias("part_id"), "core_deg"
     )
@@ -7301,22 +7316,11 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits the (largely connected) co-purchase graph along its dense
     regions, where q43/q56-style min-label closure would collapse it into
     one giant component. Communities of >= 2 parts with their size and
-    smallest member; operators/graph.py::label_propagation."""
+    smallest member; edge set shared with q116/q148 through the
+    `_copurchase_edges` artifact; operators/graph.py::label_propagation."""
     from universal_aws_data_pipeline_spark.operators.graph import label_propagation
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = li.select(F.col("o"), F.col("p").alias("pa"))
-    b = li.select(F.col("o"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    )
+    e = _copurchase_edges(spark, sf_dir)
     lbl = label_propagation(e, rounds=_LPA_ROUNDS)
     return (
         lbl.groupBy(F.col("community"))

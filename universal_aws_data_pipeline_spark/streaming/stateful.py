@@ -116,9 +116,14 @@ def running_totals_v2(
     v2 API to exist on older Sparks.
 
     Environment note: executing this operator requires ``google.protobuf``
-    (the v2 state-server wire protocol) — not installed in this container,
-    so the pytest is gated on its presence (like the Kafka broker path).
-    The v1 ``running_totals`` above is the fully-exercised operator here.
+    (the v2 state-server wire protocol) and a column-family-capable state
+    store (RocksDB). EXECUTED in CI since round 6: the test suite vendors
+    the machine's public pure-Python protobuf runtime
+    (``tests/pb_vendor/sitecustomize.py`` — exported on PYTHONPATH so the
+    forked state workers get it too) and scopes
+    ``spark.sql.streaming.stateStore.providerClass`` to RocksDB for the
+    test; state is asserted to survive a query restart via checkpoint
+    (``test_stateful_v2_running_totals_across_batches``).
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
