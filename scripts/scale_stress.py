@@ -139,6 +139,20 @@ HEAVY = [
     "q151_cusum_changepoints",
     "q152_benford_audit",
     "q153_ewma_daily_value",
+    # round-6 additions. q154's rule join consumes the shared pair artifact
+    # plus one distinct item-count agg over 10x lineitem; q156's KL sees a
+    # 10x vocab through ONE (source, token) aggregate (xk suffixes keep
+    # copies lexically disjoint, so per-source distributions replicate);
+    # q157's posexplode volume is rows x 64 into one map-side-combined agg;
+    # q160 is the repo's only uncapped-output wedge enumerator — the
+    # max_center_degree cap is exactly the contract the 10x run validates
+    # (10 disjoint graph copies: wedge volume should scale ~linearly, not
+    # quadratically). (q155/q158/q159 are bounded/map-only — adjudicated
+    # exemptions in tests/test_stress_coverage.py.)
+    "q154_association_rules",
+    "q156_source_kl_divergence",
+    "q157_embedding_dim_stats",
+    "q160_link_prediction",
 ]
 
 

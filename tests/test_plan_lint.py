@@ -101,6 +101,14 @@ _ADJUDICATED = {
         # fixed constant) centroid table — the intended Lloyd-assignment
         # plan; vectors never shuffle for scoring
         "q150_kmeans_vq",
+        # q154: 1-row basket-total attach onto the rule table
+        "q154_association_rules",
+        # q155: 1-row global daily-mean attach onto the 7-row weekday table
+        "q155_dow_seasonality",
+        # q156: 1-row global-token-total attach onto the (source, token) table
+        "q156_source_kl_divergence",
+        # q159: permille literals (3 rows) x the <=120-row cumulative sketch
+        "q159_histogram_quantiles",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -121,6 +129,15 @@ _ADJUDICATED = {
         "q147_conversion_latency",
         # q152: the 1-row grand-total reduction over the 9-row histogram
         "q152_benford_audit",
+        # q154: the 1-row distinct-basket count reduction
+        "q154_association_rules",
+        # q155: the 1-row (global cents, day count) reduction
+        "q155_dow_seasonality",
+        # q156: the 1-row global token total reduction
+        "q156_source_kl_divergence",
+        # q159: the 1-row bin-count total + the cumulative window over the
+        # <=120-row sketch — sketch-sized by construction
+        "q159_histogram_quantiles",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

@@ -135,3 +135,151 @@ def test_split_mjpeg_plain_concatenation_still_splits():
 
     frames = [b"\xff\xd8" + bytes([i]) * (4 + i) + b"\xff\xd9" for i in range(3)]
     assert _split_mjpeg(b"".join(frames)) == frames
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators
+# ---------------------------------------------------------------------------
+def test_association_rules_exact_micro_units(spark):
+    from universal_aws_data_pipeline_spark.operators.itemsets import association_rules
+
+    baskets = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A"), (3, "B"), (4, "A"), (4, "C")],
+        "o: long, p: string",
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B", 3), ("A", "C", 2), ("B", "C", 1)], "a: string, b: string, support: long"
+    )
+    got = {
+        (r["ante"], r["cons"]): (r["support"], r["conf_micro"], r["lift_micro"])
+        for r in association_rules(pairs, baskets, basket_col="o", item_col="p").collect()
+    }
+    # BC support 1 < min_support=2 dropped; n_A=4 n_B=3 n_C=2 N=4
+    assert got[("A", "B")] == (3, 750_000, 1_000_000)   # 3/4; 3*4/(4*3)
+    assert got[("B", "A")] == (3, 1_000_000, 1_000_000)
+    assert got[("A", "C")] == (2, 500_000, 1_000_000)   # 2/4; 2*4/(4*2)
+    assert got[("C", "A")] == (2, 1_000_000, 1_000_000)
+    assert set(got) == {("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")}
+
+
+def test_dow_seasonal_index_exact(spark):
+    from universal_aws_data_pipeline_spark.operators.seasonal import dow_seasonal_index
+    from pyspark.sql import functions as F
+
+    # 2024-01-01 is a Monday. Mondays earn $2, Tuesdays $1, two weeks.
+    rows = []
+    for week in (0, 1):
+        rows.append((f"2024-01-{1 + 7 * week:02d} 10:00:00", 2.0))
+        rows.append((f"2024-01-{2 + 7 * week:02d} 10:00:00", 1.0))
+    df = spark.createDataFrame(rows, "ts: string, v: double").select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "v"
+    )
+    got = {r["weekday"]: r for r in dow_seasonal_index(df, "ts", F.round(F.col("v") * 100, 0).cast("long")).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_days"] == 2 and got[1]["mean_cents"] == 200
+    assert got[2]["mean_cents"] == 100
+    # global daily mean = 150 cents -> indexes 1333333 and 666666 (floor div)
+    assert got[1]["seasonal_micro"] == (1_000_000 * 200) // 150
+    assert got[2]["seasonal_micro"] == (1_000_000 * 100) // 150
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from universal_aws_data_pipeline_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all four tokens differ"), (3, "a a b b")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy_nats"] == 0.0 and got[1]["n_distinct"] == 1
+    assert got[2]["entropy_nats"] == round(math.log(4), 4)
+    assert got[3]["entropy_nats"] == round(math.log(2), 4)
+
+
+def test_source_kl_divergence_zero_for_identical_and_positive_for_disjoint(spark):
+    from universal_aws_data_pipeline_spark.operators.text import source_kl_divergence
+
+    import math
+
+    df = spark.createDataFrame(
+        [("s1", "alpha beta gamma"), ("s2", "alpha beta gamma"), ("s3", "delta")],
+        "source: string, text: string",
+    )
+    got = {r["source"]: r["kl_nats"] for r in source_kl_divergence(df).collect()}
+    # global: alpha/beta/gamma 2/7 each, delta 1/7.
+    # s1 == s2 (same distribution): KL = ln(7/6); s3 (disjoint singleton):
+    # KL = ln(7) — idiosyncratic vocab diverges harder
+    assert got["s1"] == got["s2"] == round(math.log(7 / 6), 4)
+    assert got["s3"] == round(math.log(7), 4)
+
+
+def test_histogram_quantiles_track_exact_within_bin_width(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    hist = value_histogram(li, cents, 0, 100_000, 120)
+    got = {r["p_mille"]: r["est_cents"] for r in histogram_quantiles(hist, [500, 900, 990], 0, 100_000).collect()}
+    exact = li.select(
+        F.expr("percentile(cast(round(l_extendedprice * 100, 0) as bigint), array(0.5, 0.9, 0.99))").alias("p")
+    ).head()["p"]
+    for p_mille, ex in zip((500, 900, 990), exact):
+        assert abs(got[p_mille] - ex) <= 100_000, f"p{p_mille}: {got[p_mille]} vs {ex}"
+
+
+def test_histogram_merges_by_addition(spark):
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.sketch import value_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "v: double")
+    cents = F.round(F.col("v") * 100, 0).cast("long")
+    whole = {r["bin"]: r["c"] for r in value_histogram(df, cents, 0, 1000, 10).collect()}
+    h1 = {r["bin"]: r["c"] for r in value_histogram(df.filter("v < 37"), cents, 0, 1000, 10).collect()}
+    h2 = {r["bin"]: r["c"] for r in value_histogram(df.filter("v >= 37"), cents, 0, 1000, 10).collect()}
+    merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
+    assert merged == whole
+
+
+def test_link_prediction_star_and_cap(spark):
+    from universal_aws_data_pipeline_spark.operators.graph import link_prediction
+
+    # star: c adjacent to x,y,z; plus existing edge (x,y) which must be
+    # excluded from predictions
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (1, 2)], "a: long, b: long"
+    )
+    got = {
+        (r["x"], r["y"]): (r["common"], r["ra_micro"])
+        for r in link_prediction(edges, min_common=1, max_center_degree=64).collect()
+    }
+    # non-adjacent pairs through c (deg 3): (1,3) and (2,3); (1,2) is an edge.
+    # x=1 has deg 2, so (2,3) also arises through... no: 1's neighbors are
+    # {10, 2} -> wedge (2, 10)? 10 < 2 is false for longs — pair (2,10).
+    # (2,10) adjacent -> excluded. Same for (1,10) via center 2.
+    assert got[(1, 3)] == (1, 1_000_000 // 3)
+    assert got[(2, 3)] == (1, 1_000_000 // 3)
+    assert (1, 2) not in got
+    # cap: excluding centers with deg > 2 removes c's wedges entirely
+    capped = link_prediction(edges, min_common=1, max_center_degree=2).collect()
+    assert {(r["x"], r["y"]) for r in capped} == set()
+
+
+def test_embedding_dim_stats_exact_moments(spark):
+    from universal_aws_data_pipeline_spark.operators.similarity import embedding_dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0])], "vec_id: long, embedding: array<double>"
+    )
+    got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert got[1]["mean"] == 0.5 and got[1]["var"] == 0.25
+    assert got[2]["mean"] == 1.0 and got[2]["var"] == 1.0
+    assert got[1]["min_q"] == 0 and got[1]["max_q"] == 1_000_000
+    assert got[2]["max_q"] == 2_000_000

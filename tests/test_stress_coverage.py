@@ -108,6 +108,9 @@ ADJUDICATED: dict[str, str] = {
     "q141_dedup_roi": "composes: q43's stressed cluster engine (round-5 adjudication)",
     "q142_scd2_asof": "catalyst: as-of range join against the |dim| SCD2 table; SCD family's data term is the q51/q132 merge path",
     "q145_mad_outliers": "composes: q135's stressed per-domain quantile engine (round-6 adjudication)",
+    "q155_dow_seasonality": "bounded: one rollup to |days| rows then a 7-row agg; corpus volume touches only the map-side-combined daily rollup",
+    "q158_token_entropy": "map-only: row-local higher-order-function entropy, no exchange; scales with scan",
+    "q159_histogram_quantiles": "bounded: <=120-bin sketch from one map-side-combined pass; estimates are sketch-sized arithmetic",
 }
 
 

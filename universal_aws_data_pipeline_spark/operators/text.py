@@ -399,3 +399,84 @@ def dedup_repeated_blocks(
         F.size(kept).cast("long").alias("n_unique_blocks"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document Shannon entropy of the unigram distribution (nats)
+    — the compressibility-style quality signal: spam/boilerplate repeats a
+    tiny vocabulary (low entropy at any length), while natural prose keeps
+    entropy near log(n_distinct). Complements the Gopher lexical gates
+    (which look at WHICH tokens appear) with HOW evenly they appear.
+
+    Returns (id_col, n_tokens, n_distinct, entropy_nats round 4).
+    Entirely ROW-LOCAL higher-order-function arithmetic: per distinct
+    token, count = size(filter(tokens, ==t)); H = -sum (c/n) ln(c/n).
+    No explode, no shuffle — a map stage at any corpus size. Per-row cost
+    is O(distinct x tokens), bounded in practice by document length; the
+    cross-doc aggregation alternative costs an explode + shuffle of every
+    token to compute a purely row-local number.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks).cast("double")
+    dist = F.array_distinct(toks)
+    ent = -F.aggregate(
+        F.transform(
+            dist,
+            lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double") / n,
+        ),
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log(p),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(dist).cast("long").alias("n_distinct"),
+        F.round(ent, 4).alias("entropy_nats"),
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence (nats) of the source's unigram
+    distribution from the whole-corpus distribution — the mixture
+    diagnostic for "how lexically idiosyncratic is this source": a source
+    that is just more-of-the-corpus scores ~0; a domain-specific one
+    scores high and deserves its own mixture weight (feeds q129's plan).
+
+    KL(p_s || p_g) = sum_t p_s(t) * ln(p_s(t) / p_g(t)); every source
+    token exists in the global distribution by construction, so the ratio
+    is always finite and no smoothing constant enters the contract.
+
+    Scale shape: one token explode -> ONE (source, token) count aggregate;
+    source totals and the global per-token counts both derive from that
+    table (vocab-sized), and the global total rides a 1-row broadcast —
+    the corpus is tokenized exactly once. Returns
+    (group_col, n_tokens, kl_nats round 4).
+    """
+    sc = (
+        df.select(F.col(group_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = sc.groupBy(group_col).agg(F.sum("c").alias("n"))
+    g = sc.groupBy("tok").agg(F.sum("c").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("ng"))
+    ps = F.col("c").cast("double") / F.col("n").cast("double")
+    pg = F.col("cg").cast("double") / F.col("ng").cast("double")
+    return (
+        sc.join(stot, group_col)
+        .join(g, "tok")
+        .join(F.broadcast(gt))  # 1-row scalar attach
+        .groupBy(group_col)
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.round(F.sum(ps * F.log(ps / pg)), 4).alias("kl_nats"),
+        )
+    )

@@ -5162,10 +5162,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage in the repo executed three times per bench series (round-5
     verdict item 1, the likely q115/q116 drift source). The support
     threshold is standard frequent-itemset hygiene: at sf0.1 the
-    single-co-occurrence edges are 1.19M of 1.20M pairs and pure noise."""
+    single-co-occurrence edges are 1.19M of 1.20M pairs and pure noise.
+
+    Returns (a, b, support), a < b — graph consumers project to (a, b);
+    q154's association rules consume the support column directly."""
     import os
 
-    path = os.path.join(_artifact_dir("copurchase", sf_dir), "support2")
+    path = os.path.join(_artifact_dir("copurchase", sf_dir), "support2s")
     if not _parquet_ready(path):
         li = (
             _t(spark, sf_dir, "lineitem")
@@ -5180,7 +5183,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("support"))
             .filter(F.col("support") >= 2)
-            .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+            .select(F.col("pa").alias("a"), F.col("pb").alias("b"), "support")
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -5236,7 +5239,7 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the `_copurchase_edges` artifact."""
     from universal_aws_data_pipeline_spark.operators.graph import triangle_counts
 
-    e = _copurchase_edges(spark, sf_dir)
+    e = _copurchase_edges(spark, sf_dir).select("a", "b")
     return triangle_counts(e).select(F.col("node").alias("part_id"), "n_tri")
 
 
@@ -7252,7 +7255,7 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     via operators/graph.py::k_core."""
     from universal_aws_data_pipeline_spark.operators.graph import k_core
 
-    e = _copurchase_edges(spark, sf_dir)
+    e = _copurchase_edges(spark, sf_dir).select("a", "b")
     return k_core(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
         F.col("node").alias("part_id"), "core_deg"
     )
@@ -7320,7 +7323,7 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_copurchase_edges` artifact; operators/graph.py::label_propagation."""
     from universal_aws_data_pipeline_spark.operators.graph import label_propagation
 
-    e = _copurchase_edges(spark, sf_dir)
+    e = _copurchase_edges(spark, sf_dir).select("a", "b")
     lbl = label_propagation(e, rounds=_LPA_ROUNDS)
     return (
         lbl.groupBy(F.col("community"))
@@ -7674,3 +7677,317 @@ def graded_order() -> list[str]:
         names[ia], names[ib] = b, a
         pos[a], pos[b] = ib, ia
     return names
+
+
+# --------------------------------------------------------------------------
+# q154 — association rules on the co-purchase pairs (itemset family).
+# Operators: operators/itemsets.py::association_rules over the SHARED
+# support>=2 edge artifact (`_copurchase_edges` — built once per dataset,
+# fourth consumer after q116/q148/q149). Confidence and lift in exact
+# integer micro-units (floor div, the q115 device) — hash-gradable, no
+# float ratio crosses an engine boundary.
+# Scale: pairs are pre-thresholded at the artifact (99% of raw pairs are
+# support-1 noise and never materialize); item counts are one map-side-
+# combinable agg; the rule join broadcasts the dimension-sized count
+# tables; the basket total rides a 1-row broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q154_association_rules",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+      SELECT a.p AS x, b.p AS y, count(*) AS s
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ), items AS (
+      SELECT p, count(*) AS n FROM op GROUP BY p
+    ), tot AS (
+      SELECT count(DISTINCT o) AS nb FROM op
+    ), dirs AS (
+      SELECT x AS ante, y AS cons, s FROM pairs
+      UNION ALL SELECT y, x, s FROM pairs
+    )
+    SELECT ante, cons, CAST(s AS BIGINT) AS support,
+           CAST((1000000 * s) // ia.n AS BIGINT) AS conf_micro,
+           CAST((1000000 * s * tot.nb) // (ia.n * ic.n) AS BIGINT) AS lift_micro
+    FROM dirs
+    JOIN items ia ON dirs.ante = ia.p
+    JOIN items ic ON dirs.cons = ic.p
+    CROSS JOIN tot
+    """,
+    "market-basket association rules (support/confidence/lift in integer micro-units) from the shared support>=2 co-purchase artifact — fourth consumer of the once-mined pair table (itemset family)",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed buy-A-then-B rules with the classic support / confidence /
+    lift trio: confidence ranks actionability, lift separates real
+    affinity from two-popular-items coincidence. Pair supports come from
+    the shared `_copurchase_edges` artifact; only the per-item basket
+    counts rescan (one distinct agg). operators/itemsets.py."""
+    from universal_aws_data_pipeline_spark.operators.itemsets import association_rules
+
+    pairs = _copurchase_edges(spark, sf_dir)
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return association_rules(pairs, baskets, basket_col="o", item_col="p")
+
+
+# --------------------------------------------------------------------------
+# q155 — day-of-week seasonal decomposition (seasonality family).
+# Operators: operators/seasonal.py::dow_seasonal_index — classical weekly
+# seasonal index restricted to the mean estimator so the whole computation
+# is exact int64 (cents sums, floor-div means, micro-unit index).
+# Scale: one rollup to |days| rows, a 7-row agg, 1-row broadcast; the
+# index numerator is 1e6 * PER-DAY mean, bounded whatever the history.
+# --------------------------------------------------------------------------
+@register(
+    "q155_dow_seasonality",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), dow AS (
+      SELECT CAST(isodow(d) AS BIGINT) AS weekday, SUM(cents) AS sw, COUNT(*) AS nw
+      FROM daily GROUP BY 1
+    ), tot AS (SELECT SUM(cents) AS st, COUNT(*) AS nt FROM daily)
+    SELECT weekday, CAST(nw AS BIGINT) AS n_days,
+           CAST(sw // nw AS BIGINT) AS mean_cents,
+           CAST((1000000 * (sw // nw)) // (st // nt) AS BIGINT) AS seasonal_micro
+    FROM dow CROSS JOIN tot
+    """,
+    "weekly seasonal index of order revenue: per-weekday mean daily cents and its micro-unit ratio to the global daily mean — exact integer classical decomposition (seasonality family)",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is Monday really down, or is that the weekly shape? Mean daily
+    revenue per ISO weekday and its ratio to the global daily mean, all in
+    exact integers. operators/seasonal.py::dow_seasonal_index."""
+    from universal_aws_data_pipeline_spark.operators.seasonal import dow_seasonal_index
+
+    o = _t(spark, sf_dir, "orders")
+    return dow_seasonal_index(
+        o, "o_orderdate", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# q156 — per-source unigram KL divergence vs the corpus (X4/mixture).
+# Operators: operators/text.py::source_kl_divergence — one token explode,
+# ONE (source, token) aggregate; source totals and global counts derive
+# from that vocab-sized table; global total on a 1-row broadcast. The
+# corpus is tokenized exactly once. round(4) after the aggregation (the
+# q103 float discipline: sums of logs are stable far past 4dp).
+# --------------------------------------------------------------------------
+@register(
+    "q156_source_kl_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ), sc AS (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+    ), stot AS (
+      SELECT source, sum(c) AS n FROM sc GROUP BY source
+    ), g AS (
+      SELECT tok, sum(c) AS cg FROM sc GROUP BY tok
+    ), gt AS (SELECT sum(cg) AS ng FROM g)
+    SELECT sc.source,
+           CAST(max(stot.n) AS BIGINT) AS n_tokens,
+           round(sum((CAST(c AS DOUBLE) / n) * ln((CAST(c AS DOUBLE) / n) / (CAST(cg AS DOUBLE) / ng))), 4) AS kl_nats
+    FROM sc
+    JOIN stot ON sc.source = stot.source
+    JOIN g ON sc.tok = g.tok
+    CROSS JOIN gt
+    GROUP BY sc.source
+    """,
+    "lexical idiosyncrasy per source: KL divergence of each source's unigram distribution from the whole corpus — the mixture diagnostic feeding domain-weight decisions; one tokenize pass (X4)",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A source that is just more-of-the-corpus scores ~0 nats; a domain-
+    specific one scores high and deserves its own q129 mixture weight.
+    operators/text.py::source_kl_divergence."""
+    from universal_aws_data_pipeline_spark.operators.text import source_kl_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return source_kl_divergence(d, group_col="source", text_col="text")
+
+
+# --------------------------------------------------------------------------
+# q157 — embedding dimension health stats (X3 hygiene).
+# Operators: operators/similarity.py::embedding_dim_stats — posexplode ->
+# ONE map-side-combinable aggregate to |dims| rows; 1e-6 integer
+# quantization makes the sums exact, so the derived mean/var doubles are
+# deterministic functions of integers (hash-gradable at round 6).
+# --------------------------------------------------------------------------
+@register(
+    "q157_embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT j + 1 AS dim,
+             CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(xq) AS DOUBLE) / count(*) / 1e6, 6) AS mean,
+           round((CAST(sum(xq * xq) AS DOUBLE) / count(*)
+                  - (CAST(sum(xq) AS DOUBLE) / count(*)) * (CAST(sum(xq) AS DOUBLE) / count(*))) / 1e12, 6) AS var,
+           CAST(min(xq) AS BIGINT) AS min_q,
+           CAST(max(xq) AS BIGINT) AS max_q
+    FROM x GROUP BY dim
+    """,
+    "per-dimension embedding health (mean/var/min/max on the 1e-6 grid): the dead-dimension / wild-variance / unnormalized-checkpoint audit run before any ANN index build (X3)",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene before indexing: a dead dim wastes index bits, a
+    wild-variance one dominates L2, a nonzero mean betrays an unnormalized
+    encoder. operators/similarity.py::embedding_dim_stats."""
+    from universal_aws_data_pipeline_spark.operators.similarity import embedding_dim_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(e)
+
+
+# --------------------------------------------------------------------------
+# q158 — within-document token entropy (X4 quality).
+# Operators: operators/text.py::token_entropy — entirely ROW-LOCAL
+# higher-order-function arithmetic (distinct -> per-token count via
+# filter() -> -sum p ln p): no explode, no shuffle, a map stage at any
+# corpus size. round(4) on a per-row sum of <=|distinct| log terms.
+# --------------------------------------------------------------------------
+@register(
+    "q158_token_entropy",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           round(-list_sum(list_transform(list_distinct(toks),
+                 t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks))
+                      * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks)))), 4) AS entropy_nats
+    FROM t
+    """,
+    "within-doc Shannon entropy of the unigram distribution: the compressibility quality signal (template spam repeats a tiny vocabulary at any length) — row-local, zero shuffle (X4)",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW evenly tokens appear (entropy), complementing Gopher's WHICH
+    tokens appear. operators/text.py::token_entropy."""
+    from universal_aws_data_pipeline_spark.operators.text import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return token_entropy(d)
+
+
+# --------------------------------------------------------------------------
+# q159 — equi-width histogram quantile sketch (sketch family).
+# Operators: operators/sketch.py::value_histogram + histogram_quantiles —
+# the engine-PORTABLE quantile sketch: the bin table is a pure function of
+# the data (unlike t-digest/KLL whose estimates depend on buffer layout and
+# merge order), build is one map-side-combinable agg to <=120 rows, merge
+# is count addition, estimates are exact integer arithmetic both engines
+# replay bit-identically. Estimate error bound: one bin width ($1000).
+# tests/test_round6_ops.py asserts the estimates track exact percentiles.
+# --------------------------------------------------------------------------
+_HQ_LO, _HQ_W, _HQ_NB = 0, 100_000, 120  # cents domain [0, $120k), $1k bins
+_HQ_PS = [500, 900, 990]
+
+
+@register(
+    "q159_histogram_quantiles",
+    f"""
+    WITH h AS (
+      SELECT LEAST(GREATEST(CAST(floor((CAST(round(l_extendedprice * 100, 0) AS BIGINT) - {_HQ_LO}) / {_HQ_W}.0) AS BIGINT), 0), {_HQ_NB - 1}) AS bin,
+             count(*) AS c
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM h
+    ), n AS (SELECT sum(c) AS n FROM h),
+    p AS (SELECT unnest([{", ".join(str(p) for p in _HQ_PS)}]) AS p_mille),
+    r AS (SELECT CAST(p_mille AS BIGINT) AS p_mille, 1 + (p_mille * (n.n - 1)) // 1000 AS r FROM p CROSS JOIN n),
+    hit AS (
+      SELECT r.p_mille, min(cum.bin) AS bin FROM r JOIN cum ON cum.cum >= r.r GROUP BY r.p_mille
+    )
+    SELECT hit.p_mille,
+           CAST({_HQ_LO} + hit.bin * {_HQ_W} + ({_HQ_W} * (r.r - (cum.cum - cum.c))) // cum.c AS BIGINT) AS est_cents
+    FROM hit JOIN r ON hit.p_mille = r.p_mille JOIN cum ON cum.bin = hit.bin
+    """,
+    "p50/p90/p99 of extended price via a 120-bin equi-width histogram sketch: mergeable (count addition), engine-portable (exact integer interpolation), error bounded by one bin width (sketch family)",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch you can hash-grade: the q48-exact-percentile
+    swap-in whose state merges across partitions/days by addition.
+    operators/sketch.py::value_histogram/histogram_quantiles."""
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = value_histogram(
+        li,
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+        _HQ_LO,
+        _HQ_W,
+        _HQ_NB,
+    )
+    return histogram_quantiles(hist, _HQ_PS, _HQ_LO, _HQ_W)
+
+
+# --------------------------------------------------------------------------
+# q160 — common-neighbor link prediction on the co-purchase graph (graph
+# family). Operators: operators/graph.py::link_prediction — resource-
+# allocation-weighted shared-neighbor scores for NON-adjacent pairs, in
+# integer micro-units. Fifth consumer of the shared edge artifact.
+# Scale: wedge count has no orientation escape here (both endpoints are
+# the output), so the documented max_center_degree cap bounds wedges at
+# |V|*cap^2 pre-join, discarding only the weakest-evidence centers
+# (RA weight <= 1e6/cap); the cap is part of the contract and the oracle
+# replays it verbatim.
+# --------------------------------------------------------------------------
+_LP_MIN_COMMON, _LP_MAX_DEG = 2, 64
+
+
+@register(
+    "q160_link_prediction",
+    f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), eu AS (
+      SELECT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ), adj AS (
+      SELECT x AS c, y AS n FROM eu UNION ALL SELECT y, x FROM eu
+    ), deg AS (
+      SELECT c, count(*) AS deg FROM adj GROUP BY c
+    ), ctr AS (
+      SELECT adj.c, adj.n, deg.deg FROM adj JOIN deg ON adj.c = deg.c
+      WHERE deg.deg <= {_LP_MAX_DEG}
+    ), wedges AS (
+      SELECT w1.n AS x, w2.n AS y, w1.deg
+      FROM ctr w1 JOIN ctr w2 ON w1.c = w2.c AND w1.n < w2.n
+    ), scored AS (
+      SELECT x, y, count(*) AS common, sum(1000000 // deg) AS ra_micro
+      FROM wedges GROUP BY x, y HAVING count(*) >= {_LP_MIN_COMMON}
+    )
+    SELECT s.x, s.y, CAST(s.common AS BIGINT) AS common, CAST(s.ra_micro AS BIGINT) AS ra_micro
+    FROM scored s
+    LEFT JOIN eu ON s.x = eu.x AND s.y = eu.y
+    WHERE eu.x IS NULL
+    """,
+    f"resource-allocation link prediction: shared-neighbor evidence (count + sum floor(1e6/deg(center))) for parts NOT yet co-purchased, center degree capped at {_LP_MAX_DEG} by contract (graph family)",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which parts SHOULD co-occur but don't yet — the recommendation /
+    missing-link readout of the co-purchase graph, scored by common
+    neighbors with the RA degree discount in exact integers.
+    operators/graph.py::link_prediction (shared edge artifact)."""
+    from universal_aws_data_pipeline_spark.operators.graph import link_prediction
+
+    e = _copurchase_edges(spark, sf_dir).select("a", "b")
+    return link_prediction(
+        e, min_common=_LP_MIN_COMMON, max_center_degree=_LP_MAX_DEG
+    )
