@@ -153,6 +153,14 @@ HEAVY = [
     "q156_source_kl_divergence",
     "q157_embedding_dim_stats",
     "q160_link_prediction",
+    # q161's pair stage is |block|^2 by design — the label-shifted embedding
+    # copies give 10x SAME-SIZED blocks (the q56 argument), so the measured
+    # term is block count, exactly how a real corpus scales under a coarse
+    # quantizer; q163's datacard is one grouped pass whose only non-map-
+    # combinable agg is the 16-byte-digest distinct. (q162 is |sources|-row
+    # apportionment — exempt.)
+    "q161_mutual_nn",
+    "q163_corpus_datacard",
 ]
 
 

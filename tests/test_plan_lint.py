@@ -109,6 +109,8 @@ _ADJUDICATED = {
         "q156_source_kl_divergence",
         # q159: permille literals (3 rows) x the <=120-row cumulative sketch
         "q159_histogram_quantiles",
+        # q162: 1-row corpus-total and leftover attaches onto the |sources| table
+        "q162_quota_allocation",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -138,6 +140,9 @@ _ADJUDICATED = {
         # q159: the 1-row bin-count total + the cumulative window over the
         # <=120-row sketch — sketch-sized by construction
         "q159_histogram_quantiles",
+        # q162: total/leftover 1-row reductions + the remainder-rank window
+        # over the |sources|-row table — apportionment is sketch-sized
+        "q162_quota_allocation",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

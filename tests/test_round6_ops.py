@@ -283,3 +283,89 @@ def test_embedding_dim_stats_exact_moments(spark):
     assert got[2]["mean"] == 1.0 and got[2]["var"] == 1.0
     assert got[1]["min_q"] == 0 and got[1]["max_q"] == 1_000_000
     assert got[2]["max_q"] == 2_000_000
+
+
+def test_mutual_nearest_neighbors_kills_asymmetric_hub_matches(spark):
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    # one block: a and b are each other's best; hub h is closest to c but
+    # c is NOT h's best (h prefers a) -> (c, h) must not pair
+    vecs = [
+        (1, [1.0, 0.0, 0.0], 0),       # a
+        (2, [0.99, 0.1, 0.0], 0),      # b ~ a
+        (3, [0.0, 1.0, 0.2], 0),       # c
+        (4, [0.5, 0.5, 0.1], 0),       # h (hub): closer to a/b than to c
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>, label: int")
+    got = {(r["x"], r["y"]) for r in mutual_nearest_neighbors(df).collect()}
+    assert (1, 2) in got
+    assert all(3 not in pair or 4 not in pair for pair in got)  # no (3,4)
+    # blocks never cross: same geometry in two labels yields pairs per block
+    df2 = df.unionByName(
+        spark.createDataFrame(
+            [(11, [1.0, 0.0, 0.0], 1), (12, [0.99, 0.1, 0.0], 1)],
+            "vec_id: long, embedding: array<double>, label: int",
+        )
+    )
+    got2 = {(r["x"], r["y"]) for r in mutual_nearest_neighbors(df2).collect()}
+    assert (11, 12) in got2 and (1, 11) not in got2
+
+
+def test_quota_allocation_sums_to_budget_and_orders_remainders(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import quota_allocation
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 4 + [("c",)] * 2, "source: string"
+    )
+    # budget 10 over 11 rows: floors = 4, 3, 1 (sum 8); remainders
+    # a: 50%11=6, b: 40%11=7, c: 20%11=9 -> c and b get the 2 leftovers
+    got = {r["source"]: r["quota"] for r in quota_allocation(df, 10).collect()}
+    assert got == {"a": 4, "b": 4, "c": 2}
+    assert sum(got.values()) == 10
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        quota_allocation(df, 0)
+
+
+def test_histogram_stream_matches_batch_twin_and_replays_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_stream_fn,
+        value_histogram,
+    )
+
+    b0 = spark.createDataFrame([(float(v),) for v in range(60)], "price: double")
+    b1 = spark.createDataFrame([(float(v),) for v in range(60, 100)], "price: double")
+    state = str(tmp_path / "hist")
+    fn = histogram_stream_fn(state, "cast(round(price * 100, 0) as bigint)", 0, 1000, 10)
+    fn(b0, 0)
+    fn(b1, 1)
+    fn(b1, 1)  # foreachBatch replay must be a no-op (sum-merge not idempotent)
+
+    import os
+
+    got = {
+        r["bin"]: r["c"] for r in spark.read.parquet(os.path.join(state, "bins")).collect()
+    }
+    whole = value_histogram(
+        b0.unionByName(b1), F.expr("cast(round(price * 100, 0) as bigint)"), 0, 1000, 10
+    )
+    want = {r["bin"]: r["c"] for r in whole.collect()}
+    assert got == want
+    # estimates off the maintained state == batch estimates over full history
+    est_stream = {
+        r["p_mille"]: r["est_cents"]
+        for r in histogram_quantiles(
+            spark.read.parquet(os.path.join(state, "bins")), [500, 900], 0, 1000
+        ).collect()
+    }
+    est_batch = {
+        r["p_mille"]: r["est_cents"]
+        for r in histogram_quantiles(whole, [500, 900], 0, 1000).collect()
+    }
+    assert est_stream == est_batch

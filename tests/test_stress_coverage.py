@@ -111,6 +111,7 @@ ADJUDICATED: dict[str, str] = {
     "q155_dow_seasonality": "bounded: one rollup to |days| rows then a 7-row agg; corpus volume touches only the map-side-combined daily rollup",
     "q158_token_entropy": "map-only: row-local higher-order-function entropy, no exchange; scales with scan",
     "q159_histogram_quantiles": "bounded: <=120-bin sketch from one map-side-combined pass; estimates are sketch-sized arithmetic",
+    "q162_quota_allocation": "bounded: one count agg to |sources| rows; apportionment runs on that tiny table",
 }
 
 

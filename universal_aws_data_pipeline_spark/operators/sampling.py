@@ -313,3 +313,55 @@ def mixture_plan(
             F.round(F.col("n_tokens") * rate, 0).cast("long").alias("expected_tokens"),
         )
     )
+
+
+def quota_allocation(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer ``budget``
+    across groups proportionally to their row counts — the exact-integer
+    allocation step for building a fixed-size eval/holdout set ("give me
+    exactly 1000 docs, proportional to source sizes"). Float shares
+    rounded independently don't sum to the budget; Hamilton's method does,
+    deterministically: quota_i = floor(B*n_i/N) + 1 for the L groups with
+    the largest remainders (L = B - sum of floors), remainder ties broken
+    by group name.
+
+    All arithmetic is exact int64 (B*n_i bounded by budget*corpus);
+    returns (group_col, n_rows, quota) with sum(quota) == min(budget, N
+    when budget exceeds the corpus... B > N simply over-allocates nothing:
+    quotas are capped nowhere because proportional shares cannot exceed
+    n_i only when B <= N — callers wanting sampling rates beyond 1.0 are
+    making an epochs decision, see mixture_plan).
+
+    Scale shape: one map-side-combinable count aggregate to |groups| rows;
+    the floors/remainders/rank run on that tiny table (adjudicated
+    single-partition window).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("nn"))
+    base = counts.join(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        F.expr(f"({budget} * n_rows) div nn").alias("fl"),
+        (F.lit(budget) * F.col("n_rows") % F.col("nn")).alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col(group_col))
+    leftover = base.agg((F.lit(budget) - F.sum("fl")).alias("l"))
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(leftover))
+        .select(
+            group_col,
+            "n_rows",
+            (F.col("fl") + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("quota"),
+        )
+    )

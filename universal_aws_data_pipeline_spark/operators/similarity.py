@@ -796,3 +796,56 @@ def embedding_dim_stats(
             "max_q",
         )
     )
+
+
+def mutual_nearest_neighbors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Mutual top-1 nearest-neighbor pairs within blocks — the alignment
+    primitive behind bitext mining (LASER/CCMatrix-style parallel-corpus
+    construction) and cross-snapshot entity alignment: x and y pair only
+    when each is the OTHER's best match, which kills the asymmetric
+    hub-match noise a one-directional top-1 keeps.
+
+    Returns (x, y, cos_sim) with x < y. Deterministic: cosine rounds to
+    6dp BEFORE the argmax and ties break to the smallest partner id, so
+    the winner (and the hash) is engine-portable.
+
+    Scale shape: the pair stage is the blocked self-join (|block|²-bounded,
+    never corpus²) feeding a map-side-combinable max_by per vector; the
+    mutuality check is one self-join of the |V|-row best-match table. Same
+    blocking contract as the SemDeDup pair miner — at 100 TB blocks come
+    from a coarse quantizer (q150) rather than given labels.
+    """
+    a = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("_ida") != F.col("_idb"))
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    best = (
+        pairs.select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"), cos.alias("cos"))
+        .groupBy("src")
+        .agg(
+            F.max_by(
+                F.struct(F.col("dst"), F.col("cos")),
+                F.struct(F.col("cos"), (-F.col("dst")).alias("neg")),
+            ).alias("nn")
+        )
+        .select("src", F.col("nn.dst").alias("dst"), F.col("nn.cos").alias("cos"))
+    )
+    back = best.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("cos").alias("cos2")
+    )
+    return (
+        best.join(back, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("x"), F.col("dst").alias("y"), F.col("cos").alias("cos_sim")
+        )
+    )

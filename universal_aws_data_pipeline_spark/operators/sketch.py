@@ -516,3 +516,50 @@ def histogram_quantiles(
             + F.expr(f"({width_cents} * (s.r - (s.cum - s.c))) div s.c")
         ).cast("long").alias("est_cents"),
     )
+
+
+def histogram_stream_fn(
+    state_path: str,
+    value_expr: str,
+    lo_cents: int,
+    width_cents: int,
+    n_bins: int,
+):
+    """foreachBatch maintainer for the ``value_histogram`` quantile sketch:
+    each micro-batch's bin counts fold into the stored <=n_bins-row table
+    by count ADDITION through the crash-safe statestore commit (sum-merge
+    is NOT idempotent, so the folded batch id must commit atomically with
+    the state — the identical discipline as ``cms_stream_fn``). Quantile
+    estimates at any time: ``histogram_quantiles(spark.read.parquet(
+    <state>/bins), ...)`` — identical to one batch histogram over the full
+    history (asserted in tests). State is bounded at n_bins rows forever.
+
+    ``value_expr`` is a SQL expression string producing the exact-integer
+    value (e.g. ``"cast(round(price * 100, 0) as bigint)"``) — a string so
+    the closure stays picklable into the stream runner.
+    """
+    import os
+
+    from universal_aws_data_pipeline_spark.operators import statestore
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = os.path.join(state_path, "bins")
+        statestore.recover(table)
+        if batch_id <= statestore.last_folded(table):
+            return  # replayed batch — already committed
+        batch_bins = value_histogram(
+            batch_df, F.expr(value_expr), lo_cents, width_cents, n_bins
+        )
+        if os.path.exists(table):
+            merged = (
+                spark.read.parquet(table)
+                .unionByName(batch_bins)
+                .groupBy("bin")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = batch_bins
+        statestore.commit(merged, table, batch_id)
+
+    return fn

@@ -7991,3 +7991,161 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(
         e, min_common=_LP_MIN_COMMON, max_center_degree=_LP_MAX_DEG
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — mutual nearest neighbors (X3 alignment). Operators:
+# operators/similarity.py::mutual_nearest_neighbors — the bitext-mining /
+# entity-alignment primitive: pairs form only when each side is the
+# OTHER's top-1, killing asymmetric hub matches. 6dp-rounded cosine
+# BEFORE the argmax + smallest-partner tiebreak = engine-portable winner.
+# Scale: blocked self-join (|block|^2, never corpus^2) -> map-side-
+# combinable max_by per vector -> one |V|-row mutuality self-join; blocks
+# come from a coarse quantizer (q150) at real scale.
+# --------------------------------------------------------------------------
+@register(
+    "q161_mutual_nn",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), best AS (
+      SELECT src, dst, cos FROM (
+        SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+        FROM p
+      ) WHERE rn = 1
+    )
+    SELECT b1.src AS x, b1.dst AS y, b1.cos AS cos_sim
+    FROM best b1 JOIN best b2 ON b1.src = b2.dst AND b1.dst = b2.src
+    WHERE b1.src < b1.dst
+    """,
+    "mutual top-1 nearest-neighbor pairs within label blocks (the bitext-mining/alignment primitive): 6dp cosine argmax each direction, pair kept only when reciprocal (X3)",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best matches: the pairing that survives when one-way
+    top-1 noise is removed. operators/similarity.py::mutual_nearest_neighbors."""
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mutual_nearest_neighbors(e)
+
+
+# --------------------------------------------------------------------------
+# q162 — largest-remainder quota allocation (X6 sampling). Operators:
+# operators/sampling.py::quota_allocation — Hamilton apportionment: exact-
+# integer per-source quotas that SUM EXACTLY to the budget (independently
+# rounded float shares don't). One count agg to |sources| rows; the
+# floors/remainders/rank run on that tiny table.
+# --------------------------------------------------------------------------
+_Q162_BUDGET = 1000
+
+
+@register(
+    "q162_quota_allocation",
+    f"""
+    WITH c AS (
+      SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+    ), t AS (SELECT sum(n_rows) AS nn FROM c),
+    b AS (
+      SELECT source, n_rows,
+             ({_Q162_BUDGET} * n_rows) // nn AS fl,
+             ({_Q162_BUDGET} * n_rows) % nn AS rem
+      FROM c CROSS JOIN t
+    ), l AS (SELECT {_Q162_BUDGET} - sum(fl) AS lv FROM b),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b
+    )
+    SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(fl + CASE WHEN rk <= l.lv THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r CROSS JOIN l
+    """,
+    f"Hamilton largest-remainder apportionment of a {_Q162_BUDGET}-doc eval budget across sources: exact-integer quotas summing exactly to the budget, remainder ties by name (X6)",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Give me exactly N docs, proportional to source sizes — with integer
+    quotas that actually sum to N. operators/sampling.py::quota_allocation."""
+    from universal_aws_data_pipeline_spark.operators.sampling import quota_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    return quota_allocation(d, _Q162_BUDGET, group_col="source")
+
+
+# --------------------------------------------------------------------------
+# q163 — corpus datacard (X4/X6 reporting composition): the one-table
+# per-source summary a dataset release ships — volume, token mass, language
+# share, exact-dup rate, mean quality. Composes the q105 quality battery,
+# q07's dup semantics, and q156's token accounting into ONE grouped pass
+# over the corpus (integer micro-unit shares; avg of 4dp quality).
+# --------------------------------------------------------------------------
+@register(
+    "q163_corpus_datacard",
+    f"""
+    WITH scored AS (
+      SELECT source, lang, text,
+        round((least(1.0, ntok / 100.0) + alpha_ratio
+               + (1.0 - least(1.0, digit_ratio + punct_ratio))
+               + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+              4) AS quality,
+        ntok_norm
+      FROM (
+        SELECT source, lang, text, n, ntok,
+          len(string_split({_NORM_SQL}, ' ')) AS ntok_norm,
+          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+        FROM (
+          SELECT source, lang, text,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 len(string_split_regex(trim(text), '\\s+')) AS ntok
+          FROM documents
+        )
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok_norm) AS BIGINT) AS n_tokens,
+           CAST((1000000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS en_share_micro,
+           CAST((1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*) AS BIGINT) AS dup_micro,
+           round(avg(quality), 4) AS avg_quality
+    FROM scored GROUP BY source
+    """,
+    "corpus datacard: per-source volume, normalized-token mass, English share and exact-dup rate in integer micro-units, mean quality score — the dataset-release summary table in one grouped pass (X4/X6)",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table a dataset release ships. Quality via the q105 battery
+    (operators/text.py::quality_score); dup rate = 1 - distinct(md5)/n so
+    the distinct exchange is digest-sized; shares in integer micro-units."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "lang",
+            "text",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("ntok_norm"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok_norm").alias("n_tokens"),
+            F.expr(
+                "(1000000 * sum(case when lang = 'en' then 1 else 0 end)) div count(*)"
+            ).alias("en_share_micro"),
+            # digest, not raw text: the distinct-agg exchange ships 16-byte
+            # md5s instead of documents (collision odds 2^-128 — the q07/q130
+            # digest convention)
+            F.expr("(1000000 * (count(*) - count(distinct md5(text)))) div count(*)").alias(
+                "dup_micro"
+            ),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
