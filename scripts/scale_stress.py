@@ -161,6 +161,14 @@ HEAVY = [
     # apportionment — exempt.)
     "q161_mutual_nn",
     "q163_corpus_datacard",
+    # q164's cross-table blocked join sees 10x same-sized blocks on both
+    # sides (eval stays the %41 subset of each copy); q165 is one per-user
+    # window over 10x users at the same per-user density; q166's two-phase
+    # prefix sum ranks 10x suppliers (the device exists exactly so this
+    # never becomes a single-task window).
+    "q164_semantic_decontamination",
+    "q165_journey_trigrams",
+    "q166_pareto_share",
 ]
 
 

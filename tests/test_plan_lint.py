@@ -111,6 +111,8 @@ _ADJUDICATED = {
         "q159_histogram_quantiles",
         # q162: 1-row corpus-total and leftover attaches onto the |sources| table
         "q162_quota_allocation",
+        # q166: 1-row revenue-total attach onto the ranked supplier table
+        "q166_pareto_share",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -140,6 +142,9 @@ _ADJUDICATED = {
         # q159: the 1-row bin-count total + the cumulative window over the
         # <=120-row sketch — sketch-sized by construction
         "q159_histogram_quantiles",
+        # q166: the 1-row revenue-total reduction (the prefix sum itself is
+        # the two-phase distributed device — no global window in the plan)
+        "q166_pareto_share",
         # q162: total/leftover 1-row reductions + the remainder-rank window
         # over the |sources|-row table — apportionment is sketch-sized
         "q162_quota_allocation",

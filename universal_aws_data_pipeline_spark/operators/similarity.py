@@ -849,3 +849,43 @@ def mutual_nearest_neighbors(
             F.col("src").alias("x"), F.col("dst").alias("y"), F.col("cos").alias("cos_sim")
         )
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    lexical shingle-digest report (``retrieval.decontaminate``): training
+    vectors whose cosine to ANY eval vector reaches ``threshold`` (a
+    paraphrased benchmark item shares no 8-grams but sits at cosine ~0.99).
+
+    Returns (eval_id, train_id, cos_sim >= threshold), cosine rounded to
+    6dp pre-filter so the boundary decision is engine-portable.
+
+    Scale shape: the pair stage is the blocked cross-table join
+    (|block_train| x |block_eval| per block, never corpus x eval), the
+    same contract as every pair miner here; the eval side is benchmark-
+    sized and broadcasts under AQE. At real scale blocks come from a
+    shared coarse quantizer (q150) applied to BOTH sides.
+    """
+    t = train.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("_vt"),
+    )
+    e = eval_df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("_ve"),
+    )
+    cos = F.round(cosine_similarity(F.col("_vt"), F.col("_ve")), 6)
+    return (
+        t.join(e, "_blk")
+        .select("eval_id", "train_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

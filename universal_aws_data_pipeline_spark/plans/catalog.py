@@ -8149,3 +8149,169 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — semantic decontamination (X2/X3): the embedding-space complement
+# of q125's lexical shingle report — a PARAPHRASED benchmark item shares no
+# 8-grams but sits at cosine ~0.99. Operators:
+# operators/similarity.py::semantic_decontaminate. Eval fixture: every 41st
+# vector, deterministically perturbed per-dimension (the q130/q132
+# synthetic-fixture convention) so scores are nontrivial (<1.0) yet both
+# engines compute the identical floats. Scale: blocked cross-table join,
+# eval side benchmark-sized (broadcasts under AQE).
+# --------------------------------------------------------------------------
+_Q164_THRESH = 0.98
+
+
+@register(
+    "q164_semantic_decontamination",
+    f"""
+    WITH ev AS (
+      SELECT vec_id + 1000000 AS eval_id, label,
+             list_transform(range(1, 65),
+               j -> CAST(embedding[j] AS DOUBLE)
+                    + 0.001 * ((((j - 1) * 7 + vec_id) % 5) - 2)) AS ve
+      FROM embeddings WHERE vec_id % 41 = 0
+    )
+    SELECT ev.eval_id, t.vec_id AS train_id,
+           round({_cos_sql("t.embedding", "ev.ve")}, 6) AS cos_sim
+    FROM embeddings t JOIN ev ON t.label = ev.label
+    WHERE round({_cos_sql("t.embedding", "ev.ve")}, 6) >= {_Q164_THRESH}
+    """,
+    "semantic decontamination: training vectors within cosine 0.98 of any (perturbed) eval vector, blocked cross-table join — catches the paraphrased contamination q125's lexical digests cannot (X2/X3)",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval = every 41st vector with a deterministic per-dimension nudge
+    (integer-derived, exactly replayable IEEE arithmetic); report = all
+    train vectors at cosine >= 0.98. operators/similarity.py::
+    semantic_decontaminate."""
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 41 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + 0.001 * (((i * 7 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    return semantic_decontaminate(e, ev, threshold=_Q164_THRESH)
+
+
+# --------------------------------------------------------------------------
+# q165 — top journey trigrams (event family): the path-mining readout of
+# the event stream — which 3-step sequences dominate user journeys (the
+# funnel-design input q55's FIXED funnel assumes). One per-user window
+# pass (lag x2 over the (ts, event_id) total order — the q146 convention;
+# fixture timestamps are microsecond-granular, so the order is engine-
+# consistent) + one map-side-combinable path count.
+# --------------------------------------------------------------------------
+@register(
+    "q165_journey_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_type, 1) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t2 || '>' || t1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE t2 IS NOT NULL
+    GROUP BY 1
+    """,
+    "journey path mining: counts of every 3-step event sequence over per-user (ts, event_id)-ordered streams — the data-driven funnel-design input (event family)",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which 3-step paths actually happen (vs the fixed funnel q55
+    assumes): two lags over the per-user total order, one path count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    )
+    return (
+        o.filter(F.col("t2").isNotNull())
+        .select(F.concat_ws(">", "t2", "t1", "event_type").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q166 — Pareto cumulative revenue share (analytics family). The 80/20
+# readout over suppliers WITHOUT the global single-task window: revenue
+# ranks through operators/sampling.py::stratified_prefix_sum (constant
+# stratum) — range-partition on the desc sort key, parallel per-partition
+# running sums, |partitions|-row offsets collect — the same two-phase
+# device q131's packing uses, here on an ungrouped global order. Exact
+# integer cents; shares in permille (1e3 factor keeps 10x-scaled totals
+# inside int64 where 1e6 would overflow).
+# --------------------------------------------------------------------------
+@register(
+    "q166_pareto_share",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS s,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT s, cents,
+             sum(cents) OVER (ORDER BY cents DESC, s) AS cum_cents,
+             sum(cents) OVER () AS total
+      FROM rev
+    )
+    SELECT s AS suppkey, cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+           CAST((1000 * cum_cents) // total AS BIGINT) AS cum_share_permille
+    FROM c
+    """,
+    "Pareto/80-20 audit: per-supplier net revenue with cumulative share in exact permille over the revenue-desc order — computed via the two-phase distributed prefix sum, never a single-task global window (analytics family)",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is supplier revenue: cumulative permille share in
+    revenue-desc order. The oracle's global window is the SEMANTIC spec;
+    the plan runs sampling.py::stratified_prefix_sum so no task ever holds
+    the whole table."""
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        stratified_prefix_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            F.col("l_suppkey").alias("s"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("s")
+        .agg(F.sum("cents").alias("cents"))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = stratified_prefix_sum(
+        rev,
+        "_one",
+        [F.col("cents").desc(), F.col("s").asc()],
+        "cents",
+        out_col="cum_before",
+    )
+    total = rev.agg(F.sum("cents").alias("total"))
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            F.col("s").alias("suppkey"),
+            "cents",
+            (F.col("cum_before") + F.col("cents")).cast("long").alias("cum_cents"),
+            F.expr("(1000 * (cum_before + cents)) div total").alias("cum_share_permille"),
+        )
+    )
