@@ -5141,14 +5141,18 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    # integer node ids (cust*2 / supp*2+1), not "c:"/"s:" strings: the
+    # recurrence is key-agnostic, but five per-iteration joins + aggs hash
+    # and shuffle the node key — 8-byte longs vs ~10-byte strings was worth
+    # ~25% of q115's warm time at sf0.1 (round-6 drift adjudication)
     fwd = pairs.select(
-        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank_micro(edges, iterations=5, total_micro=_PR_TOTAL)
-    return ranks.filter(F.col("node").startswith("s:")).select(
-        F.expr("CAST(substring(node, 3) AS BIGINT)").alias("s_suppkey"),
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("s_suppkey"),
         F.col("rank_micro"),
     )
 
@@ -8005,12 +8009,23 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q161_mutual_nn",
-    f"""
-    WITH p AS (
+    """
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), u AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS uv
+      FROM n
+    ), p0 AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id <> b.vec_id
+             round(list_sum(list_transform(range(1, 65),
+                   i -> a.uv[i] * b.uv[i])), 6) AS cos
+      FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), p AS (
+      SELECT src, dst, cos FROM p0 UNION ALL SELECT dst, src, cos FROM p0
     ), best AS (
       SELECT src, dst, cos FROM (
         SELECT src, dst, cos,
