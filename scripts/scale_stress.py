@@ -169,6 +169,13 @@ HEAVY = [
     "q164_semantic_decontamination",
     "q165_journey_trigrams",
     "q166_pareto_share",
+    # q168's grouped span pass sees 10x users (same per-user density; the
+    # KM fold stays |lifetime-days|-bounded); q170's binned rollup sees 10x
+    # events into a constant |weeks x bins| grid. (q167 is one map
+    # expression + TakeOrderedAndProject; q169 is a single scan + windows
+    # over the |priorities x years| cell table — both exempt.)
+    "q168_km_retention",
+    "q170_weekly_psi_trend",
 ]
 
 

@@ -113,6 +113,10 @@ _ADJUDICATED = {
         "q162_quota_allocation",
         # q166: 1-row revenue-total attach onto the ranked supplier table
         "q166_pareto_share",
+        # q168: 1-row observation-end attach onto the per-user span table
+        "q168_km_retention",
+        # q170: |weeks| x 10-bin grid build — both sides tiny by domain
+        "q170_weekly_psi_trend",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -145,6 +149,11 @@ _ADJUDICATED = {
         # q166: the 1-row revenue-total reduction (the prefix sum itself is
         # the two-phase distributed device — no global window in the plan)
         "q166_pareto_share",
+        # q168: at-risk reverse-cumsum + survival fold windows over the
+        # |distinct lifetimes|-row table (bounded by observation days)
+        "q168_km_retention",
+        # q169: margin/total windows over the |priorities x years| cell table
+        "q169_chi_square_mix",
         # q162: total/leftover 1-row reductions + the remainder-rank window
         # over the |sources|-row table — apportionment is sketch-sized
         "q162_quota_allocation",
@@ -163,6 +172,7 @@ _ADJUDICATED = {
         "q141_dedup_roi",  # inherits q43's post-shingle similarity filters
         "q144_pretrain_e2e",  # quality-score gate over computed text metrics
         "q152_benford_audit",  # isnotnull over the computed leading-digit column
+        "q170_weekly_psi_trend",  # week>0 / week==0 splits over the computed week column
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

@@ -369,3 +369,47 @@ def test_histogram_stream_matches_batch_twin_and_replays_noop(spark, tmp_path):
         for r in histogram_quantiles(whole, [500, 900], 0, 1000).collect()
     }
     assert est_stream == est_batch
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1) for i in range(200)] + [(1000 + i, 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    got = [r["doc_id"] for r in weighted_sample_topk(df, "w", 20).collect()]
+    # with 1000x weights, the heavy block dominates the top-20
+    assert sum(1 for d in got if d >= 1000) >= 15
+    # deterministic: identical selection on rerun and under repartition
+    again = [r["doc_id"] for r in weighted_sample_topk(df.repartition(7), "w", 20).collect()]
+    assert got == again
+    # zero/negative weights are never sampled
+    df2 = df.unionByName(spark.createDataFrame([(5000, 0), (5001, -3)], "doc_id: long, w: long"))
+    got2 = {r["doc_id"] for r in weighted_sample_topk(df2, "w", 300).collect()}
+    assert 5000 not in got2 and 5001 not in got2
+
+
+def test_km_survival_censoring_and_product(spark):
+    from universal_aws_data_pipeline_spark.operators.survival import km_survival
+
+    # day index via epoch seconds; users:
+    #  u1: days 0..2  (lifetime 2, death — last day 2 <= 10-7)
+    #  u2: days 0..3  (lifetime 3, death)
+    #  u3: days 0..9  (lifetime 9, censored — last day 9 > 10-7)
+    #  u4: days 0..10 (lifetime 10, censored, defines stream end)
+    rows = []
+    for u, days in ((1, [0, 2]), (2, [0, 3]), (3, [0, 9]), (4, [0, 10])):
+        for d in days:
+            rows.append((u, f"2024-01-{d + 1:02d} 12:00:00"))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id: long, ts: string").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    got = {r["t_days"]: r for r in km_survival(df, censor_tail_days=7).collect()}
+    # death times: 2 (n_risk 4) and 3 (n_risk 3); censored at 9 and 10
+    assert set(got) == {2, 3}
+    assert got[2]["n_risk"] == 4 and got[2]["n_deaths"] == 1
+    assert got[3]["n_risk"] == 3 and got[3]["n_deaths"] == 1
+    assert got[2]["survival"] == 0.75            # 3/4
+    assert got[3]["survival"] == 0.5             # 3/4 * 2/3
+    # naive retention would call u3/u4 churned; KM keeps them at-risk only

@@ -112,6 +112,8 @@ ADJUDICATED: dict[str, str] = {
     "q158_token_entropy": "map-only: row-local higher-order-function entropy, no exchange; scales with scan",
     "q159_histogram_quantiles": "bounded: <=120-bin sketch from one map-side-combined pass; estimates are sketch-sized arithmetic",
     "q162_quota_allocation": "bounded: one count agg to |sources| rows; apportionment runs on that tiny table",
+    "q167_weighted_sample": "map-only: one key expression + TakeOrderedAndProject (k rows per partition to the driver merge)",
+    "q169_chi_square_mix": "catalyst: single scan + margin windows over the |priorities x years| cell table",
 }
 
 

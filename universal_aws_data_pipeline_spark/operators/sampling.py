@@ -365,3 +365,37 @@ def quota_allocation(
             .alias("quota"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    one-pass reduction: each row gets key = ln(u) / w with u a
+    deterministic md5-uniform in (0,1), and the k LARGEST keys are the
+    sample (equivalent to the classical u^(1/w) ordering; ln spelling
+    avoids cross-libm pow). Selection probability proportional to weight,
+    exactly-once, and — because u comes from the md5 bucket, not an RNG —
+    the same rows are chosen by any engine, any partition layout, any
+    rerun: the hash-mod determinism contract of this module extended to
+    WEIGHTED selection.
+
+    Keys round to 6dp before ordering with an id tiebreak, so boundary
+    comparisons are engine-portable (the q161 discipline). Rows with
+    non-positive weight are excluded by contract (they would divide by
+    zero; a zero-weight row is by definition never sampled).
+
+    Scale: one map expression + TakeOrderedAndProject — k rows per
+    partition reach the driver merge; no shuffle of the corpus.
+    """
+    u = (hash_bucket(F.col(key_col)) + F.lit(0.5)) / F.lit(float(_HASH_BUCKETS))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(key_col), F.col(weight_col), key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -8330,3 +8330,231 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * (cum_before + cents)) div total").alias("cum_share_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — Efraimidis-Spirakis weighted sample (X6 sampling). Operators:
+# operators/sampling.py::weighted_sample_topk — weighted-without-
+# replacement selection that is DETERMINISTIC across engines, reruns, and
+# partition layouts (md5-uniform, not an RNG; the module's hash-mod
+# contract extended to weighted draws). ln spelling avoids cross-libm pow;
+# 6dp key rounding + id tiebreak makes the k-boundary engine-portable.
+# Scale: one map expression + TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+_Q167_K = 100
+
+
+@register(
+    "q167_weighted_sample",
+    f"""
+    SELECT doc_id, n_chars,
+           round(ln(({_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} + 0.5) / 65536.0)
+                 / n_chars, 6) AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_Q167_K}
+    """,
+    f"weighted sampling without replacement (Efraimidis-Spirakis top-{_Q167_K} by ln(u)/w): deterministic md5-uniform draws, selection probability proportional to document length (X6)",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample that every engine reproduces
+    byte-for-byte. operators/sampling.py::weighted_sample_topk."""
+    from universal_aws_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(d, "n_chars", _Q167_K)
+
+
+# --------------------------------------------------------------------------
+# q168 — Kaplan-Meier retention (event family). Operators:
+# operators/survival.py::km_survival — censoring-correct retention: users
+# last seen within 7 days of stream end are CENSORED (leave the at-risk
+# set without a death), which a naive retention curve counts as churn,
+# biasing it down. Integer at-risk/death counts; the survival product is
+# an ordered fold of exact-integer-ratio factors — identical fold in both
+# engines (DuckDB list_reduce's first-element seed is identity-compatible
+# under multiplication), round(6) output.
+# Scale: one grouped pass to per-user spans; everything downstream runs on
+# the |distinct lifetimes|-row table (bounded by the observation span).
+# --------------------------------------------------------------------------
+@register(
+    "q168_km_retention",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_d,
+             max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_d
+      FROM events GROUP BY user_id
+    ), e AS (SELECT max(last_d) AS max_d FROM spans),
+    ev AS (
+      SELECT last_d - first_d AS t,
+             CASE WHEN last_d <= e.max_d - 7 THEN 1 ELSE 0 END AS is_death
+      FROM spans CROSS JOIN e
+    ), g AS (
+      SELECT t, sum(is_death) AS d, sum(1 - is_death) AS c FROM ev GROUP BY t
+    ), r AS (
+      SELECT t, d,
+             sum(d + c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM g
+    ), dd AS (SELECT * FROM r WHERE d > 0),
+    f AS (
+      SELECT t, d, n_risk,
+             list(CAST(n_risk - d AS DOUBLE) / n_risk)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+      FROM dd
+    )
+    SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           round(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+    FROM f
+    """,
+    "Kaplan-Meier user retention over event-stream lifetimes with 7-day-tail censoring: at-risk/death counts per lifetime day and the KM survival product — the churn curve a naive retention query biases downward (event family)",
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of users are still active after t days, censoring-
+    correct. operators/survival.py::km_survival."""
+    from universal_aws_data_pipeline_spark.operators.survival import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    return km_survival(ev, censor_tail_days=7)
+
+
+# --------------------------------------------------------------------------
+# q169 — chi-square independence audit (stats family): are order priority
+# and order year independent? Observed vs expected cell counts + per-cell
+# chi-square contributions — the contingency diagnostic behind "did the
+# priority mix shift across years". One scan to the |priorities x years|
+# cell table; expecteds from row/col margins (window sums over the tiny
+# cell table); every float derives from exact integer counts.
+# --------------------------------------------------------------------------
+@register(
+    "q169_chi_square_mix",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT priority, yr, o,
+             sum(o) OVER (PARTITION BY priority) AS row_tot,
+             sum(o) OVER (PARTITION BY yr) AS col_tot,
+             sum(o) OVER () AS n
+      FROM cells
+    )
+    SELECT priority, yr, CAST(o AS BIGINT) AS n_obs,
+           round(CAST(row_tot AS DOUBLE) * col_tot / n, 4) AS expected,
+           round((o - CAST(row_tot AS DOUBLE) * col_tot / n)
+                 * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+                 / (CAST(row_tot AS DOUBLE) * col_tot / n), 4) AS chi2_part
+    FROM m
+    """,
+    "chi-square independence audit of priority x order-year: observed vs expected cell counts and per-cell contributions from row/col margins — the contingency-shift diagnostic (stats family)",
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the priority mix shift across years — per-cell chi-square
+    contributions over the |priorities x years| contingency table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "priority",
+        "yr",
+        "o",
+        F.sum("o").over(Window.partitionBy("priority")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("yr")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.select(
+        "priority",
+        "yr",
+        F.col("o").cast("long").alias("n_obs"),
+        F.round(e, 4).alias("expected"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 4).alias("chi2_part"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q170 — weekly PSI drift trend (X18 monitoring): q95's drift index turned
+# into a TREND — each week's event-value distribution vs the week-0
+# baseline, over a full (week x bin) grid so bins empty in one period
+# still contribute their smoothed mass. One scan to the |weeks x bins|
+# cell table; Laplace 0.5 smoothing (the q95 convention).
+# --------------------------------------------------------------------------
+_Q170_BINS, _Q170_WIDTH = 10, 50.0
+
+
+@register(
+    "q170_weekly_psi_trend",
+    f"""
+    WITH binned AS (
+      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week,
+             least({_Q170_BINS - 1}, greatest(0, CAST(floor(value / {_Q170_WIDTH}) AS BIGINT))) AS bin
+      FROM events
+    ), counts AS (
+      SELECT week, bin, count(*) AS c FROM binned GROUP BY week, bin
+    ), grid AS (
+      SELECT w.week, b.bin, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT week FROM counts) w
+      CROSS JOIN (SELECT unnest(range(0, {_Q170_BINS})) AS bin) b
+      LEFT JOIN counts c ON c.week = w.week AND c.bin = b.bin
+    ), tot AS (
+      SELECT week, sum(c) AS n FROM grid GROUP BY week
+    ), p AS (
+      SELECT g.week, g.bin,
+             (g.c + 0.5) / (t.n + {0.5 * _Q170_BINS}) AS pr
+      FROM grid g JOIN tot t ON g.week = t.week
+    ), base AS (
+      SELECT bin, pr AS p0 FROM p WHERE week = 0
+    )
+    SELECT p.week, CAST(max(t.n) AS BIGINT) AS n_events,
+           round(sum((p.pr - base.p0) * ln(p.pr / base.p0)), 4) AS psi
+    FROM p JOIN base ON p.bin = base.bin JOIN tot t ON p.week = t.week
+    WHERE p.week > 0
+    GROUP BY p.week
+    """,
+    "weekly PSI drift trend: each week's event-value histogram vs the week-0 baseline over a full week x bin grid (absent bins keep smoothed mass) — q95's monitor as a time series (X18)",
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the value distribution drifting, and since when — PSI per week
+    against the first week."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS BIGINT)").alias("week"),
+        F.least(
+            F.lit(_Q170_BINS - 1),
+            F.greatest(F.lit(0).cast("long"), F.floor(F.col("value") / _Q170_WIDTH).cast("long")),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
+    weeks = counts.select("week").distinct()
+    bins = spark.range(_Q170_BINS).select(F.col("id").alias("bin"))
+    grid = (
+        weeks.crossJoin(F.broadcast(bins))
+        .join(counts, ["week", "bin"], "left")
+        .select("week", "bin", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+    )
+    tot = grid.groupBy("week").agg(F.sum("c").alias("n"))
+    p = grid.join(tot, "week").select(
+        "week",
+        "bin",
+        ((F.col("c") + 0.5) / (F.col("n") + 0.5 * _Q170_BINS)).alias("pr"),
+    )
+    base = p.filter(F.col("week") == 0).select("bin", F.col("pr").alias("p0"))
+    return (
+        p.filter(F.col("week") > 0)
+        .join(F.broadcast(base), "bin")
+        .join(tot, "week")
+        .groupBy("week")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum((F.col("pr") - F.col("p0")) * F.log(F.col("pr") / F.col("p0"))), 4
+            ).alias("psi"),
+        )
+    )
