@@ -176,6 +176,11 @@ HEAVY = [
     # over the |priorities x years| cell table — both exempt.)
     "q168_km_retention",
     "q170_weekly_psi_trend",
+    # q171's HITS sees the 10x disjoint trade copies (10x nodes AND edges,
+    # fixed rounds — the q115 envelope plus per-half-round 1-row
+    # normalizers); q172's feature explode is 3x events into a k=16 agg.
+    "q171_hits_trade",
+    "q172_feature_hashing",
 ]
 
 

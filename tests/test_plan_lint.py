@@ -115,6 +115,8 @@ _ADJUDICATED = {
         "q166_pareto_share",
         # q168: 1-row observation-end attach onto the per-user span table
         "q168_km_retention",
+        # q171: per-half-round 1-row L1-normalizer attaches (6 of them)
+        "q171_hits_trade",
         # q170: |weeks| x 10-bin grid build — both sides tiny by domain
         "q170_weekly_psi_trend",
     },
@@ -152,6 +154,8 @@ _ADJUDICATED = {
         # q168: at-risk reverse-cumsum + survival fold windows over the
         # |distinct lifetimes|-row table (bounded by observation days)
         "q168_km_retention",
+        # q171: the 1-row normalizer-sum reductions per half-round
+        "q171_hits_trade",
         # q169: margin/total windows over the |priorities x years| cell table
         "q169_chi_square_mix",
         # q162: total/leftover 1-row reductions + the remainder-rank window

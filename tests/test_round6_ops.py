@@ -413,3 +413,48 @@ def test_km_survival_censoring_and_product(spark):
     assert got[2]["survival"] == 0.75            # 3/4
     assert got[3]["survival"] == 0.5             # 3/4 * 2/3
     # naive retention would call u3/u4 churned; KM keeps them at-risk only
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from universal_aws_data_pipeline_spark.operators.graph import hits_micro
+
+    # bipartite: buyer 2 links to BOTH suppliers; buyer 4 to one; supplier
+    # 11 has both buyers, supplier 13 only one -> hub(2) > hub(4),
+    # auth(11) > auth(13); sides never mix scores
+    edges = spark.createDataFrame(
+        [(2, 11), (2, 13), (4, 11)], "src: long, dst: long"
+    )
+    got = {r["node"]: (r["hub_micro"], r["auth_micro"]) for r in hits_micro(edges).collect()}
+    assert got[2][0] > got[4][0] > 0
+    assert got[11][1] > got[13][1] > 0
+    assert got[2][1] == 0 and got[11][0] == 0  # pure sides
+    # L1 normalization: each side sums to ~total (floor losses only)
+    assert abs(got[2][0] + got[4][0] - 1_000_000_000_000) <= 2
+    assert abs(got[11][1] + got[13][1] - 1_000_000_000_000) <= 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits_micro(edges, iterations=0)
+
+
+def test_hash_features_deterministic_and_sign_cancelling(spark):
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.features import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "click"), (1, "click"), (2, "view")], "user_id: long, event_type: string"
+    )
+    feats = [F.concat(F.lit("t:"), F.col("event_type"))]
+    a = sorted(map(tuple, hash_features(df, "user_id", feats, k=8).collect()))
+    b = sorted(map(tuple, hash_features(df.repartition(5), "user_id", feats, k=8).collect()))
+    assert a == b and len(a) > 0  # layout-independent
+    # same feature twice -> |val| == 2 for user 1's bucket
+    u1 = [r for r in a if r[0] == 1]
+    assert len(u1) == 1 and abs(u1[0][2]) == 2
+    # a feature and itself never cancel; k must be positive
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        hash_features(df, "user_id", feats, k=0)

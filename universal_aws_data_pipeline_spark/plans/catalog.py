@@ -8558,3 +8558,134 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q171 — HITS hubs & authorities on the directed trade graph (graph
+# family). Operators: operators/graph.py::hits_micro — PageRank's directed
+# complement: on the bipartite customer->supplier graph the two scores
+# separate the best-connected BUYERS (hubs) from the best-connected
+# SUPPLIERS (authorities), which q115's symmetrized PageRank blends into
+# one number. Exact-integer sums; L1 normalization via one floor-of-double
+# step per half-round (the q159 device — pure-integer scaling would
+# overflow int64). Oracle: the rounds unrolled as chained CTEs.
+# --------------------------------------------------------------------------
+_HITS_ROUNDS, _HITS_TOTAL = 3, 1_000_000_000_000
+
+
+def _hits_step(i: int) -> str:
+    prev_h = "h0" if i == 1 else f"h{i - 1}"
+    return f"""
+    ar{i} AS (
+      SELECT e.dst, sum(h) AS a FROM e JOIN {prev_h} p ON e.src = p.src GROUP BY e.dst
+    ), a{i} AS (
+      SELECT dst, CAST(floor((CAST(a AS DOUBLE) * {_HITS_TOTAL}.0)
+                             / (SELECT CAST(sum(a) AS DOUBLE) FROM ar{i})) AS BIGINT) AS a
+      FROM ar{i}
+    ), hr{i} AS (
+      SELECT e.src, sum(a) AS h FROM e JOIN a{i} p ON e.dst = p.dst GROUP BY e.src
+    ), h{i} AS (
+      SELECT src, CAST(floor((CAST(h AS DOUBLE) * {_HITS_TOTAL}.0)
+                             / (SELECT CAST(sum(h) AS DOUBLE) FROM hr{i})) AS BIGINT) AS h
+      FROM hr{i}
+    )"""
+
+
+@register(
+    "q171_hits_trade",
+    f"""
+    WITH op AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM op
+    ), h0 AS (
+      SELECT src, CAST({_HITS_TOTAL} // (SELECT count(*) FROM (SELECT DISTINCT src FROM e)) AS BIGINT) AS h
+      FROM (SELECT DISTINCT src FROM e)
+    ),{",".join(_hits_step(i) for i in range(1, _HITS_ROUNDS + 1))}
+    SELECT coalesce(h.src, a.dst) AS node,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hub_micro,
+           CAST(coalesce(a.a, 0) AS BIGINT) AS auth_micro
+    FROM h{_HITS_ROUNDS} h FULL OUTER JOIN a{_HITS_ROUNDS} a ON h.src = a.dst
+    """,
+    f"{_HITS_ROUNDS}-round HITS on the directed customer->supplier trade graph: hub scores rank the best-connected buyers, authority scores the best-connected suppliers — the directed separation q115's PageRank blends (graph family)",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-connected buyers (hubs) vs best-connected suppliers
+    (authorities) in one fixed-round recurrence.
+    operators/graph.py::hits_micro; integer node ids per the q115
+    convention."""
+    from universal_aws_data_pipeline_spark.operators.graph import hits_micro
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_micro(e, iterations=_HITS_ROUNDS, total_micro=_HITS_TOTAL)
+
+
+# --------------------------------------------------------------------------
+# q172 — feature hashing (X38 ML prep). Operators:
+# operators/features.py::hash_features — the hashing trick: categorical
+# features land in md5-derived signed buckets, so NO vocabulary dictionary
+# is ever built, shipped, or kept consistent across dataset versions (at
+# 100 TB a vocab build is itself a corpus pass, and dictionary drift
+# silently misaligns features between versions). Row-local expansion, one
+# explode + one map-side-combinable (id, idx) sum; sparse output rows.
+# --------------------------------------------------------------------------
+_Q172_K = 16
+
+
+def _q172_feat_sql(expr: str, k: int) -> str:
+    b = _hex_int_sql(expr, 4)
+    s = f"(strpos('0123456789abcdef', substring(md5({expr}),5,1))-1)"
+    return f"SELECT user_id, {b} % {k} AS feat_idx, 1 - 2 * ({s} % 2) AS sgn"
+
+
+@register(
+    "q172_feature_hashing",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hr
+      FROM events
+    ), feats AS (
+      {_q172_feat_sql("'t:' || event_type", _Q172_K)} FROM base
+      UNION ALL {_q172_feat_sql("'u:' || CAST(user_id % 100 AS VARCHAR)", _Q172_K)} FROM base
+      UNION ALL {_q172_feat_sql("'h:' || CAST(hr AS VARCHAR)", _Q172_K)} FROM base
+    )
+    SELECT user_id, CAST(feat_idx AS BIGINT) AS feat_idx,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM feats GROUP BY user_id, feat_idx
+    HAVING sum(sgn) <> 0
+    """,
+    f"hashing-trick featurization: per-user signed {_Q172_K}-bucket md5 feature vector over (event type, user cohort, hour-of-day) — no vocabulary dictionary to build or drift, sparse output (X38 ML prep)",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hashed feature vectors from the event stream — the
+    dictionary-free categorical featurization training pipelines need at
+    corpus scale. operators/features.py::hash_features."""
+    from universal_aws_data_pipeline_spark.operators.features import hash_features
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long").alias("hr"),
+    )
+    return hash_features(
+        base,
+        "user_id",
+        [
+            F.concat(F.lit("t:"), F.col("event_type")),
+            F.concat(F.lit("u:"), (F.col("user_id") % 100).cast("string")),
+            F.concat(F.lit("h:"), F.col("hr").cast("string")),
+        ],
+        k=_Q172_K,
+    )
