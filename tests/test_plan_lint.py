@@ -117,6 +117,9 @@ _ADJUDICATED = {
         "q168_km_retention",
         # q171: per-half-round 1-row L1-normalizer attaches (6 of them)
         "q171_hits_trade",
+        # q174: the all-pairs daily-slope join IS the Theil-Sen estimator;
+        # pair space bounded by the calendar (~2.4k days), not data volume
+        "q174_theil_sen_trend",
         # q170: |weeks| x 10-bin grid build — both sides tiny by domain
         "q170_weekly_psi_trend",
     },
@@ -156,6 +159,8 @@ _ADJUDICATED = {
         "q168_km_retention",
         # q171: the 1-row normalizer-sum reductions per half-round
         "q171_hits_trade",
+        # q174: the single-row median/count reduction over the slope set
+        "q174_theil_sen_trend",
         # q169: margin/total windows over the |priorities x years| cell table
         "q169_chi_square_mix",
         # q162: total/leftover 1-row reductions + the remainder-rank window
@@ -177,6 +182,7 @@ _ADJUDICATED = {
         "q144_pretrain_e2e",  # quality-score gate over computed text metrics
         "q152_benford_audit",  # isnotnull over the computed leading-digit column
         "q170_weekly_psi_trend",  # week>0 / week==0 splits over the computed week column
+        "q174_theil_sen_trend",  # da < db pair predicate over computed day indices
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

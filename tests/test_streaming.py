@@ -573,3 +573,63 @@ def test_named_sink_heavy_hitters_from_config(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["tok"]: r["cnt_lb"] for r in heavy_hitters_from_state(spark, state).collect()}
     assert rows.get("hot", 0) >= 1
+
+
+def test_stateful_v2_timer_flushed_sessions(spark, tmp_path):
+    """state API v2 TIMERS + LIST state (`session_collect_v2`): values
+    buffer silently while a key is active; when it goes quiet for gap_ms of
+    processing time the registered timer fires, handleExpiredTimer emits
+    the completed session, and state+timer clear. Needs the vendored
+    protobuf (pb_vendor shim) and RocksDB column families, like the
+    running-totals v2 test."""
+    gp = pytest.importorskip("google.protobuf")
+    assert gp.__file__
+    import time
+
+    from universal_aws_data_pipeline_spark.streaming.stateful import session_collect_v2
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "v2tin"
+        d.mkdir()
+        with open(d / "b0.json", "w") as f:
+            for e in EVENTS[:3]:
+                f.write(json.dumps({"event_id": e[0], "ts": e[1], "user_id": e[2], "value": e[3]}) + "\n")
+        stream = spark.readStream.schema(SCHEMA).json(str(d))
+        out = session_collect_v2(stream, gap_ms=2000)
+        flushed = []
+
+        def sink(batch_df, batch_id):
+            flushed.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "v2tckpt"))
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            # user 1 has 2 events, user 2 has 1 in batch 0; nothing may
+            # emit before the gap elapses
+            deadline = time.time() + 240
+            while {1, 2} - {r["user_id"] for r in flushed} and time.time() < deadline:
+                time.sleep(1.0)
+                # keep batches flowing past the gap so timers can fire
+                with open(d / "tick.json", "a") as f:
+                    f.write(json.dumps({"event_id": 99, "ts": "2024-01-01 13:00:00", "user_id": 77, "value": 0.5}) + "\n")
+            got = {r["user_id"]: r for r in flushed}
+            assert 1 in got and 2 in got, f"sessions never flushed: {flushed}"
+            assert got[1]["n_events"] == 2 and abs(got[1]["value_sum"] - 3.0) < 1e-9
+            assert got[2]["n_events"] == 1 and abs(got[2]["value_sum"] - 3.0) < 1e-9
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -114,6 +114,8 @@ ADJUDICATED: dict[str, str] = {
     "q162_quota_allocation": "bounded: one count agg to |sources| rows; apportionment runs on that tiny table",
     "q167_weighted_sample": "map-only: one key expression + TakeOrderedAndProject (k rows per partition to the driver merge)",
     "q169_chi_square_mix": "catalyst: single scan + margin windows over the |priorities x years| cell table",
+    "q173_funnel_wilson": "bounded: two distinct-user rollups + a |types|-row interval expression; event family's 10x rollup behavior measured by q27/q119",
+    "q174_theil_sen_trend": "bounded: pair space is |days|^2, fixed by the CALENDAR (~3M integer pairs at any corpus size); the corpus touches only the daily rollup",
 }
 
 

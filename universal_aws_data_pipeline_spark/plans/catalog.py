@@ -8689,3 +8689,140 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=_Q172_K,
     )
+
+
+# --------------------------------------------------------------------------
+# q173 — funnel conversion with Wilson intervals (stats family): per
+# event type, how many users convert to purchase — with the 95% Wilson
+# score interval, the small-n-honest bound (a 2/3 conversion is NOT "67%";
+# Wald intervals lie at the tails, Wilson doesn't). All inputs are exact
+# integer user counts; the interval is one fixed IEEE expression replayed
+# verbatim by the oracle, round(4).
+# Scale: two distinct-user rollups + one |types|-row join.
+# --------------------------------------------------------------------------
+_Q173_Z = 1.96
+
+
+@register(
+    "q173_funnel_wilson",
+    f"""
+    WITH per AS (
+      SELECT event_type, user_id FROM events GROUP BY event_type, user_id
+    ), buyers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT p.event_type,
+             count(*) AS n,
+             sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+      FROM per p LEFT JOIN buyers b ON p.user_id = b.user_id
+      WHERE p.event_type <> 'purchase'
+      GROUP BY p.event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS n_converted,
+           round(CAST(k AS DOUBLE) / n, 4) AS p_hat,
+           round((CAST(k AS DOUBLE) / n + {_Q173_Z} * {_Q173_Z} / (2.0 * n)
+                  - {_Q173_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                     + {_Q173_Z} * {_Q173_Z} / (4.0 * n * n)))
+                 / (1.0 + {_Q173_Z} * {_Q173_Z} / n), 4) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + {_Q173_Z} * {_Q173_Z} / (2.0 * n)
+                  + {_Q173_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                     + {_Q173_Z} * {_Q173_Z} / (4.0 * n * n)))
+                 / (1.0 + {_Q173_Z} * {_Q173_Z} / n), 4) AS wilson_hi
+    FROM agg
+    """,
+    "per-event-type purchase conversion with 95% Wilson score intervals: the small-n-honest uncertainty band a bare rate hides — exact integer user counts, one fixed IEEE expression (stats family)",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rates you can act on: the Wilson interval stays inside
+    [0,1] and stays honest at small n, unlike Wald."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.lit(1)).select("event_type", "user_id")
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    agg = (
+        per.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(buyers), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("k"),
+        )
+    )
+    z = _Q173_Z
+    p = F.col("k").cast("double") / F.col("n")
+    half = z * F.sqrt(p * (1.0 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n")))
+    center = p + z * z / (2.0 * F.col("n"))
+    denom = 1.0 + z * z / F.col("n")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_converted"),
+        F.round(p, 4).alias("p_hat"),
+        F.round((center - half) / denom, 4).alias("wilson_lo"),
+        F.round((center + half) / denom, 4).alias("wilson_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q174 — Theil-Sen robust trend (stats family): the median of all pairwise
+# daily-revenue slopes — the trend estimator a few promo-spike days cannot
+# drag around (OLS breakdown 0%, Theil-Sen 29%). Slopes in exact integer
+# micro-cents/day via floor div; the median is an integer order statistic
+# (lower median, deterministic) — hash-exact end to end.
+# Scale: the pair stage is |days|^2 — bounded by the CALENDAR (~2.4k days
+# -> ~3M integer pairs), not by data volume; corpus size touches only the
+# daily rollup. Adjudicated cartesian: the all-pairs set IS the estimator.
+# --------------------------------------------------------------------------
+@register(
+    "q174_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), slopes AS (
+      SELECT (1000000 * (b.cents - a.cents)) // (b.d - a.d) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY s) AS BIGINT) AS slope_micro_cents_per_day
+    FROM slopes
+    """,
+    "Theil-Sen robust revenue trend: exact-integer median of all pairwise daily-slope estimates (micro-cents/day) — promo-spike-proof where OLS is not; pair space bounded by the calendar (stats family)",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is revenue trending up — robustly: the median pairwise slope.
+    Integer slopes + order-statistic median, bit-exact in any engine."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.expr("cast(floor(unix_timestamp(o_orderdate) / 86400) as bigint)").alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(F.expr("(1000000 * (cb - ca)) div (db - da)").alias("s"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)").alias(
+                "slope_micro_cents_per_day"
+            ),
+        )
+        .join(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro_cents_per_day").cast("long").alias("slope_micro_cents_per_day"),
+        )
+    )

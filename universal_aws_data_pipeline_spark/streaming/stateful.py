@@ -154,3 +154,85 @@ def running_totals_v2(
             timeMode="ProcessingTime",
         )
     )
+
+
+SESSION_FLUSH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def session_collect_v2(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap_ms: int = 2_000,
+) -> DataFrame:
+    """Timer-flushed session accumulator on the state API v2 — the shape
+    that exercises the parts of ``transformWithStateInPandas`` the
+    ``running_totals_v2`` twin does not: LIST state (per-key value buffer)
+    and REGISTERED TIMERS (the v2 replacement for the v1
+    ``setTimeoutDuration`` dance — explicit expiry timestamps, a dedicated
+    ``handleExpiredTimer`` callback, and ``deleteTimer``/``listTimers``
+    bookkeeping).
+
+    Semantics: values buffer silently per key while events keep arriving;
+    when a key goes quiet for ``gap_ms`` of processing time its timer
+    fires, the buffered session is EMITTED as one (n_events, value_sum)
+    row, and both state and timer are cleared — the custom-session shape
+    whose v1 spelling is ``make_running_totals_fn``'s timeout protocol.
+
+    Scale: state per key = the open session's value list, bounded by
+    session length; timers live in the state store alongside (RocksDB
+    column families — the reason v2 needs that provider). Output appears
+    only on session close, so downstream sees completed sessions, not a
+    changelog.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _SessionCollect(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._buf = handle.getListState("session_values", "v DOUBLE")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                self._buf.appendList(
+                    [(float(v),) for v in pdf[value_col].tolist()]
+                )
+            # re-arm: one live timer per key (drop any earlier deadline)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + gap_ms
+            )
+            return iter(())  # nothing emits until the session closes
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            vals = [row[0] for row in self._buf.get()]
+            self._buf.clear()
+            if vals:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [len(vals)],
+                        "value_sum": [round(float(sum(vals)), 2)],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionCollect(),
+            outputStructType=SESSION_FLUSH_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
