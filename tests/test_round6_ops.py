@@ -458,3 +458,43 @@ def test_hash_features_deterministic_and_sign_cancelling(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         hash_features(df, "user_id", feats, k=0)
+
+
+def test_exact_rank_long_matches_percentile_disc(spark):
+    """Distributed range-refinement selection must return exactly what
+    percentile_disc returns, at every rank — including duplicate-heavy and
+    negative-value sets, and through the bucketed refinement path."""
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.robust import exact_rank_long
+
+    # deterministic spread: wide range (forces >1 refinement round),
+    # duplicates, negatives
+    vals = [((i * 2654435761) % 1_000_003) * 7_919 - 3_500_000_000 for i in range(5000)]
+    vals += vals[:500]  # duplicates
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    s = sorted(vals)
+    for rank in (1, 2, len(vals) // 2, (len(vals) + 1) // 2, len(vals) - 1, len(vals)):
+        assert exact_rank_long(df, "v", rank) == s[rank - 1], rank
+    import pytest
+
+    with pytest.raises(ValueError, match="rank"):
+        exact_rank_long(df, "v", 0)
+
+
+def test_theil_sen_recovers_known_slope(spark):
+    from universal_aws_data_pipeline_spark.operators.robust import theil_sen_micro
+
+    # perfect line y = 250*x + noiseless -> every pairwise slope is 250
+    daily = spark.createDataFrame(
+        [(x, 250 * x + 10_000) for x in range(50)], "d: long, cents: long"
+    )
+    n, pairs, slope = theil_sen_micro(daily)
+    assert (n, pairs) == (50, 50 * 49 // 2)
+    assert slope == 250 * 1_000_000
+    # one wild outlier day cannot move the median slope
+    daily2 = daily.unionByName(
+        spark.createDataFrame([(100, 10_000_000_000)], "d: long, cents: long")
+    )
+    _, _, slope2 = theil_sen_micro(daily2)
+    assert abs(slope2 - 250 * 1_000_000) < 60_000_000  # still ~250/day, not 1e8

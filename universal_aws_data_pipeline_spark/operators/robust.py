@@ -1,0 +1,100 @@
+"""Robust statistics over large value sets: distributed exact selection.
+
+`percentile_disc` / `percentile` aggregate by buffering RAW values per
+partition and merging every buffer into one final task — exact, but the
+single merge task holds the whole value set (q174's 2.9M Theil-Sen slopes
+cost ~9 s that way at sf0.1, and a 50M-slope set would put gigabytes
+through one task). Exact selection doesn't need that: this module's
+median is iterative RANGE REFINEMENT (distributed quickselect):
+
+    1. one 1-row agg collects (n, min, max);
+    2. each round buckets values into <= 4096 equal integer-width ranges
+       (one map-side-combinable count agg), the driver walks the <= 4096-row
+       histogram to find the bucket holding the target rank, and the range
+       narrows to that bucket;
+    3. when the surviving range holds few enough rows, the exact
+       order-statistic comes from a TakeOrderedAndProject over the small
+       remainder.
+
+Every pass is a full-parallel scan + tiny agg; driver state is bounded at
+4096 rows/round; convergence is geometric (range shrinks 4096x per round,
+so 3 rounds cover any int64 spread). All arithmetic is integer (widths
+via ceil-div), so the selected value is bit-exact — the same value
+DuckDB's percentile_disc returns — just never buffered in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 4096
+_DIRECT_SORT_CAP = 100_000  # small enough for one TakeOrdered heap
+
+
+def exact_rank_long(df: DataFrame, col: str, rank: int) -> int:
+    """Value at 1-based ascending ``rank`` of integer column ``col`` —
+    ``percentile_disc`` semantics without the single-task value buffer.
+    The input plan is localCheckpoint()ed once so refinement rounds rescan
+    materialized rows, not the producing query."""
+    d = df.select(F.col(col).alias("v")).localCheckpoint(eager=True)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if not 1 <= rank <= n:
+        raise ValueError(f"rank {rank} outside [1, {n}]")
+    below = 0  # values < lo, already accounted for
+    in_range = n  # values inside [lo, hi]
+    while True:
+        span = hi - lo + 1
+        remaining = d.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        if span <= _BUCKETS or in_range <= _DIRECT_SORT_CAP:
+            k = rank - below
+            row = (
+                remaining.orderBy("v")
+                .limit(k)
+                .orderBy(F.col("v").desc())
+                .limit(1)
+                .collect()
+            )
+            return row[0]["v"]
+        width = -(-span // _BUCKETS)  # ceil div: every value maps to a bucket
+        hist = (
+            remaining.groupBy(F.expr(f"(v - {lo}) div {width}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("b")
+            .collect()
+        )
+        cum = below
+        for r in hist:
+            if cum + r["c"] >= rank:
+                lo, hi = lo + r["b"] * width, min(hi, lo + (r["b"] + 1) * width - 1)
+                below, in_range = cum, r["c"]
+                break
+            cum += r["c"]
+
+
+def theil_sen_micro(
+    daily: DataFrame,
+    x_col: str = "d",
+    y_col: str = "cents",
+) -> tuple[int, int, int]:
+    """Theil-Sen slope estimate over a (x, y) series: the exact lower
+    median of all pairwise integer slopes floor(1e6 * dy / dx), x strictly
+    increasing pairs. Returns (n_points, n_pairs, slope_micro).
+
+    The pair stage is |points|^2 — for calendar-indexed series that is
+    bounded by the observation span, never by corpus volume — and the
+    median runs through :func:`exact_rank_long`, so no task ever buffers
+    the slope set.
+    """
+    a = daily.select(F.col(x_col).alias("xa"), F.col(y_col).alias("ya"))
+    b = daily.select(F.col(x_col).alias("xb"), F.col(y_col).alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        F.expr("(1000000 * (yb - ya)) div (xb - xa)").alias("s")
+    )
+    n_points = daily.count()
+    n_pairs = n_points * (n_points - 1) // 2
+    rank = (n_pairs + 1) // 2  # percentile_disc(0.5): value at ceil(n/2)
+    return n_points, n_pairs, exact_rank_long(slopes, "s", rank)
