@@ -236,3 +236,65 @@ def test_pagerank_micro_mass_and_positivity(spark, pairs):
     # every floor division discards < 1 micro-unit; with <= n nodes, d+1
     # divisions per node per round, mass loss is bounded far under 1%
     assert total * 0.99 < sum(ranks) <= total
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=99_999), min_size=3, max_size=80),
+    st.sampled_from([250, 500, 900]),
+)
+def test_histogram_quantile_error_bounded_by_bin_width(spark, cents, p_mille):
+    """q159 sketch contract: for ANY in-domain data, the histogram estimate
+    sits within one bin width of the exact percentile_disc value."""
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    width, nb = 10_000, 10  # domain [0, 100000)
+    df = spark.createDataFrame([(c,) for c in cents], "v: long")
+    hist = value_histogram(df, F.col("v"), 0, width, nb)
+    est = histogram_quantiles(hist, [p_mille], 0, width).collect()[0]["est_cents"]
+    s = sorted(cents)
+    exact = s[(p_mille * (len(s) - 1)) // 1000]  # the sketch's rank rule
+    assert abs(est - exact) <= width
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=200),
+)
+def test_quota_allocation_invariants(spark, counts, budget):
+    """Hamilton apportionment: quotas are non-negative integers, sum EXACTLY
+    to the budget, and never deviate from the exact proportional share by a
+    full unit (the largest-remainder quota property)."""
+    from universal_aws_data_pipeline_spark.operators.sampling import quota_allocation
+
+    rows = [(g,) for g, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "source: string")
+    got = {r["source"]: r["quota"] for r in quota_allocation(df, budget).collect()}
+    total = sum(counts.values())
+    assert sum(got.values()) == budget
+    for g, n in counts.items():
+        share = budget * n / total
+        assert got[g] >= 0
+        assert abs(got[g] - share) < 1.0  # floor(share) or floor(share)+1
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=30))
+def test_token_entropy_bounds(spark, toks):
+    """0 <= H <= ln(n_distinct), equality at single-token and uniform ends."""
+    import math
+
+    from universal_aws_data_pipeline_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id: long, text: string")
+    r = token_entropy(df).collect()[0]
+    assert 0.0 <= r["entropy_nats"] <= round(math.log(max(r["n_distinct"], 1)), 4) + 1e-9

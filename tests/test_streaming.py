@@ -633,3 +633,54 @@ def test_stateful_v2_timer_flushed_sessions(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_v2_map_state_type_counts(spark, tmp_path):
+    """state API v2 MAP state (`type_counts_v2`): per-key per-category
+    counts accumulate across micro-batches, each batch emitting only the
+    entries it changed (a changelog of the counter map)."""
+    gp = pytest.importorskip("google.protobuf")
+    assert gp.__file__
+    from universal_aws_data_pipeline_spark.streaming.stateful import type_counts_v2
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "v2min"
+        d.mkdir()
+        b0 = [(1, "click"), (1, "click"), (1, "view"), (2, "view")]
+        b1 = [(1, "click"), (2, "purchase")]
+        for i, rows in enumerate((b0, b1)):
+            with open(d / f"b{i}.json", "w") as f:
+                for u, t in rows:
+                    f.write(json.dumps({"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": u, "event_type": t, "value": 1.0}) + "\n")
+        stream = spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+        ).option("maxFilesPerTrigger", 1).json(str(d))
+        latest = {}
+
+        def fold(batch_df, batch_id):
+            for r in batch_df.collect():
+                latest[(r["user_id"], r["event_type"])] = r["n"]
+
+        q = (
+            type_counts_v2(stream)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "v2mckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        # map entries accumulated across the two batches
+        assert latest[(1, "click")] == 3  # 2 in b0 + 1 in b1
+        assert latest[(1, "view")] == 1
+        assert latest[(2, "view")] == 1 and latest[(2, "purchase")] == 1
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
