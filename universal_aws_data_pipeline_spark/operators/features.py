@@ -45,10 +45,19 @@ def hash_features(
     """Aggregate signed hashed features per id: every feature string lands
     in bucket md5[0:4] % k with sign from md5[4]; per-id bucket sums are
     the feature vector. Returns sparse (id_col, feat_idx, val) rows,
-    zero-sum buckets dropped."""
+    zero-sum buckets dropped.
+
+    NULL features hash as the sentinel token ``<null>`` rather than
+    vanishing: md5(NULL) is NULL, which would null the bucket and sign, turn
+    the per-bucket SUM null, and silently drop the row at the ``val != 0``
+    filter — a column of all-null categoricals would disappear from the
+    feature vector, masking upstream data problems. With the sentinel,
+    missingness is itself a feature (round-6 ADVICE)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    feats = F.array(*[f.cast("string") for f in features])
+    feats = F.array(
+        *[F.coalesce(f.cast("string"), F.lit("<null>")) for f in features]
+    )
     exploded = df.select(F.col(id_col), F.explode(feats).alias("_f"))
     return (
         exploded.select(

@@ -48,6 +48,19 @@ def exact_rank_long(df: DataFrame, col: str, rank: int) -> int:
     in_range = n  # values inside [lo, hi]
     while True:
         span = hi - lo + 1
+        if span > 2**63:
+            # `(v - lo)` would overflow int64 inside Spark (silent under
+            # non-ANSI mode — wrong buckets, wrong answer). Python span math
+            # is exact, so bisect once driver-side with comparisons only:
+            # one extra counting pass, and span drops to <= 2^63 (round-6
+            # ADVICE). mid stays inside [lo, hi], so it fits in int64.
+            mid = lo + (hi - lo) // 2
+            c_left = d.filter((F.col("v") >= lo) & (F.col("v") <= mid)).count()
+            if below + c_left >= rank:
+                hi, in_range = mid, c_left
+            else:
+                below, lo, in_range = below + c_left, mid + 1, in_range - c_left
+            continue
         remaining = d.filter((F.col("v") >= lo) & (F.col("v") <= hi))
         if span <= _BUCKETS or in_range <= _DIRECT_SORT_CAP:
             k = rank - below

@@ -867,12 +867,17 @@ def mutual_nearest_neighbors(
             F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("cos")
         )
     )
+    # argmax by (cos DESC, dst ASC) spelled as min_by over (-cos, dst):
+    # negating the numeric score (never the id) keeps the documented
+    # smallest-partner-id tiebreak portable to string/any orderable id
+    # types — unary minus on a string id would fail analysis (round-6
+    # ADVICE)
     best = (
         mirrored.groupBy("src")
         .agg(
-            F.max_by(
+            F.min_by(
                 F.struct(F.col("dst"), F.col("cos")),
-                F.struct(F.col("cos"), (-F.col("dst")).alias("neg")),
+                F.struct((-F.col("cos")).alias("negcos"), F.col("dst")),
             ).alias("nn")
         )
         .select("src", F.col("nn.dst").alias("dst"), F.col("nn.cos").alias("cos"))

@@ -97,7 +97,16 @@ def _legacy_last_folded(table: str) -> int:
 
 def recover(table: str) -> None:
     """Heal an interrupted swap so ``table`` reflects the last durable
-    commit, then remove every stray staging/old directory."""
+    commit, then remove every stray staging/old directory.
+
+    Also migrates a pre-protocol table in place: when ``table`` exists but
+    has no ``_meta.json`` and legacy ``_batch_N`` sibling markers are
+    present, their max batch id is written into the table's own meta. The
+    markers are *parent*-scoped and may be shared by a sibling table (e.g.
+    one state_path hosting both ``cells`` and ``bins``), so the migration
+    makes this table self-describing without touching the markers —
+    :func:`commit` only deletes them once no meta-less sibling could still
+    need them (round-6 ADVICE)."""
     stagings = glob.glob(f"{table}.__staging__.*")
     olds = glob.glob(f"{table}.__old__.*")
     if not os.path.exists(table):
@@ -115,6 +124,29 @@ def recover(table: str) -> None:
             olds.remove(winner)
     for d in stagings + olds:
         shutil.rmtree(d, ignore_errors=True)
+    if os.path.exists(table) and not _is_complete(table):
+        legacy = _legacy_last_folded(table)
+        if legacy >= 0:
+            with open(os.path.join(table, _META), "w", encoding="utf-8") as f:
+                json.dump({"last_batch_id": legacy}, f)
+
+
+def _has_meta_less_sibling(table: str) -> bool:
+    """True if the table's parent holds another directory that looks like a
+    still-unmigrated state table — one that may still need the shared
+    legacy ``_batch_N`` markers to report its replay position. Unknown
+    directories count as siblings (safe: markers are kept, never lost)."""
+    parent = os.path.dirname(table.rstrip("/")) or "."
+    me = os.path.basename(table.rstrip("/"))
+    for name in os.listdir(parent):
+        if name == me or name.startswith("_batch_"):
+            continue
+        if ".__staging__." in name or ".__old__." in name:
+            continue
+        path = os.path.join(parent, name)
+        if os.path.isdir(path) and not _is_complete(path):
+            return True
+    return False
 
 
 def last_folded(table: str) -> int:
@@ -144,7 +176,10 @@ def commit(merged, table: str, batch_id: int) -> None:
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.rename(staging, table)
-    # first new-protocol commit supersedes any legacy sibling markers —
-    # drop them so they never shadow a future meta-less read
-    for d in _legacy_marker_dirs(table):
-        shutil.rmtree(d, ignore_errors=True)
+    # first new-protocol commit supersedes any legacy sibling markers — but
+    # they are parent-scoped and another meta-less table under the same
+    # parent may still be reading them (round-6 ADVICE), so drop them only
+    # once every sibling table is self-describing
+    if not _has_meta_less_sibling(table):
+        for d in _legacy_marker_dirs(table):
+            shutil.rmtree(d, ignore_errors=True)

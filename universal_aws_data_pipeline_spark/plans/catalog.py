@@ -8643,8 +8643,10 @@ _Q172_K = 16
 
 
 def _q172_feat_sql(expr: str, k: int) -> str:
-    b = _hex_int_sql(expr, 4)
-    s = f"(strpos('0123456789abcdef', substring(md5({expr}),5,1))-1)"
+    # mirror hash_features' NULL contract: null features hash as '<null>'
+    e = f"coalesce({expr}, '<null>')"
+    b = _hex_int_sql(e, 4)
+    s = f"(strpos('0123456789abcdef', substring(md5({e}),5,1))-1)"
     return f"SELECT user_id, {b} % {k} AS feat_idx, 1 - 2 * ({s} % 2) AS sgn"
 
 
