@@ -1,34 +1,56 @@
-"""Compare a BENCH_detail.json warm series against a reference series and
-flag regressions.
+"""Compare a BENCH_detail.json warm series against committed reference
+series and flag regressions.
 
-Usage: python scripts/bench_compare.py [detail_json] [reference_json]
+Usage: python scripts/bench_compare.py [detail_json] [reference_json ...]
 
-Defaults: ../BENCH_detail.json vs scripts/r3_warm_reference.json (the
-recovered round-3 warm values). A query is flagged when it is BOTH >1.5x its
-reference time AND >0.3 s absolute slower — small queries jitter by
-milliseconds on a shared VM, and the ratio alone would cry wolf on them.
-Exit code 1 when any query is flagged, so the round-end checklist can gate
-on it.
+With no explicit references, gates against BOTH (VERDICT r6, item 2):
+
+* ``r3_warm_reference.json`` — the historic common-62 anchor, and
+* the LATEST ``rN_warm_reference.json`` — the previous round's committed
+  shipping-close series, which covers every query that existed then.
+
+The r3-only gate left 112 of 174 queries ungated and was structurally
+blind to diffuse session-drag (r6's +13-36% warm drift on untouched
+queries). Each round close snapshots its BENCH_detail.json queries into
+``scripts/r{N}_warm_reference.json`` so the next round has a full-width
+gate.
+
+A query is flagged when it is BOTH >1.5x its reference time AND >0.3 s
+absolute slower — small queries jitter by milliseconds on a shared VM, and
+the ratio alone would cry wolf on them. Exit code 1 when any query is
+flagged against any reference, so the round-end checklist can gate on it.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def main() -> int:
-    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "..", "BENCH_detail.json")
-    ref_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(HERE, "r3_warm_reference.json")
-    with open(detail_path) as fh:
-        detail = json.load(fh)
-    with open(ref_path) as fh:
-        ref = json.load(fh)["warm"]
+def default_refs() -> list[str]:
+    refs = []
+    r3 = os.path.join(HERE, "r3_warm_reference.json")
+    if os.path.exists(r3):
+        refs.append(r3)
+    rounds = []
+    for p in glob.glob(os.path.join(HERE, "r*_warm_reference.json")):
+        m = re.match(r"r(\d+)_warm_reference\.json$", os.path.basename(p))
+        if m and int(m.group(1)) != 3:
+            rounds.append((int(m.group(1)), p))
+    if rounds:
+        refs.append(max(rounds)[1])
+    return refs
 
-    cur = detail["queries"]
+
+def compare(cur: dict[str, float], ref_path: str) -> bool:
+    with open(ref_path) as fh:
+        ref_doc = json.load(fh)
+    ref = ref_doc["warm"]
     flagged, improved = [], []
     for name, ref_t in sorted(ref.items()):
         if name not in cur:
@@ -40,17 +62,29 @@ def main() -> int:
             improved.append((name, ref_t, t))
 
     common = [n for n in ref if n in cur]
-    print(f"compared {len(common)} queries | total warm now "
-          f"{sum(cur.values()):.1f}s over {len(cur)} queries")
-    print(f"common-subset total: ref {sum(ref[n] for n in common):.1f}s "
+    print(f"[{os.path.basename(ref_path)}] compared {len(common)} queries")
+    print(f"  common-subset total: ref {sum(ref[n] for n in common):.1f}s "
           f"-> now {sum(cur[n] for n in common):.1f}s")
     for name, a, b in improved:
         print(f"  improved  {name}: {a:.2f}s -> {b:.2f}s")
     for name, a, b in flagged:
         print(f"  REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
     if not flagged:
-        print("no regressions flagged (>1.5x and >0.3s)")
-    return 1 if flagged else 0
+        print("  no regressions flagged (>1.5x and >0.3s)")
+    return bool(flagged)
+
+
+def main() -> int:
+    detail_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "..", "BENCH_detail.json")
+    ref_paths = sys.argv[2:] if len(sys.argv) > 2 else default_refs()
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    cur = detail["queries"]
+    print(f"total warm now {sum(cur.values()):.1f}s over {len(cur)} queries")
+    any_flagged = False
+    for ref_path in ref_paths:
+        any_flagged |= compare(cur, ref_path)
+    return 1 if any_flagged else 0
 
 
 if __name__ == "__main__":

@@ -268,6 +268,25 @@ def _build_scaled_docs(spark) -> None:
     out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/embeddings.parquet")
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Throwaway queries before any timed series (VERDICT r6, item 1): the
+    first query of a session absorbs JVM/codegen/Arrow/python-worker
+    spin-up — five r6 stress tables reported junk negative exponents
+    because their base slot ate the warmup. One codegen-heavy scan + one
+    Arrow mapInPandas round-trip make every subsequent slot honest."""
+    QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def _echo(it):
+        yield from it
+
+    spark.range(10_000).repartition(4).mapInPandas(_echo, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.catalog.clearCache()
+
+
 def timed_series(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     # scrub this dataset's artifact cache so every build cost is inside the
     # measured window (cold semantics, matching bench.py's cold series)
@@ -276,6 +295,7 @@ def timed_series(spark, sf_dir: str, names: list[str] | None = None) -> dict[str
 
     for kind in ("shingles", "semantic_pairs", "dup_pairs", "ivf"):
         shutil.rmtree(cache_root, ignore_errors=True)
+    warmup(spark, sf_dir)
     out = {}
     for name in names or HEAVY:
         t0 = time.monotonic()
