@@ -184,11 +184,74 @@ HEAVY = [
 ]
 
 
+LONGDOCS = os.path.join(REPO, ".scale_longdocs")
+LONG_REPEATS = 256  # ~54-token sf0.1 docs x 256 suffixed repeats ≈ 13.9k tokens
+
+
 def build_scaled(spark) -> None:
     os.makedirs(SCALED, exist_ok=True)
     _build_scaled_docs(spark)
     _build_scaled_trade(spark)
     _build_scaled_events(spark)
+
+
+def _build_longdocs(spark) -> None:
+    """Book-length-doc fixture (VERDICT r6, item 3): the 10x corpus
+    replicates doc COUNT, so q158's O(distinct x tokens) row-local path was
+    never stressed in the length dimension. 500 docs of ~13.9k tokens each
+    (every repeat k suffixes every token with ``y{k}``, so distinct grows
+    with length — the worst case for the HOF path, the even case for the
+    explode path)."""
+    if os.path.isdir(f"{LONGDOCS}/documents.parquet"):
+        return
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").limit(500)
+    long_text = F.array_join(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(LONG_REPEATS)),
+                lambda k: F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit("y"), k.cast("string")),
+                ),
+            )
+        ),
+        " ",
+    )
+    docs.withColumn("text", long_text).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{LONGDOCS}/documents.parquet")
+
+
+def longdocs_series(spark) -> dict:
+    """Time q158's hybrid on the long-doc fixture, plus a small HOF-forced
+    sample for the per-doc contrast (the full fixture on the HOF path would
+    be ~190M comparisons PER DOC — the straggler the hybrid exists to
+    avoid)."""
+    from universal_aws_data_pipeline_spark.operators.text import token_entropy
+
+    _build_longdocs(spark)
+    warmup(spark, BASE)
+    docs = spark.read.parquet(f"{LONGDOCS}/documents.parquet")
+    t0 = time.monotonic()
+    QUERIES["q158_token_entropy"].fn(spark, LONGDOCS).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    hybrid = round(time.monotonic() - t0, 2)
+    sample = docs.limit(10).localCheckpoint(eager=True)
+    t0 = time.monotonic()
+    token_entropy(sample, explode_threshold=1 << 60).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    hof_10 = round(time.monotonic() - t0, 2)
+    stats = docs.selectExpr(
+        "count(1) AS n_docs", "avg(size(split(text, '\\\\s+'))) AS avg_tokens"
+    ).collect()[0]
+    return {
+        "n_docs": stats["n_docs"],
+        "avg_tokens": round(stats["avg_tokens"], 1),
+        "hybrid_500_docs_sec": hybrid,
+        "hof_forced_10_docs_sec": hof_10,
+    }
 
 
 def _build_scaled_events(spark) -> None:
@@ -310,6 +373,10 @@ def main() -> None:
     spark = get_spark(app_name="scale_stress", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark)
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--longdocs":
+        sys.stdout.write(json.dumps(longdocs_series(spark)) + "\n")
+        return
 
     # optional argv prefixes narrow the run (e.g. `scale_stress.py q115 q116`)
     names = HEAVY

@@ -183,6 +183,7 @@ _ADJUDICATED = {
         "q152_benford_audit",  # isnotnull over the computed leading-digit column
         "q170_weekly_psi_trend",  # week>0 / week==0 splits over the computed week column
         "q174_theil_sen_trend",  # da < db pair predicate over computed day indices
+        "q158_token_entropy",  # length-gate split over the computed token-array size
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

@@ -478,6 +478,7 @@ def hits_micro(
     dst: str = "dst",
     iterations: int = 3,
     total_micro: int = 1_000_000_000_000,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration HITS (hubs & authorities) in exact integer
     micro-units — PageRank's directed complement: a good HUB points at
@@ -535,16 +536,31 @@ def hits_micro(
     # full edge set on its (alternating) join key — the checkpoint
     # boundaries block the ReusedExchange that saves q115's single-key
     # rounds — measured 15 s vs ~4 s at sf0.1.
+    #
+    # The broadcast assumes node sets stay dimension-sized; on a general
+    # billion-node graph a per-half-round full-score-table broadcast is a
+    # driver/executor OOM. SIZE GATE (VERDICT r6, item 4): above
+    # ``broadcast_max_nodes`` on either side (default 5M rows ≈ 80 MB of
+    # (key, score) pairs — the upper edge of sane driver-collected
+    # broadcast state) the join falls back to the shuffle form, accepting
+    # the measured per-half-round edge shuffle. Identical results either
+    # way (tests/test_round7_ops.py proves the paths hash-equal).
+    n_a = e.select("dst").distinct().count()
+    if max(n_h, n_a) <= broadcast_max_nodes:
+        _side = F.broadcast
+    else:
+        def _side(d: DataFrame) -> DataFrame:
+            return d
     a = None
     for _ in range(iterations):
         a = _norm(
-            e.join(F.broadcast(h), "src")
+            e.join(_side(h), "src")
             .groupBy("dst")
             .agg(F.sum("h").alias("a")),
             "a",
         )
         h = _norm(
-            e.join(F.broadcast(a), "dst")
+            e.join(_side(a), "dst")
             .groupBy("src")
             .agg(F.sum("a").alias("h")),
             "h",

@@ -405,6 +405,7 @@ def token_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    explode_threshold: int = 4096,
 ) -> DataFrame:
     """Within-document Shannon entropy of the unigram distribution (nats)
     — the compressibility-style quality signal: spam/boilerplate repeats a
@@ -413,30 +414,70 @@ def token_entropy(
     (which look at WHICH tokens appear) with HOW evenly they appear.
 
     Returns (id_col, n_tokens, n_distinct, entropy_nats round 4).
-    Entirely ROW-LOCAL higher-order-function arithmetic: per distinct
-    token, count = size(filter(tokens, ==t)); H = -sum (c/n) ln(c/n).
-    No explode, no shuffle — a map stage at any corpus size. Per-row cost
-    is O(distinct x tokens), bounded in practice by document length; the
-    cross-doc aggregation alternative costs an explode + shuffle of every
-    token to compute a purely row-local number.
+
+    Length-gated hybrid (VERDICT r6, item 3). Docs at or under
+    ``explode_threshold`` tokens take the ROW-LOCAL higher-order-function
+    path: per distinct token, count = size(filter(tokens, ==t));
+    H = -sum (c/n) ln(c/n). No explode, no shuffle — a map stage at any
+    corpus size, but per-row cost is O(distinct x tokens), quadratic in
+    document length: a single book-length document would become one
+    straggler task doing ~distinct x tokens work. Docs OVER the threshold
+    therefore switch to explode + groupBy(doc, token) — one shuffle of
+    only the long docs' tokens, O(tokens) total — using the equivalent
+    identity H = ln(n) - (sum c ln c)/n. The two spellings agree to float
+    round-off (<<1e-4, inside the round(4) contract); per-doc float-sum
+    order on the explode path is group-order-dependent in the last bits,
+    same as every cross-engine aggregate here.
     """
     toks = tokens_col(F.col(text_col))
-    n = F.size(toks).cast("double")
-    dist = F.array_distinct(toks)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    short = base.filter(F.size("_toks") <= explode_threshold)
+    long_ = base.filter(F.size("_toks") > explode_threshold)
+
+    n = F.size("_toks").cast("double")
+    dist = F.array_distinct(F.col("_toks"))
     ent = -F.aggregate(
         F.transform(
             dist,
-            lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double") / n,
+            lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)).cast("double")
+            / n,
         ),
         F.lit(0.0),
         lambda acc, p: acc + p * F.log(p),
     )
-    return df.select(
+    short_res = short.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("_toks").cast("long").alias("n_tokens"),
         F.size(dist).cast("long").alias("n_distinct"),
         F.round(ent, 4).alias("entropy_nats"),
     )
+
+    counts = (
+        long_.select(F.col(id_col), F.explode("_toks").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    long_res = (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias(
+                "_s"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_s") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("entropy_nats"),
+        )
+    )
+    return short_res.unionByName(long_res)
 
 
 def source_kl_divergence(
