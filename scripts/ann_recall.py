@@ -80,7 +80,9 @@ def recall_series(spark, path: str, copies: int) -> dict[str, float]:
                     break
             got_ivf = {
                 orig(r["vec_id"])
-                for r in ivf_topk_indexed(idx, qv, k=kraw, nprobe=4).collect()
+                # nprobe=6: the shipped q28 config (retuned from 4 when the
+                # r6 series measured 0.633 under the 0.7 contract)
+                for r in ivf_topk_indexed(idx, qv, k=kraw, nprobe=6).collect()
             }
             got_lsh = {
                 orig(r["vec_id"]) for r in lsh_topk(e, qv, k=kraw, seed=42).collect()

@@ -228,3 +228,41 @@ def test_hits_shuffle_fallback_matches_broadcast_path(spark):
     auth_total = sum(r[2] for r in bcast)
     assert abs(hub_total - 1_000_000_000_000) <= 10
     assert abs(auth_total - 1_000_000_000_000) <= 10
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r6 item 5: the sf0.1 IVF recall measurement, promoted into CI —
+# the retuned nprobe=6 path must hold the >=0.7 recall@10 contract so a
+# clustering-parameter change can't silently regress it (the sf0.01 gates
+# run a different n_clusters/corpus shape and would not catch it).
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_ivf_recall_at_sf01_with_shipping_parameters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 fixture absent")
+    e = spark.read.parquet(path)
+    ivf_dir = str(tmp_path / "ivf")
+    # the exact q28 shipping configuration (plans/catalog.py)
+    build_ivf_index(e, ivf_dir, n_clusters=16, seed=42)
+    idx = load_ivf_index(spark, ivf_dir)
+    recalls = []
+    for qid in [0, 7, 23, 101, 404, 997]:
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        ]
+        truth = {r["vec_id"] for r in cosine_topk(e, qv, k=10).collect()}
+        got = {r["vec_id"] for r in ivf_topk_indexed(idx, qv, k=10, nprobe=6).collect()}
+        recalls.append(len(truth & got) / 10.0)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.7, f"sf0.1 IVF recall@10 regressed below contract: {recalls}"

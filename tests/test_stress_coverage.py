@@ -109,7 +109,6 @@ ADJUDICATED: dict[str, str] = {
     "q142_scd2_asof": "catalyst: as-of range join against the |dim| SCD2 table; SCD family's data term is the q51/q132 merge path",
     "q145_mad_outliers": "composes: q135's stressed per-domain quantile engine (round-6 adjudication)",
     "q155_dow_seasonality": "bounded: one rollup to |days| rows then a 7-row agg; corpus volume touches only the map-side-combined daily rollup",
-    "q158_token_entropy": "map-only: row-local higher-order-function entropy, no exchange; scales with scan",
     "q159_histogram_quantiles": "bounded: <=120-bin sketch from one map-side-combined pass; estimates are sketch-sized arithmetic",
     "q162_quota_allocation": "bounded: one count agg to |sources| rows; apportionment runs on that tiny table",
     "q167_weighted_sample": "map-only: one key expression + TakeOrderedAndProject (k rows per partition to the driver merge)",
