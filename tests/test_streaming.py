@@ -4,6 +4,7 @@ windows with watermark, session windows, streaming dedup, batch/stream parity.""
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 import pytest
@@ -684,3 +685,104 @@ def test_stateful_v2_map_state_type_counts(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.slow
+def test_stateful_v2_agg_view_twin_matches_foreachbatch_maintainer(spark, tmp_path):
+    """VERDICT r6, item 6: the state-v2 agg-view maintainer (`agg_view_v2`,
+    ValueState on RocksDB) must produce the SAME maintained view as the
+    production foreachBatch+statestore twin on the same replayed signed-row
+    stream — including a group retired to zero and a later re-add."""
+    gp = pytest.importorskip("google.protobuf")
+    assert gp.__file__, "namespace-shadow protobuf would crash the worker"
+    from universal_aws_data_pipeline_spark.operators.incremental import (
+        agg_view_stream_fn,
+    )
+    from universal_aws_data_pipeline_spark.streaming.stateful import agg_view_v2
+
+    schema = "g LONG, v LONG, _sign INT"
+    batches = [
+        # b0: groups 1 and 2 appear
+        [(1, 10, 1), (1, 5, 1), (2, 7, 1)],
+        # b1: group 1 loses a row (update as remove+add moves 5 -> 9),
+        # group 2 is retired to zero, group 3 appears
+        [(1, 5, -1), (1, 9, 1), (2, 7, -1), (3, 100, 1)],
+        # b2: group 2 comes back
+        [(2, 1, 1), (2, 2, 1)],
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    # all three batch files up front with staggered mtimes:
+    # maxFilesPerTrigger=1 then replays them as THREE ordered micro-batches
+    # in a single availableNow run per twin (one streaming-query startup
+    # each instead of one per batch — the twin semantics are identical)
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for g, v, s in batch:
+                f.write(json.dumps({"g": g, "v": v, "_sign": s}) + "\n")
+        base = os.path.getmtime(p)
+        os.utime(p, (base + i, base + i))
+
+    # --- twin A: foreachBatch + statestore parquet view -------------------
+    state = str(tmp_path / "state")
+    fb_fn = agg_view_stream_fn(state, ["g"], ["v"], count_col="n_rows")
+
+    # --- twin B: transformWithStateInPandas (v2) ---------------------------
+    view_v2: dict[int, tuple[int, int]] = {}
+
+    def fold(batch_df, batch_id):
+        for r in batch_df.collect():
+            if r["n_rows"] > 0:
+                view_v2[r["g"]] = (r["n_rows"], r["v"])
+            else:
+                view_v2.pop(r["g"], None)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        qa = write_stream_sink(
+            stream,
+            {
+                "type": "foreach_batch",
+                "fn": fb_fn,
+                "checkpoint": str(tmp_path / "ckpt_a"),
+                "output_mode": "append",
+                "trigger": {"availableNow": True},
+            },
+        )
+        qa.awaitTermination(180)
+        qb = write_stream_sink(
+            agg_view_v2(stream, group_col="g", measure_cols=["v"]),
+            {
+                "type": "foreach_batch",
+                "fn": fold,
+                "checkpoint": str(tmp_path / "ckpt_b"),
+                "output_mode": "update",
+                "trigger": {"availableNow": True},
+            },
+        )
+        qb.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    import os as _os
+
+    fb_view = sorted(
+        (r["g"], r["n_rows"], r["v"])
+        for r in spark.read.parquet(_os.path.join(state, "view")).collect()
+    )
+    v2_view = sorted((g, n, v) for g, (n, v) in view_v2.items())
+    assert fb_view == v2_view
+    assert fb_view == [(1, 2, 19), (2, 2, 3), (3, 1, 100)]

@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
@@ -295,6 +296,91 @@ def type_counts_v2(
         .transformWithStateInPandas(
             statefulProcessor=_TypeCounts(),
             outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def agg_view_v2(
+    df: DataFrame,
+    group_col: str = "g",
+    measure_cols: list[str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """State-API-v2 twin of the production agg-view maintainer
+    (``operators/incremental.agg_view_stream_fn``): maintain a materialized
+    group-by from a stream of SIGNED contribution rows (``_sign`` ±1 +
+    group + integer measures), emitting the group's current
+    (count, measure sums) on every batch that touches it (update mode).
+
+    Differences from the foreachBatch twin, by design:
+
+    * state lives in the state store (one ValueState per group —
+      ``n BIGINT`` + one BIGINT per measure, RocksDB column families)
+      instead of a parquet table + the crash-safe swap protocol; the
+      exactly-once replay guard is the CHECKPOINT, not ``statestore``'s
+      batch-id meta — v2 is the right spelling when the view is consumed
+      as a changelog, foreachBatch+parquet when it is consumed as a TABLE.
+    * a group whose maintained count reaches zero emits its zero row and
+      CLEARS its state (the v1 twin's ``count > 0`` retirement filter) —
+      state stays bounded by the LIVE group set. No timers: retirement is
+      data-driven (the zero-crossing), not time-driven; the timer surface
+      is exercised by ``session_collect_v2``.
+
+    Per batch the work is one shuffle of the batch's signed rows to their
+    group partitions + an Arrow round-trip per touched group; the
+    |groups|-row merge join of the foreachBatch twin disappears (the store
+    IS the view). ``tests/test_streaming.py`` hash-compares the two
+    maintainers on the same replayed stream.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    measures = measure_cols if measure_cols is not None else ["v"]
+    gtype = dict(df.dtypes)[group_col]
+    out_schema = ", ".join(
+        [f"{group_col} {gtype}", f"{count_col} bigint"]
+        + [f"{m} bigint" for m in measures]
+    )
+    state_schema = ", ".join(["n BIGINT"] + [f"m_{m} BIGINT" for m in measures])
+
+    class _AggView(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("view", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            totals = list(self._state.get()) if self._state.exists() else [0] * (
+                1 + len(measures)
+            )
+            for pdf in rows:
+                sign = pdf["sign"].astype("int64")
+                totals[0] += int(sign.sum())
+                for i, m in enumerate(measures):
+                    totals[i + 1] += int((sign * pdf[m].astype("int64")).sum())
+            if totals[0] > 0:
+                self._state.update(tuple(int(t) for t in totals))
+            else:
+                # retired group: drop the state row so the store stays
+                # bounded by live groups; the zero row below tells update-
+                # mode consumers to forget the key
+                self._state.clear()
+            out = {group_col: [key[0]], count_col: [int(totals[0])]}
+            for i, m in enumerate(measures):
+                out[m] = [int(totals[i + 1])]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    # the v2 Arrow path positionally renames underscore-leading columns
+    # (`_sign` reaches the processor as `_2`), so the sign rides under a
+    # plain name inside the operator
+    return (
+        df.select(group_col, F.col("_sign").alias("sign"), *measures)
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_AggView(),
+            outputStructType=out_schema,
             outputMode="Update",
             timeMode="ProcessingTime",
         )
