@@ -104,3 +104,18 @@ def test_entry_module_uses_graded_order():
     oracles = mod.oracle_sql()
     for name in qnames[:50]:
         assert name in oracles, f"{name} in graded window but missing oracle"
+
+
+def test_registration_order_hash_is_pinned():
+    """VERDICT r6, item 8: the catalog is split across chunk modules with
+    plans/catalog.py re-imposing _EXPECTED_ORDER — this hash pins the full
+    graded order so any accidental reorder (merge mistake, import-order
+    drift, a name edit) fails loudly. When ADDING queries at the end,
+    recompute: md5('\\n'.join(graded_order()))."""
+    import hashlib
+
+    h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
+    assert h == "3aba7b2ffaf16d3f0db0b0f6d14f8a6e", (
+        "graded order changed — if intentional (new queries appended), "
+        f"update the pin to {h}; if not, find the reorder before shipping"
+    )

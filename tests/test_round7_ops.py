@@ -266,3 +266,166 @@ def test_ivf_recall_at_sf01_with_shipping_parameters(spark, tmp_path):
         recalls.append(len(truth & got) / 10.0)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.7, f"sf0.1 IVF recall@10 regressed below contract: {recalls}"
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operators: RFM, cohort retention, Gini, HHI, OLS/Fano/MASE, binseg
+# changepoint, co-occurrence Jaccard, split manifest.
+# ---------------------------------------------------------------------------
+def test_rfm_scores_quintiles_and_determinism(spark):
+    from universal_aws_data_pipeline_spark.operators.segmentation import rfm_scores
+
+    import datetime as dt
+
+    rows = [
+        (c, dt.date(2024, 1, 1 + (c % 20)), float(10 * (c + 1)))
+        for c in range(20)
+        for _ in range(c % 3 + 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey: long, o_orderdate: date, o_totalprice: double"
+    )
+    out = rfm_scores(df)
+    rows_out = out.collect()
+    assert len(rows_out) == 20
+    for r in rows_out:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # each quintile holds exactly 4 of the 20 customers
+    from collections import Counter
+
+    assert Counter(r["m_score"] for r in rows_out) == {s: 4 for s in range(1, 6)}
+    # repartition must not change assignments (total order via custkey tiebreak)
+    again = sorted(map(tuple, rfm_scores(df.repartition(7)).collect()))
+    assert again == sorted(map(tuple, rows_out))
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from universal_aws_data_pipeline_spark.operators.segmentation import (
+        cohort_retention,
+    )
+
+    rows = []
+    # cohort 2024-01: users 1,2 — user 1 returns in Feb, both in March
+    for u, months in [(1, [1, 2, 3]), (2, [1, 3]), (3, [2])]:
+        for m in months:
+            rows.append((u, dt.datetime(2024, m, 5)))
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    got = {
+        (r["cohort_month"], r["month_offset"]): (r["n_active"], r["retention_micro"])
+        for r in cohort_retention(df).collect()
+    }
+    assert got[("2024-01", 0)] == (2, 1_000_000)
+    assert got[("2024-01", 1)] == (1, 500_000)
+    assert got[("2024-01", 2)] == (2, 1_000_000)
+    assert got[("2024-02", 0)] == (1, 1_000_000)
+
+
+def test_gini_micro_bounds(spark):
+    from universal_aws_data_pipeline_spark.operators.econ import gini_micro
+
+    equal = spark.createDataFrame([("g", 10)] * 4, "g: string, v: long")
+    g_eq = gini_micro(equal, "g", "v").collect()[0]["gini_micro"]
+    assert g_eq == 0
+    # one member owns everything: G -> (n-1)/n = 0.75
+    mono = spark.createDataFrame(
+        [("g", 0), ("g", 0), ("g", 0), ("g", 100)], "g: string, v: long"
+    )
+    g_m = gini_micro(mono, "g", "v").collect()[0]["gini_micro"]
+    assert g_m == 750_000
+
+
+def test_hhi_micro_monopoly_and_duopoly(spark):
+    from universal_aws_data_pipeline_spark.operators.econ import hhi_micro
+
+    df = spark.createDataFrame(
+        [("m1", "a", 100), ("m2", "a", 50), ("m2", "b", 50)],
+        "mkt: string, member: string, v: long",
+    )
+    got = {r["mkt"]: r["hhi_micro"] for r in hhi_micro(df, "mkt", "member", "v").collect()}
+    assert got["m1"] == 1_000_000
+    assert got["m2"] == 500_000
+
+
+def test_ols_slope_micro_exact_line(spark):
+    from universal_aws_data_pipeline_spark.operators.trend import ols_slope_micro
+
+    rows = [("a", d, 3 * d + 7) for d in range(10)] + [("b", d, 100 - 2 * d) for d in range(5)]
+    df = spark.createDataFrame(rows, "g: string, d: long, y: long")
+    got = {r["g"]: r["slope_micro"] for r in ols_slope_micro(df, "g").collect()}
+    assert got["a"] == 3_000_000
+    assert got["b"] == -2_000_000
+
+
+def test_fano_micro_poisson_boundary(spark):
+    from universal_aws_data_pipeline_spark.operators.trend import fano_micro
+
+    # constant series: variance 0 -> fano ~ 0 (up to the two floors)
+    const = spark.createDataFrame([("t", 5)] * 8, "g: string, c: long")
+    f = fano_micro(const, "g", "c").collect()[0]
+    assert f["fano_micro"] == 0  # 1e6*200/40 - 1e6*40/8 = 5e6 - 5e6
+    # bursty: all mass on one day
+    burst = spark.createDataFrame(
+        [("t", 8)] + [("t", 0)] * 7, "g: string, c: long"
+    )
+    fb = fano_micro(burst, "g", "c").collect()[0]["fano_micro"]
+    assert fb == 7_000_000  # 1e6*64/8 - 1e6*8/8 = 8e6 - 1e6
+
+
+def test_mase_micro_perfect_weekly_pattern(spark):
+    from universal_aws_data_pipeline_spark.operators.trend import mase_micro
+
+    # period-7 signal: seasonal-naive error 0, naive error > 0 -> MASE 0
+    rows = [("t", d, [10, 20, 30, 40, 50, 60, 70][d % 7]) for d in range(21)]
+    df = spark.createDataFrame(rows, "g: string, d: long, v: long")
+    got = mase_micro(df, "g").collect()[0]
+    assert got["mase_micro"] == 0 and got["n_scored"] == 14
+
+
+def test_binseg_changepoint_finds_level_shift(spark):
+    from universal_aws_data_pipeline_spark.operators.robust import (
+        binseg_changepoint_milli,
+    )
+
+    rows = [("s", d, 100) for d in range(1, 11)] + [("s", d, 200) for d in range(11, 21)]
+    df = spark.createDataFrame(rows, "g: string, d: long, v: long")
+    got = binseg_changepoint_milli(df, "g").collect()[0]
+    assert got["split_day"] == 10
+    assert got["left_mean_milli"] == 100_000
+    assert got["right_mean_milli"] == 200_000
+    assert got["gap_milli"] == 100_000
+
+
+def test_cooccurrence_jaccard_exact(spark):
+    from universal_aws_data_pipeline_spark.operators.itemsets import (
+        cooccurrence_jaccard,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"), (1, "a")]
+    df = spark.createDataFrame(rows, "basket: long, item: string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_both"], r["n_either"], r["jaccard_micro"])
+        for r in cooccurrence_jaccard(df, "basket", "item").collect()
+    }
+    assert got[("a", "b")] == (2, 3, 666_666)
+    assert ("a", "c") not in got  # zero intersection never materializes
+
+
+def test_split_manifest_shares_and_determinism(spark):
+    from universal_aws_data_pipeline_spark.operators.sampling import split_manifest
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS lang")
+    out = split_manifest(df, "doc_id", "lang")
+    rows = out.collect()
+    by_stratum: dict[str, int] = {}
+    for r in rows:
+        by_stratum[r["stratum"]] = by_stratum.get(r["stratum"], 0) + r["n_rows"]
+        assert r["split"] in {"train", "val", "test"}
+    assert by_stratum == {"0": 334, "1": 333, "2": 333}  # every row assigned
+    train = {r["stratum"]: r["share_micro"] for r in rows if r["split"] == "train"}
+    for share in train.values():
+        assert 700_000 < share < 900_000  # ~80% per stratum
+    again = sorted(map(tuple, split_manifest(df.repartition(9), "doc_id", "lang").collect()))
+    assert again == sorted(map(tuple, rows))

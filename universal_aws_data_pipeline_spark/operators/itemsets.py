@@ -75,3 +75,47 @@ def association_rules(
             ),
         )
     )
+
+
+def cooccurrence_jaccard(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Exact pairwise item co-occurrence as Jaccard over basket sets:
+    J(a,b) = |baskets(a) ∩ baskets(b)| / |baskets(a) ∪ baskets(b)| in
+    micro-units (floor div of exact distinct counts) — the EXACT twin of
+    the q119 theta-sketch overlap estimates, viable whenever the item
+    vocabulary is dimension-sized (event types, categories) so the pair
+    matrix is |items|² tiny even though the basket table is corpus-sized.
+
+    Returns (item_a, item_b, n_both, n_either, jaccard_micro) for a < b.
+
+    Scale: one distinct (basket, item) projection (the only corpus-sized
+    shuffle), per-item basket counts from it, and an |items|²-bounded
+    self-join on the basket key with map-side-combinable pair counting.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("it")
+    ).distinct()
+    per = bi.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .filter(F.col("x.it") < F.col("y.it"))
+        .groupBy(F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(per.select(F.col("it").alias("item_a"), F.col("n").alias("na")), "item_a")
+        .join(per.select(F.col("it").alias("item_b"), F.col("n").alias("nb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            (F.col("na") + F.col("nb") - F.col("n_both")).alias("n_either"),
+            F.expr("(1000000 * n_both) div (na + nb - n_both)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )

@@ -25,7 +25,7 @@ DuckDB's percentile_disc returns — just never buffered in one place.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 4096
@@ -111,3 +111,65 @@ def theil_sen_micro(
     n_pairs = n_points * (n_points - 1) // 2
     rank = (n_pairs + 1) // 2  # percentile_disc(0.5): value at ceil(n/2)
     return n_points, n_pairs, exact_rank_long(slopes, "s", rank)
+
+
+def binseg_changepoint_milli(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str = "d",
+    value_col: str = "v",
+    min_seg: int = 2,
+) -> DataFrame:
+    """Per-group single changepoint by binary segmentation: the split t
+    maximizing |mean(v[1..t]) − mean(v[t+1..n])| with both segment means in
+    exact MILLI-units (floor div) — the first step of the classic binary
+    segmentation recursion, the complement of q151's CUSUM (which needs a
+    target mean; this finds the split with none).
+
+    Determinism: the score is |floor(1e3·L/t) − floor(1e3·(S−L)/(n−t))| —
+    a pure integer expression — and ties break to the SMALLEST t, so both
+    engines pick the same split. Returns
+    (group_col, split_day, left_mean_milli, right_mean_milli, gap_milli).
+
+    Scale: two prefix windows partitioned by group over the |groups × days|
+    daily table, then a per-group top-1 (max_by) — never touches raw rows;
+    candidate splits honor ``min_seg`` on both sides.
+    """
+    w = Window.partitionBy(group_col).orderBy(day_col)
+    pre = daily.select(
+        F.col(group_col),
+        F.col(day_col).alias("t"),
+        F.sum(F.col(value_col).cast("long")).over(w).alias("L"),
+        F.row_number().over(w).alias("i"),
+    )
+    tot = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("long")).alias("S"),
+    )
+    scored = (
+        pre.join(tot, group_col)
+        .filter((F.col("i") >= min_seg) & (F.col("i") <= F.col("n") - min_seg))
+        .select(
+            group_col,
+            "t",
+            F.expr("(1000 * L) div i").alias("lm"),
+            F.expr("(1000 * (S - L)) div (n - i)").alias("rm"),
+        )
+        .withColumn("gap", F.abs(F.col("lm") - F.col("rm")))
+    )
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.min_by(
+                F.struct("t", "lm", "rm", "gap"),
+                F.struct((-F.col("gap")).alias("ng"), F.col("t")),
+            ).alias("b")
+        )
+        .select(
+            group_col,
+            F.col("b.t").alias("split_day"),
+            F.col("b.lm").alias("left_mean_milli"),
+            F.col("b.rm").alias("right_mean_milli"),
+            F.col("b.gap").alias("gap_milli"),
+        )
+    )

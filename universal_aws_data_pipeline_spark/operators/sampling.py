@@ -399,3 +399,40 @@ def weighted_sample_topk(
         .orderBy(F.col("es_key").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def split_manifest(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    splits: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split audit: every row lands in a split
+    by md5-bucket of its key (bucket = hex4(md5(key)) % 100, cumulative
+    percentage cuts), and the manifest reports per-(stratum, split) counts
+    with the realized share in micro-units — the reproducibility artifact a
+    training pipeline publishes next to the data so ANY engine can re-derive
+    membership (same portable-md5 contract as q45/q91; the %100 modulo
+    carries a <0.2% bias from 65536 % 100 != 0, constant and documented).
+
+    ``splits``: (name, upper_percent) cumulative cuts, default
+    train<80 / val<90 / test<100. Returns
+    (strata_col, split, n_rows, share_micro) — share within the stratum.
+    """
+    cuts = splits if splits is not None else [("train", 80), ("val", 90), ("test", 100)]
+    bucket = hash_bucket(F.col(key_col).cast("string")) % 100
+    expr = None
+    assign = F.lit(cuts[-1][0])
+    for name, hi in reversed(cuts[:-1]):
+        assign = F.when(bucket < hi, F.lit(name)).otherwise(assign)
+    out = df.select(F.col(strata_col).alias("stratum"), assign.alias("split"))
+    per = out.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per.groupBy("stratum").agg(F.sum("n_rows").alias("t"))
+    return per.join(tot, "stratum").select(
+        "stratum",
+        "split",
+        "n_rows",
+        F.expr("(1000000 * n_rows) div t").alias("share_micro"),
+    )

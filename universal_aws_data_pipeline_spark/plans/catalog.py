@@ -1,7660 +1,54 @@
-"""Query catalog: every graded operator as a (Spark plan, DuckDB oracle) pair.
+"""Query/oracle catalog — the single graded registry.
 
-Each entry exercises one or more operators from SURVEY.md §2 on the driver's
-test tables. Conventions that make the oracle hash-match deterministic:
+Round-7 structure (VERDICT r6, item 8): the former 8,800-line single file
+is split along numeric seams into four chunk modules
+(``catalog_q001_q050`` … ``catalog_q151_q174``) plus ``_shared`` (the
+registry itself, table readers, artifact cache, and the cross-chunk
+oracle-SQL helpers). This module is the ASSEMBLER: it imports every chunk
+for its registration side effects and then enforces ``_EXPECTED_ORDER`` —
+the pinned 174-name registration order — in place, so the driver's graded
+window (the first 50 of :func:`graded_order`) can never shift because of a
+merge mistake or an import-order change. New queries: register them in
+(or add) a chunk module, import it below, and append their names HERE.
 
-- no raw TIMESTAMP columns in outputs (Spark tz-aware vs DuckDB naive differ
-  in Arrow/py repr) — cast to DATE or format as string
-- every aggregate/computed column aliased identically in Spark and SQL
-- doubles rounded (2-4 dp) AFTER aggregation in both engines
-- DuckDB integer sums cast to BIGINT (DuckDB sums int32 into int128) and
-  year()/month()/etc cast to INTEGER (DuckDB returns BIGINT, Spark INT)
-- top-k queries carry a unique-key tiebreaker in the ORDER BY
-
-Scale notes per query are inline; the common ones: broadcast hints go ONLY on
-the fixed-size dims (region, nation) — scaling tables (customer/supplier/part)
-are left to AQE's size-based choice, since a hint forces the build side at any
-SF. Aggregates are partial (map-side combine) by construction;
-filters/projections push into the parquet scan.
+Everything importable from the old single-file catalog still imports from
+here (``QUERIES``, ``QuerySpec``, ``graded_order``, ``_t`` and the shared
+helpers are re-exported).
 """
 
 from __future__ import annotations
 
-import datetime as dt
-from dataclasses import dataclass
-from typing import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from universal_aws_data_pipeline_spark.config.model import QualityCheck, SchemaConfig, TransformationSpec
-from universal_aws_data_pipeline_spark.operators.quality import quality_check_df
-from universal_aws_data_pipeline_spark.operators.transform import transform_chain
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table. ``events.ts`` is physically TIMESTAMP(NANOS).
-    Depending on the session, it surfaces as one of: native TIMESTAMP_NTZ
-    (ns→µs truncation, same as DuckDB — what the pinned PySpark 4.1.2 does
-    on a plain session), raw nanos ``bigint`` when the session has the
-    ``spark.sql.legacy.parquet.nanosAsLong`` escape hatch on (``session.py::
-    get_spark`` sets it at build time; this function never mutates session
-    conf), or plain TIMESTAMP for re-written copies of the table. Whatever
-    the branch, the column is normalized to TIMESTAMP_NTZ so every
-    downstream expression sees one type regardless of reader/session. The
-    bigint branch truncates nanos to micros with exact integer division
-    (float division would lose precision at 1e18 magnitudes), and the
-    normalization is pure epoch arithmetic (``timestampadd`` onto the NTZ
-    epoch literal) — no LTZ intermediate, so a non-UTC session timezone
-    cannot shift wall clocks between branches."""
-    if name == "events":
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-            )
-        elif ts_type != "timestamp_ntz":
-            df = df.withColumn(
-                "ts",
-                F.expr("timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-            )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _artifact_dir(kind: str, sf_dir: str) -> str:
-    """Repo-local cache dir for build-once/probe-many query artifacts (IVF
-    index, shingle tables), keyed by dataset dir. Overridable via
-    SPARK_GRAFT_INDEX_DIR. Amortized index builds are the production shape —
-    per-query latency measures the probe, not the build."""
-    import hashlib
-    import os
-
-    cache_root = os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache"),
-    )
-    return os.path.join(cache_root, kind, hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
-
-
-# Hard ceiling on any driver-collected literal set (ANN query vectors, probe
-# lists). Collected literals embed in the plan: without a cap a 100x corpus
-# silently collects 100x more rows driver-side and bloats every plan that
-# broadcasts them. tests/test_plan_lint.py asserts every catalog .collect()
-# sits behind a .limit(_MAX_DRIVER_QUERIES).
-_MAX_DRIVER_QUERIES = 32
-
-
-def _parquet_ready(path: str) -> bool:
-    """True only when a cached parquet artifact is COMPLETE. Gating reuse on
-    bare directory existence is a trap: an interrupted Spark write leaves the
-    dir present (maybe only _temporary/partial part-files), and every later
-    run would silently read a broken artifact instead of rebuilding. Spark's
-    FileOutputCommitter writes _SUCCESS last, so its presence == the job
-    committed; mode("overwrite") on the rebuild clears any partial leftovers."""
-    import os
-
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
-
-
-def _ntz(ts: dt.datetime) -> F.Column:
-    """TIMESTAMP_NTZ literal. The test tables store naive parquet timestamps,
-    which Spark 4 reads as TIMESTAMP_NTZ; a naive ``F.lit(datetime)`` would be
-    a session-tz instant and shift comparison boundaries whenever the driver's
-    session tz isn't UTC. NTZ-vs-NTZ compares wall clocks — tz-free."""
-    return F.lit(ts.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp_ntz")
-
-
-@dataclass
-class QuerySpec:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None ⇒ driver does rows-only check
-    doc: str
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None, doc: str) -> Callable:
-    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
-        return fn
-
-    return deco
-
-
-# --------------------------------------------------------------------------
-# q01 — pricing summary (TPC-H Q1 shape): scan+filter+groupBy+multi-agg.
-# Operators: S3 parquet scan, P4-ish filter, A1 aggregates, F2-F4 casts.
-# Scale: partial aggregation over 4 groups — shuffle carries 4 rows/partition.
-# --------------------------------------------------------------------------
-@register(
-    "q01_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                     AS sum_qty,
-           round(sum(l_extendedprice), 2)                                AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)             AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                     AS avg_qty,
-           round(avg(l_extendedprice), 4)                                AS avg_price,
-           round(avg(l_discount), 4)                                     AS avg_disc,
-           count(*)                                                      AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "TPC-H Q1-shaped pricing summary over lineitem",
-)
-def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= _ntz(dt.datetime(1998, 9, 1)))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q02 — projection/filter/scalar functions (P1/P7, F2-F5, F10).
-# Scale: map-only; filter + projection push into the parquet scan.
-# --------------------------------------------------------------------------
-@register(
-    "q02_segment_projection",
-    """
-    SELECT c_custkey AS customer_id,
-           upper(trim(c_name)) AS name,
-           round(c_acctbal, 2) AS acctbal,
-           c_mktsegment AS segment
-    FROM customer
-    WHERE c_mktsegment = 'BUILDING' AND c_acctbal IS NOT NULL AND c_acctbal > 100.0
-    """,
-    "projection + predicate + string/cast scalar functions over customer",
-)
-def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.filter((F.col("c_mktsegment") == "BUILDING") & F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 100.0))
-        .select(
-            F.col("c_custkey").alias("customer_id"),
-            F.upper(F.trim(F.col("c_name"))).alias("name"),
-            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
-            F.col("c_mktsegment").alias("segment"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q03 — top-k revenue orders (TPC-H Q3 shape): 3-way join + agg + sort/limit.
-# Scale: customer (even filtered to one segment) scales with SF, so no forced
-# broadcast — AQE picks broadcast at small SF and shuffle join at large.
-# lineitem⋈orders is the one unavoidable shuffle. Top-k via orderBy+limit =
-# TakeOrderedAndProject (no full sort materialization).
-# --------------------------------------------------------------------------
-@register(
-    "q03_topk_unshipped",
-    """
-    SELECT o.o_orderkey AS orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           CAST(o.o_orderdate AS DATE) AS orderdate,
-           o.o_orderpriority AS priority
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, orderkey
-    LIMIT 10
-    """,
-    "3-way join + group + top-k (TPC-H Q3 shape)",
-)
-def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    cutoff = dt.datetime(1998, 3, 15)
-    return (
-        li.filter(F.col("l_shipdate") > _ntz(cutoff))
-        .join(o.filter(F.col("o_orderdate") < _ntz(cutoff)), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select(
-            F.col("o_orderkey").alias("orderkey"),
-            F.col("revenue"),
-            F.col("o_orderdate").cast("date").alias("orderdate"),
-            F.col("o_orderpriority").alias("priority"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
-        .limit(10)
-    )
-
-
-# --------------------------------------------------------------------------
-# q04 — regional revenue (TPC-H Q5 shape): 6-way star join + agg.
-# Scale: only the FIXED-size dims (region: 5 rows, nation: 25) carry broadcast
-# hints — a hint forces the build side regardless of runtime stats, so putting
-# one on a scaling table (customer/supplier: SF-proportional, ~15B customer
-# rows at 100 TB) would OOM executors at large SF. Customer/supplier joins are
-# left to AQE: broadcast at small SF, shuffle join beyond the threshold.
-# --------------------------------------------------------------------------
-@register(
-    "q04_region_revenue",
-    """
-    SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM lineitem l
-      JOIN orders o    ON l.l_orderkey = o.o_orderkey
-      JOIN customer c  ON o.o_custkey = c.c_custkey
-      JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-      JOIN nation n    ON c.c_nationkey = n.n_nationkey
-      JOIN region r    ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-    "6-way star join + regional aggregate (TPC-H Q5 shape)",
-)
-def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li, o, c = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
-    s, n, r = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
-    o = o.filter(
-        (F.col("o_orderdate") >= _ntz(dt.datetime(1996, 1, 1))) & (F.col("o_orderdate") < _ntz(dt.datetime(1997, 1, 1)))
-    )
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            s,
-            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select(F.col("n_name").alias("nation"), F.col("revenue"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q05 — the reference's whole transform chain as one query (its entire Glue
-# job: mapping → casts/trim/upper → required-filter → metadata → partition
-# derivation), with injected clock for determinism. transform_data.py:206-212.
-# --------------------------------------------------------------------------
-@register(
-    "q05_transform_chain",
-    """
-    SELECT c_custkey AS customer_id,
-           upper(trim(c_name)) AS name,
-           CAST(c_nationkey AS INTEGER) AS nation_key,
-           CAST(c_acctbal AS DOUBLE) AS acctbal,
-           'customer_src' AS source_name,
-           '2026-01-01 00:00:00' AS processed_at,
-           CAST(2026 AS INTEGER) AS year, CAST(1 AS INTEGER) AS month, CAST(15 AS INTEGER) AS day
-    FROM customer
-    WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
-    """,
-    "config-driven ETL transform chain (reference transform_data.py parity)",
-)
-def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    schema = SchemaConfig(
-        mapping={
-            "customer_id": "c_custkey",
-            "name": "c_name",
-            "nation_key": "c_nationkey",
-            "acctbal": "c_acctbal",
-        },
-        required=["customer_id", "name"],
-        transformations=[
-            TransformationSpec(field="name", type="trim"),
-            TransformationSpec(field="name", type="upper"),
-            TransformationSpec(field="nation_key", type="integer"),
-            TransformationSpec(field="acctbal", type="double"),
-        ],
-    )
-    out = transform_chain(
-        c,
-        schema,
-        source_name="customer_src",
-        processed_at=dt.datetime(2026, 1, 1),
-        fallback_date=dt.date(2026, 1, 15),
-    )
-    # stringify the timestamp for a tz-stable compare
-    return out.withColumn("processed_at", F.date_format("processed_timestamp", "yyyy-MM-dd HH:mm:ss")).drop(
-        "processed_timestamp"
-    )
-
-
-# --------------------------------------------------------------------------
-# q06 — quality-check engine (the reference's declared-but-dead config
-# surface, sample_source.yaml:85-95, made real). One scan, all checks.
-# --------------------------------------------------------------------------
-@register(
-    "q06_quality_checks",
-    """
-    SELECT 'not_null(c_name)' AS check, CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0 AS passed FROM customer
-    UNION ALL
-    SELECT 'unique(c_custkey)', CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
-           count(c_custkey) = count(DISTINCT c_custkey) FROM customer
-    UNION ALL
-    SELECT 'regex(c_mktsegment)', CAST(sum(CASE WHEN NOT coalesce(regexp_matches(c_mktsegment, '^[A-Z]+$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
-           sum(CASE WHEN NOT coalesce(regexp_matches(c_mktsegment, '^[A-Z]+$'), FALSE) THEN 1 ELSE 0 END) = 0 FROM customer
-    """,
-    "not_null/unique/regex quality checks in one aggregation pass",
-)
-def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    checks = [
-        QualityCheck(type="not_null", columns=["c_name"]),
-        QualityCheck(type="unique", columns=["c_custkey"]),
-        QualityCheck(type="regex", columns=["c_mktsegment"], pattern="^[A-Z]+$"),
-    ]
-    return quality_check_df(c, checks)
-
-
-# --------------------------------------------------------------------------
-# q07 — exact dedup, keep-first (X1): group-by-content min-key.
-# Scale: hash-shuffle on the dedup key with map-side partial min — at 100 TB
-# prefer this over Window(row_number) which must sort each group.
-# --------------------------------------------------------------------------
-@register(
-    "q07_dedup_exact",
-    """
-    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count, CAST(min(n_chars) AS BIGINT) AS n_chars
-    FROM documents
-    GROUP BY text
-    """,
-    "exact dedup keep-first over documents (X1)",
-)
-def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.count(F.lit(1)).alias("dup_count"),
-        F.min("n_chars").cast("long").alias("n_chars"),
-    ).drop("text")
-
-
-# --------------------------------------------------------------------------
-# q08 — text token stats (X4): tokenization + length metrics, map-only.
-# --------------------------------------------------------------------------
-@register(
-    "q08_token_stats",
-    r"""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS text_len,
-           lang
-    FROM documents
-    """,
-    "whitespace token counting + length metrics over documents (X4)",
-)
-def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("text_len"),
-        "lang",
-    )
-
-
-# --------------------------------------------------------------------------
-# q09 — per-language corpus stats (X4): groupBy + avg/sum over derived cols.
-# --------------------------------------------------------------------------
-@register(
-    "q09_lang_profile",
-    r"""
-    SELECT lang,
-           count(*) AS n_docs,
-           round(avg(n_chars), 4) AS avg_chars,
-           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
-    FROM documents
-    GROUP BY lang
-    """,
-    "per-language corpus profile (X4)",
-)
-def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias("total_tokens"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q10 — JSON extraction (F11 get_json_object parity) + agg on events.
-# --------------------------------------------------------------------------
-@register(
-    "q10_events_json",
-    """
-    SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
-           round(sum(value), 2) AS value_total,
-           count(*) AS n
-    FROM events
-    WHERE event_type IN ('click', 'purchase')
-    GROUP BY event_type
-    """,
-    "dot-path JSON extraction from event payloads + aggregate (F11)",
-)
-def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_total"),
-            F.round(F.sum("value"), 2).alias("value_total"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q11 — partition-column derivation (P6): year/month/day from a date column.
-# --------------------------------------------------------------------------
-@register(
-    "q11_partition_derive",
-    """
-    SELECT o_orderkey AS orderkey,
-           CAST(year(o_orderdate) AS INTEGER) AS year,
-           CAST(month(o_orderdate) AS INTEGER) AS month,
-           CAST(day(o_orderdate) AS INTEGER) AS day
-    FROM orders
-    """,
-    "year/month/day partition derivation (transform_data.py:113-150 parity)",
-)
-def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        F.col("o_orderkey").alias("orderkey"),
-        F.year("o_orderdate").alias("year"),
-        F.month("o_orderdate").alias("month"),
-        F.dayofmonth("o_orderdate").alias("day"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q12 — page union with schema drift (S5-S7 page accumulation semantics):
-# unionByName(allowMissingColumns=True), missing columns null-filled.
-# --------------------------------------------------------------------------
-@register(
-    "q12_union_schema_drift",
-    """
-    SELECT o_orderkey AS orderkey, o_orderstatus AS status, o_totalprice AS totalprice
-    FROM orders WHERE o_orderstatus = 'F'
-    UNION ALL
-    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE)
-    FROM orders WHERE o_orderstatus = 'O'
-    """,
-    "union of drifted page schemas, null-filled (API pagination semantics)",
-)
-def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    page1 = o.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_orderkey").alias("orderkey"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("totalprice"),
-    )
-    page2 = o.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_orderkey").alias("orderkey"), F.col("o_orderstatus").alias("status")
-    )
-    return page1.unionByName(page2, allowMissingColumns=True)
-
-
-# --------------------------------------------------------------------------
-# q13 — windowed dedup keep-latest (X1 variant; §2.5 window surface):
-# row_number over (user, ts desc) — streaming-dedup's batch twin.
-# --------------------------------------------------------------------------
-@register(
-    "q13_window_keep_latest",
-    """
-    SELECT user_id, event_id, event_type
-    FROM (
-      SELECT user_id, event_id, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-    "keep latest event per user via ranking window (X1/window surface)",
-)
-def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type")
-    )
-
-
-# ==========================================================================
-# Extension-operator queries (SURVEY §2.11, driver-mandated LLM-pipeline ops)
-# ==========================================================================
-
-_LANG_MARKER_SQL = {
-    "en": "['the','a','of','and','is']",
-    "de": "['der','die','das','und','ist']",
-    "es": "['el','la','de','y','es']",
-    "fr": "['le','la','des','et','est']",
-}
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-
-_Q14_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id, text, {_NORM_SQL} AS norm,
-         CAST(length(text) AS DOUBLE) AS n,
-         len(string_split_regex(trim(text), '\\s+')) AS ntok
-  FROM documents
-), cls AS (
-  SELECT doc_id, text, norm, n, ntok,
-    (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-    (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-    (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len,
-    string_split(norm, ' ') AS toks
-  FROM base
-), scores AS (
-  SELECT *,
-    {", ".join(f"len(list_filter(toks, x -> list_contains({m}, x))) AS s_{lang}"
-               for lang, m in _LANG_MARKER_SQL.items())}
-  FROM cls
-)
-SELECT doc_id,
-  CAST(ntok AS BIGINT) AS n_tokens,
-  CAST(n AS BIGINT) AS n_chars,
-  round(alpha_ratio, 4) AS alpha_ratio,
-  round(punct_ratio, 4) AS punct_ratio,
-  round((least(1.0, ntok / 100.0) + alpha_ratio
-         + (1.0 - least(1.0, digit_ratio + punct_ratio))
-         + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-        4) AS quality,
-  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
-       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-       ELSE 'fr' END AS lang_guess,
-  md5(norm) AS fingerprint
-FROM scores
-"""
-
-
-@register(
-    "q14_text_profile",
-    _Q14_ORACLE,
-    "full text-analysis profile: tokens, char classes, quality, lang-id, fingerprint (X4)",
-)
-def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from universal_aws_data_pipeline_spark.operators.text import profile_documents
-
-    return profile_documents(_t(spark, sf_dir, "documents"))
-
-
-# DuckDB twin of operators/dedup.py's universal-hash minhash: one md5 per
-# shingle → 28-bit int (7 hex nibbles) → (a_k*x + b_k) mod 2^31-1 per hash.
-_HEX7_TO_INT = (
-    "("
-    + " + ".join(f"(strpos('0123456789abcdef', substring(md5(s),{i + 1},1))-1)*{16 ** (6 - i)}" for i in range(7))
-    + ")"
-)
-
-
-def _mh_sql(k: int) -> str:
-    from universal_aws_data_pipeline_spark.operators.dedup import MERSENNE_31, MINHASH_AB
-
-    a, b = MINHASH_AB[k]
-    return f"list_min(list_transform(sh, s -> ({_HEX7_TO_INT} * {a} + {b}) % {MERSENNE_31}))"
-
-
-_Q15_ORACLE = f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
-), toks AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM corpus
-), shing AS (
-  SELECT doc_id, CASE WHEN len(t) >= 3
-    THEN list_distinct(list_transform(range(1, len(t) - 1),
-                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-    ELSE [norm] END AS sh
-  FROM toks
-), sigs AS (
-  SELECT doc_id, sh, {", ".join(f"{_mh_sql(k)} AS mh{k}" for k in range(8))} FROM shing
-), banded AS (
-  SELECT doc_id, concat_ws('|', 0, mh0, mh1, mh2, mh3) AS band_key FROM sigs
-  UNION ALL
-  SELECT doc_id, concat_ws('|', 1, mh4, mh5, mh6, mh7) FROM sigs
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
-FROM cand JOIN shing sa ON sa.doc_id = id_a JOIN shing sb ON sb.doc_id = id_b
-WHERE jaccard >= 0.5
-"""
-
-
-@register(
-    "q15_neardup_minhash_lsh",
+from universal_aws_data_pipeline_spark.plans._shared import (  # noqa: F401
+    QUERIES,
+    QuerySpec,
+    register,
+    _BUCKET_SQL,
+    _HEX7_TO_INT,
+    _LANG_MARKER_SQL,
+    _MAX_DRIVER_QUERIES,
+    _NORM_SQL,
     _Q15_ORACLE,
-    "MinHash-LSH near-dup pairs + exact Jaccard verify over documents ∪ tail-mutated copies (X2)",
-)
-def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus = documents plus a copy with the last word dropped (synthetic
-    near-dups — the fixture has no natural ones). The engine path is the real
-    operator: signatures → band explode → band-hash equi-join → Jaccard verify.
-    No cross-join at any scale; candidate cardinality is bounded by bucket
-    sizes, and AQE splits skewed (boilerplate) buckets.
-
-    The (id, shingles) table is checkpointed to a parquet artifact shared
-    across calls (the corpus-index shape): the first call pays the text pass
-    exactly once (written, not lazily persisted — so the cold run doesn't
-    race the persist against three consumers), and every later call starts
-    from the stored shingles."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.dedup import (
-        neardup_pairs_jaccard,
-        parallelize_text_scan,
-        shingle_index_table,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
-    )
-    corpus = d.unionByName(mutated)
-    sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q15")
-    if not _parquet_ready(sh_path):
-        shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
-    shingled = spark.read.parquet(sh_path)
-    return neardup_pairs_jaccard(
-        corpus, threshold=0.5, num_hashes=8, bands=2, shingle_n=3, shingled=shingled
-    )
-
-
-def _simhash_oracle() -> str:
-    terms = []
-    for p in range(8):
-        for j in range(4):
-            k = p * 4 + j
-            terms.append(
-                f"sum(((strpos('0123456789abcdef', substring(h8,{p + 1},1))-1) "
-                f"// {2 ** (3 - j)} % 2) * 2 - 1) AS s{k}"
-            )
-    bit_chars = ", ".join(f"CASE WHEN s{k} >= 0 THEN '1' ELSE '0' END" for k in range(32))
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
-), h AS (SELECT doc_id, substring(md5(tok), 1, 8) AS h8 FROM toks),
-agg AS (SELECT doc_id, {", ".join(terms)} FROM h GROUP BY doc_id)
-SELECT doc_id, concat({bit_chars}) AS simhash FROM agg
-"""
-
-
-@register(
-    "q16_simhash",
-    _simhash_oracle(),
-    "32-bit SimHash fingerprint per document (X2) — portable md5 bit arithmetic",
-)
-def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from universal_aws_data_pipeline_spark.operators.dedup import simhash32
-
-    return simhash32(_t(spark, sf_dir, "documents"))
-
-
-def _cos_sql(a: str, b: str) -> str:
-    dot = f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    na = f"sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-    nb = f"sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
-    return f"{dot} / ({na} * {nb})"
-
-
-@register(
-    "q17_cosine_topk",
-    f"""
-    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id, round({_cos_sql("e.embedding", "qv.q")}, 6) AS cos_sim
-    FROM embeddings e, qv
-    ORDER BY cos_sim DESC, e.vec_id
-    LIMIT 10
-    """,
-    "exact brute-force cosine top-k against one query vector (X3 baseline)",
-)
-def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query = embedding of vec_id 0 (single-row driver lookup). The scan side
-    is map-only + TakeOrderedAndProject: at 100 TB a single query is one pass,
-    k rows per task to the driver merge — no shuffle."""
-    from universal_aws_data_pipeline_spark.operators.similarity import cosine_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return cosine_topk(e, qvec, k=10, id_col="vec_id")
-
-
-@register(
-    "q18_cosine_pairs_blocked",
-    f"""
-    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
-    """,
-    "embedding near-dup pairs within a blocking key — equi-join, no cross-join (X3/X2)",
-)
-def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
-
-    e = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id")
-
-
-@register(
-    "q19_multimodal_features",
-    """
-    WITH b AS (SELECT doc_id, text, length(text) AS nb FROM documents)
-    SELECT doc_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
-      round(CAST(list_sum(list_transform(range(1, nb + 1), i -> ascii(substring(text, i, 1)))) AS DOUBLE) / nb, 6) AS f_mean,
-      CAST(list_min(list_transform(range(1, nb + 1), i -> ascii(substring(text, i, 1)))) AS DOUBLE) AS f_min,
-      CAST(list_max(list_transform(range(1, nb + 1), i -> ascii(substring(text, i, 1)))) AS DOUBLE) AS f_max,
-      CAST(nb AS DOUBLE) AS f_len
-    FROM b
-    """,
-    "multimodal binary-column plumbing: payload + metadata + mapInPandas feature extraction (X5)",
-)
-def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payloads = utf-8 bytes of text (documents are pure ASCII, so the
-    byte-statistics stub decoder is oracle-checkable via ascii()). The
-    distributed plumbing — Arrow batches through mapInPandas with an explicit
-    schema — is the real deliverable; swap the stub for PIL/ffmpeg decode."""
-    from universal_aws_data_pipeline_spark.operators.multimodal import attach_binary_payload, decode_image_features
-
-    d = _t(spark, sf_dir, "documents")
-    feats = decode_image_features(attach_binary_payload(d))
-    return feats.select(
-        "doc_id",
-        "modality",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f_mean"),
-        F.element_at("features", 2).alias("f_min"),
-        F.element_at("features", 3).alias("f_max"),
-        F.element_at("features", 4).alias("f_len"),
-    )
-
-
-@register(
-    "q20_lsh_topk",
-    None,  # hash planes are engine-specific → rows-only check
-    "approximate top-k neighbors via BucketedRandomProjectionLSH (X3 scale path)",
-)
-def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from universal_aws_data_pipeline_spark.operators.similarity import lsh_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return lsh_topk(e, qvec, k=10, id_col="vec_id")
-
-
-# ==========================================================================
-# Join-type / grouping coverage (SURVEY §2.3-§2.6 native surface)
-# ==========================================================================
-
-
-@register(
-    "q21_semi_join",
-    """
-    SELECT o.o_orderpriority AS priority, count(*) AS n_orders
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > TIMESTAMP '1996-02-01 00:00:00')
-    GROUP BY priority
-    """,
-    "left-semi join (EXISTS) + aggregate, TPC-H Q4 shape",
-)
-def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    o = o.filter(
-        (F.col("o_orderdate") >= _ntz(dt.datetime(1996, 1, 1))) & (F.col("o_orderdate") < _ntz(dt.datetime(1996, 4, 1)))
-    )
-    shipped = li.filter(F.col("l_shipdate") > _ntz(dt.datetime(1996, 2, 1)))
-    return (
-        o.join(shipped, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
-        .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-@register(
-    "q22_anti_join",
-    """
-    SELECT c.c_mktsegment AS segment, count(*) AS n_customers
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY segment
-    """,
-    "left-anti join (NOT EXISTS) + aggregate — customers with no orders",
-)
-def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@register(
-    "q23_rollup",
-    """
-    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS year,
-           round(sum(o.o_totalprice), 2) AS total
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-                  JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY ROLLUP (nation, year)
-    """,
-    "hierarchical rollup totals (nation → year → grand total)",
-)
-def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("year"), "o_totalprice")
-        .rollup("nation", "year")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
-    )
-
-
-@register(
-    "q24_events_hourly_window",
-    """
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_epoch,
-           event_type, count(*) AS n_events, round(sum(value), 2) AS value_sum
-    FROM events
-    GROUP BY hour_epoch, event_type
-    """,
-    "tumbling 1-hour window aggregate over events (streaming's batch twin, §2.9)",
-)
-def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F.window on the instant column; emitted as epoch seconds (tz-free).
-    Identical groupBy(window(...)) runs under Structured Streaming with a
-    watermark — see streaming/ for the readStream twin."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
-            "event_type",
-            "n_events",
-            "value_sum",
-        )
-    )
-
-
-@register(
-    "q25_promo_revenue",
-    """
-    SELECT p.p_type AS part_type,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           count(*) AS n_items
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
-    GROUP BY part_type
-    """,
-    "part-dimension join + revenue by type (TPC-H Q14 shape)",
-)
-def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    li = li.filter(
-        (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1))) & (F.col("l_shipdate") < _ntz(dt.datetime(1997, 2, 1)))
-    )
-    return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("p_type").alias("part_type"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@register(
-    "q26_bpe_token_budget",
-    r"""
-    SELECT source,
-           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
-           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
-           count(*) AS n_docs
-    FROM documents
-    GROUP BY source
-    """,
-    "BPE-ish subword token budgeting per source (X4) — tokenizer-side accounting",
-)
-def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from universal_aws_data_pipeline_spark.operators.text import bpe_token_count, token_count
-
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.sum(bpe_token_count(F.col("text"))).alias("bpe_tokens"),
-        F.sum(token_count(F.col("text"))).alias("ws_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-@register(
-    "q27_sessionization",
-    """
-    WITH o AS (SELECT user_id, ts, value,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-               FROM events),
-    m AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-                         THEN 1 ELSE 0 END AS brk FROM o),
-    g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS grp FROM m)
-    SELECT user_id,
-           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-           count(*) AS n_events,
-           round(sum(value), 2) AS value_sum
-    FROM g GROUP BY user_id, grp
-    """,
-    "session windows (30-min gap) over events — F.session_window vs gaps-and-islands oracle (§2.9)",
-)
-def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization via F.session_window (the SAME expression runs
-    under Structured Streaming with a watermark — see streaming/ops.py).
-    Oracle is the classic lag + cumulative-sum gaps-and-islands rewrite; the
-    >= boundary matches Spark's [start, last + gap) window semantics.
-
-    Scale: one shuffle on user_id; per-key state is the open session only.
-    """
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
-        .select(
-            "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start"),
-            "n_events",
-            "value_sum",
-        )
-    )
-
-
-@register(
-    "q28_ivf_topk",
-    None,  # KMeans centroids are engine-specific → rows-only check
-    "approximate top-k via IVF coarse quantization (X3 scale path #2): probe nprobe/n_clusters cells",
-)
-def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once/probe-many: the KMeans index is materialized under a
-    repo-local cache keyed by the dataset dir (first call per dataset builds
-    it; every later call is a partition-pruned probe of nprobe/n_clusters
-    cells). This is the production IVF shape — per-query cost excludes the
-    index build."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_topk_indexed,
-        load_ivf_index,
-    )
-
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    idx_path = _artifact_dir("ivf", sf_dir)
-    if not os.path.exists(os.path.join(idx_path, "meta.json")):
-        build_ivf_index(e, idx_path, n_clusters=16, seed=42)
-    # nprobe retuned 4 -> 6 (round-6 recall series, PERF.md): 4/16 probed
-    # 0.633 recall@10 vs exact; 6/16 probes 0.733, clearing the >=0.7
-    # contract while still pruning 10/16 of the corpus at the scan
-    return ivf_topk_indexed(load_ivf_index(spark, idx_path), qvec, k=10, nprobe=6)
-
-
-def _q29_oracle() -> str:
-    from universal_aws_data_pipeline_spark.functions.texthash import ROLLING_BASE, ROLLING_MOD
-
-    hex7 = (
-        "("
-        + " + ".join(f"(strpos('0123456789abcdef', substring(md5(t),{i + 1},1))-1)*{16 ** (6 - i)}" for i in range(7))
-        + ")"
-    )
-    return f"""
-    SELECT doc_id,
-           md5({_NORM_SQL}) AS content_md5,
-           list_reduce(list_transform(string_split({_NORM_SQL}, ' '), t -> {hex7}),
-                       (a, b) -> (a * {ROLLING_BASE} + b) % {ROLLING_MOD}) AS rolling
-    FROM documents
-    """
-
-
-@register(
-    "q29_fingerprints",
-    _q29_oracle(),
-    "document fingerprints: content md5 + order-sensitive polynomial rolling hash (X4)",
-)
-def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DuckDB's list_reduce seeds the fold with the first element; Spark's
-    F.aggregate starts at 0 — identical here because 0*31 + x0 == x0."""
-    from universal_aws_data_pipeline_spark.functions.texthash import md5_fingerprint, rolling_fingerprint
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        md5_fingerprint(F.col("text")).alias("content_md5"),
-        rolling_fingerprint(F.col("text")).alias("rolling"),
-    )
-
-
-@register(
-    "q30_segment_stats",
-    """
-    SELECT c_mktsegment AS segment,
-           count(*) AS n,
-           round(avg(c_acctbal), 4) AS avg_bal,
-           round(stddev_samp(c_acctbal), 4) AS std_bal,
-           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-           round(min(c_acctbal), 2) AS min_bal,
-           round(max(c_acctbal), 2) AS max_bal
-    FROM customer
-    GROUP BY segment
-    """,
-    "statistical profile per segment: avg/stddev/median/min/max in one pass",
-)
-def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`percentile` (exact interpolated) == DuckDB quantile_cont; stddev_samp
-    is the sample (n-1) variant in both engines."""
-    c = _t(spark, sf_dir, "customer")
-    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
-        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
-        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-    )
-
-
-@register(
-    "q31_small_quantity_revenue",
-    """
-    SELECT p.p_brand AS brand,
-           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
-           count(*) AS n_items
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-    GROUP BY brand
-    """,
-    "correlated scalar subquery decorrelated to an aggregate join (TPC-H Q17 shape)",
-)
-def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The correlated subquery is expressed as its decorrelated form — an
-    aggregate on l_partkey joined back (exactly what Catalyst rewrites EXISTS/
-    scalar-subqueries into). Scale: the avg-per-part aggregate shuffles once
-    on partkey, the join reuses that partitioning; part (SF-scaling) is left
-    to AQE's size-based broadcast choice."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    avg_qty = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")).withColumnRenamed(
-        "l_partkey", "ap_partkey"
-    )
-    return (
-        li.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-@register(
-    "q32_running_revenue",
-    """
-    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
-    FROM orders
-    """,
-    "running per-customer revenue — window frame ROWS UNBOUNDED PRECEDING (§2.5)",
-)
-def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame order is total (orderdate, orderkey) so the sequential fold is
-    identical in both engines. One shuffle on custkey; state per row is the
-    running sum — no materialized sort beyond the window sort."""
-    from pyspark.sql.window import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
-    return o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("orderkey"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-@register(
-    "q33_event_gaps",
-    """
-    WITH g AS (
-      SELECT user_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events
-    )
-    SELECT user_id,
-           count(*) AS n_gaps,
-           CAST(floor(avg(epoch(ts) - epoch(prev))) AS BIGINT) AS avg_gap_floor_s
-    FROM g WHERE prev IS NOT NULL
-    GROUP BY user_id
-    """,
-    "inter-event gap analytics via lag window (§2.5) + aggregate",
-)
-def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap = epoch-second difference (double in both engines: DuckDB epoch()
-    keeps the micros fraction; Spark timestampdiff(MICROSECOND)/1e6
-    reproduces it and — unlike unix_micros — accepts TIMESTAMP_NTZ, the type
-    ``_t`` normalizes events.ts to); floor of the average avoids float-tail
-    formatting drift."""
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (
-        e.select("user_id", "ts", F.lag("ts").over(w).alias("prev"))
-        .filter(F.col("prev").isNotNull())
-        .select("user_id", (F.expr("timestampdiff(MICROSECOND, prev, ts)") / F.lit(1000000.0)).alias("gap"))
-    )
-    return gaps.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.floor(F.avg("gap")).cast("long").alias("avg_gap_floor_s"),
-    )
-
-
-@register(
-    "q34_sql_interface",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
-           count(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    "pure spark.sql entry point (TPC-H Q6 shape) — SQL-string surface parity",
-)
-def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same engine through its SQL door: register the scan as a temp view
-    and run ANSI SQL text. String literals coerce to the column's
-    TIMESTAMP_NTZ type — wall-clock compare, tz-free. Plan is identical to
-    the DataFrame form (one scan, pushed filters, single partial+final agg)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
-        """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
-               count(*) AS n_items
-        FROM lineitem_v
-        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
-          AND l_discount BETWEEN 0.05 AND 0.07
-          AND l_quantity < 24
-        """
-    )
-
-
-@register(
-    "q35_top_suppliers_per_region",
-    """
-    SELECT region, supplier, acctbal, rnk FROM (
-      SELECT r.r_name AS region, s.s_name AS supplier,
-             round(s.s_acctbal, 2) AS acctbal,
-             dense_rank() OVER (PARTITION BY r.r_name
-                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
-      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-                      JOIN region r ON n.n_regionkey = r.r_regionkey
-    ) WHERE rnk <= 3
-    """,
-    "top-N per group: ranked suppliers by balance within region (TPC-H Q2 flavor)",
-)
-def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-within-group + filter — the distributed top-N-per-key idiom (one
-    shuffle on the partition key; no global sort). Dimension joins broadcast."""
-    from pyspark.sql.window import Window
-
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    joined = (
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select(
-            F.col("r_name").alias("region"),
-            F.col("s_name").alias("supplier"),
-            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
-            "s_acctbal",
-            "s_suppkey",
-        )
-    )
-    w = Window.partitionBy("region").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return (
-        joined.withColumn("rnk", F.dense_rank().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("region", "supplier", "acctbal", "rnk")
-    )
-
-
-@register(
-    "q36_json_struct_histogram",
-    """
-    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_decile,
-           count(*) AS n,
-           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
-    FROM events
-    GROUP BY k_decile
-    """,
-    "schema-full JSON parsing (from_json -> struct) + histogram (F11 extension)",
-)
-def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json with an explicit schema (vs q10's get_json_object dot-path):
-    the parsed struct is a real nested column — prunable, filterable,
-    codegen'd. One parse per row feeding all downstream uses."""
-    e = _t(spark, sf_dir, "events")
-    parsed = e.select(F.from_json("props", "k INT").alias("p"))
-    return (
-        parsed.select(F.floor(F.col("p.k") / 10).cast("int").alias("k_decile"), F.col("p.k").alias("k"))
-        .groupBy("k_decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("k").cast("int").alias("k_min"),
-            F.max("k").cast("int").alias("k_max"),
-        )
-    )
-
-
-@register(
-    "q37_wordcount_topk",
-    """
-    SELECT tok, count(*) AS n
-    FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
-          FROM documents)
-    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
-    """,
-    "explode + word count + top-k — the canonical generator/agg pipeline (X4)",
-)
-def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explode(tokens) → count per token → top-k. Partial aggregation combines
-    map-side (vocabulary-sized shuffle, not corpus-sized); top-k via
-    TakeOrderedAndProject."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("tok"))
-        .limit(20)
-    )
-
-
-@register(
-    "q38_pivot_revenue",
-    """
-    SELECT n.n_name AS nation,
-           round(sum(CASE WHEN year(o.o_orderdate) = 1996 THEN o.o_totalprice END), 2) AS y1996,
-           round(sum(CASE WHEN year(o.o_orderdate) = 1997 THEN o.o_totalprice END), 2) AS y1997
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-                  JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY nation
-    """,
-    "pivot (crosstab): revenue by nation x year as columns",
-)
-def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``pivot`` with an EXPLICIT value list — without it Spark runs an extra
-    distinct-values job and the output schema becomes data-dependent (both
-    bad at scale). Compiles to the same conditional aggregation as the
-    oracle's CASE-sums: one shuffle, no transpose materialization."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"), "o_totalprice")
-        .groupBy("nation")
-        .pivot("yr", [1996, 1997])
-        .agg(F.round(F.sum("o_totalprice"), 2))
-        .select("nation", F.col("1996").alias("y1996"), F.col("1997").alias("y1997"))
-    )
-
-
-def _q39_oracle() -> str:
-    """Incremental-dedup oracle: the exact engine pipeline (shingle → minhash
-    → band join vs the EXISTING side only → Jaccard verify → anti-join) in
-    DuckDB SQL, parameterized over two corpus halves."""
-    shing_sql = """
-  SELECT doc_id, CASE WHEN len(t) >= 3
-    THEN list_distinct(list_transform(range(1, len(t) - 1),
-                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-    ELSE [norm] END AS sh
-  FROM {toks}"""
-    mh = ", ".join(f"{_mh_sql(k)} AS mh{k}" for k in range(8))
-    return f"""
-WITH existing AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 250
-), newb AS (
-  SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '\\s+\\S+$', '') AS text
-  FROM documents WHERE doc_id < 50
-  UNION ALL
-  SELECT doc_id + 300000, text FROM documents WHERE doc_id >= 250
-), toks_e AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM existing
-), toks_n AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM newb
-), shing_e AS ({shing_sql.format(toks="toks_e")}
-), shing_n AS ({shing_sql.format(toks="toks_n")}
-), sigs_e AS (
-  SELECT doc_id, sh, {mh} FROM shing_e
-), sigs_n AS (
-  SELECT doc_id, sh, {mh} FROM shing_n
-), banded_e AS (
-  SELECT doc_id, concat_ws('|', 0, mh0, mh1, mh2, mh3) AS band_key FROM sigs_e
-  UNION ALL
-  SELECT doc_id, concat_ws('|', 1, mh4, mh5, mh6, mh7) FROM sigs_e
-), banded_n AS (
-  SELECT doc_id, concat_ws('|', 0, mh0, mh1, mh2, mh3) AS band_key FROM sigs_n
-  UNION ALL
-  SELECT doc_id, concat_ws('|', 1, mh4, mh5, mh6, mh7) FROM sigs_n
-), cand AS (
-  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
-  FROM banded_n n JOIN banded_e e ON n.band_key = e.band_key
-), dupes AS (
-  SELECT DISTINCT new_id
-  FROM cand JOIN shing_n sn ON sn.doc_id = new_id JOIN shing_e se ON se.doc_id = old_id
-  WHERE CAST(len(list_intersect(sn.sh, se.sh)) AS DOUBLE)
-        / (len(sn.sh) + len(se.sh) - len(list_intersect(sn.sh, se.sh))) >= 0.5
-)
-SELECT doc_id FROM newb WHERE doc_id NOT IN (SELECT new_id FROM dupes)
-"""
-
-
-@register(
-    "q39_incremental_dedup",
-    _q39_oracle(),
-    "incremental corpus near-dup filter vs a persisted band-key index (X2d/X2e): survivors of a new batch",
-)
-def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-ingestion dedup: the accumulated corpus (doc_id < 250) is a
-    STORED index (built once per dataset under the artifact cache, bands
-    bucket-partitioned); each new batch — 50 tail-mutated near-dups that must
-    be filtered plus the genuinely-new back half — probes it via band-key
-    equi-join and exact-Jaccard verify, survivors pass. The oracle replays
-    the identical pipeline in SQL, so this is hash-graded, not rows-only."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.dedup import (
-        build_neardup_index,
-        incremental_neardup_filter_indexed,
-        load_neardup_index,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    existing = d.filter(F.col("doc_id") < 250)
-    new_batch = (
-        d.filter(F.col("doc_id") < 50)
-        .select((F.col("doc_id") + 200000).alias("doc_id"), F.regexp_replace("text", r"\s+\S+$", "").alias("text"))
-        .unionByName(d.filter(F.col("doc_id") >= 250).select((F.col("doc_id") + 300000).alias("doc_id"), "text"))
-    )
-    idx_path = _artifact_dir("neardup_lt250", sf_dir)
-    if not os.path.exists(os.path.join(idx_path, "meta.json")):
-        build_neardup_index(existing, idx_path, num_hashes=8, bands=2, shingle_n=3)
-    kept = incremental_neardup_filter_indexed(new_batch, load_neardup_index(spark, idx_path), threshold=0.5)
-    return kept.select("doc_id")
-
-
-@register(
-    "q40_asof_join",
-    """
-    WITH p AS (
-      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
-      FROM events WHERE event_type = 'purchase'
-    ), c AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
-             max(event_id) AS event_id
-      FROM events WHERE event_type = 'click'
-      GROUP BY user_id, es
-    )
-    SELECT p.event_id, p.user_id,
-           p.es AS purchase_epoch,
-           c.event_id AS click_event_id,
-           p.es - c.es AS gap_s
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.es >= c.es
-    """,
-    "as-of join: each purchase matched to the user's most recent prior click (operator Spark lacks natively)",
-)
-def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-prior temporal join via union + running last (zero joins, one
-    shuffle on user_id) — NOT an inequality theta-join, which Spark would
-    plan as a broadcast-nested-loop (quadratic at scale). Clicks are deduped
-    to one row per (user, second) — max event_id — so the as-of winner is
-    deterministic in both engines. Oracle: DuckDB's native ASOF JOIN."""
-    from universal_aws_data_pipeline_spark.operators.temporal import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    ev = e.select("event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("es"))
-    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "es")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "es")
-        .agg(F.max("event_id").alias("event_id"))
-    )
-    out = asof_join(purchases, clicks, on=["user_id"], left_ts="es", right_ts="es", right_cols=["event_id"])
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("es").alias("purchase_epoch"),
-        F.col("event_id_r").alias("click_event_id"),
-        (F.col("es") - F.col("es_r")).alias("gap_s"),
-    )
-
-
-@register(
-    "q41_range_join",
-    """
-    WITH ev AS (
-      SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
-    ), err AS (
-      SELECT event_id, user_id, es FROM ev WHERE event_type = 'error'
-    )
-    SELECT l.event_id, l.user_id, CAST(count(r.event_id) AS BIGINT) AS n_prior_10m
-    FROM err l LEFT JOIN ev r
-      ON l.user_id = r.user_id AND r.es >= l.es - 600 AND r.es < l.es
-    GROUP BY l.event_id, l.user_id
-    """,
-    "range (interval) join: per error event, activity count in the prior 10 minutes — binned equi-join, no theta-join",
-)
-def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join via time-bucket binning: the [-600s, 0) window becomes
-    an equi-join on (user_id, bin) over ≤2 candidate bins + exact filter.
-    The oracle states the same predicate as the naive inequality join DuckDB
-    can afford at this SF; Spark at 10^10 rows cannot — hence the rewrite."""
-    from universal_aws_data_pipeline_spark.operators.temporal import range_join_pairs
-
-    e = _t(spark, sf_dir, "events")
-    ev = e.select("event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("es"))
-    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "es")
-    pairs = range_join_pairs(
-        errors, ev.select("event_id", "user_id", "es"), on=["user_id"],
-        left_epoch="es", right_epoch="es", lower=-600, upper=0,
-    )
-    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_prior_10m"))
-    return (
-        errors.join(counts, "event_id", "left")
-        .select("event_id", "user_id", F.coalesce("n_prior_10m", F.lit(0)).alias("n_prior_10m"))
-    )
-
-
-@register(
-    "q42_embedding_centroids",
-    """
-    SELECT label, CAST(i AS INTEGER) AS dim, round(avg(embedding[i+1]), 6) AS centroid
-    FROM embeddings, range(64) t(i)
-    GROUP BY label, i
-    """,
-    "vector aggregation: per-label mean-pooled centroid embedding (class prototypes)",
-)
-def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise mean embedding per label via posexplode + two-level key
-    aggregation. The explode is the SCALABLE shape, not a compromise: (label,
-    dim) becomes the grouping key, partial avgs combine map-side, and the
-    shuffle carries |labels|×dim tiny rows per partition — vs collect_list
-    of whole vectors per label, which holds an unbounded array buffer per
-    group and OOMs at corpus scale."""
-    e = _t(spark, sf_dir, "embeddings")
-    return (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
-    )
-
-
-_Q43_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_Q15_ORACLE}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-),
-comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-SELECT id AS doc_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-       id = cluster_id AS is_canonical
-FROM comp
-"""
-
-
-@register(
-    "q43_dup_clusters",
-    _Q43_ORACLE,
-    "connected components over the near-dup pair graph: duplicate groups + canonical survivor per group (X2)",
-)
-def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive closure of q15's near-dup pairs: pairwise a~b, b~c becomes
-    one duplicate group {a,b,c} with the min-id doc as the canonical
-    survivor — the keep/drop list an actual dedup sweep needs (pairs alone
-    under-delete chains). Iterative min-label propagation, one shuffle-join
-    per round, rounds = graph diameter (~2 for near-clique dup groups);
-    localCheckpoint per round keeps lineage flat. The oracle computes the
-    same closure via DuckDB's recursive CTE — hash-graded, not rows-only.
-
-    The mined pair table is checkpointed to a parquet artifact (like q15's
-    shingles): pair mining is the expensive stage and clustering probes it
-    many times in production (re-cluster after each ingest batch), so the
-    pairs are computed once per dataset, not once per clustering run."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
-
-    pairs_path = os.path.join(_artifact_dir("neardup_pairs", sf_dir), "q43")
-    if not _parquet_ready(pairs_path):
-        QUERIES["q15_neardup_minhash_lsh"].fn(spark, sf_dir).write.mode("overwrite").parquet(pairs_path)
-    pairs = spark.read.parquet(pairs_path)
-    return dedup_clusters(pairs, src="id_a", dst="id_b")
-
-
-_PII_ENRICH_SQL = (
-    "concat(text, ' contact user', doc_id, '@', source, '.example.com tel ', "
-    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-555-', "
-    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ssn ', "
-    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', "
-    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-', "
-    "lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'))"
-)
-
-
-@register(
-    "q44_pii_redaction",
-    rf"""
-    WITH enriched AS (
-      SELECT doc_id, {_PII_ENRICH_SQL} AS text FROM documents
-    ), m1 AS (
-      SELECT doc_id, text,
-             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g') AS t1
-      FROM enriched
-    ), m2 AS (
-      SELECT doc_id, n_email,
-             len(regexp_extract_all(t1, '\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\b')) AS n_phone,
-             regexp_replace(t1, '\b[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}\b', '[PHONE]', 'g') AS t2
-      FROM m1
-    ), m3 AS (
-      SELECT doc_id, n_email, n_phone,
-             len(regexp_extract_all(t2, '\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\b')) AS n_ssn,
-             regexp_replace(t2, '\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\b', '[SSN]', 'g') AS t3
-      FROM m2
-    )
-    SELECT doc_id, CAST(n_email AS INTEGER) AS n_email, CAST(n_phone AS INTEGER) AS n_phone,
-           CAST(n_ssn AS INTEGER) AS n_ssn, md5(t3) AS redacted_md5
-    FROM m3
-    """,
-    "PII detection + redaction (emails/phones/SSNs) over documents — chained regex, map-only (X4)",
-)
-def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fixture corpus is synthetic word salad, so a deterministic contact
-    block (email/phone/SSN derived from doc_id + source) is appended before
-    redacting — both engines build the identical string, so the redaction
-    counts and the md5 of the redacted text are hash-graded with real (non-
-    zero) matches. The operator itself is chained JVM regexp_replace: map-
-    only, no UDF, runs at scan speed at any corpus size."""
-    from universal_aws_data_pipeline_spark.operators.text import pii_counts, redact_pii
-
-    d = _t(spark, sf_dir, "documents")
-    enriched = F.concat(
-        F.col("text"),
-        F.lit(" contact user"), F.col("doc_id").cast("string"),
-        F.lit("@"), F.col("source"), F.lit(".example.com tel "),
-        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-        F.lit("-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        F.lit(" ssn "), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-        F.lit("-"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
-        F.lit("-"), F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
-    )
-    counts = pii_counts(enriched)
-    return d.select(
-        "doc_id",
-        counts["email"].alias("n_email"),
-        counts["phone"].alias("n_phone"),
-        counts["ssn"].alias("n_ssn"),
-        F.md5(redact_pii(enriched)).alias("redacted_md5"),
-    )
-
-
-_BUCKET_SQL = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),{i + 1},1))-1)*{16 ** (3 - i)}"
-        for i in range(4)
-    )
-    + ")"
-)
-
-
-@register(
-    "q45_hash_sample",
-    f"""
-    SELECT doc_id, lang, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
-    FROM documents
-    WHERE {_BUCKET_SQL} < CASE lang WHEN 'en' THEN 32768 WHEN 'zh' THEN 6554 ELSE 13107 END
-    """,
-    "deterministic stratified hash sampling: per-language rates, reproducible across engines/layouts (X4)",
-)
-def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-mod sampling: md5-bucket of the key vs a per-stratum threshold.
-    Unlike df.sample()/sampleBy(), membership is a pure function of the row
-    key — stable across reruns, partition layouts, and engines — and the
-    filter is map-side (no shuffle, composes with scan pruning). Rates:
-    en 50%, zh 10%, others 20%."""
-    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket, hash_sample
-
-    d = _t(spark, sf_dir, "documents")
-    sampled = hash_sample(d, "doc_id", 0.2, strata_col="lang", fractions={"en": 0.5, "zh": 0.1})
-    return sampled.select("doc_id", "lang", hash_bucket(F.col("doc_id")).alias("bucket"))
-
-
-@register(
-    "q46_token_shards",
-    r"""
-    WITH t AS (
-      SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-      FROM documents
-    )
-    SELECT doc_id, n_tokens,
-           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
-                      / 2000.0) AS BIGINT) AS shard_id
-    FROM t
-    """,
-    "token-budget shard packing: distributed prefix sum, never a single-task global window (X4)",
-)
-def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents (in doc_id order) into ~2000-token training shards.
-    Semantically a global running sum — which Spark would execute as ONE
-    task if written as an unpartitioned window. pack_into_shards instead
-    range-partitions on the key, runs per-partition windows in parallel,
-    and stitches them with |partitions|-row offsets — the textbook
-    distributed prefix sum. The oracle states the global-window form."""
-    from universal_aws_data_pipeline_spark.operators.sampling import pack_into_shards
-    from universal_aws_data_pipeline_spark.operators.text import token_count
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return pack_into_shards(d, "doc_id", "n_tokens", budget=2000).select("doc_id", "n_tokens", "shard_id")
-
-
-@register(
-    "q47_cube_revenue",
-    """
-    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
-           coalesce(o_orderstatus, 'ALL') AS status,
-           round(sum(o_totalprice), 2) AS revenue,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY CUBE (o_orderpriority, o_orderstatus)
-    """,
-    "CUBE multi-dimensional rollup over orders: every (priority, status) margin in one pass",
-)
-def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.cube() compiles to a single Expand + hash aggregate — all four
-    grouping sets in ONE scan/shuffle instead of four unioned GROUP BYs.
-    Partial aggregation still applies per grouping set, so the shuffle
-    carries |sets| × |groups| rows per partition, not data rows."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
-        .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            "revenue",
-            "n_orders",
-        )
-    )
-
-
-@register(
-    "q48_quantity_percentiles",
-    """
-    SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.25) AS p25,
-           quantile_cont(l_quantity, 0.50) AS p50,
-           quantile_cont(l_quantity, 0.75) AS p75,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "exact interpolated percentiles per group (distribution profiling for quality gates)",
-)
-def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile() (linearly interpolated, same R-7 definition as
-    DuckDB's quantile_cont) — hash-gradeable because l_quantity is integer-
-    valued and the quarter fractions are dyadic, so both engines produce
-    bit-identical doubles. At 100 TB the same query shape swaps in
-    approx_percentile (t-digest sketch, mergeable map-side) — the exact
-    form is the correctness oracle for it in tests."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-        F.count("*").alias("n"),
-    )
-
-
-@register(
-    "q49_value_outliers",
-    """
-    WITH s AS (
-      SELECT event_type, avg(value) AS mu, stddev(value) AS sd
-      FROM events GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sd, 3) AS z
-    FROM events e JOIN s USING (event_type)
-    WHERE (e.value - s.mu) / s.sd >= 3 OR (e.value - s.mu) / s.sd <= -3
-    """,
-    "per-group z-score outlier flagging (data-quality anomaly sweep)",
-)
-def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass z-score: tiny per-group stats aggregate (|event types| rows,
-    AQE broadcasts it) joined back to the stream — never a window over the
-    full table partitioned by a 5-value key, which would funnel 1/5 of the
-    corpus through each of 5 tasks at scale."""
-    e = _t(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(F.avg("value").alias("mu"), F.stddev("value").alias("sd"))
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
-    return (
-        e.join(stats, "event_type")
-        .filter((z >= 3) | (z <= -3))
-        .select("event_id", "event_type", F.round(z, 3).alias("z"))
-    )
-
-
-_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
-
-
-@register(
-    "q50_column_profile",
-    "\nUNION ALL\n".join(
-        f"""
-    SELECT '{c}' AS column_name,
-           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
-           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           CAST(min({c}) AS VARCHAR) AS min_val,
-           CAST(max({c}) AS VARCHAR) AS max_val
-    FROM customer
-    """
-        for c in _PROFILE_COLS
-    ),
-    "one-pass column profiling of a table: nulls, exact distinct, min/max per column (crawler statistics)",
-)
-def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table data profile in ONE scan: all per-column aggregates run
-    in a single agg (multi-distinct compiles to one Expand pass), then a
-    stack() unpivot turns the 1×(4·K) row into K profile rows — vs the
-    naive per-column loop that scans the table K times. The oracle states
-    the per-column UNION ALL form."""
-    c = _t(spark, sf_dir, "customer")
-    aggs = []
-    for col in _PROFILE_COLS:
-        aggs += [
-            F.sum(F.col(col).isNull().cast("long")).alias(f"nn_{col}"),
-            F.count_distinct(F.col(col)).alias(f"nd_{col}"),
-            F.min(F.col(col)).cast("string").alias(f"mn_{col}"),
-            F.max(F.col(col)).cast("string").alias(f"mx_{col}"),
-        ]
-    one = c.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}" for col in _PROFILE_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_val, max_val)"
-    )
-
-
-_Q51_ORACLE = """
-    WITH dim AS (
-      SELECT c_custkey, c_acctbal, c_mktsegment,
-             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
-             true AS is_current
-      FROM customer
-    ), upd AS (
-      SELECT c_custkey,
-             CASE WHEN c_custkey % 10 < 3 THEN c_acctbal + 100 ELSE c_acctbal END AS u_acctbal,
-             c_mktsegment AS u_seg,
-             DATE '2024-06-01' AS eff
-      FROM customer WHERE c_custkey % 10 <= 3
-    ), chg AS (
-      SELECT d.c_custkey, u.u_acctbal, u.u_seg, u.eff, d.c_acctbal, d.c_mktsegment,
-             d.valid_from
-      FROM dim d JOIN upd u USING (c_custkey)
-      WHERE u.u_acctbal <> d.c_acctbal OR u.u_seg <> d.c_mktsegment
-    )
-    SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
-           CASE WHEN c.c_custkey IS NOT NULL THEN c.eff END AS valid_to,
-           c.c_custkey IS NULL AS is_current
-    FROM dim d LEFT JOIN chg c USING (c_custkey)
-    UNION ALL
-    SELECT c_custkey, u_acctbal, c_mktsegment, eff, CAST(NULL AS DATE), true
-    FROM chg
-    """
-
-
-@register(
-    "q51_scd2_merge",
     _Q51_ORACLE,
-    "SCD type-2 dimension merge: close changed current rows, insert new versions, keep history (warehouse parity)",
-)
-def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """scd2_apply on a dimension seeded from customer: keys ending 0-2 get
-    an acctbal change (closed row + new open row), keys ending 3 arrive as
-    no-op updates (null-safe column compare filters them out), the rest
-    pass through. One equi-join total — the updates side is the small one,
-    AQE broadcasts it; history rows are never rewritten."""
-    from universal_aws_data_pipeline_spark.operators.scd import scd2_apply
-
-    c = _t(spark, sf_dir, "customer")
-    dim = c.select(
-        "c_custkey",
-        "c_acctbal",
-        "c_mktsegment",
-        F.lit(dt.date(2020, 1, 1)).alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    updates = c.filter(F.col("c_custkey") % 10 <= 3).select(
-        "c_custkey",
-        F.when(F.col("c_custkey") % 10 < 3, F.col("c_acctbal") + 100)
-        .otherwise(F.col("c_acctbal"))
-        .alias("c_acctbal"),
-        F.col("c_mktsegment"),
-        F.lit(dt.date(2024, 6, 1)).alias("eff"),
-    )
-    return scd2_apply(
-        dim, updates, key="c_custkey", tracked=["c_acctbal", "c_mktsegment"], effective="eff"
-    )
-
-
-@register(
-    "q52_repetition_profile",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
-    ), grams AS (
-      SELECT doc_id, t,
-             list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) AS bg
-      FROM toks
-    )
-    SELECT doc_id,
-           round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS dup_word_frac,
-           CASE WHEN len(bg) > 0
-                THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
-                ELSE 0.0 END AS dup_bigram_frac,
-           (1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) >= 0.8 AS is_repetitive
-    FROM grams
-    """,
-    "Gopher-style repetition filter signals: duplicate word/bigram fractions per document (X4)",
-)
-def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality filtering (the Gopher/MassiveText rules):
-    fraction of duplicate words and duplicate bigrams per document, plus the
-    filter flag. Pure row-local array expressions — tokens, bigrams,
-    distincts all inside whole-stage codegen; no explode, runs at scan
-    speed over any corpus size.
-
-    Two-stage select on purpose: the token/bigram arrays are projected into
-    named columns FIRST, so each is computed once per row — inlined into
-    every referencing expression, the normalize+split pass ran 4x per row
-    (measured 8 s → ~1 s at sf0.1). parallelize_text_scan spreads the
-    CPU-bound map off the compressed single-file scan split."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col, word_shingles
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    staged = d.select(
-        "doc_id",
-        tokens_col(F.col("text")).alias("_t"),
-        word_shingles(F.col("text"), n=2).alias("_bg"),
-    )
-    t = F.col("_t")
-    bg_total = F.size(t) - 1
-    dup_word = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t)
-    dup_bigram = F.when(
-        bg_total > 0,
-        F.round(F.lit(1.0) - F.size(F.col("_bg")).cast("double") / bg_total, 4),
-    ).otherwise(F.lit(0.0))
-    return staged.select(
-        "doc_id",
-        F.round(dup_word, 4).alias("dup_word_frac"),
-        dup_bigram.alias("dup_bigram_frac"),
-        (dup_word >= 0.8).alias("is_repetitive"),
-    )
-
-
-@register(
-    "q53_rich_inactive_customers",
-    """
-    SELECT c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
-    FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c_mktsegment
-    """,
-    "TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join + aggregate",
-)
-def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decorrelated by hand into the plan Catalyst would also produce: the
-    scalar average is a 1-row aggregate cross-joined in (broadcast — zero
-    cost), the NOT EXISTS is a left_anti join on the customer key. No
-    per-row subquery execution at any scale."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg"))
-        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
-    )
-
-
-@register(
-    "q54_mixture_report",
-    r"""
-    WITH t AS (
-      SELECT source, lang,
-             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-             CAST(count(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY source, lang
-    )
-    SELECT source, lang, n_docs, total_tokens,
-           round(100.0 * total_tokens / sum(total_tokens) OVER (), 4) AS token_share_pct
-    FROM t
-    """,
-    "training-mixture report: per (source, lang) token budgets and global shares (X4)",
-)
-def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture accounting for a pretraining corpus: token totals per
-    (source, language) cell and each cell's share of the global budget. The
-    unpartitioned window runs over the AGGREGATED result (|sources|×|langs|
-    rows), not the corpus — post-agg single-task windows are free; the heavy
-    lifting is the partial-aggregated groupBy."""
-    from universal_aws_data_pipeline_spark.operators.text import token_count
-    from pyspark.sql import Window
-
-    d = _t(spark, sf_dir, "documents")
-    agg = d.groupBy("source", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col("text"))).alias("total_tokens"),
-    )
-    share = F.lit(100.0) * F.col("total_tokens") / F.sum("total_tokens").over(
-        Window.partitionBy()
-    )
-    return agg.select(
-        "source", "lang", "n_docs", "total_tokens", F.round(share, 4).alias("token_share_pct")
-    )
-
-
-@register(
-    "q55_event_funnel",
-    """
-    WITH f AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS view_epoch,
-             min(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS click_epoch,
-             min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS purchase_epoch
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id, view_epoch, click_epoch, purchase_epoch
-    FROM f
-    WHERE view_epoch < click_epoch AND click_epoch < purchase_epoch
-    """,
-    "funnel analysis: users whose first view precedes first click precedes first purchase",
-)
-def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel conversion via conditional aggregation — one groupBy carrying
-    three partial mins (combine map-side), then a row-local ordering filter.
-    Not a self-join per step (the naive spelling: one join per funnel stage,
-    each a shuffle) and not a window sort over per-user event sequences."""
-    e = _t(spark, sf_dir, "events")
-    es = F.unix_timestamp("ts")
-    f = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", es)).alias("view_epoch"),
-        F.min(F.when(F.col("event_type") == "click", es)).alias("click_epoch"),
-        F.min(F.when(F.col("event_type") == "purchase", es)).alias("purchase_epoch"),
-    )
-    return f.filter(
-        (F.col("view_epoch") < F.col("click_epoch"))
-        & (F.col("click_epoch") < F.col("purchase_epoch"))
-    )
-
-
-_Q56_ORACLE = f"""
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-),
-comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-SELECT id AS vec_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-       id = cluster_id AS is_canonical
-FROM comp
-"""
-
-
-@register(
-    "q56_semantic_dedup",
-    _Q56_ORACLE,
-    "SemDeDup shape: embedding-cosine pair graph -> connected components -> canonical per semantic cluster (X3b/X2g)",
-)
-def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic deduplication over the embedding space (the SemDeDup
-    pipeline shape): blocked cosine pairs become edges, connected components
-    merge transitively-similar documents into one semantic cluster, the
-    min-id member survives. Same clustering engine as q43, different pair
-    miner — text LSH and embedding cosine share the closure stage. Pairs are
-    checkpointed to a parquet artifact (mined once per dataset; every
-    re-cluster probes the stored table), mirroring q43."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
-    from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
-
-    pairs_path = os.path.join(_artifact_dir("semantic_pairs", sf_dir), "q56")
-    if not _parquet_ready(pairs_path):
-        e = _t(spark, sf_dir, "embeddings")
-        cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id").write.mode(
-            "overwrite"
-        ).parquet(pairs_path)
-    pairs = spark.read.parquet(pairs_path)
-    return dedup_clusters(pairs, src="id_a", dst="id_b").withColumnRenamed("doc_id", "vec_id")
-
-
-_Q57_ORACLE = f"""
-WITH bench AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
-), train AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
-), bt AS (
-  SELECT string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM bench
-), bsh AS (
-  SELECT DISTINCT unnest(CASE WHEN len(t) >= 3
-    THEN list_distinct(list_transform(range(1, len(t) - 1),
-                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-    ELSE [norm] END) AS s
-  FROM bt
-), tt AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM train
-), tsh AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-    THEN list_distinct(list_transform(range(1, len(t) - 1),
-                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-    ELSE [norm] END) AS s
-  FROM tt
-), cont AS (
-  SELECT DISTINCT tsh.doc_id FROM tsh JOIN bsh USING (s)
-)
-SELECT t.doc_id, c.doc_id IS NOT NULL AS is_contaminated
-FROM train t LEFT JOIN cont c USING (doc_id)
-"""
-
-
-@register(
-    "q57_benchmark_decontamination",
-    _Q57_ORACLE,
-    "eval-set decontamination: flag training docs sharing any n-gram shingle with the benchmark set (X2/X4)",
-)
-def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (the n-gram overlap sweep every serious
-    pretraining pipeline runs): docs sharing any 3-gram shingle with the
-    held-out set (doc_id % 97 == 0 stands in for the benchmark) are flagged.
-    Scale shape: the benchmark's distinct shingles are small — exploded and
-    BROADCAST — so the corpus side is explode + broadcast-hash-join + distinct,
-    one shuffle total (the distinct), never corpus×corpus. The corpus scan is
-    spread to the core count first (CPU-bound shingling off a compressed
-    single-file split: measured 13 s → ~1.5 s at sf0.1)."""
-    from universal_aws_data_pipeline_spark.functions.texthash import word_shingles
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    bench = d.filter(F.col("doc_id") % 97 == 0)
-    train = d.filter(F.col("doc_id") % 97 != 0)
-    bsh = (
-        bench.select(F.explode(word_shingles(F.col("text"), n=3)).alias("s")).distinct()
-    )
-    tsh = train.select("doc_id", F.explode(word_shingles(F.col("text"), n=3)).alias("s"))
-    cont = tsh.join(F.broadcast(bsh), "s").select("doc_id").distinct()
-    return (
-        train.join(cont.withColumn("_hit", F.lit(True)), "doc_id", "left")
-        .select("doc_id", F.coalesce("_hit", F.lit(False)).alias("is_contaminated"))
-    )
-
-
-@register(
-    "q58_min_cost_supplier",
-    """
-    WITH cost AS (
-      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
-      FROM lineitem GROUP BY l_partkey, l_suppkey
-    ), ranked AS (
-      SELECT l_partkey, l_suppkey, best_price,
-             row_number() OVER (PARTITION BY l_partkey ORDER BY best_price, l_suppkey) AS rn
-      FROM cost
-    )
-    SELECT r.l_partkey AS partkey, p.p_brand, r.l_suppkey AS suppkey, r.best_price
-    FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
-    WHERE r.rn = 1 AND p.p_brand = 'Brand#1'
-    """,
-    "TPC-H Q2 shape: cheapest supplier per part — struct-min argmin aggregation, not a per-group window sort",
-)
-def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmin WITHOUT a window: min(struct(price, suppkey)) per part is a
-    hash aggregate — partial mins combine map-side, the shuffle carries one
-    candidate per (part, partition) — where the window spelling sorts every
-    partition's rows per key. The struct's lexicographic order (price, then
-    suppkey) is exactly the oracle's ORDER BY tiebreak. Brand filter pushes
-    into the part scan and prunes before the join."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("best_price"))
-    best = (
-        per_supp.groupBy("l_partkey")
-        .agg(F.min(F.struct("best_price", "l_suppkey")).alias("_b"))
-        .select(F.col("l_partkey"), F.col("_b.l_suppkey").alias("l_suppkey"), F.col("_b.best_price").alias("best_price"))
-    )
-    return best.join(p, best["l_partkey"] == p["p_partkey"]).select(
-        F.col("l_partkey").alias("partkey"), "p_brand", F.col("l_suppkey").alias("suppkey"), "best_price"
-    )
-
-
-@register(
-    "q59_supplier_share",
-    """
-    WITH rev AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
-      FROM lineitem GROUP BY l_suppkey
-    )
-    SELECT l_suppkey AS suppkey, round(revenue, 2) AS revenue,
-           round(100.0 * revenue / (SELECT sum(revenue) FROM rev), 4) AS share_pct
-    FROM rev
-    WHERE revenue > 0.011 * (SELECT sum(revenue) FROM rev)
-    """,
-    "TPC-H Q11 shape: per-supplier revenue share filtered against a fraction of the global total",
-)
-def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share-of-total with a scalar threshold. The global total comes from
-    an unpartitioned window over the ALREADY-AGGREGATED per-supplier table:
-    one task streams |suppliers| tiny rows — vs the scalar-subquery
-    spelling, which (without runtime exchange reuse) re-aggregates the fact
-    table a second time. One scan of lineitem, guaranteed by the plan, is
-    worth a single-task pass over the aggregate at any realistic scale."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-    )
-    total = F.sum("revenue").over(Window.partitionBy())
-    return (
-        rev.withColumn("_total", total)
-        .filter(F.col("revenue") > 0.011 * F.col("_total"))
-        .select(
-            F.col("l_suppkey").alias("suppkey"),
-            F.round("revenue", 2).alias("revenue"),
-            F.round(F.lit(100.0) * F.col("revenue") / F.col("_total"), 4).alias("share_pct"),
-        )
-    )
-
-
-@register(
-    "q60_salted_skew_join",
-    """
-    WITH ev AS (
-      SELECT event_id,
-             CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS hot_user,
-             value
-      FROM events
-    )
-    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(ev.value), 2) AS total_value
-    FROM ev JOIN customer c ON c.c_custkey = ev.hot_user
-    GROUP BY c.c_mktsegment
-    """,
-    "skew-salted fact-dimension join: hot key spread over salt buckets, dimension replicated S× (100 TB skew lever)",
-)
-def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A deliberately pathological key (a third of all events collapse onto
-    user 1) joined through ``salted_join``: the hot key's rows spread over 8
-    salt buckets — 8 tasks instead of one straggler — and the dimension side
-    is replicated 8× (cheap: it's the small side). The oracle states the
-    plain join; salting must be invisible in the result."""
-    from universal_aws_data_pipeline_spark.operators.skew import salted_join
-
-    e = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.when(F.col("user_id") % 3 == 0, F.lit(1)).otherwise(F.col("user_id")).alias("hot_user"),
-        "value",
-    ).withColumnRenamed("hot_user", "c_custkey")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = salted_join(e, c, on="c_custkey", salt_buckets=8)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
-    )
-
-
-@register(
-    "q61_weekly_retention",
-    """
-    WITH wk AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
-      FROM events
-    )
-    SELECT a.week, CAST(count(*) AS BIGINT) AS retained_users
-    FROM wk a JOIN wk b ON a.user_id = b.user_id AND b.week = a.week + 7
-    GROUP BY a.week
-    """,
-    "cohort retention: users active in week w who return in week w+1 (self-join on the deduped activity table)",
-)
-def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week retention. The self-join runs on the DEDUPED
-    (user, week) activity table — |users|×|weeks| rows, not raw events² —
-    and joins on (user_id, week+7) as a pure equi-key. distinct is the one
-    full shuffle; everything after operates on the reduced table.
-
-    Dates derive from the UTC epoch day (unix_timestamp // 86400), not a
-    session-tz cast — the stored timestamps are naive wall clocks, and a
-    non-UTC driver session would shift boundary events to the wrong week."""
-    e = _t(spark, sf_dir, "events")
-    utc_day = F.date_add(
-        F.lit("1970-01-01").cast("date"),
-        F.floor(F.unix_timestamp("ts") / 86400).cast("int"),
-    )
-    wk = e.select(
-        "user_id", F.date_trunc("week", utc_day).cast("date").alias("week")
-    ).distinct()
-    nxt = wk.select("user_id", F.date_sub(F.col("week"), 7).alias("week"))
-    return (
-        wk.join(nxt, ["user_id", "week"])
-        .groupBy("week")
-        .agg(F.count("*").alias("retained_users"))
-    )
-
-
-@register(
-    "q62_rolling_daily_events",
-    """
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
-      FROM events GROUP BY CAST(ts AS DATE)
-    )
-    SELECT d, CAST(n_events AS BIGINT) AS n_events,
-           CAST(sum(n_events) OVER (
-             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS n_7d
-    FROM daily
-    """,
-    "rolling 7-day totals via a RANGE (value-based) window frame over the daily aggregate",
-)
-def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based, handles calendar gaps — a ROWS frame would
-    silently span missing days). Spark's rangeBetween needs a numeric sort
-    key, so the date becomes an epoch-day int; the frame [-6, 0] is then
-    exactly the oracle's INTERVAL 6 DAY PRECEDING. The window runs over the
-    |days| daily-aggregate rows, not the event stream. The day derives from
-    the UTC epoch (tz-free) like q61, not a session-tz date cast."""
-    from pyspark.sql import Window
-
-    e = _t(spark, sf_dir, "events")
-    utc_day = F.date_add(
-        F.lit("1970-01-01").cast("date"),
-        F.floor(F.unix_timestamp("ts") / 86400).cast("int"),
-    )
-    daily = e.groupBy(utc_day.alias("d")).agg(F.count("*").alias("n_events"))
-    w = (
-        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
-        .rangeBetween(-6, 0)
-    )
-    return daily.select(
-        "d", "n_events", F.sum("n_events").over(w).alias("n_7d")
-    )
-
-
-@register(
-    "q63_gdpr_cascade_delete",
-    """
-    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
-    del_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del))
-    SELECT 'customer' AS table_name,
-           CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT) AS rows_kept,
-           CAST((SELECT count(*) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM del)) AS BIGINT) AS rows_deleted
-    UNION ALL
-    SELECT 'orders',
-           CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS BIGINT),
-           CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del)) AS BIGINT)
-    UNION ALL
-    SELECT 'lineitem',
-           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)) AS BIGINT),
-           CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)) AS BIGINT)
-    """,
-    "right-to-be-forgotten cascade: deletion keys swept through the fact chain via broadcast anti-join accounting",
-)
-def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deletion-request propagation (customer → orders → lineitem): each
-    table takes ONE pass — a broadcast left join against the (small)
-    deletion key set with conditional counts — rather than separate
-    kept/deleted scans. The deleted-orders key set cascades to lineitem the
-    same way. At 100 TB the deletion list is always broadcast-size; the
-    facts are never shuffled."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    del_keys = c.filter(F.col("c_custkey") % 50 == 0).select("c_custkey").withColumn("_d", F.lit(1))
-
-    def _sweep(df: DataFrame, name: str, key: str, dead: DataFrame, dead_key: str) -> DataFrame:
-        joined = df.join(
-            F.broadcast(dead.withColumnRenamed(dead_key, key)), key, "left"
-        )
-        return joined.agg(
-            F.lit(name).alias("table_name"),
-            F.coalesce(F.sum((F.col("_d").isNull()).cast("long")), F.lit(0)).alias("rows_kept"),
-            F.coalesce(F.sum((F.col("_d").isNotNull()).cast("long")), F.lit(0)).alias("rows_deleted"),
-        )
-
-    dead_orders = (
-        o.join(F.broadcast(del_keys.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey")
-        .select("o_orderkey")
-        .withColumn("_d", F.lit(1))
-    )
-    return (
-        _sweep(c, "customer", "c_custkey", del_keys, "c_custkey")
-        .unionByName(_sweep(o, "orders", "o_custkey", del_keys, "c_custkey"))
-        .unionByName(_sweep(li, "lineitem", "l_orderkey", dead_orders, "o_orderkey"))
-    )
-
-
-@register(
-    "q64_snapshot_diff_cdc",
-    """
-    WITH old AS (SELECT doc_id, text FROM documents),
-    new AS (
-      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
-      FROM documents WHERE doc_id % 31 <> 0
-      UNION ALL
-      SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20
-    )
-    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.doc_id IS NULL THEN 'insert'
-                WHEN n.doc_id IS NULL THEN 'delete'
-                ELSE 'update' END AS change_type
-    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
-    """,
-    "CDC derivation by snapshot diff: full outer join emits insert/delete/update change set between table versions",
-)
-def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-capture without a log: diff two table snapshots with one
-    full outer join on the key (null side ⇒ insert/delete, value compare ⇒
-    update; unchanged rows drop out). The synthetic 'new' snapshot deletes
-    doc_id%31, rewrites doc_id%7, inserts 20 fresh ids — all three change
-    types exercised. One shuffle on the key; row-local comparisons."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    new = (
-        d.filter(F.col("doc_id") % 31 != 0)
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(d.filter(F.col("doc_id") < 20).select((F.col("doc_id") + 500000).alias("doc_id"), "text"))
-    )
-    o = d.alias("o")
-    n = new.alias("n")
-    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
-    change = (
-        F.when(F.col("o.doc_id").isNull(), F.lit("insert"))
-        .when(F.col("n.doc_id").isNull(), F.lit("delete"))
-        .otherwise(F.lit("update"))
-    )
-    return (
-        joined.filter(
-            F.col("o.doc_id").isNull()
-            | F.col("n.doc_id").isNull()
-            | (F.col("o.text") != F.col("n.text"))
-        )
-        .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"), change.alias("change_type"))
-    )
-
-
-@register(
-    "q65_doc_chunking",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-    )
-    SELECT doc_id,
-           CAST(s / 40 AS BIGINT) AS chunk_idx,
-           CAST(len(list_slice(t, s + 1, s + 50)) AS BIGINT) AS n_tokens,
-           md5(array_to_string(list_slice(t, s + 1, s + 50), ' ')) AS chunk_md5
-    FROM toks, unnest(range(0, greatest(len(t), 1), 40)) u(s)
-    """,
-    "context-window chunking: fixed 50-token chunks, 10-token overlap, per-chunk fingerprints (X4)",
-)
-def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split documents into model-context-sized chunks (50 tokens, stride
-    40 ⇒ 10-token overlap) — the step between a cleaned corpus and a
-    tokenized training set. Row-local throughout: tokens → explode of the
-    stride sequence → slice per chunk; no shuffle, output is one row per
-    chunk. The chunk md5 doubles as the join key for chunk-level dedup
-    downstream."""
-    d = _t(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    staged = d.select("doc_id", t.alias("_t")).select(
-        "doc_id",
-        "_t",
-        F.explode(F.sequence(F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(40))).alias("s"),
-    )
-    chunk = F.slice(F.col("_t"), F.col("s") + 1, 50)
-    return staged.select(
-        "doc_id",
-        (F.col("s") / 40).cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
-    )
-
-
-@register(
-    "q66_sliding_window_counts",
-    """
-    WITH hourly AS (
-      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
-      FROM events GROUP BY 1
-    ), starts AS (
-      SELECT h AS s FROM hourly UNION SELECT h - 1 FROM hourly
-    )
-    SELECT s.s * 3600 AS window_start_epoch,
-           (s.s + 2) * 3600 AS window_end_epoch,
-           CAST(coalesce(a.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_events
-    FROM starts s
-    LEFT JOIN hourly a ON a.h = s.s
-    LEFT JOIN hourly b ON b.h = s.s + 1
-    WHERE coalesce(a.n, 0) + coalesce(b.n, 0) > 0
-    """,
-    "sliding windows (2h size, 1h slide) on a batch frame — same F.window code path as the stream",
-)
-def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows via ``F.window(ts, '2 hours', '1 hour')``
-    — each event lands in size/slide = 2 windows (a row-local expansion),
-    then one aggregation; the IDENTICAL expression runs on the streaming
-    path (test_sliding_window), which is the batch/stream-parity design
-    point. The oracle reconstructs the same windows from hourly counts:
-    every hour adjacent to data opens a window; empty windows don't emit."""
-    e = _t(spark, sf_dir, "events")
-    win = F.window("ts", "2 hours", "1 hour")
-    out = e.groupBy(win.alias("w")).agg(F.count("*").alias("n_events"))
-    return out.select(
-        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
-        F.unix_timestamp(F.col("w.end")).alias("window_end_epoch"),
-        "n_events",
-    )
-
-
-@register(
-    "q67_train_val_test_split",
-    f"""
-    WITH b AS (
-      SELECT doc_id, lang, {_BUCKET_SQL} AS bucket FROM documents
-    )
-    SELECT CASE WHEN bucket < 52428 THEN 'train'
-                WHEN bucket < 58982 THEN 'val'
-                ELSE 'test' END AS split,
-           lang, CAST(count(*) AS BIGINT) AS n_docs
-    FROM b GROUP BY 1, 2
-    """,
-    "deterministic train/val/test split (80/10/10 by content hash) with per-language counts (X6)",
-)
-def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset splitting for training: hash-range assignment (80/10/10 of
-    the md5 bucket space) — membership is a pure function of the document
-    id, so the split never leaks rows across sets when the corpus grows or
-    repartitions (df.randomSplit does). Map-side label + one aggregation;
-    the per-language counts are the split-balance audit."""
-    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
-
-    d = _t(spark, sf_dir, "documents")
-    bucket = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(bucket < int(0.8 * 65536), F.lit("train"))
-        .when(bucket < int(0.9 * 65536), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return d.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
-        F.count("*").alias("n_docs")
-    )
-
-
-@register(
-    "q68_video_frame_sampling",
-    """
-    WITH b AS (
-      SELECT doc_id, text, length(text) AS n FROM documents
-    )
-    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-           CAST(length(substring(text, i * greatest(n // 4, 1) + 1, 256)) AS BIGINT) AS frame_len,
-           md5(substring(text, i * greatest(n // 4, 1) + 1, 256)) AS frame_md5
-    FROM b, unnest(range(0, 4)) u(i)
-    """,
-    "video frame sampling: 1 payload row -> N frame rows via generator mapInPandas (X5, hash-graded stub)",
-)
-def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The video path of the multimodal surface, graded end to end: binary
-    payloads flow through the Arrow generator UDF (mapInPandas yielding
-    more rows than it consumes — the UDTF shape), 4 evenly-spaced frames
-    per payload. The decoder is the documented deterministic byte-slice
-    stub (no ffmpeg in this container), which makes the frame bytes —
-    ASCII text slices — oracle-checkable via substring+md5. The Spark-side
-    plumbing (schemas, Arrow batching, 1→N row expansion) is the real
-    deliverable; swap the slicing for keyframe extraction in production."""
-    from universal_aws_data_pipeline_spark.operators.multimodal import attach_binary_payload, sample_frames
-
-    d = _t(spark, sf_dir, "documents")
-    frames = sample_frames(attach_binary_payload(d), n_frames=4, frame_bytes=256)
-    return frames.select(
-        "doc_id",
-        "frame_idx",
-        F.length("frame").cast("long").alias("frame_len"),
-        F.md5("frame").alias("frame_md5"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q69 — nation-pair shipping volume (TPC-H Q7 shape): 5-way join, pair
-# predicate, year rollup. Scale: both nation joins are broadcast (fixed 25
-# rows); the pair filter is applied via the PRE-FILTERED nation dims so
-# supplier/customer shrink ~2/25 before touching the fact shuffle.
-# --------------------------------------------------------------------------
-@register(
-    "q69_nation_pair_volume",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INTEGER) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
-      FROM lineitem
-      JOIN orders   ON o_orderkey  = l_orderkey
-      JOIN supplier ON s_suppkey   = l_suppkey
-      JOIN customer ON c_custkey   = o_custkey
-      JOIN nation n1 ON n1.n_nationkey = s_nationkey
-      JOIN nation n2 ON n2.n_nationkey = c_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    ) shipping
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-    "TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year",
-)
-def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The OR-of-pairs predicate references BOTH sides of the join, so
-    Catalyst cannot push it into either scan on its own. The manual (and
-    standard Q7) rewrite: pre-filter each nation dim to the two nations of
-    interest — that DOES push down — broadcast-join them into supplier and
-    customer (each shrinks to ~2/25 of its rows *before* the fact joins),
-    and keep the exact pair condition as a cheap post-join residual over
-    the already-tiny cross of 2×2 nation names. The lineitem date range
-    pushes into the parquet scan. Reference parity: the reference has no
-    join surface at all (SURVEY §2.3); this is the native-engine extension."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ntz(dt.datetime(1996, 1, 1)))
-        & (F.col("l_shipdate") < _ntz(dt.datetime(1998, 1, 1)))
-    )
-    pair = ["NATION_1", "NATION_2"]
-    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
-        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
-        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
-    )
-    s = _t(spark, sf_dir, "supplier").join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
-    c = _t(spark, sf_dir, "customer").join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
-    o = _t(spark, sf_dir, "orders")
-    joined = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-    )
-    return (
-        joined.groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q70 — product-line profit by supplier nation and order year (TPC-H Q9
-# shape, minus partsupp which the test schema omits). Scale: the p_name
-# LIKE filter prunes part BEFORE its join; nation is broadcast; the two
-# fact-fact joins (lineitem⋈orders, ⋈part) are AQE's call.
-# --------------------------------------------------------------------------
-@register(
-    "q70_product_profit",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS profit
-    FROM (
-      SELECT n_name AS nation,
-             CAST(year(o_orderdate) AS INTEGER) AS o_year,
-             l_extendedprice * (1 - l_discount) AS amount
-      FROM lineitem
-      JOIN supplier ON s_suppkey  = l_suppkey
-      JOIN part     ON p_partkey  = l_partkey
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN nation   ON n_nationkey = s_nationkey
-      WHERE p_name LIKE '%gear%'
-    ) profit
-    GROUP BY nation, o_year
-    """,
-    "TPC-H Q9 shape: profit on a product line by supplier nation and order year",
-)
-def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join order matters at scale: part is filtered by the LIKE (pushes to
-    its scan as a StringContains), and joining lineitem⋈part FIRST shrinks
-    the fact stream before the orders join — the selective reduction
-    happens as early as possible. Only nation gets a broadcast hint;
-    part/supplier/orders all scale with SF, so AQE picks their strategies
-    from runtime sizes. 'gear' matches ~1/8 of part names in the fixture —
-    enough rows that every (nation, year) cell is populated."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear")).select("p_partkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    joined = (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-    )
-    return (
-        joined.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q71 — disjunctive bracket revenue (TPC-H Q19 shape): OR-of-ANDs spanning
-# both join sides. Scale: the implied per-side envelopes are hoisted
-# manually (Catalyst doesn't factor ORs across sides), so both scans prune
-# before the join instead of shipping every row to the filter.
-# --------------------------------------------------------------------------
-@register(
-    "q71_bracket_revenue",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
-       OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
-    """,
-    "TPC-H Q19 shape: OR-of-ANDs bracket predicate across both join sides",
-)
-def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The textbook Q19 lesson: the disjunction references columns from
-    BOTH tables, so no optimizer can push it into either scan as written.
-    But each side has a derivable envelope — part: brand IN the 3 brands
-    AND size ≤ 35; lineitem: quantity in [1, 30] — and applying those
-    envelopes BEFORE the join is semantics-preserving (every OR branch
-    implies them). Part shrinks ~3/25, lineitem ~60%, and both prune at
-    the parquet scan (PushedFilters: In(p_brand), LessThanOrEqual). The
-    exact OR stays as the post-join residual. AQE then sees a few-thousand
-    -row part side and broadcasts it on its own — no hint needed."""
-    li = _t(spark, sf_dir, "lineitem").filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
-    p = _t(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#2", "Brand#5", "Brand#8") & (F.col("p_size") <= 35)
-    )
-    bracket = (
-        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#8") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
-    )
-    return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .filter(bracket)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q72 — large-volume orders (TPC-H Q18 shape): HAVING-filtered aggregate
-# joined back to its parents, top-k. Scale: the groupBy(orderkey) HAVING
-# keeps ~0.1% of orders, so the joins run on the tiny survivor set; the
-# final ordering is TakeOrderedAndProject, never a full sort.
-# --------------------------------------------------------------------------
-@register(
-    "q72_large_orders",
-    """
-    WITH big AS (
-      SELECT l_orderkey, sum(l_quantity) AS qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
-    )
-    SELECT c_name, c_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) AS order_date,
-           o_totalprice, round(qty, 2) AS sum_qty
-    FROM big
-    JOIN orders   ON o_orderkey = l_orderkey
-    JOIN customer ON c_custkey  = o_custkey
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 20
-    """,
-    "TPC-H Q18 shape: customers behind the largest-quantity orders (HAVING + join-back + top-k)",
-)
-def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate-then-join, never join-then-aggregate: summing lineitem
-    per order FIRST (partial agg, map-side combine) and HAVING-filtering
-    to >300 leaves a survivor set ~3 orders in 1000 — the orders and
-    customer joins then touch only those. AQE broadcasts the survivor
-    side at any SF (it shrinks with the same 0.1% selectivity as data
-    grows). orderBy().limit(20) compiles to TakeOrderedAndProject: each
-    task keeps a 20-row heap, the driver merges — no global sort."""
-    li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 300)
-    )
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
-        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
-            "o_totalprice",
-            F.round("qty", 2).alias("sum_qty"),
-        )
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(20)
-    )
-
-
-# --------------------------------------------------------------------------
-# q73 — nation market share within a region (TPC-H Q8 shape): conditional
-# aggregation sum(CASE WHEN)/sum over a 6-way star. Scale: region+nation
-# broadcast; the share is computed in the SAME aggregate pass as the total
-# (one shuffle), never as two aggregations joined back.
-# --------------------------------------------------------------------------
-@register(
-    "q73_market_share",
-    """
-    SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
-    FROM (
-      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
-             n2.n_name AS supp_nation
-      FROM lineitem
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN customer ON c_custkey  = o_custkey
-      JOIN nation n1 ON n1.n_nationkey = c_nationkey
-      JOIN region   ON r_regionkey = n1.n_regionkey
-      JOIN supplier ON s_suppkey  = l_suppkey
-      JOIN nation n2 ON n2.n_nationkey = s_nationkey
-      WHERE r_name = 'REGION_1'
-    ) all_sales
-    GROUP BY o_year
-    """,
-    "TPC-H Q8 shape: one nation's share of a region's purchase volume per year",
-)
-def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numerator and denominator in ONE aggregate: the CASE-WHEN guard
-    makes the nation-specific sum a conditional aggregate alongside the
-    total — one shuffle over |years| groups. The two-query spelling (agg,
-    agg, join) would scan and shuffle twice. The region filter pushes into
-    the 5-row region scan and prunes customers via the broadcast chain
-    region→nation→customer before the fact join."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("supp_nation")
-    )
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
-    cust_in_region = (
-        c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey")
-    )
-    joined = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust_in_region, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n2), F.col("_n2_key") == F.col("s_nationkey"))
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        joined.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))) / F.sum(vol),
-                4,
-            ).alias("mkt_share")
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q74 — order-priority check (TPC-H Q4 shape): correlated EXISTS through
-# the SQL door. Scale: Catalyst decorrelates the subquery into a LeftSemi
-# join — one pass over each table, no per-row subquery execution.
-# --------------------------------------------------------------------------
-@register(
-    "q74_priority_exists",
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
-      AND EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-      )
-    GROUP BY o_orderpriority
-    """,
-    "TPC-H Q4 shape: correlated EXISTS subquery, decorrelated to a semi-join",
-)
-def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Submitted as SQL text (the engine's second door, like q34) to grade
-    Catalyst's subquery decorrelation: the correlated EXISTS with a
-    non-equi correlate (l_shipdate > o_orderdate) must become a LeftSemi
-    join on orderkey carrying the date comparison as the join residual —
-    plan-asserted in test_plans.py. A row-at-a-time EXISTS probe would be
-    O(orders × lineitem-lookup); the semi-join is one shuffle of each
-    side, and the 3-month orders filter pushes to the scan first."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders_v
-        WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
-          AND EXISTS (
-            SELECT 1 FROM lineitem_v
-            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-          )
-        GROUP BY o_orderpriority
-        """
-    )
-
-
-# --------------------------------------------------------------------------
-# q75 — exact near-dup pairs via prefix filtering (AllPairs/PPJoin family):
-# guaranteed-recall alternative to q15's MinHash-LSH. Scale: candidates from
-# an equi-join on each doc's RAREST shingles (high-df boilerplate shingles
-# fall out of every prefix, bounding bucket sizes); df-agg + per-doc window
-# are the extra cost vs LSH. Oracle is BRUTE-FORCE all-pairs Jaccard — the
-# hash match proves the recall guarantee, not just plausibility.
-# --------------------------------------------------------------------------
-_Q75_ORACLE = f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
-), toks AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM corpus
-), shing AS (
-  SELECT doc_id, CASE WHEN len(t) >= 3
-    THEN list_distinct(list_transform(range(1, len(t) - 1),
-                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-    ELSE [norm] END AS sh
-  FROM toks
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-FROM shing a JOIN shing b ON a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.5
-"""
-
-
-@register(
-    "q75_jaccard_prefix_filter",
-    _Q75_ORACLE,
-    "exact near-dup pairs: prefix-filtered n-gram Jaccard self-join graded against brute-force ground truth (X2)",
-)
-def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same corpus (and same checkpointed shingle index artifact) as q15,
-    different algorithm family: prefix filtering gives EXACT results, so
-    the oracle is brute-force all-pairs Jaccard — a hash match here means
-    the pruning provably lost nothing. The engine never runs the N^2 join
-    the oracle runs; it equi-joins on rarest-prefix shingles
-    (operators/dedup.py::jaccard_pairs_prefix_filter)."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.dedup import (
-        jaccard_pairs_prefix_filter,
-        parallelize_text_scan,
-        shingle_index_table,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
-    )
-    corpus = d.unionByName(mutated)
-    sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q15")
-    if not _parquet_ready(sh_path):
-        shingle_index_table(parallelize_text_scan(corpus), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
-    shingled = spark.read.parquet(sh_path)
-    return jaccard_pairs_prefix_filter(corpus, threshold=0.5, shingle_n=3, shingled=shingled)
-
-
-# --------------------------------------------------------------------------
-# q76 — quality-weighted canonical selection per near-dup cluster: the step
-# a real training-data pipeline runs AFTER clustering — keep the BEST
-# member (not the min-id one) of every duplicate group. Composition query:
-# q43's connected-components clusters × q14's quality scorer. Scale: the
-# cluster table is tiny relative to the corpus; the quality join is one
-# shuffle on doc_id and the argmax is a hash aggregate (max-struct, no
-# window sort).
-# --------------------------------------------------------------------------
-_Q76_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_Q15_ORACLE}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
-),
-qbase AS (
-  SELECT doc_id, text,
-         CAST(length(text) AS DOUBLE) AS n,
-         len(string_split_regex(trim(text), '\\s+')) AS ntok
-  FROM corpus
-),
-qcls AS (
-  SELECT doc_id, n, ntok,
-    (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-    (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-    (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-  FROM qbase
-),
-qual AS (
-  SELECT doc_id,
-    round((least(1.0, ntok / 100.0) + alpha_ratio
-           + (1.0 - least(1.0, digit_ratio + punct_ratio))
-           + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-          4) AS quality
-  FROM qcls
-)
-SELECT c.cluster_id,
-       CAST(count(*) AS BIGINT) AS cluster_size,
-       (list(c.doc_id ORDER BY q.quality DESC, c.doc_id))[1] AS best_doc_id,
-       round(max(q.quality), 4) AS best_quality
-FROM comp c JOIN qual q USING (doc_id)
-GROUP BY c.cluster_id
-"""
-
-
-@register(
-    "q76_keep_best_per_cluster",
-    _Q76_ORACLE,
-    "quality-weighted canonical per near-dup cluster: clusters (q43) joined with quality scores (q14), argmax survivor (X2/X4 composition)",
-)
-def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-id canonicals (q43) are arbitrary; production keeps the HIGHEST-
-    QUALITY member of each duplicate group. The argmax is
-    max(struct(quality, -doc_id)) — a plain hash aggregate with map-side
-    combine and a deterministic min-id tiebreak — never a per-cluster
-    window sort. Reuses the checkpointed pair artifact through q43's
-    clustering engine, so the marginal cost is one quality map over the
-    corpus plus a join against the (tiny) cluster table."""
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    clusters = QUERIES["q43_dup_clusters"].fn(spark, sf_dir).select("doc_id", "cluster_id")
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
-    )
-    qual = d.unionByName(mutated).select("doc_id", quality_score(F.col("text")).alias("quality"))
-    joined = clusters.join(qual, "doc_id")
-    return (
-        joined.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("_neg"))).alias("_b"),
-        )
-        .select(
-            "cluster_id",
-            "cluster_size",
-            (-F.col("_b._neg")).alias("best_doc_id"),
-            F.round(F.col("_b.quality"), 4).alias("best_quality"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q77 — asymmetric GROUPING SETS: (segment, nation), (segment), (nation) —
-# a margin combination neither ROLLUP (q23) nor CUBE (q47) can express
-# (no grand total, both one-dim margins). Scale: one Expand pass over ONE
-# scan — each input row fans out to its 3 grouping-set rows map-side, then
-# a single hash aggregate; the naive spelling is 3 scans + a union.
-# --------------------------------------------------------------------------
-@register(
-    "q77_grouping_sets",
-    """
-    SELECT c_mktsegment AS segment, n_name AS nation,
-           round(sum(o_totalprice), 2) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders
-    JOIN customer ON c_custkey  = o_custkey
-    JOIN nation   ON n_nationkey = c_nationkey
-    GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name))
-    """,
-    "asymmetric GROUPING SETS margins (one Expand pass) — completes the rollup (q23) / cube (q47) family",
-)
-def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Through the SQL door (GROUPING SETS has no DataFrame-API spelling).
-    Compiles to Expand(3 projections) + one hash aggregate over one scan —
-    plan-asserted in test_plans.py. Nation broadcast comes from AQE size
-    stats; NULL-vs-grouped-out ambiguity doesn't arise in the fixture
-    (both grouping columns are non-null), matching the oracle bitwise."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
-    return spark.sql(
-        """
-        SELECT c_mktsegment AS segment, n_name AS nation,
-               round(sum(o_totalprice), 2) AS revenue,
-               count(*) AS n_orders
-        FROM orders_v
-        JOIN customer_v ON c_custkey  = o_custkey
-        JOIN nation_v   ON n_nationkey = c_nationkey
-        GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), (n_name))
-        """
-    )
-
-
-# --------------------------------------------------------------------------
-# q78 — BM25 relevance top-k (retrieval X10): score the corpus against a
-# fixed term query. Scale: NO explode/inverted index for a fixed query —
-# per-doc tf is a row-local array expression, corpus stats (N, avgdl, df)
-# reduce to ONE row broadcast back over the scoring pass, top-k is
-# TakeOrderedAndProject. Two map passes + a 1-row aggregate, period.
-# --------------------------------------------------------------------------
-_Q78_TERMS = ("hash", "join", "vector")
-_Q78_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
-), d AS (
-  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-         CAST(len(list_filter(t, x -> x = 'hash'))   AS DOUBLE) AS tf0,
-         CAST(len(list_filter(t, x -> x = 'join'))   AS DOUBLE) AS tf1,
-         CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
-  FROM base
-), s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-  FROM d
-)
-SELECT doc_id,
-       round(  ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
-FROM d, s
-WHERE tf0 + tf1 + tf2 > 0
-ORDER BY bm25 DESC, doc_id
-LIMIT 15
-"""
-
-
-@register(
-    "q78_bm25_topk",
-    _Q78_ORACLE,
-    "BM25 top-k retrieval: row-local tf, 1-row corpus stats broadcast, TakeOrdered — no explode, no inverted index for a fixed query",
-)
-def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over documents for the fixed
-    query {hash, join, vector}. Ordering uses the ROUNDED score + doc_id in
-    both engines so the top-k cut is deterministic cross-engine."""
-    from universal_aws_data_pipeline_spark.operators.retrieval import bm25_topk
-
-    return bm25_topk(
-        _t(spark, sf_dir, "documents"), list(_Q78_TERMS), id_col="doc_id", text_col="text", k=15
-    )
-
-
-# --------------------------------------------------------------------------
-# q79 — blocked fuzzy entity resolution (linkage X11): a corrupted ingest
-# batch matched back to the clean master by Levenshtein distance inside
-# blocks. Scale: equi-join on the blocking key (the corruption-stable name
-# suffix) — never all-pairs; the edit-distance DP runs only within blocks.
-# --------------------------------------------------------------------------
-_Q79_ORACLE = """
-WITH clean AS (
-  SELECT c_custkey AS id, lower(trim(c_name)) AS nm FROM customer
-), dirty AS (
-  SELECT id + 1000000 AS did,
-         substr(nm, 1, (id % 5) + 2) || substr(nm, (id % 5) + 4) AS nm
-  FROM clean
-)
-SELECT c.id AS clean_id, d.did AS dirty_id,
-       CAST(levenshtein(c.nm, d.nm) AS INTEGER) AS distance
-FROM clean c JOIN dirty d ON right(c.nm, 4) = right(d.nm, 4)
-WHERE levenshtein(c.nm, d.nm) <= 1
-"""
-
-
-@register(
-    "q79_fuzzy_entity_match",
-    _Q79_ORACLE,
-    "blocked edit-distance record linkage: dirty batch equi-joined to master on a corruption-stable block key, levenshtein <= 1 inside blocks",
-)
-def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dirty batch drops one character from each master name at a
-    key-dependent position inside the alphabetic prefix, so the digit
-    suffix survives as the blocking key (right(nm, 4)). Every dirty row
-    is provably 1 edit from its source and >= 2 edits from every other
-    block member, so distance <= 1 recovers the exact linkage."""
-    from universal_aws_data_pipeline_spark.operators.linkage import blocked_edit_distance_match
-
-    clean = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.lower(F.trim(F.col("c_name"))).alias("nm")
-    )
-    dirty = clean.select(
-        (F.col("id") + 1000000).alias("id"),
-        F.expr("concat(substr(nm, 1, (id % 5) + 2), substr(nm, (id % 5) + 4))").alias("nm"),
-    )
-    return blocked_edit_distance_match(
-        clean, dirty, block_fn=lambda c: F.substring(c, -4, 4),
-        id_col="id", name_col="nm", max_distance=1,
-    )
-
-
-# --------------------------------------------------------------------------
-# q80 — bigram language-model counts (text X4f): token-transition counts and
-# conditional probabilities over the corpus. Scale: bigrams are a row-local
-# slice-zip (no per-token shuffle until the count aggregate); the
-# conditional-probability window runs over the AGGREGATED bigram table,
-# never the corpus.
-# --------------------------------------------------------------------------
-_Q80_ORACLE = f"""
-WITH base AS (
-  SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents
-), bg AS (
-  SELECT unnest(list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))) AS bigram
-  FROM base WHERE len(t) >= 2
-), cnt AS (
-  SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
-)
-SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
-       CAST(n AS BIGINT) AS n,
-       round(n / sum(n) OVER (PARTITION BY string_split(bigram, ' ')[1]), 4) AS p_next
-FROM cnt
-ORDER BY n DESC, w1, w2
-LIMIT 20
-"""
-
-
-@register(
-    "q80_bigram_lm",
-    _Q80_ORACLE,
-    "bigram LM: row-local slice-zip bigrams -> count aggregate -> conditional probability window over the aggregated table",
-)
-def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P(w2 | w1) = count(w1 w2) / count(w1 ·), top-20 bigrams by count.
-    The explode happens AFTER the row-local bigram build, and the
-    normalizing window partitions the aggregated (vocabulary-sized) table
-    by w1 — corpus-size shuffles carry only (bigram, partial count)."""
-    from pyspark.sql import Window
-
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-
-    t = tokens_col(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    cnt = (
-        parallelize_text_scan(_t(spark, sf_dir, "documents").select("text"))
-        .filter(F.size(t) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w1 = F.split(F.col("bigram"), " ").getItem(0)
-    w2 = F.split(F.col("bigram"), " ").getItem(1)
-    return (
-        cnt.select(
-            w1.alias("w1"), w2.alias("w2"), F.col("n"),
-            F.round(F.col("n") / F.sum("n").over(Window.partitionBy(w1)), 4).alias("p_next"),
-        )
-        .orderBy(F.col("n").desc(), "w1", "w2")
-        .limit(20)
-    )
-
-
-# --------------------------------------------------------------------------
-# q81 — key-skew profiler (ops X12): the diagnosis tool behind the q60
-# salting decision — per-key counts, heavy-hitter top-k, and each hot key's
-# multiple of the mean. Scale: one hash aggregate on the key (map-side
-# partial), a 1-row stats aggregate over the AGGREGATED key table broadcast
-# back, TakeOrdered for the top-k. The corpus is scanned once.
-# --------------------------------------------------------------------------
-_Q81_ORACLE = """
-WITH per_key AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY user_id
-), s AS (
-  SELECT CAST(sum(n_events) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_keys
-  FROM per_key
-)
-SELECT user_id, n_events,
-       n_events / total           AS share,
-       n_events * n_keys / total  AS x_mean
-FROM per_key, s
-ORDER BY n_events DESC, user_id
-LIMIT 10
-"""
-
-
-@register(
-    "q81_key_skew_profile",
-    _Q81_ORACLE,
-    "heavy-hitter key-skew profiler: per-key hash agg -> 1-row stats broadcast -> TakeOrdered top-k; feeds the q60 salting decision",
-)
-def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 hottest join/agg keys with their share of all rows and
-    multiple of the mean key load — the numbers that decide between a
-    plain shuffle join, AQE skew handling, and explicit salting (q60)."""
-    per_key = (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    # integer-derived stats, deterministic op order, and NO rounding: the
-    # operands are exact-integer-valued doubles, so both engines compute
-    # bit-identical quotients — whereas round() semantics diverge exactly
-    # on decimal ties (85*150/10000 = 1.275: Spark's shortest-string
-    # HALF_UP says 1.28, DuckDB's binary-value round says 1.27).
-    stats = per_key.agg(
-        F.sum("n_events").cast("double").alias("_total"),
-        F.count(F.lit(1)).cast("double").alias("_keys"),
-    )
-    return (
-        per_key.crossJoin(F.broadcast(stats))
-        .select(
-            "user_id", "n_events",
-            (F.col("n_events") / F.col("_total")).alias("share"),
-            (F.col("n_events") * F.col("_keys") / F.col("_total")).alias("x_mean"),
-        )
-        .orderBy(F.col("n_events").desc(), "user_id")
-        .limit(10)
-    )
-
-
-# --------------------------------------------------------------------------
-# q82 — event transition matrix (behavioral X13): P(next event type | current)
-# from per-user event sequences — the Markov-chain view of the event log.
-# Scale: the lag window partitions by user_id (bounded state per user, the
-# natural key distribution), and the probability window runs over the
-# AGGREGATED |types|^2 transition table.
-# --------------------------------------------------------------------------
-_Q82_ORACLE = """
-WITH seq AS (
-  SELECT user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events
-)
-SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n,
-       round(count(*) / sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p
-FROM seq WHERE prev_type IS NOT NULL
-GROUP BY prev_type, event_type
-"""
-
-
-@register(
-    "q82_event_transitions",
-    _Q82_ORACLE,
-    "Markov transition matrix over per-user event sequences: user-partitioned lag window -> count agg -> probability window on the aggregated table",
-)
-def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transition counts and conditional probabilities between event types.
-    (ts, event_id) ordering makes the lag deterministic under timestamp
-    ties; ts itself never reaches the output, so the query is session-tz
-    safe."""
-    from pyspark.sql import Window
-
-    seq = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type",
-        F.lag("event_type").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).alias("prev_type"),
-    )
-    win = Window.partitionBy("prev_type")
-    return (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "prev_type", "next_type", "n",
-            F.round(F.col("n") / F.sum("n").over(win), 4).alias("p"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q83–q89 — the remaining classic TPC-H join shapes (Q10, Q12, Q13, Q15,
-# Q16, Q20, Q21), adapted to the test schema (no partsupp/comment/shipmode/
-# commitdate columns). Together with q01/q03/q04/q25/q31/q34/q35/q53/q58/
-# q59/q69–q74 this completes the 22-query TPC-H shape sweep. Reference
-# parity: the reference has no join surface at all (SURVEY §2.3); these are
-# native-engine extensions graded as first-class catalog queries.
-# --------------------------------------------------------------------------
-@register(
-    "q83_returned_item_report",
-    """
-    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           n_name
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-    "TPC-H Q10 shape: top-20 customers by returned-item revenue (fact-fact join + broadcast dims + TakeOrdered)",
-)
-def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both fact filters (order date-range, returnflag='R') push into their
-    parquet scans BEFORE the fact-fact join; nation is broadcast; the final
-    top-20 is TakeOrderedAndProject (never a full sort). Ties at the limit
-    boundary are broken by c_custkey so the result is deterministic in both
-    engines."""
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ntz(dt.datetime(1997, 1, 1)))
-        & (F.col("o_orderdate") < _ntz(dt.datetime(1997, 7, 1)))
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "q84_priority_class_matrix",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM lineitem
-    JOIN orders ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "TPC-H Q12 shape: join + conditional aggregation (sum-of-CASE) over priority classes",
-)
-def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The date filter pushes into the lineitem scan; orders is projected to
-    two columns before the join so the shuffle carries (o_orderkey, priority)
-    only; the CASE flags collapse map-side via partial aggregation."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1)))
-        & (F.col("l_shipdate") < _ntz(dt.datetime(1998, 1, 1)))
-    ).select("l_orderkey", "l_returnflag", "l_linestatus")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "q85_order_count_distribution",
-    """
-    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-    FROM (
-      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-      FROM customer
-      LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-      GROUP BY c_custkey
-    ) c_orders
-    GROUP BY c_count
-    """,
-    "TPC-H Q13 shape: left-outer join with residual predicate + two-level count distribution",
-)
-def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The non-equi residual (priority <> '1-URGENT') stays a join predicate
-    of the outer hash join — NOT a post-filter, which would turn absent
-    matches into dropped customers and break outer semantics. count(o_orderkey)
-    counts non-null matches only, so customers with zero qualifying orders
-    land in the c_count=0 bucket. Two aggregations, each one shuffle; the
-    second operates on |customers| rows already reduced to one per key."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    joined = c.join(
-        o,
-        (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderpriority") != "1-URGENT"),
-        "left_outer",
-    )
-    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@register(
-    "q86_top_revenue_supplier",
-    """
-    WITH rev AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-    """,
-    "TPC-H Q15 shape: per-supplier quarterly revenue, scalar-max subquery selects the top supplier(s)",
-)
-def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scalar max is a 1-row aggregate broadcast-cross-joined into the
-    per-supplier revenue table — never a global window over a single
-    partition (the single-task shape that dies at scale). Revenue is rounded
-    to cents BEFORE the max comparison so double summation-order noise
-    cannot make the two engines pick different winners."""
-    rev = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1)))
-            & (F.col("l_shipdate") < _ntz(dt.datetime(1997, 4, 1)))
-        )
-        .groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
-    )
-    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        rev.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@register(
-    "q87_part_supplier_stats",
-    """
-    SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-    JOIN part ON p_partkey = l_partkey
-    WHERE p_brand <> 'Brand#1'
-      AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_type, p_size
-    """,
-    "TPC-H Q16 shape: distinct part-supplier pairs + anti-join exclusion + count-distinct rollup",
-)
-def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem stands in for partsupp (the test schema omits it): distinct
-    (partkey, suppkey) pairs reduce the fact before any join. The excluded-
-    supplier set (negative balance, Q16's 'complaints' analogue) is a
-    broadcast anti-join; part filters push into its scan. countDistinct
-    plans as two-phase partial/final — no single-point bottleneck."""
-    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(list(range(1, 9)))
-    )
-    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
-        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
-    )
-
-
-@register(
-    "q88_bulk_shippers",
-    """
-    SELECT s_suppkey, s_name, n_name
-    FROM supplier
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE s_suppkey IN (
-      SELECT l_suppkey
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE 'hot%'
-        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY l_suppkey, l_partkey
-      HAVING sum(l_quantity) > 40
-    )
-    """,
-    "TPC-H Q20 shape: nested semi-join chain — per-(supplier,part) HAVING feeds an IN-subquery",
-)
-def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The p_name prefix filter prunes part before its join (plan-asserted
-    pattern, cf. q69); the HAVING runs on the grouped fact — the IN collapses
-    to a LeftSemi join on s_suppkey, so the supplier table is never
-    multiplied. nation is broadcast."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("hot%")).select("p_partkey")
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= _ntz(dt.datetime(1997, 1, 1)))
-        & (F.col("l_shipdate") < _ntz(dt.datetime(1998, 1, 1)))
-    )
-    heavy = (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 40)
-        .select("l_suppkey")
-    )
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_name", "n_name")
-    )
-
-
-@register(
-    "q89_sole_returning_supplier",
-    """
-    WITH per AS (
-      SELECT l_orderkey, l_suppkey,
-             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
-      FROM lineitem
-      JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
-      GROUP BY l_orderkey, l_suppkey
-    ), ostats AS (
-      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, CAST(sum(ret) AS BIGINT) AS n_ret
-      FROM per GROUP BY l_orderkey
-    )
-    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM per
-    JOIN ostats USING (l_orderkey)
-    JOIN supplier ON s_suppkey = l_suppkey
-    WHERE per.ret = 1 AND ostats.n_supp > 1 AND ostats.n_ret = 1
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name
-    LIMIT 20
-    """,
-    "TPC-H Q21 shape: correlated EXISTS/NOT-EXISTS over co-suppliers, decorrelated to per-order aggregates",
-)
-def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21's 'exists another supplier / not exists another late supplier'
-    pair (l_returnflag='R' stands in for the missing receipt-vs-commit
-    lateness) is decorrelated by hand into per-order aggregates: one
-    grouped pass computes each order's supplier count and returning-supplier
-    count, and the exists/not-exists becomes (n_supp > 1 AND n_ret = 1) —
-    two shuffles on the same l_orderkey key instead of two correlated
-    subquery joins that each re-scan lineitem. The finished-orders filter
-    pushes into the orders scan before its join."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    per = (
-        _t(spark, sf_dir, "lineitem")
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"))
-    )
-    ostats = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret")
-    )
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        per.filter(F.col("ret") == 1)
-        .join(ostats.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1)), "l_orderkey", "left_semi")
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(20)
-    )
-
-
-# --------------------------------------------------------------------------
-# q90–q93 — training-data-pipeline extensions round 3: a deterministic
-# distinct-count sketch, an exact-size stratified sample, a z-order
-# clustering key (multi-dimensional data-skipping layout), and TF-IDF
-# top-terms. All hash-oracle-able: every stochastic-looking step is a pure
-# function of row keys via the portable md5 scheme (functions/texthash.py),
-# so DuckDB replays the exact computation.
-# --------------------------------------------------------------------------
-def _hex_int_sql(inner: str, ndigits: int) -> str:
-    """DuckDB SQL for the first ``ndigits`` hex digits of md5(inner) as an
-    integer — the oracle twin of ``F.conv(F.substring(F.md5(...), 1, n), 16,
-    10)`` (DuckDB has no base-conv function; strpos over the hex alphabet)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substring(md5({inner}),{i + 1},1))-1)*{16 ** (ndigits - 1 - i)}"
-            for i in range(ndigits)
-        )
-        + ")"
-    )
-
-
-_Q90_THETA = 1 << 30  # keep hashes below 2^30 of the 2^32 space → θ = 1/4
-
-
-@register(
-    "q90_theta_distinct_sketch",
-    f"""
-    SELECT event_type,
-           CAST(count(DISTINCT h) * 4 AS BIGINT) AS est_distinct_users,
-           CAST(count(DISTINCT h) AS BIGINT) AS sampled_distinct
-    FROM (
-      SELECT event_type, {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} AS h
-      FROM events
-    )
-    WHERE h < {_Q90_THETA}
-    GROUP BY event_type
-    """,
-    "theta-sketch distinct count: fixed-threshold KMV over a portable hash — map-side filter prunes 3/4 of the key space before the shuffle",
-)
-def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-user estimate per event type via a θ=1/4 threshold sketch:
-    hash every user to 32 bits, keep only hashes below θ·2^32 (a map-side
-    filter — at 100 TB this prunes the shuffle to a quarter of the distinct
-    keys before any exchange), count the survivors exactly, scale by 1/θ.
-    Unlike approx_count_distinct (whose HLL registers are engine-internal
-    and not reproducible in an oracle), the sketch is a pure function of the
-    data via the portable md5 hash — DuckDB computes the identical estimate,
-    collisions and all. Two-phase: distinct (type, h) partials combine
-    map-side, the final count is exact over the θ-sample."""
-    e = _t(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
-    return (
-        e.select("event_type", h.alias("h"))
-        .filter(F.col("h") < _Q90_THETA)
-        .groupBy("event_type")
-        .agg(F.count_distinct(F.col("h")).alias("sampled_distinct"))
-        .select(
-            "event_type",
-            (F.col("sampled_distinct") * 4).alias("est_distinct_users"),
-            "sampled_distinct",
-        )
-    )
-
-
-@register(
-    "q91_stratified_topn_sample",
-    f"""
-    SELECT doc_id, lang, rank
-    FROM (
-      SELECT doc_id, lang,
-             CAST(row_number() OVER (
-               PARTITION BY lang
-               ORDER BY {_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)}, doc_id
-             ) AS BIGINT) AS rank
-      FROM documents
-    )
-    WHERE rank <= 16
-    """,
-    "exact-size deterministic stratified sample: n smallest hash values per stratum (complement of q45's rate-based hash sample)",
-)
-def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-n-per-stratum sampling by hash rank: the n documents with the
-    smallest (md5-bucket, doc_id) per language. Unlike rate-based sampling
-    (q45), the output size is exact; unlike df.sample, membership is a pure
-    row-key function — stable across engines, reruns, and partition layouts.
-    The window is partitioned by stratum (grouped shuffle, no global sort);
-    at scale the rank-filter could be preceded by a per-partition top-n
-    combine, which Spark's WindowGroupLimit pushdown already performs for
-    row_number <= k predicates."""
-    from pyspark.sql.window import Window
-
-    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
-
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(hash_bucket(F.col("doc_id")), "doc_id")
-    return (
-        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rank"))
-        .filter(F.col("rank") <= 16)
-    )
-
-
-def _q92_z_sql() -> str:
-    """DuckDB bit-interleave of two 8-bit bucket columns (ub, db)."""
-    terms = [f"(((ub >> {i}) & 1) * {4 ** i} + ((db >> {i}) & 1) * {2 * 4 ** i})" for i in range(8)]
-    return "(" + " + ".join(terms) + ")"
-
-
-@register(
-    "q92_zorder_cells",
-    f"""
-    SELECT z_cell, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM (
-      SELECT user_id, {_q92_z_sql()} AS z_cell
-      FROM (
-        SELECT user_id,
-               CAST(user_id % 256 AS BIGINT) AS ub,
-               CAST(floor(epoch(ts) / 86400) % 256 AS BIGINT) AS db
-        FROM events
-      )
-    )
-    GROUP BY z_cell
-    """,
-    "z-order (Morton) clustering key over (user, day): the multi-dimensional sort key behind data-skipping layouts",
-)
-def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton/z-order cell assignment: interleave the low 8 bits of the user
-    bucket and the epoch-day bucket so rows close in BOTH dimensions land in
-    the same cell. Production use at 100 TB: repartitionByRange(z) before a
-    partitioned write gives files whose min/max stats are tight in user AND
-    time simultaneously — parquet row-group skipping then prunes 2-D
-    predicates that a single-column sort can only prune in one dimension.
-    The query itself audits the layout: per-cell row and user counts. The
-    interleave is pure integer bit arithmetic — map-only, codegen'd, and
-    bit-identical in the oracle."""
-    e = _t(spark, sf_dir, "events")
-    ub = (F.col("user_id") % 256).cast("long")
-    db = (F.floor(F.unix_timestamp("ts") / 86400) % 256).cast("long")
-    z = None
-    for i in range(8):
-        bit_u = F.shiftright(ub, i).bitwiseAND(F.lit(1)) * F.lit(4**i)
-        bit_d = F.shiftright(db, i).bitwiseAND(F.lit(1)) * F.lit(2 * 4**i)
-        z = bit_u + bit_d if z is None else z + bit_u + bit_d
-    return (
-        e.select("user_id", z.alias("z_cell"))
-        .groupBy("z_cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct(F.col("user_id")).alias("n_users"),
-        )
-    )
-
-
-@register(
-    "q93_tfidf_top_terms",
-    """
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
-      FROM documents
-    ), tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
-    ), df AS (
-      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
-    ), n AS (
-      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
-    ), scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             tf.tf * (n.n_docs + 1) / (df.df + 1.0) AS weight
-      FROM tf JOIN df USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tf, df, round(weight, 4) AS weight
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY doc_id ORDER BY weight DESC, term
-      ) AS rnk
-      FROM scored
-    )
-    WHERE rnk <= 3
-    """,
-    "TF-IDF top terms per document: tf x inverse-relative-df weighting, top-3 via per-doc window",
-)
-def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Characteristic terms per document: tf × (N+1)/(df+1) — the log-free
-    odds form of TF-IDF. Log-free on purpose: the ranking then involves only
-    integer products and one IEEE division (both exactly specified), so both
-    engines order candidates bit-identically; ln() comes from each engine's
-    libm and a last-ulp divergence could flip near-ties in the top-3 cut.
-    Plan: one explode feeds tf (grouped by doc,term) and df (grouped by
-    term); df joins back on term — at 100 TB that join is vocabulary-sized
-    on one side and AQE broadcasts it; N is a 1-row broadcast; the top-3 is
-    a WindowGroupLimit-prunable row_number per doc."""
-    from pyspark.sql.window import Window
-
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.count_distinct(F.col("doc_id")).alias("df"))
-    n = toks.agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
-    scored = (
-        tf.join(df_, "term")
-        .join(F.broadcast(n))
-        .withColumn("weight", F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + F.lit(1.0)))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "df", F.round("weight", 4).alias("weight"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q94–q95 — pipeline-operations extensions: budget-constrained data
-# selection (the "fill the token budget with the best data" step of a
-# training-data pipeline) and a PSI distribution-drift monitor (the
-# statistical upgrade of the reference's threshold alarms,
-# src/config/sources/sample_source.yaml:100-107).
-# --------------------------------------------------------------------------
-_Q94_BUDGET = 2000
-
-
-@register(
-    "q94_token_budget_selection",
-    f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             round((least(1.0, ntok / 100.0) + alpha_ratio
-                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
-                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-                   4) AS quality,
-             ntok
-      FROM (
-        SELECT doc_id, lang, n, ntok,
-          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-        FROM (
-          SELECT doc_id, lang, text,
-                 CAST(length(text) AS DOUBLE) AS n,
-                 len(string_split_regex(trim(text), '\\s+')) AS ntok
-          FROM documents
-        )
-      )
-    ), cum AS (
-      SELECT doc_id, lang, quality, ntok,
-             sum(ntok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) - ntok AS cum_before
-      FROM scored
-    )
-    SELECT doc_id, lang, quality, CAST(ntok AS BIGINT) AS n_tokens,
-           CAST(cum_before AS BIGINT) AS cum_tokens_before
-    FROM cum WHERE cum_before < {_Q94_BUDGET}
-    """,
-    "budget-constrained selection: best-quality-first per language until the token budget fills — two-phase stratified prefix sum, never a one-task-per-language window",
-)
-def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy quality-descending selection under a per-language token
-    budget — the data-selection step between scoring (q14) and shard
-    packing (q46). The cumulative sum uses the stratified two-phase prefix
-    sum (operators/sampling.py::stratified_prefix_sum): a language that
-    dominates the corpus is still split across partitions, unlike the
-    Window.partitionBy(lang) spelling the oracle runs, which holds an
-    entire language in one task. Quality is pre-rounded to 4dp (q14's
-    contract), so cross-engine double noise cannot reorder the greedy fill;
-    doc_id breaks ties."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-    from universal_aws_data_pipeline_spark.operators.sampling import stratified_prefix_sum
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    d = _t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        quality_score(F.col("text")).alias("quality"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-    )
-    cum = stratified_prefix_sum(
-        scored,
-        strata_col="lang",
-        order_cols=[F.col("quality").desc(), F.col("doc_id")],
-        weight_col="n_tokens",
-        out_col="cum_tokens_before",
-    )
-    return cum.filter(F.col("cum_tokens_before") < _Q94_BUDGET).select(
-        "doc_id", "lang", "quality", "n_tokens", F.col("cum_tokens_before").cast("long")
-    )
-
-
-_Q95_PIVOT = "2024-01-16 00:00:00"
-_Q95_BINS = 10
-_Q95_WIDTH = 50.0
-
-
-@register(
-    "q95_psi_drift",
-    f"""
-    WITH binned AS (
-      SELECT event_type,
-             least({_Q95_BINS - 1}, greatest(0, CAST(floor(value / {_Q95_WIDTH}) AS BIGINT))) AS bin,
-             CASE WHEN ts < TIMESTAMP '{_Q95_PIVOT}' THEN 1 ELSE 0 END AS is_ref
-      FROM events
-    ), cells AS (
-      SELECT event_type, bin,
-             sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
-      FROM binned GROUP BY event_type, bin
-    ), tot AS (
-      SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
-      FROM cells GROUP BY event_type
-    )
-    SELECT c.event_type,
-           round(sum( ((c.n_ref + 0.5) / (t.t_ref + {0.5 * _Q95_BINS})
-                      - (c.n_cur + 0.5) / (t.t_cur + {0.5 * _Q95_BINS}))
-                     * ln( ((c.n_ref + 0.5) / (t.t_ref + {0.5 * _Q95_BINS}))
-                         / ((c.n_cur + 0.5) / (t.t_cur + {0.5 * _Q95_BINS})) ) ), 4) AS psi,
-           CAST(max(t.t_ref) AS BIGINT) AS n_ref,
-           CAST(max(t.t_cur) AS BIGINT) AS n_cur
-    FROM cells c JOIN tot t USING (event_type)
-    GROUP BY c.event_type
-    """,
-    "PSI distribution-drift monitor per event type: reference-vs-current value histograms in one scan, drift index over the tiny binned table",
-)
-def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between the first and second half-month of
-    each event type's value distribution — the statistical upgrade of the
-    reference's scalar threshold alarms. One fact scan: ref/cur histogram
-    counts come from conditional aggregation over (type, bin); the PSI sum,
-    smoothing, and log-ratios then run on the |types|x|bins| table (tiny).
-    Laplace smoothing (+0.5) keeps empty bins finite. ln() only touches
-    already-aggregated cells, and the result is rounded to 4dp, so libm
-    last-ulp divergence between engines cannot surface. The streaming twin
-    (per-micro-batch PSI vs a static reference histogram) is
-    operators/drift.py::drift_monitor_batch_fn — same cell formula."""
-    from universal_aws_data_pipeline_spark.operators.drift import psi_from_cells
-
-    e = _t(spark, sf_dir, "events")
-    binned = e.select(
-        "event_type",
-        F.least(
-            F.lit(_Q95_BINS - 1),
-            F.greatest(F.lit(0), F.floor(F.col("value") / _Q95_WIDTH).cast("long")),
-        ).alias("bin"),
-        F.when(F.col("ts") < F.lit(_Q95_PIVOT).cast("timestamp_ntz"), 1).otherwise(0).alias("is_ref"),
-    )
-    cells = binned.groupBy("event_type", "bin").agg(
-        F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
-    )
-    return psi_from_cells(cells, "event_type", _Q95_BINS)
-
-
-# --------------------------------------------------------------------------
-# q96 — the composed training-data-prep pipeline, end to end in ONE graded
-# query: exact dedup → quality gate → per-language budget selection → shard
-# assignment. Each stage is an already-graded operator (q07/q14/q94/q46
-# family); this query grades their COMPOSITION — the thing a user actually
-# runs — against a single oracle.
-# --------------------------------------------------------------------------
-_Q96_BUDGET = 1500
-_Q96_SHARD = 500
-
-
-@register(
-    "q96_training_prep_pipeline",
-    f"""
-    WITH dedup AS (
-      SELECT doc_id, lang, text FROM (
-        SELECT doc_id, lang, text,
-               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
-        FROM documents
-      ) WHERE rn = 1
-    ), scored AS (
-      SELECT doc_id, lang,
-             round((least(1.0, ntok / 100.0) + alpha_ratio
-                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
-                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-                   4) AS quality,
-             ntok
-      FROM (
-        SELECT doc_id, lang, n, ntok,
-          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-        FROM (
-          SELECT doc_id, lang, text,
-                 CAST(length(text) AS DOUBLE) AS n,
-                 len(string_split_regex(trim(text), '\\s+')) AS ntok
-          FROM dedup
-        )
-      )
-    ), gated AS (
-      SELECT * FROM scored WHERE quality >= 0.4
-    ), cum AS (
-      SELECT doc_id, lang, quality, ntok,
-             sum(ntok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) - ntok AS cum_before
-      FROM gated
-    )
-    SELECT doc_id, lang, quality, CAST(ntok AS BIGINT) AS n_tokens,
-           CAST(floor(cum_before / {_Q96_SHARD}) AS BIGINT) AS shard_id
-    FROM cum WHERE cum_before < {_Q96_BUDGET}
-    """,
-    "composed training-data prep: exact dedup -> quality gate -> per-language token-budget selection -> shard assignment, one graded pipeline",
-)
-def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full prep pipeline a training-data user runs, as one plan:
-    fingerprint dedup (hash aggregate, q07's operator), quality scoring +
-    gate (map-only, q14's), budget selection per language (stratified
-    two-phase prefix sum, q94's — never a one-task-per-language window),
-    and shard ids derived from the SAME prefix sums (floor(cum/shard) —
-    shard packing without a second pass, q46's contract). Stage fusion
-    matters at scale: Catalyst pipelines dedup's post-shuffle projection,
-    scoring, and the gate into one stage, so the corpus is read once and
-    shuffled twice (dedup key, selection order) total."""
-    from universal_aws_data_pipeline_spark.functions.texthash import md5_fingerprint
-    from universal_aws_data_pipeline_spark.operators.dedup import exact_dedup
-    from universal_aws_data_pipeline_spark.operators.sampling import stratified_prefix_sum
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    deduped = exact_dedup(d.withColumn("fp", md5_fingerprint(F.col("text"))), ["fp"], "doc_id")
-    scored = deduped.select(
-        "doc_id",
-        "lang",
-        quality_score(F.col("text")).alias("quality"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
-    ).filter(F.col("quality") >= 0.4)
-    cum = stratified_prefix_sum(
-        scored,
-        strata_col="lang",
-        order_cols=[F.col("quality").desc(), F.col("doc_id")],
-        weight_col="n_tokens",
-        out_col="cum_before",
-    )
-    return cum.filter(F.col("cum_before") < _Q96_BUDGET).select(
-        "doc_id",
-        "lang",
-        "quality",
-        "n_tokens",
-        F.floor(F.col("cum_before") / _Q96_SHARD).cast("long").alias("shard_id"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q97–q98 — two 100 TB levers graded end-to-end: mergeable-sketch rollups
-# (pre-aggregate once, answer many windows) and bucketed co-located joins
-# (pay the shuffle once at write time, never at query time).
-# --------------------------------------------------------------------------
-@register(
-    "q97_rolling_distinct_sketch",
-    f"""
-    WITH sk AS (
-      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-             {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} AS h
-      FROM events
-      WHERE {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} < {_Q90_THETA}
-    ), days AS (
-      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
-    ), expanded AS (
-      SELECT sk.day + t.k AS day, sk.h
-      FROM sk CROSS JOIN (SELECT unnest(range(7)) AS k) t
-    )
-    SELECT e.day, CAST(count(DISTINCT e.h) * 4 AS BIGINT) AS est_users_7d
-    FROM expanded e JOIN days d ON d.day = e.day
-    GROUP BY e.day
-    """,
-    "mergeable theta-sketch rollup: rolling 7-day distinct users from per-day sketches — the raw data is scanned once, every window is answered from the sketch table",
-)
-def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct-user estimates, computed the way sketches are
-    meant to be used at 100 TB: ONE scan reduces the fact table to per-day
-    theta sketches (day, kept-hash) — θ·D rows per day — and every trailing
-    window is then answered by MERGING sketches (union of kept hashes =
-    distinct over the union of days; θ-sketch merge is exact set union, no
-    accuracy loss). The 7-way expansion explodes the tiny sketch table, not
-    the events table; an exact rolling count-distinct would instead re-scan
-    the raw data once per window (or hold per-day user SETS in a window —
-    unbounded state). Same estimator as q90, so the oracle replays it."""
-    e = _t(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
-    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
-    sk = e.select(day.alias("day"), h.alias("h")).filter(F.col("h") < _Q90_THETA).distinct()
-    days = e.select(day.alias("day")).distinct()
-    expanded = sk.select(
-        "day", "h", F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("_k")
-    ).select((F.col("day") + F.col("_k")).alias("day"), "h")
-    return (
-        expanded.join(days, "day", "left_semi")
-        .groupBy("day")
-        .agg((F.count_distinct(F.col("h")) * 4).alias("est_users_7d"))
-    )
-
-
-@register(
-    "q98_bucketed_colocated_join",
-    """
-    SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-    GROUP BY o_orderpriority
-    """,
-    "bucketed co-located fact-fact join: both tables pre-bucketed on the join key, query-time join is shuffle-free (plan-asserted)",
-)
-def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by order priority over a fact-fact join that never shuffles
-    at query time: lineitem and orders are written ONCE as bucketed tables
-    (16 buckets on the order key, external under the artifact cache), and
-    every subsequent join on that key reads co-located buckets — the
-    100 TB answer to repeated fact-fact joins, where the per-query shuffle
-    is the dominant cost. Results are layout-invariant, so the oracle is
-    the plain join over the original tables; the bucketing win is asserted
-    on the PLAN (no Exchange between the scans and the join) in
-    test_plans.py."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.skew import colocated_join, write_bucketed
-
-    root = _artifact_dir("bucketed", sf_dir)
-    suffix = os.path.basename(root)
-    li_tbl, o_tbl = f"q98_lineitem_{suffix}", f"q98_orders_{suffix}"
-    for tbl, src, cols, key in (
-        (li_tbl, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey"),
-        (o_tbl, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey"),
-    ):
-        p = os.path.join(root, tbl)
-        if not (spark.catalog.tableExists(tbl) and os.path.exists(p)):
-            write_bucketed(
-                _t(spark, sf_dir, src).select(*cols), tbl, key, n_buckets=16, path=p
-            )
-    joined = colocated_join(
-        spark, li_tbl, o_tbl, on=None, how="inner",
-        left_on="l_orderkey", right_on="o_orderkey",
-    )
-    return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q99–q100 — rounding out the pipeline-operator set: quality-proportional
-# deterministic sampling and time-series densification (gap fill).
-# --------------------------------------------------------------------------
-@register(
-    "q99_weighted_hash_sample",
-    f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             round((least(1.0, ntok / 100.0) + alpha_ratio
-                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
-                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-                   4) AS quality,
-             ({_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} + 0.5) / 65536.0 AS u
-      FROM (
-        SELECT doc_id, lang, n, ntok,
-          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-        FROM (
-          SELECT doc_id, lang, text,
-                 CAST(length(text) AS DOUBLE) AS n,
-                 len(string_split_regex(trim(text), '\\s+')) AS ntok
-          FROM documents
-        )
-      )
-    ), qm AS (
-      SELECT lang, max(quality) AS qmax FROM scored GROUP BY lang
-    )
-    SELECT s.doc_id, s.lang, s.quality
-    FROM scored s JOIN qm USING (lang)
-    WHERE s.u < 0.3 * s.quality / qm.qmax
-    """,
-    "quality-proportional deterministic sampling: inclusion probability scales with the quality score, membership is a pure row-key hash function",
-)
-def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted (quality-proportional) sampling without randomness: keep a
-    document when its hash-uniform u = (bucket+0.5)/65536 falls below
-    0.3 x quality/qmax(lang) — better documents are proportionally more
-    likely to survive, membership is reproducible across engines/layouts/
-    reruns (same property as q45's uniform sampler), and every comparison
-    uses only exactly-specified IEEE ops (mul/div/compare — no pow/ln, so
-    no libm divergence at the cut boundary). qmax is a per-language 1-row
-    aggregate, broadcast back; the filter itself is map-side."""
-    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    d = _t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        quality_score(F.col("text")).alias("quality"),
-        ((hash_bucket(F.col("doc_id")) + 0.5) / 65536.0).alias("u"),
-    )
-    qm = scored.groupBy("lang").agg(F.max("quality").alias("qmax"))
-    return (
-        scored.join(F.broadcast(qm), "lang")
-        .filter(F.col("u") < 0.3 * F.col("quality") / F.col("qmax"))
-        .select("doc_id", "lang", "quality")
-    )
-
-
-@register(
-    "q100_timeseries_gapfill",
-    """
-    WITH daily AS (
-      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-             round(sum(value), 2) AS v
-      FROM events GROUP BY user_id, day
-    ), bounds AS (
-      SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id
-    ), grid AS (
-      SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM bounds
-    ), joined AS (
-      SELECT g.user_id, g.day, d.v
-      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
-    )
-    SELECT user_id, day,
-           round(last_value(v IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled,
-           v IS NULL AS is_gap
-    FROM joined
-    """,
-    "time-series densification: per-user daily grid via sequence + forward fill (last ignore-nulls frame) — gap-free series for downstream windows",
-)
-def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Densify each user's daily value series to a gap-free calendar and
-    forward-fill missing days — the preprocessing step rolling windows and
-    change detection assume. The grid comes from sequence(min_day, max_day)
-    exploded per user (bounded by each user's own span, never a global
-    calendar cross join); the fill is last(ignorenulls) over a
-    user-partitioned frame — per-user state only. Cell sums are rounded
-    BEFORE the fill so both engines propagate identical values."""
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")
-    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
-    daily = e.groupBy(F.col("user_id"), day.alias("day")).agg(F.round(F.sum("value"), 2).alias("v"))
-    bounds = daily.groupBy("user_id").agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-    grid = bounds.select("user_id", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"))
-    joined = grid.join(daily, ["user_id", "day"], "left_outer")
-    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
-        "user_id",
-        "day",
-        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("value_filled"),
-        F.col("v").isNull().alias("is_gap"),
-    )
-
-
-@register(
-    "q101_span_dedup_profile",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM documents
-    ), spans AS (
-      SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-        THEN list_distinct(list_transform(range(1, len(t) - 6),
-             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
-        ELSE [norm] END) AS span
-      FROM t
-    ), owned AS (
-      SELECT doc_id, min(doc_id) OVER (PARTITION BY span) AS first_doc FROM spans
-    )
-    SELECT doc_id, count(*) AS n_spans,
-           round(avg(CASE WHEN first_doc < doc_id THEN 1.0 ELSE 0.0 END), 4) AS dup_span_frac,
-           round(avg(CASE WHEN first_doc < doc_id THEN 1.0 ELSE 0.0 END), 4) >= 0.5 AS is_span_dup
-    FROM owned GROUP BY doc_id
-    """,
-    "cross-document duplicated-span profile (Lee et al. exact-substring dedup diagnostic): per-doc fraction of 8-token spans already seen in an earlier doc (X2)",
-)
-def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-granular exact dedup diagnostic: which documents are mostly made
-    of 8-token spans that an earlier document already contains. One shuffle
-    on the span key (min-over-partition window, no ORDER BY so no per-group
-    sort) + a doc-id rollup; see operators/dedup.py::span_overlap_profile."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan, span_overlap_profile
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return span_overlap_profile(d, span_n=8, dup_threshold=0.5)
-
-
-@register(
-    "q102_heavy_hitters",
-    f"""
-    WITH toks AS (
-      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
-    ), tot AS (SELECT count(*) AS n FROM toks)
-    SELECT tok, count(*) AS cnt
-    FROM toks, tot
-    GROUP BY tok, n
-    HAVING count(*) * 30 > n
-    """,
-    "exact heavy hitters (tokens with frequency > N/30) via two-pass Misra-Gries-style candidate mining + exact recount (X4, mergeable-sketch family)",
-)
-def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus heavy hitters without a full-vocabulary shuffle: pass 1
-    mines per-partition candidates (local count > local_total/k — a
-    guaranteed superset of the global answer by the averaging argument),
-    pass 2 recounts ONLY candidates via a broadcast semi-join. Shuffle
-    bytes are O(candidates x partitions), not O(distinct tokens) — the
-    difference between word vocab and n-gram/URL vocab at 100 TB. The
-    oracle is the brute-force single-groupBy answer: a hash match proves
-    the pruning lost nothing. See operators/sketch.py."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-    from universal_aws_data_pipeline_spark.operators.sketch import heavy_hitters_exact
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("text"))
-    return heavy_hitters_exact(d, text_col="text", k=30)
-
-
-@register(
-    "q103_lm_perplexity",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
-    ), bgl AS (
-      SELECT doc_id, list_transform(range(1, len(t)), i -> [t[i], t[i+1]]) AS pairs
-      FROM toks WHERE len(t) >= 2
-    ), bg AS (
-      SELECT doc_id, unnest(pairs) AS p FROM bgl
-    ), bg2 AS (
-      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg
-    ), uni AS (
-      SELECT tok AS w1, count(*) AS c1
-      FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
-      GROUP BY tok
-    ), bgc AS (
-      SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY w1, w2
-    ), v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni)
-    SELECT doc_id, count(*) AS n_bigrams,
-           round(avg(-ln((c2 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_nll
-    FROM bg2 JOIN bgc USING (w1, w2) JOIN uni USING (w1), v
-    GROUP BY doc_id
-    """,
-    "CCNet-style corpus-LM quality score: add-alpha word-bigram model trained on the corpus, per-doc mean negative log-likelihood (X4)",
-)
-def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-on-the-corpus bigram LM scoring (the CCNet quality-filter shape
-    with a transparent bigram model instead of downloaded KenLM weights):
-    the 'model' is two count tables built by map-side-combined groupBys;
-    scoring is two equi-joins on vocab-sized tables (AQE broadcasts them
-    when small). parallelize_text_scan spreads the CPU-bound
-    normalize+bigram map off the single-file scan split (measured 14.5 s →
-    2.6 s at sf0.1 on local[32]). See operators/text.py::bigram_lm_scores."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-    from universal_aws_data_pipeline_spark.operators.text import bigram_lm_scores
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return bigram_lm_scores(d, alpha=0.5)
-
-
-def _q104_oracle() -> str:
-    cos = _cos_sql("s.embedding", "s.qv")
-    return f"""
-    WITH base AS (
-      SELECT vec_id, embedding,
-             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS s
-      FROM embeddings
-    ), qz AS (
-      SELECT vec_id, embedding, s,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) AS q
-      FROM base
-    ), queries AS (
-      SELECT vec_id AS q_id, embedding AS qv, s AS q_scale, q AS qq
-      FROM qz WHERE vec_id % 101 = 0
-      ORDER BY vec_id LIMIT {_MAX_DRIVER_QUERIES}
-    ), scored AS (
-      SELECT c.vec_id AS id, q.q_id, c.embedding, q.qv,
-             (c.s * q.q_scale) * CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * q.qq[i])) AS DOUBLE) AS approx
-      FROM qz c, queries q
-    ), short AS (
-      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, id) AS rn FROM scored
-    ), s AS (SELECT * FROM short WHERE rn <= 30), exact AS (
-      SELECT q_id, id, round({cos}, 6) AS cos_sim FROM s
-    )
-    SELECT q_id, id, cos_sim FROM (
-      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, id) AS rk FROM exact
-    ) WHERE rk <= 10
-    """
-
-
-@register(
-    "q104_quantized_ann",
-    _q104_oracle(),
-    "int8 scalar-quantized cosine shortlist + exact float re-rank — deterministic two-stage ANN, fully oracle-able (X3)",
-)
-def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN tier 4: per-vector symmetric int8 quantization (scale = max|x|/127),
-    integer-dot shortlist of 30 per query, exact cosine re-rank to top-10.
-    Every stage is deterministic arithmetic — unlike LSH/IVF this tier hash-
-    matches a SQL oracle that replays the identical pipeline. Queries =
-    first _MAX_DRIVER_QUERIES (32) of vec_id % 101 == 0 (collected driver-side
-    like q17's single lookup; the query set is literal-broadcast, so the
-    corpus is scanned once for all queries with no join). The LIMIT is the
-    point, not a fixture detail: a driver-collected query set must be
-    BOUNDED BY CONTRACT or a 100x corpus silently collects 100x more rows
-    into the plan. See operators/similarity.py::quantized_cosine_topk."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-    from universal_aws_data_pipeline_spark.operators.similarity import quantized_cosine_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") % 101 == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(_MAX_DRIVER_QUERIES)
-        .collect()
-    )
-    assert len(qrows) <= _MAX_DRIVER_QUERIES  # collected literals stay bounded
-    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
-    # spread the CPU-bound quantize+dot map off the single-file scan split
-    # (results are partitioning-invariant: row_number ties break on id)
-    out = quantized_cosine_topk(parallelize_text_scan(e), queries, k=10, shortlist=30, id_col="vec_id")
-    return out.select(F.col("q_id").cast("long").alias("q_id"), "id", "cos_sim")
-
-
-@register(
-    "q105_quality_calibration",
-    f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
-             round((least(1.0, ntok / 100.0) + alpha_ratio
-                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
-                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-                   4) AS quality
-      FROM (
-        SELECT doc_id, lang, n, ntok,
-          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-        FROM (
-          SELECT doc_id, lang, text,
-                 CAST(length(text) AS DOUBLE) AS n,
-                 len(string_split_regex(trim(text), '\\s+')) AS ntok
-          FROM documents
-        )
-      )
-    ), hist AS (
-      SELECT lang, quality, count(*) AS c FROM scored GROUP BY lang, quality
-    ), cum AS (
-      SELECT lang, quality, c,
-             sum(c) OVER (PARTITION BY lang ORDER BY quality
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
-             sum(c) OVER (PARTITION BY lang) AS n
-      FROM hist
-    ), cuts AS (
-      SELECT lang, min(quality) AS qcut
-      FROM cum WHERE cumc >= ceil(0.3 * n) GROUP BY lang
-    )
-    SELECT s.doc_id, s.lang, s.quality, c.qcut, s.quality >= c.qcut AS kept
-    FROM scored s JOIN cuts c USING (lang)
-    """,
-    "per-language quality-threshold calibration: exact 30th-percentile cutoff from a (lang, quality) histogram — keep the top 70% of each language (X4/X6 family)",
-)
-def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentile-calibrated quality gating (the 'keep the best 70% of each
-    language' step of a filtering pipeline, with the cutoff LEARNED from the
-    corpus rather than hand-set): the exact per-language order statistic
-    comes from a (lang, quality) histogram — quality is 4-dp quantized, so
-    the histogram is ≤ |langs|·10^4 rows and the cumulative window runs on
-    that tiny aggregate, never on per-document rows (a corpus-dominating
-    language would pin a whole-row window to one task; the histogram path
-    is immune). Pure integer compares — no interpolation, no libm — so the
-    cutoff is bit-identical in the oracle. See
-    operators/sampling.py::quantile_cutoff_by_group."""
-    from universal_aws_data_pipeline_spark.operators.sampling import quantile_cutoff_by_group
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    d = _t(spark, sf_dir, "documents")
-    scored = d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
-    cuts = quantile_cutoff_by_group(scored, "lang", "quality", 0.3)
-    return scored.join(F.broadcast(cuts), "lang").select(
-        "doc_id", "lang", "quality", "qcut", (F.col("quality") >= F.col("qcut")).alias("kept")
-    )
-
-
-@register(
-    "q106_temperature_rebalance",
-    f"""
-    WITH counts AS (
-      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
-    ), z AS (
-      SELECT sum(sqrt(n)) AS z, sum(n) AS tot FROM counts
-    ), rates AS (
-      SELECT lang, 0.25 * tot * sqrt(n) / (z * n) AS rate FROM counts, z
-    )
-    SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
-    FROM documents d JOIN rates r USING (lang)
-    WHERE ({_hex_int_sql("CAST(d.doc_id AS VARCHAR)", 4)} + 0.5) / 65536.0 < r.rate
-    """,
-    "temperature-flattened language rebalancing (T=0.5): deterministic-hash sampling with per-language rate ∝ sqrt(n)/n — kept counts ∝ sqrt(n), tail languages upweighted (X6 family)",
-)
-def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multilingual mixture rebalancing at T=0.5 (kept counts ∝ sqrt of the
-    natural counts — the flattening GPT-3/XLM-R style pipelines apply before
-    training). T is fixed at 0.5 BY DESIGN: sqrt is IEEE-correctly-rounded,
-    so the cut boundary needs no pow/ln and the membership predicate is
-    bit-identical in the oracle. Rates ride a |langs|-row broadcast; the
-    corpus pays one scan + map-side hash filter. See
-    operators/sampling.py::temperature_rebalance."""
-    from universal_aws_data_pipeline_spark.operators.sampling import temperature_rebalance
-
-    d = _t(spark, sf_dir, "documents")
-    return temperature_rebalance(d, group_col="lang", key_col="doc_id", fraction=0.25)
-
-
-def _q107_oracle() -> str:
-    cos = _cos_sql("e.embedding", "qv.q")
-    return f"""
-    WITH base AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
-    ), d AS (
-      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-             CAST(len(list_filter(t, x -> x = 'hash'))   AS DOUBLE) AS tf0,
-             CAST(len(list_filter(t, x -> x = 'join'))   AS DOUBLE) AS tf1,
-             CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf2
-      FROM base
-    ), s AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-      FROM d
-    ), lex AS (
-      SELECT doc_id AS id,
-             round(  ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                   + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                   + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
-      FROM d, s
-      WHERE tf0 + tf1 + tf2 > 0
-      ORDER BY bm25 DESC, doc_id
-      LIMIT 20
-    ), lexr AS (
-      SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r0 FROM lex
-    ), qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0
-    ), dense AS (
-      SELECT e.vec_id AS id, round({cos}, 6) AS cos_sim
-      FROM embeddings e, qv
-      ORDER BY cos_sim DESC, e.vec_id
-      LIMIT 20
-    ), denser AS (
-      SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS r1 FROM dense
-    ), fused AS (
-      SELECT coalesce(a.id, b.id) AS id,
-             round(  CASE WHEN a.r0 IS NOT NULL THEN 1.0 / (60.0 + a.r0) ELSE 0.0 END
-                   + CASE WHEN b.r1 IS NOT NULL THEN 1.0 / (60.0 + b.r1) ELSE 0.0 END, 6) AS rrf,
-             (CASE WHEN a.r0 IS NOT NULL THEN 1 ELSE 0 END
-              + CASE WHEN b.r1 IS NOT NULL THEN 1 ELSE 0 END) AS n_legs
-      FROM lexr a FULL OUTER JOIN denser b USING (id)
-    )
-    SELECT id, rrf, n_legs FROM fused ORDER BY rrf DESC, id LIMIT 10
-    """
-
-
-@register(
-    "q107_hybrid_rrf",
-    _q107_oracle(),
-    "hybrid retrieval: BM25 lexical leg + exact-cosine dense leg fused by reciprocal-rank fusion (1/(60+rank)) — rank-based, fully deterministic (X3/X10)",
-)
-def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search, the modern retrieval default: the lexical leg is the
-    q78 BM25 ranker (row-local tf, 1-row stats broadcast), the dense leg is
-    the q17 exact-cosine ranker (map-only TakeOrdered), and the combiner is
-    reciprocal-rank fusion — integer ranks only, so the fused score is
-    bit-identical cross-engine (no score normalization games). Both legs'
-    corpus scans are the expensive part and keep their one-pass shapes; the
-    fusion joins two ≤20-row lists. The fixture treats vec_id as the
-    embedding of doc_id (parallel id spaces). See
-    operators/retrieval.py::rrf_fuse."""
-    from universal_aws_data_pipeline_spark.operators.retrieval import bm25_topk, rrf_fuse
-    from universal_aws_data_pipeline_spark.operators.similarity import cosine_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    lex = bm25_topk(docs, ["hash", "join", "vector"], id_col="doc_id", text_col="text", k=20)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    dense = cosine_topk(emb, qvec, k=20, id_col="vec_id")
-    legs = [
-        (lex.withColumnRenamed("doc_id", "id"), "bm25"),
-        (dense.withColumnRenamed("vec_id", "id"), "cos_sim"),
-    ]
-    return rrf_fuse(legs, id_col="id", const=60, k=10)
-
-
-def _q108_oracle() -> str:
-    def bit(w: int) -> str:
-        s = f"(({w} * n) // 64)"
-        e = f"((({w} + 1) * n) // 64)"
-        return (
-            f"CASE WHEN {e} > {s} AND "
-            f"CAST(list_sum(av[({s} + 1):{e}]) AS DOUBLE) / ({e} - {s}) > mu "
-            "THEN '1' ELSE '0' END"
-        )
-
-    bits = ",\n             ".join(bit(w) for w in range(64))
-    return f"""
-    WITH b AS (
-      SELECT doc_id, text, length(text) AS n FROM documents
-    ), a AS (
-      SELECT doc_id, n,
-             list_transform(range(1, n + 1), i -> ascii(substring(text, i, 1))) AS av
-      FROM b
-    ), m AS (
-      SELECT doc_id, n, av, CAST(list_sum(av) AS DOUBLE) / n AS mu FROM a
-    )
-    SELECT doc_id,
-           concat({bits}) AS phash
-    FROM m
-    """
-
-
-@register(
-    "q108_perceptual_hash",
-    _q108_oracle(),
-    "64-bit perceptual average-hash per binary payload (byte-window stub decode) — the image near-dup signature; bit-exact across engines (X5)",
-)
-def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual aHash over the multimodal payload column: every byte sum
-    is an exact integer in float64, so the 64 window-mean comparisons are
-    bit-identical in the oracle — the full 64-bit signature hash-grades as
-    a string. Pairing (band equi-join + pigeonhole-guaranteed Hamming
-    verify, image_neardup_pairs) is pinned separately in
-    tests/test_multimodal.py — the pair table on this fixture is 1 row, so
-    the 500-row signature table is the stronger graded artifact. Arrow
-    mapInPandas kernel; PIL branch takes over per-payload when real image
-    bytes decode. See operators/multimodal.py::perceptual_hash."""
-    from universal_aws_data_pipeline_spark.operators.multimodal import (
-        attach_binary_payload,
-        perceptual_hash,
-    )
-
-    d = _t(spark, sf_dir, "documents")
-    return perceptual_hash(attach_binary_payload(d))
-
-
-@register(
-    "q109_cohort_triangle",
-    """
-    WITH wk AS (
-      SELECT DISTINCT user_id,
-             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
-      FROM events
-    ), cohort AS (
-      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
-    )
-    SELECT c.cohort_week,
-           CAST(w.week - c.cohort_week AS INTEGER) AS offset_weeks,
-           count(*) AS n_users
-    FROM wk w JOIN cohort c USING (user_id)
-    GROUP BY c.cohort_week, offset_weeks
-    """,
-    "full cohort-retention triangle: users per (first-activity week, week offset) — the complete retention matrix, not just week-over-week (W family)",
-)
-def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort triangle (the complete retention matrix behind every cohort
-    chart): dedupe activity to (user, epoch-week), derive each user's cohort
-    as min(week) — a hash-agg, map-side combined — then count users per
-    (cohort, offset). Three aggregations + one equi-join on user_id, every
-    stage on deduped user×week tables, never raw events². Weeks are pure
-    epoch arithmetic (floor(epoch/604800)) so a non-UTC driver session
-    cannot shift boundary events (the q61 lesson); counts per (cohort,
-    offset) need no distinct — (user, week) is already unique."""
-    e = _t(spark, sf_dir, "events")
-    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
-    wk = e.select("user_id", week.alias("week")).distinct()
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    return (
-        wk.join(cohort, "user_id")
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).cast("int").alias("offset_weeks"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@register(
-    "q110_containment_dedup",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM documents
-    ), sh AS (
-      SELECT doc_id, CASE WHEN len(t) >= 3
-        THEN list_distinct(list_transform(range(1, len(t) - 1),
-             i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-        ELSE [norm] END AS s
-      FROM t
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4) AS containment
-    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
-    """,
-    "exact shingle-containment join (truncated-copy detection): ordered pairs with |Sa∩Sb|/|Sa| >= 0.8 via asymmetric prefix filter — oracle is brute-force ALL ordered pairs, hash match proves the pruning lost nothing (X2)",
-)
-def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment dedup — the truncated-copy detector symmetric Jaccard
-    misses (an excerpt of a 10x-longer doc has J ≈ 0.1 but containment
-    1.0). Asymmetric prefix filter: contained side joins its rarity-prefix,
-    container side joins ALL its shingles (no length restriction on the
-    container — that's the point); positional + length prunes before exact
-    verification. Oracle is brute-force all ordered pairs.
-    See operators/dedup.py::containment_pairs_prefix_filter."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.dedup import (
-        containment_pairs_prefix_filter,
-        parallelize_text_scan,
-        shingle_index_table,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # build-once shingle+digest artifact (documents-only corpus — q15/q75's
-    # cache covers documents ∪ mutated, a different pair universe)
-    sh_path = os.path.join(_artifact_dir("shingles", sf_dir), "q110")
-    if not _parquet_ready(sh_path):
-        shingle_index_table(parallelize_text_scan(d), "doc_id", "text", 3).write.mode("overwrite").parquet(sh_path)
-    shingled = spark.read.parquet(sh_path)
-    return containment_pairs_prefix_filter(d, threshold=0.8, shingle_n=3, shingled=shingled)
-
-
-# --------------------------------------------------------------------------
-# q111 — Gopher/MassiveText quality-rule battery (X4 family).
-# Operators: full published rule set (word-count bounds, mean word length,
-# symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
-# required-stopword gate) as ONE map-only expression battery.
-# Scale: zero shuffles — every signal is a row-local array/regex tally and
-# the keep decision is a conjunction of exact integer-division compares, so
-# the battery runs at parquet-scan speed and the DECISIONS hash-grade.
-# --------------------------------------------------------------------------
-@register(
-    "q111_gopher_rules",
-    f"""
-    WITH w AS (
-      SELECT doc_id, text,
-             string_split_regex(trim(text), '\\s+') AS words,
-             string_split({_NORM_SQL}, ' ') AS toks,
-             string_split(text, chr(10)) AS lines
-      FROM documents
-    ), sig AS (
-      SELECT doc_id,
-             CAST(len(words) AS BIGINT) AS n_words,
-             CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mean_word_len,
-             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words) AS alpha_word_frac,
-             CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-               / len(words) AS symbol_ratio,
-             CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
-               / len(lines) AS bullet_line_frac,
-             CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
-               / len(lines) AS ellipsis_line_frac,
-             CAST(len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS BIGINT)
-               AS n_stop_hits
-      FROM w
-    )
-    SELECT doc_id, n_words,
-           round(mean_word_len, 4) AS mean_word_len,
-           round(alpha_word_frac, 4) AS alpha_word_frac,
-           round(symbol_ratio, 4) AS symbol_ratio,
-           n_stop_hits,
-           (n_words >= 50 AND n_words <= 100000
-            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND symbol_ratio <= 0.1
-            AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
-            AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS kept
-    FROM sig
-    """,
-    "full Gopher/MassiveText quality-rule battery: word-count/word-length/symbol/bullet/ellipsis/alpha/stopword rules as one map-only pass; keep decisions hash-graded (X4)",
-)
-def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The published MassiveText filter (Gopher, Rae et al. 2021, App. A) as
-    a graded query: per-doc signals + the keep flag. All signals are exact
-    integer tallies divided once, so both the 4-dp display values AND the
-    unrounded threshold decisions are bit-identical in the oracle — the
-    whole rule battery is verifiable, not just eyeballed. Map-only: one
-    corpus scan, no shuffle. See operators/text.py::gopher_profile."""
-    from universal_aws_data_pipeline_spark.operators.text import gopher_profile
-
-    return gopher_profile(_t(spark, sf_dir, "documents"))
-
-
-# --------------------------------------------------------------------------
-# q112 — bloom-filter fast-path incremental exact dedup (X1 at scale).
-# Operators: distributed bloom build (tree-ORed per-partition bitmaps),
-# map-side membership probe, confirm anti-join for hits only.
-# Scale: the ingest-time exact-dedup lever — novel docs (the vast majority
-# of any real batch) are admitted with ZERO shuffle; only bloom hits (true
-# dups + <1% FP) pay the corpus join. The result is EXACT regardless of
-# filter sizing, which is why the plain anti-join oracle hash-grades it.
-# --------------------------------------------------------------------------
-@register(
-    "q112_bloom_dedup",
-    """
-    WITH batch AS (
-      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
-      UNION ALL
-      SELECT doc_id + 200000 AS doc_id,
-             text || ' novel marker ' || CAST(doc_id AS VARCHAR) AS text
-      FROM documents WHERE doc_id % 5 = 1
-    )
-    SELECT b.doc_id, length(b.text) AS n_chars
-    FROM batch b ANTI JOIN documents c ON b.text = c.text
-    """,
-    "bloom-filter fast-path exact dedup: ingest batch (50%% exact copies, 50%% novel) probed map-side against a stored corpus bloom; only hits pay the confirm join — result exact, oracle is the plain anti-join (X1)",
-)
-def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-time exact dedup through the Bloom fast path: the corpus
-    filter is built once per dataset (stored under the artifact cache, same
-    discipline as the LSH/IVF indexes), each batch probes it map-side, and
-    only bloom hits are confirmed against the corpus. The oracle is the
-    plain ``batch ANTI JOIN corpus`` — a hash match proves the fast path
-    changed WHERE the work happens, not WHAT comes out.
-    See operators/bloom.py."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.bloom import (
-        bloom_dedup_filter,
-        build_bloom,
-        load_bloom,
-        save_bloom,
-    )
-
-    d = _t(spark, sf_dir, "documents")
-    dup_side = d.filter(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    novel_side = d.filter(F.col("doc_id") % 5 == 1).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" novel marker "), F.col("doc_id").cast("string")).alias("text"),
-    )
-    batch = dup_side.unionByName(novel_side)
-    bloom_path = _artifact_dir("bloom_text", sf_dir)
-    if os.path.exists(os.path.join(bloom_path, "meta.json")):
-        bloom = load_bloom(bloom_path)
-    else:
-        bloom = build_bloom(d, "text")
-        save_bloom(bloom, bloom_path)
-    kept = bloom_dedup_filter(batch, d, "text", bloom)
-    return kept.select("doc_id", F.length("text").alias("n_chars"))
-
-
-# --------------------------------------------------------------------------
-# q113 — DSIR importance weighting for data selection (X6 family).
-# Operators: hashed-n-gram bag-of-buckets importance model (Xie et al. 2023),
-# per-doc log importance weight in integer micro-nats.
-# Scale: the model is a 256-row table (vocab-independent); training is one
-# conditional agg over the token stream, scoring one broadcast join + an
-# EXACT integer sum per doc — order-independent, so it hash-grades.
-# --------------------------------------------------------------------------
-@register(
-    "q113_dsir_weights",
-    f"""
-    WITH bt AS (
-      SELECT doc_id, source = 'src0' AS tgt,
-             {_hex_int_sql("tok", 4)} % 256 AS bucket
-      FROM (
-        SELECT doc_id, source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-        FROM documents
-      )
-    ), counts AS (
-      SELECT bucket,
-             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-             sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
-      FROM bt GROUP BY bucket
-    ), w AS (
-      SELECT bucket,
-             CAST(round((ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)))
-                        * 1000000.0, 0) AS BIGINT) AS lw_micro
-      FROM (SELECT bucket, ct, cr, sum(ct) OVER () AS nt, sum(cr) OVER () AS nr FROM counts)
-    )
-    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(w.lw_micro) AS BIGINT) AS weight_micro
-    FROM bt b JOIN w USING (bucket)
-    GROUP BY b.doc_id
-    """,
-    "DSIR importance resampling weights: hashed-unigram bucket multinomials (target = src0 vs raw), per-doc log importance weight as an exact integer micro-nat sum (X6)",
-)
-def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data selection via importance resampling (the DSIR recipe): fit
-    target-vs-raw bag-of-hashed-buckets multinomials, score every doc by
-    sum ln(p_t/p_r) over its tokens. The per-bucket log ratio is quantized
-    to micro-nats on the 256-row model table, so per-doc scores are exact
-    BIGINT sums — the one float surface is 512 ln calls on well-separated
-    values. See operators/dsir.py."""
-    from universal_aws_data_pipeline_spark.operators.dsir import dsir_scores
-
-    d = _t(spark, sf_dir, "documents")
-    return dsir_scores(d, F.col("source") == "src0")
-
-
-# --------------------------------------------------------------------------
-# q114 — span surgery: exact-substring dedup that REWRITES text (X2 family).
-# Operators: occurrence-level span ownership (min-doc window on a 60-bit
-# digest), per-doc duplicated-start lists, row-local token excision.
-# Scale: one digest shuffle + one per-doc fold; the excision is a
-# higher-order array filter — no per-token rows ever shuffle. The oracle
-# replays RAW span strings (a digest collision would surface, not hide).
-# --------------------------------------------------------------------------
-@register(
-    "q114_span_surgery",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
-    ), sp AS (
-      SELECT doc_id, pos,
-             concat_ws(' ', tk[pos+1], tk[pos+2], tk[pos+3], tk[pos+4],
-                            tk[pos+5], tk[pos+6], tk[pos+7], tk[pos+8]) AS span
-      FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS pos
-            FROM t WHERE len(tk) >= 8)
-    ), owned AS (
-      SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY span) AS owner FROM sp
-    ), covered AS (
-      SELECT DISTINCT d.doc_id, d.pos + r.range AS j
-      FROM (SELECT doc_id, pos FROM owned WHERE owner < doc_id) d, range(8) r
-    ), toks AS (
-      SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS j FROM t
-    ), kept AS (
-      SELECT tk.doc_id, tk.tok, tk.j
-      FROM toks tk LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.j = c.j
-      WHERE c.j IS NULL
-    )
-    SELECT t.doc_id,
-           CAST(len(t.tk) AS BIGINT) AS n_tokens,
-           CAST(len(t.tk) - count(k.j) AS BIGINT) AS n_removed,
-           coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS cleaned_text
-    FROM t LEFT JOIN kept k USING (doc_id)
-    GROUP BY t.doc_id, len(t.tk)
-    """,
-    "span surgery (Lee et al. exact-substring dedup, acting form): 8-token spans owned by an earlier doc are excised token-precisely from later docs; per-doc cleaned text hash-graded (X2)",
-)
-def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The acting half of exact-substring dedup: q101 diagnoses duplicated
-    spans, this query REMOVES them — syndicated passages and boilerplate
-    excised from later documents token-precisely, novel remainder kept
-    (what a training-data pipeline actually ships). Cross-doc,
-    occurrence-level; sub-``span_n`` docs pass untouched.
-    See operators/dedup.py::remove_duplicated_spans."""
-    from universal_aws_data_pipeline_spark.operators.dedup import (
-        parallelize_text_scan,
-        remove_duplicated_spans,
-    )
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return remove_duplicated_spans(d, span_n=8)
-
-
-# --------------------------------------------------------------------------
-# q115 — PageRank over the customer<->supplier trade graph (iterative).
-# Operators: power iteration in exact BIGINT micro-units — the one device
-# that makes an iterative NUMERIC algorithm hash-gradable (float PageRank
-# would drift by summation order; integer floor-div replays bit-exact).
-# Scale: per iteration one shuffle join + one hash agg (map-side combine
-# absorbs celebrity in-degree); edges/ranks localCheckpoint()ed so the
-# 5-round plan never re-executes upstream; no per-round driver action.
-# Oracle: the same recurrence unrolled as 5 chained CTEs.
-# --------------------------------------------------------------------------
-_PR_TOTAL = 1_000_000_000_000
-
-
-def _pr_step(k: int) -> str:
-    prev = "r0" if k == 1 else f"it{k - 1}"
-    return f"""
-    it{k} AS (
-      SELECT d.node, d.outdeg,
-             CAST((15 * {_PR_TOTAL}) // (100 * nn.n)
-                  + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
-      FROM deg d CROSS JOIN nn
-      LEFT JOIN (
-        SELECT e.dst AS node, sum(p.r // p.outdeg) AS contrib
-        FROM edges e JOIN {prev} p ON e.src = p.node
-        GROUP BY e.dst
-      ) c ON d.node = c.node
-    )"""
-
-
-@register(
-    "q115_trade_pagerank",
-    f"""
-    WITH pairs AS (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    ), edges AS (
-      SELECT 'c:' || c AS src, 's:' || s AS dst FROM pairs
-      UNION ALL
-      SELECT 's:' || s, 'c:' || c FROM pairs
-    ), deg AS (
-      SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
-    ), nn AS (
-      SELECT count(*) AS n FROM deg
-    ), r0 AS (
-      SELECT node, outdeg, CAST({_PR_TOTAL} // nn.n AS BIGINT) AS r
-      FROM deg CROSS JOIN nn
-    ),{",".join(_pr_step(k) for k in range(1, 6))}
-    SELECT CAST(substr(node, 3) AS BIGINT) AS s_suppkey, r AS rank_micro
-    FROM it5 WHERE node LIKE 's:%'
-    """,
-    "supplier influence via 5-iteration PageRank on the symmetrized customer-supplier trade graph, exact integer micro-unit arithmetic (iterative-algorithm family)",
-)
-def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which suppliers sit at the center of the trade network? PageRank on
-    the bipartite customer<->supplier graph (edge per distinct trading
-    pair, symmetrized so mass flows both ways and no node dangles).
-    See operators/graph.py::pagerank_micro for the integer recurrence and
-    the per-iteration shuffle budget."""
-    from universal_aws_data_pipeline_spark.operators.graph import pagerank_micro
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-    )
-    # integer node ids (cust*2 / supp*2+1), not "c:"/"s:" strings: the
-    # recurrence is key-agnostic, but five per-iteration joins + aggs hash
-    # and shuffle the node key — 8-byte longs vs ~10-byte strings was worth
-    # ~25% of q115's warm time at sf0.1 (round-6 drift adjudication)
-    fwd = pairs.select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    )
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank_micro(edges, iterations=5, total_micro=_PR_TOTAL)
-    return ranks.filter(F.col("node") % 2 == 1).select(
-        F.expr("(node - 1) div 2").alias("s_suppkey"),
-        F.col("rank_micro"),
-    )
-
-
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support>=2 co-purchase edge set (a < b), mined ONCE per dataset and
-    cached as a parquet artifact (the q15-shingle convention: `_SUCCESS`
-    gates reuse, overwrite clears partials). q116 triangles, q148 k-core,
-    and q149 label propagation all analyze this same graph; before sharing,
-    each rebuilt it via its own lineitem self-join — the heaviest mining
-    stage in the repo executed three times per bench series (round-5
-    verdict item 1, the likely q115/q116 drift source). The support
-    threshold is standard frequent-itemset hygiene: at sf0.1 the
-    single-co-occurrence edges are 1.19M of 1.20M pairs and pure noise.
-
-    Returns (a, b, support), a < b — graph consumers project to (a, b);
-    q154's association rules consume the support column directly."""
-    import os
-
-    path = os.path.join(_artifact_dir("copurchase", sf_dir), "support2s")
-    if not _parquet_ready(path):
-        li = (
-            _t(spark, sf_dir, "lineitem")
-            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-            .distinct()
-        )
-        a = li.select(F.col("o"), F.col("p").alias("pa"))
-        b = li.select(F.col("o"), F.col("p").alias("pb"))
-        (
-            a.join(b, "o")
-            .filter(F.col("pa") < F.col("pb"))
-            .groupBy("pa", "pb")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= 2)
-            .select(F.col("pa").alias("a"), F.col("pb").alias("b"), "support")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-    return spark.read.parquet(path)
-
-
-# --------------------------------------------------------------------------
-# q116 — triangle counting on the part co-purchase graph.
-# Operators: degree-ordered edge orientation (Cohen's MapReduce "forward"
-# algorithm) — wedge generation from out-edge pairs, closed against the
-# oriented edge list; each triangle enumerated exactly once.
-# Scale: orientation caps every out-degree at O(sqrt(E)), so a celebrity
-# part of degree d contributes d wedges instead of d^2; the oracle replays
-# a plain id-ordered listing (orientation changes intermediates, not the
-# result) and hash-matches.
-# --------------------------------------------------------------------------
-@register(
-    "q116_copurchase_triangles",
-    """
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), e AS (
-      SELECT a.p AS x, b.p AS y
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p HAVING count(*) >= 2
-    ), tri AS (
-      SELECT e1.x AS a, e1.y AS b, e2.y AS c
-      FROM e e1
-      JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
-      JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
-    ), nodes AS (
-      SELECT x AS node FROM e UNION SELECT y FROM e
-    ), corners AS (
-      SELECT node, count(*) AS n_tri FROM (
-        SELECT a AS node FROM tri
-        UNION ALL SELECT b FROM tri
-        UNION ALL SELECT c FROM tri
-      ) GROUP BY node
-    )
-    SELECT n.node AS part_id, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
-    FROM nodes n LEFT JOIN corners c ON n.node = c.node
-    """,
-    "frequently-bought-together cohesion: per-part triangle participation counts on the repeat co-purchase graph (pairs sharing >= 2 orders), degree-ordered distributed enumeration (graph family)",
-)
-def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triads of parts that all repeatedly co-occur pairwise in orders — the
-    community-cohesion signal on a co-purchase graph. Edges = part pairs
-    sharing >= 2 orders: the support threshold (standard frequent-itemset
-    hygiene) drops the single-co-occurrence noise edges — measured at sf0.1
-    they are 1.19M of 1.20M pairs and made the wedge stage ~25x costlier
-    while meaning nothing. Counting via degree-ordered orientation,
-    operators/graph.py::triangle_counts; edge set shared with q148/q149
-    through the `_copurchase_edges` artifact."""
-    from universal_aws_data_pipeline_spark.operators.graph import triangle_counts
-
-    e = _copurchase_edges(spark, sf_dir).select("a", "b")
-    return triangle_counts(e).select(F.col("node").alias("part_id"), "n_tri")
-
-
-# --------------------------------------------------------------------------
-# q117 — Count-Min sketch point-frequency estimates (sketch family).
-# Operators: engine-portable CMS — depth x width cell table over md5-derived
-# buckets; build is one map-side-combinable agg (shuffle <= depth*width rows
-# per partition regardless of corpus size), probes broadcast-join the tiny
-# cell table. est >= true always; overestimate bounded by (2/width)*N w.h.p.
-# The md5 bucketing (not xxhash) is what lets DuckDB replay every cell and
-# estimate BIT-exactly — a sketch you can hash-grade.
-# --------------------------------------------------------------------------
-@register(
-    "q117_countmin_freq",
-    f"""
-    WITH toks AS (
-      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
-    ), cells AS (
-      SELECT row, bucket, count(*) AS cell_count FROM (
-        SELECT rr.range AS row,
-               {_hex_int_sql("tok || '#cms' || CAST(rr.range AS VARCHAR)", 8)} % 256 AS bucket
-        FROM toks CROSS JOIN range(4) rr
-      ) GROUP BY row, bucket
-    ), top20 AS (
-      SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok
-      ORDER BY exact_count DESC, tok LIMIT 20
-    ), pb AS (
-      SELECT t.tok, t.exact_count, rr.range AS row,
-             {_hex_int_sql("t.tok || '#cms' || CAST(rr.range AS VARCHAR)", 8)} % 256 AS bucket
-      FROM top20 t CROSS JOIN range(4) rr
-    )
-    SELECT p.tok, CAST(p.exact_count AS BIGINT) AS exact_count,
-           CAST(min(coalesce(c.cell_count, 0)) AS BIGINT) AS est_count
-    FROM pb p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
-    GROUP BY p.tok, p.exact_count
-    """,
-    "Count-Min sketch over the corpus token stream (depth 4 x width 256, md5 buckets): point-frequency estimates for the exact top-20 tokens, estimate vs truth side by side (sketch family)",
-)
-def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency estimation without carrying the vocabulary: the CMS cell
-    table is bounded at depth*width rows however large the corpus, and the
-    md5 bucketing replays identically in any engine. Probes are the exact
-    top-20 tokens so the overestimate is visible next to the truth.
-    See operators/sketch.py::count_min_build / cms_estimates."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-    from universal_aws_data_pipeline_spark.operators.sketch import (
-        cms_estimates,
-        count_min_build,
-    )
-
-    toks = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-    )
-    sketch = count_min_build(toks, "tok", depth=4, width=256)
-    top20 = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.desc("exact_count"), F.asc("tok"))
-        .limit(20)
-    )
-    est = cms_estimates(sketch, top20.select("tok"), "tok", depth=4, width=256)
-    return top20.join(est, "tok").select("tok", "exact_count", "est_count")
-
-
-# --------------------------------------------------------------------------
-# q118 — VARIANT-typed semi-structured analytics (F11 family, Spark 4).
-# Operators: parse_json -> VARIANT (binary-encoded, parsed ONCE) +
-# try_variant_get typed extraction. vs q10 (get_json_object: re-parses the
-# string per extraction) and q36 (from_json: needs the schema up front) —
-# VARIANT is the schema-on-read scale path: shredded binary storage, typed
-# paths evaluated without re-tokenizing, malformed rows -> NULL not abort.
-# Scale: map-only parse + one grouped agg; parse cost paid once per row
-# however many fields downstream reads pull.
-# --------------------------------------------------------------------------
-@register(
-    "q118_variant_events",
-    """
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
-    FROM events
-    GROUP BY event_type
-    """,
-    "semi-structured per-type aggregates through Spark 4 VARIANT (parse once, typed try_variant_get paths; tolerant of malformed rows) — F11 family",
-)
-def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The modern third way to read JSON columns (after q10's dot-path and
-    q36's from_json): parse to VARIANT once, extract typed paths as needed.
-    try_variant_get returns NULL on missing path / cast failure, so dirty
-    rows degrade instead of failing the job."""
-    e = _t(spark, sf_dir, "events")
-    v = e.select("event_type", F.try_parse_json("props").alias("v"))
-    k = v.select(
-        "event_type", F.try_variant_get("v", "$.k", "int").alias("k")
-    )
-    return k.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count("k").cast("long").alias("n_with_k"),
-        F.sum("k").cast("long").alias("k_sum"),
-        F.max("k").cast("int").alias("k_max"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q119 — theta-sketch SET INTERSECTION: audience overlap (sketch family).
-# Operators: the q90 fixed-θ KMV sketches support more than counting —
-# intersection of kept-hash sets estimates |A∩B| at the same 1/θ scale
-# (the textbook theta-sketch intersection, θ_a = θ_b = const). The pairwise
-# overlap matrix runs entirely on the sketch table (|types|·θ·U rows, an
-# equi-self-join on the hash), never rescanning events; the Jaccard is
-# integer micro-units so it hash-grades. At 100 TB: the θ filter prunes the
-# event stream map-side to 1/4 of distinct keys, and the |types|²-pair
-# stage is over sketches, not data.
-# --------------------------------------------------------------------------
-@register(
-    "q119_audience_overlap",
-    f"""
-    WITH k AS (
-      SELECT DISTINCT event_type, h FROM (
-        SELECT event_type, {_hex_int_sql("CAST(user_id AS VARCHAR)", 8)} AS h
-        FROM events
-      ) WHERE h < {_Q90_THETA}
-    ), totals AS (
-      SELECT event_type, count(*) AS s FROM k GROUP BY event_type
-    ), ov AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             count(*) AS sampled_overlap
-      FROM k a JOIN k b ON a.h = b.h AND a.event_type < b.event_type
-      GROUP BY a.event_type, b.event_type
-    )
-    SELECT ov.type_a, ov.type_b,
-           CAST(ov.sampled_overlap * 4 AS BIGINT) AS est_overlap,
-           CAST((ov.sampled_overlap * 1000000)
-                // (ta.s + tb.s - ov.sampled_overlap) AS BIGINT) AS jaccard_micro
-    FROM ov
-    JOIN totals ta ON ov.type_a = ta.event_type
-    JOIN totals tb ON ov.type_b = tb.event_type
-    """,
-    "pairwise audience overlap between event types via theta-sketch intersection (fixed-theta KMV kept-hash sets; estimate + integer-micro Jaccard), computed on sketches without rescanning events (sketch family)",
-)
-def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How much do the audiences of two event types overlap? Intersect the
-    q90 kept-hash sketches: |Ka ∩ Kb| / θ estimates |A ∩ B| because under a
-    shared uniform hash both sets are θ-sampled by the SAME coin flips.
-    Every quantity is exact integer arithmetic over the portable md5 hash,
-    so DuckDB replays the estimate bit-for-bit, collisions included."""
-    e = _t(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
-    kept = (
-        e.select("event_type", h.alias("h"))
-        .filter(F.col("h") < _Q90_THETA)
-        .distinct()
-    )
-    totals = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
-    a = kept.select(F.col("event_type").alias("type_a"), "h")
-    b = kept.select(F.col("event_type").alias("type_b"), "h")
-    ov = (
-        a.join(b, "h")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("sampled_overlap"))
-    )
-    ta = totals.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa"))
-    tb = totals.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb"))
-    return (
-        ov.join(F.broadcast(ta), "type_a")
-        .join(F.broadcast(tb), "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            (F.col("sampled_overlap") * 4).cast("long").alias("est_overlap"),
-            F.expr(
-                "(sampled_overlap * 1000000) div (sa + sb - sampled_overlap)"
-            ).cast("long").alias("jaccard_micro"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q120 — last-touch attribution (marketing-analytics family).
-# Operators: per-user ordered lag (grouped window — shuffle on user_id, no
-# global sort), wall-clock timestampdiff attribution window, channel rollup.
-# The lag ordering is (ts, event_id) so ties are deterministic in both
-# engines; the 30-min window uses timestampdiff (pure wall-clock on NTZ —
-# q33's device), so a non-UTC driver session can't shift boundaries.
-# Scale: one shuffle on user_id + a 5-row channel agg; map-side combine.
-# --------------------------------------------------------------------------
-@register(
-    "q120_last_touch_attribution",
-    """
-    WITH o AS (
-      SELECT user_id, ts, event_type, value, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-             lag(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events
-    )
-    SELECT CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 30 MINUTE
-                THEN prev_type ELSE 'direct' END AS channel,
-           count(*) AS n_purchases,
-           round(sum(value), 2) AS attributed_revenue
-    FROM o
-    WHERE event_type = 'purchase'
-    GROUP BY channel
-    """,
-    "last-touch attribution: every purchase credited to the user's immediately preceding event within 30 minutes (else 'direct'); revenue rollup per channel (analytics family)",
-)
-def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which activity drives purchases? Credit each purchase to the user's
-    immediately preceding event if it happened within the 30-minute
-    attribution window, otherwise to 'direct'. The whole query is one
-    grouped window pass plus a channel-count aggregate."""
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = e.select(
-        "user_id",
-        "ts",
-        "event_type",
-        "value",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("ts").over(w).alias("prev_ts"),
-    )
-    return (
-        o.filter(F.col("event_type") == "purchase")
-        .select(
-            F.when(
-                F.col("prev_ts").isNotNull()
-                # MICROSECOND, not SECOND: the events timestamps carry
-                # sub-second precision and SECOND truncates, flipping
-                # purchases sitting just past the boundary (q33's device)
-                & (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") <= 1_800_000_000),
-                F.col("prev_type"),
-            )
-            .otherwise(F.lit("direct"))
-            .alias("channel"),
-            "value",
-        )
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_revenue"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q121 — train/test split-leakage audit (X6 family).
-# Operators: q67's hash split + a HEAD fingerprint (md5 of the first 8
-# normalized tokens) composed into the split-hygiene check every training
-# pipeline needs: documents sharing their opening passage across DIFFERENT
-# splits (id-hash splits are rerun-stable but content-blind — shared
-# boilerplate heads straddle the boundary and leak test material into
-# train). The head fingerprint, not full-content md5, is deliberate: this
-# corpus has ZERO full-content dups (measured), so the full-md5 audit is
-# vacuously clean — the 8-token head catches the near-dup leakage that
-# actually occurs (23 dup head-groups at sf0.01), same device as the
-# q101/q114 span family.
-# Scale: one map pass computes (fp, split); the self-equi-join on fp touches
-# only duplicated fingerprints (group size > 1), so the join input is the
-# dup subset, not the corpus; output is a <= 3x3 split-pair matrix.
-# --------------------------------------------------------------------------
-@register(
-    "q121_split_leakage",
-    f"""
-    WITH b AS (
-      SELECT doc_id,
-             md5(concat_ws(' ', {", ".join(f"tk[{i + 1}]" for i in range(8))})) AS fp,
-             CASE WHEN {_BUCKET_SQL} < 52428 THEN 'train'
-                  WHEN {_BUCKET_SQL} < 58982 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents)
-    )
-    SELECT least(a.split, c.split) AS split_a,
-           greatest(a.split, c.split) AS split_b,
-           CAST(count(*) AS BIGINT) AS n_leaked_pairs,
-           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_dup_contents
-    FROM b a JOIN b c ON a.fp = c.fp AND a.doc_id < c.doc_id AND a.split <> c.split
-    GROUP BY 1, 2
-    """,
-    "split-leakage audit: documents sharing an 8-token opening passage across the q67 train/val/test hash split, per split-pair (X6 — the contamination check between q57's benchmark decontamination and q07's dedup)",
-)
-def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Does the same opening passage sit in two splits? Head-fingerprint
-    every doc (md5 of its first 8 normalized tokens), assign q67's hash
-    split, and count cross-split pairs per fingerprint. A clean pipeline
-    span-dedups (q114) BEFORE splitting; this query is the audit that
-    proves it — or quantifies the leak."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-    from universal_aws_data_pipeline_spark.operators.sampling import hash_bucket
-
-    d = _t(spark, sf_dir, "documents")
-    bucket = hash_bucket(F.col("doc_id"))
-    b = d.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(tokens_col(F.col("text")), 1, 8))).alias("fp"),
-        F.when(bucket < int(0.8 * 65536), F.lit("train"))
-        .when(bucket < int(0.9 * 65536), F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
-    a = b.select(F.col("doc_id").alias("id_a"), "fp", F.col("split").alias("sa"))
-    c = b.select(F.col("doc_id").alias("id_c"), "fp", F.col("split").alias("sc"))
-    return (
-        a.join(c, "fp")
-        .filter((F.col("id_a") < F.col("id_c")) & (F.col("sa") != F.col("sc")))
-        .groupBy(
-            F.least("sa", "sc").alias("split_a"),
-            F.greatest("sa", "sc").alias("split_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_leaked_pairs"),
-            F.count_distinct("fp").alias("n_dup_contents"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q122 — embedding cluster-cohesion diagnostics (X3 family).
-# Operators: q42's mean-pooled centroids (QUANTIZED to 6dp — the rounding
-# makes the reference point identical in both engines, so downstream floats
-# only carry one avg's worth of summation noise) + per-vector cosine to the
-# own-label centroid + per-label cohesion rollup. The report a curator reads
-# before trusting labels as dedup/mixing blocks: low avg = diffuse cluster,
-# low min = mislabeled outlier.
-# Scale: centroid table is |labels| x dim rows built via the q42 explode
-# (map-side combinable); vectors join it BROADCAST on label (one map pass,
-# no vector shuffle); rollup carries |labels| rows.
-# --------------------------------------------------------------------------
-@register(
-    "q122_cluster_cohesion",
-    f"""
-    WITH c AS (
-      SELECT label, i AS dim, round(avg(embedding[i+1]), 6) AS cen
-      FROM embeddings, range(64) t(i)
-      GROUP BY label, i
-    ), cm AS (
-      SELECT label, list(cen ORDER BY dim) AS cvec FROM c GROUP BY label
-    ), scored AS (
-      SELECT e.label, {_cos_sql("e.embedding", "cm.cvec")} AS cos
-      FROM embeddings e JOIN cm ON e.label = cm.label
-    )
-    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
-           round(avg(cos), 4) AS avg_cohesion,
-           round(min(cos), 4) AS min_cohesion
-    FROM scored GROUP BY label
-    """,
-    "per-label embedding cluster cohesion: avg/min cosine of members to their 6dp-quantized mean-pooled centroid (X3 diagnostics — the audit before labels are trusted as blocking keys)",
-)
-def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How tight is each label's embedding cluster? Mean/min cosine of every
-    vector to its own label centroid. Centroids are the q42 table quantized
-    to 6dp so both engines score against the identical prototype."""
-    from universal_aws_data_pipeline_spark.functions.vector import cosine_similarity
-
-    e = _t(spark, sf_dir, "embeddings")
-    cen = (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cen"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cen"))), lambda s: s["cen"]
-            ).alias("cvec")
-        )
-    )
-    scored = e.join(F.broadcast(cen), "label").select(
-        "label", cosine_similarity(F.col("embedding"), F.col("cvec")).alias("cos")
-    )
-    return scored.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("cos"), 4).alias("avg_cohesion"),
-        F.round(F.min("cos"), 4).alias("min_cohesion"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q123 — label confusion map: nearest foreign centroid per label (X3).
-# Operators: the q122 quantized-centroid table self-paired (|labels|^2 rows
-# of 64-dim vectors — sketch-sized, broadcastable); per-label argmax via
-# grouped max_by with (cos, -label) tie-break.
-# Scale: the embeddings table is read ONCE to build centroids; everything
-# after runs on |labels| rows. This is the audit that decides whether two
-# labels should share a dedup/mixing block.
-# --------------------------------------------------------------------------
-@register(
-    "q123_label_confusion",
-    f"""
-    WITH c AS (
-      SELECT label, i AS dim, round(avg(embedding[i+1]), 6) AS cen
-      FROM embeddings, range(64) t(i)
-      GROUP BY label, i
-    ), cm AS (
-      SELECT label, list(cen ORDER BY dim) AS cvec FROM c GROUP BY label
-    ), pairs AS (
-      SELECT a.label, b.label AS other,
-             round({_cos_sql("a.cvec", "b.cvec")}, 6) AS cos
-      FROM cm a JOIN cm b ON a.label <> b.label
-    )
-    SELECT label,
-           CAST(arg_max(other,
-                CAST(round(cos * 1000000, 0) AS BIGINT) * 1000 - other
-           ) AS INTEGER) AS nearest_label,
-           max(cos) AS nearest_cos
-    FROM pairs GROUP BY label
-    """,
-    "label confusion map: each label's nearest foreign centroid + cosine, computed on the quantized centroid table without re-reading vectors (X3 diagnostics)",
-)
-def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which labels blur together? Pairwise cosine over the (tiny) quantized
-    centroid table, argmax per label with a deterministic (cos, -label)
-    tie-break — the complement of q122's within-cluster cohesion."""
-    from universal_aws_data_pipeline_spark.functions.vector import cosine_similarity
-
-    e = _t(spark, sf_dir, "embeddings")
-    cm = (
-        e.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cen"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cen"))), lambda s: s["cen"]
-            ).alias("cvec")
-        )
-    )
-    a = cm.select(F.col("label"), F.col("cvec").alias("va"))
-    b = cm.select(F.col("label").alias("other"), F.col("cvec").alias("vb"))
-    pairs = (
-        a.join(F.broadcast(b), F.col("label") != F.col("other"))
-        .select(
-            "label",
-            "other",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-    )
-    # argmax key: 6dp cosine scaled to an exact BIGINT, lower label winning
-    # ties — integer composite so both engines pick the identical winner
-    key = (F.round(F.col("cos") * 1_000_000, 0).cast("long") * 1000) - F.col("other")
-    return pairs.groupBy("label").agg(
-        F.max_by("other", key).cast("int").alias("nearest_label"),
-        F.max("cos").alias("nearest_cos"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q124 — PMI collocations: phrase mining over adjacent token pairs (X4).
-# Operators: within-doc bigram generation (row-local transform, no
-# cross-doc adjacency), exact integer counts, pointwise mutual information
-# ln((c_ab/B)/((c_a/N)(c_b/N))) quantized to micro-nats. Every count is
-# cast to double BEFORE the products (BIGINT c_ab*n*n overflows int64 past
-# ~3e9 corpus tokens); left-assoc IEEE double multiply/divide is
-# bit-identical in Spark and DuckDB, so both engines feed ln the identical
-# double and round the identical micro-nat — the q113 device again.
-# The op feeds tokenizer-merge candidates / collocation dictionaries.
-# Scale: bigram stream shuffles once into vocab^2-bounded counts
-# (map-side combined); the PMI math runs on the count tables; top-k via
-# TakeOrderedAndProject.
-# --------------------------------------------------------------------------
-@register(
-    "q124_pmi_collocations",
-    f"""
-    WITH t AS (
-      SELECT string_split({_NORM_SQL}, ' ') AS tk FROM documents
-    ), uni AS (
-      SELECT tok, count(*) AS c FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok
-    ), bg AS (
-      SELECT bgr, count(*) AS c_ab FROM (
-        SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bgr
-        FROM t WHERE len(tk) >= 2
-      ) GROUP BY bgr
-    ), scal AS (
-      SELECT (SELECT sum(c) FROM uni) AS n, (SELECT sum(c_ab) FROM bg) AS b
-    )
-    SELECT bg.bgr AS bigram,
-           CAST(bg.c_ab AS BIGINT) AS c_ab,
-           CAST(round(ln((CAST(bg.c_ab AS DOUBLE) * CAST(scal.n AS DOUBLE) * CAST(scal.n AS DOUBLE))
-                         / (CAST(scal.b AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1000000, 0)
-                AS BIGINT) AS pmi_micro
-    FROM bg CROSS JOIN scal
-    JOIN uni ua ON ua.tok = string_split(bg.bgr, ' ')[1]
-    JOIN uni ub ON ub.tok = string_split(bg.bgr, ' ')[2]
-    WHERE bg.c_ab >= 5
-    ORDER BY pmi_micro DESC, bigram LIMIT 20
-    """,
-    "top-20 PMI collocations over adjacent token pairs (min support 5), micro-nat quantized — phrase-mining / tokenizer-merge candidates (X4)",
-)
-def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which word pairs stick together far more than chance? Classic PMI
-    collocation mining: exact unigram/bigram counts, one ln per surviving
-    bigram on an exact integer ratio, micro-nat output. min-support 5 kills
-    the low-count PMI pathology (hapax pairs score highest)."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-
-    d = _t(spark, sf_dir, "documents").select(tokens_col(F.col("text")).alias("tk"))
-    # ONE corpus scan, ONE shuffle: a combined generator emits every unigram
-    # ('u') and adjacent bigram ('b') from one explode; every downstream
-    # table (unigram counts, bigram counts, N, B) derives from the single
-    # (kind, key) count aggregate — the naive four-subtree plan rescanned
-    # documents four times, which is three corpus reads too many at 100 TB.
-    counts = (
-        d.select(
-            F.explode(
-                F.expr(
-                    # zip(tokens, tail) for bigrams: both slices are empty
-                    # for 1-token docs (sequence(0, -1) would DESCEND and
-                    # emit bogus pairs — Spark sequences run backwards when
-                    # stop < start)
-                    "concat(transform(tk, t -> struct('u' AS kind, t AS key)),"
-                    " zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),"
-                    " (a, b) -> struct('b' AS kind, concat(a, ' ', b) AS key)))"
-                )
-            ).alias("e")
-        )
-        .select("e.kind", "e.key")
-        .groupBy("kind", "key")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    uni = counts.filter(F.col("kind") == "u").select("key", "c")
-    bg = (
-        counts.filter(F.col("kind") == "b")
-        .select(F.col("key").alias("bgr"), F.col("c").alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
-    )
-    n = uni.agg(F.sum("c").alias("n"))
-    b = counts.filter(F.col("kind") == "b").agg(F.sum("c").alias("b"))
-    ua = uni.select(F.col("key").alias("ta"), F.col("c").alias("ca"))
-    ub = uni.select(F.col("key").alias("tb"), F.col("c").alias("cb"))
-    scored = (
-        bg.withColumn("ta", F.split("bgr", " ")[0])
-        .withColumn("tb", F.split("bgr", " ")[1])
-        .join(F.broadcast(ua), "ta")
-        .join(F.broadcast(ub), "tb")
-        .join(F.broadcast(n))
-        .join(F.broadcast(b))
-        .select(
-            F.col("bgr").alias("bigram"),
-            F.col("c_ab").cast("long").alias("c_ab"),
-            F.round(
-                # each count cast to double BEFORE the products: the BIGINT
-                # product c_ab*n*n overflows int64 past ~3e9 corpus tokens;
-                # double products never do, and left-assoc IEEE multiply is
-                # bit-identical in Spark and DuckDB so the ln argument (and
-                # hence the micro-nat rounding) still matches exactly
-                F.log(
-                    (
-                        F.col("c_ab").cast("double")
-                        * F.col("n").cast("double")
-                        * F.col("n").cast("double")
-                    )
-                    / (
-                        F.col("b").cast("double")
-                        * F.col("ca").cast("double")
-                        * F.col("cb").cast("double")
-                    )
-                )
-                * 1_000_000,
-                0,
-            )
-            .cast("long")
-            .alias("pmi_micro"),
-        )
-    )
-    return scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(20)
-
-
-# --------------------------------------------------------------------------
-# q125 — digest decontamination report (X2/X4): q57's scale-path twin.
-# Operators: word-8-gram shingles → 60-bit md5 digests both sides, digest
-# equi-join, per-doc hit/total/eval-doc counts. All-integer output.
-# Scale: the join ships 8 bytes/shingle (never n-gram text); the eval side
-# broadcasts when benchmark-sized but nothing requires it; report is
-# |contaminated docs| rows. Fixture: the eval set is the 200-char prefixes
-# of doc_id % 97 == 0 docs, so every hit count is a PARTIAL overlap (the
-# prefix windows), not a trivial self-match of full documents.
-# --------------------------------------------------------------------------
-@register(
-    "q125_decontamination_report",
-    f"""
-    WITH ev AS (
-      SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id % 97 = 0
-    ), tt AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM documents
-    ), et AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm FROM ev
-    ), tsh AS (
-      SELECT doc_id, {_hex_int_sql("sh", 15)} AS digest FROM (
-        SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-          THEN list_distinct(list_transform(range(1, len(t) - 6),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
-          ELSE [norm] END) AS sh
-        FROM tt
-      ) GROUP BY doc_id, digest
-    ), esh AS (
-      SELECT doc_id AS eval_id, {_hex_int_sql("sh", 15)} AS digest FROM (
-        SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-          THEN list_distinct(list_transform(range(1, len(t) - 6),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
-          ELSE [norm] END) AS sh
-        FROM et
-      ) GROUP BY eval_id, digest
-    ), totals AS (
-      SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id
-    ), hits AS (
-      SELECT tsh.doc_id,
-             count(DISTINCT tsh.digest) AS n_hit_shingles,
-             count(DISTINCT esh.eval_id) AS n_eval_docs
-      FROM tsh JOIN esh USING (digest) GROUP BY tsh.doc_id
-    )
-    SELECT h.doc_id, h.n_hit_shingles, t.n_shingles, h.n_eval_docs
-    FROM hits h JOIN totals t USING (doc_id)
-    """,
-    "digest decontamination report: 8-gram 60-bit-md5 overlap counts of training docs vs a truncated eval set — q57's quantitative scale-path twin; 8-byte shuffle payload per shingle (X2/X4)",
-)
-def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How contaminated is each training doc, numerically? The decision data
-    an excision pass needs: hit shingles / total shingles / eval docs hit.
-    The eval stand-in is each benchmark doc's 200-char prefix, so hits are
-    genuine partial overlaps. See operators/retrieval.py::decontaminate."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-    from universal_aws_data_pipeline_spark.operators.retrieval import decontaminate
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ev = d.filter(F.col("doc_id") % 97 == 0).select(
-        "doc_id", F.substring("text", 1, 200).alias("text")
-    )
-    return decontaminate(parallelize_text_scan(d), ev, shingle_n=8)
-
-
-# --------------------------------------------------------------------------
-# q126 — boolean AND search (X4/X10): multi-term set-semantics retrieval.
-# Operators: distinct-token explode with a PRE-SHUFFLE isin filter (only
-# matching tokens enter the exchange), one count aggregate, match-count ==
-# term-count for AND. Complements q78's BM25 ranking (row-local scoring)
-# with the exact-match door.
-# Scale: the exchange carries at most |terms| rows per doc; no join at all
-# for a literal term list.
-# --------------------------------------------------------------------------
-@register(
-    "q126_boolean_search",
-    f"""
-    WITH t AS (
-      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS tk FROM documents
-    )
-    SELECT doc_id FROM t
-    WHERE list_contains(tk, 'join') AND list_contains(tk, 'filter') AND list_contains(tk, 'window')
-    """,
-    "boolean AND search over normalized tokens: docs containing ALL query terms via pre-shuffle isin + one count aggregate — the exact-match retrieval door next to q78's BM25 (X4)",
-)
-def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which docs contain ALL of {{join, filter, window}}? Set-semantics
-    search: distinct tokens, isin filter before the shuffle, count == 3.
-    See operators/retrieval.py::boolean_search."""
-    from universal_aws_data_pipeline_spark.operators.retrieval import boolean_search
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return boolean_search(d, ["join", "filter", "window"], mode="and")
-
-
-# --------------------------------------------------------------------------
-# q127 — random-projection dimensionality reduction (X3): 64 → 16 dims via
-# a deterministic Rademacher (±1) matrix derived from md5, in exact integer
-# micro-units. Operators: element-wise 1e-6 quantization, row-local signed
-# integer dot per output dim (zip_with + aggregate — no explode, no
-# shuffle, whole-stage codegen).
-# The JL shrink before LSH/blocked-cosine: 4x narrower vectors make every
-# downstream pair stage 4x cheaper, and the integer output hash-grades.
-# Scale: map-only; output is |vectors| x 16 rows (long format).
-# --------------------------------------------------------------------------
-_RP_IN_DIM, _RP_OUT_DIM = 64, 16
-
-
-def _rp_sign(k: int, j: int) -> int:
-    """+1/-1 from the first hex digit of md5('rp|k|j') — the same value the
-    SQL twin derives, so the projection matrix is a cross-engine constant."""
-    import hashlib
-
-    return 1 - 2 * (int(hashlib.md5(f"rp|{k}|{j}".encode()).hexdigest()[0], 16) % 2)
-
-
-def _q127_oracle() -> str:
-    sign = _hex_int_sql("'rp|' || CAST(k.k AS VARCHAR) || '|' || CAST(j AS VARCHAR)", 1)
-    return f"""
-    WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-      FROM embeddings
-    ), k AS (SELECT unnest(range(0, {_RP_OUT_DIM})) AS k)
-    SELECT vec_id, k.k AS out_dim,
-           CAST(list_sum(list_transform(range(0, {_RP_IN_DIM}),
-                j -> qe[j + 1] * (1 - 2 * ({sign} % 2)))) AS BIGINT) AS proj_micro
-    FROM q CROSS JOIN k
-    """
-
-
-@register(
-    "q127_random_projection",
-    _q127_oracle(),
-    "Johnson-Lindenstrauss shrink 64->16 dims: deterministic md5-Rademacher signs, exact integer micro-unit dots, row-local (no shuffle) — the pre-LSH/pre-blocking width cut (X3)",
-)
-def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shrink embeddings 4x before pair-stage work: project the 1e-6-
-    quantized vectors onto 16 md5-derived +/-1 directions. Integer
-    arithmetic end-to-end (quantize -> signed sum), so both engines produce
-    bit-identical projections with zero float-order hazard. Row-local fold:
-    no explode, no shuffle — the plan is a map over the vector scan."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
-    )
-    cols = []
-    for k in range(_RP_OUT_DIM):
-        signs = F.array(*[F.lit(_rp_sign(k, j)) for j in range(_RP_IN_DIM)])
-        dot = F.aggregate(
-            F.zip_with(q, signs, lambda a, s: a * s.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        cols.append(F.struct(F.lit(k).cast("long").alias("out_dim"), dot.alias("proj_micro")))
-    return (
-        e.select("vec_id", F.explode(F.array(*cols)).alias("p"))
-        .select("vec_id", F.col("p.out_dim").alias("out_dim"), F.col("p.proj_micro").alias("proj_micro"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q128 — context-window chunking (X4): training-prep document splitting.
-# Operators: row-local sliding windows (chunk 64, stride 48) — integer
-# window count (DIV ceil), token-array slices, 1→N generate. No shuffle.
-# Scale: map-only; output ~len/stride x rows; write bucketed by content
-# hash for per-chunk parallelism downstream.
-# --------------------------------------------------------------------------
-@register(
-    "q128_document_chunking",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
-    ), c AS (
-      SELECT doc_id, tk,
-             CASE WHEN len(tk) <= 64 THEN 1
-                  ELSE 1 + (len(tk) - 64 + 47) // 48 END AS nc
-      FROM t
-    )
-    SELECT doc_id, i AS chunk_idx,
-           CAST(len(tk[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
-           array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
-    FROM (SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM c)
-    """,
-    "sliding-window document chunking (64-token windows, stride 48): row-local integer window math + array slices, 1->N generate, zero shuffles — the context-window prep step before packing (X4)",
-)
-def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every document into overlapping 64-token context windows
-    advancing by 48 — the chunking step between cleaning and shard packing
-    (q46). See operators/text.py::chunk_documents."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-    from universal_aws_data_pipeline_spark.operators.text import chunk_documents
-
-    d = parallelize_text_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return chunk_documents(d, chunk_tokens=64, stride=48)
-
-
-# --------------------------------------------------------------------------
-# q129 — corpus mixture planning (X6): domain weights → sampling rates.
-# Operators: one map-side-combinable aggregate (|sources| rows), literal
-# weight map, min(1, target/available) rate with 6dp rounding.
-# Scale: ONE corpus aggregate; the plan output feeds hash_sample's
-# md5-bucket filters — materialization needs no per-group shuffles.
-# --------------------------------------------------------------------------
-_Q129_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
-_Q129_BUDGET = 8000
-
-
-@register(
-    "q129_mixture_plan",
-    f"""
-    WITH t AS (
-      SELECT source, len(string_split({_NORM_SQL}, ' ')) AS n_toks FROM documents
-    ), a AS (
-      SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
-      FROM t GROUP BY source
-    ), w AS (
-      SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in _Q129_WEIGHTS.items())}) AS w(source, wt)
-    ), p AS (
-      SELECT a.source, n_docs, n_tokens,
-             CAST(round({_Q129_BUDGET}.0 * wt / {sum(_Q129_WEIGHTS.values())}, 0) AS BIGINT) AS target_tokens
-      FROM a JOIN w USING (source)
-    ), r AS (
-      SELECT *, round(least(1.0, CAST(target_tokens AS DOUBLE) / n_tokens), 6) AS rate FROM p
-    )
-    SELECT source, n_docs, n_tokens, target_tokens, rate,
-           CAST(round(n_tokens * rate, 0) AS BIGINT) AS expected_tokens
-    FROM r
-    """,
-    "corpus mixture planning: domain weights + token budget -> per-source sampling rates against actual availability (min(1, target/avail)); one corpus aggregate, |sources|-row plan (X6)",
-)
-def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Turn a target pretraining mix (40/30/20/10 over four sources, 8k-token
-    budget) into per-source sampling rates against what the corpus actually
-    holds; a source short of target pins at rate 1.0 (epochs, not sampling,
-    cover the gap). See operators/sampling.py::mixture_plan."""
-    from universal_aws_data_pipeline_spark.operators.sampling import mixture_plan
-    from universal_aws_data_pipeline_spark.operators.text import token_count
-
-    d = _t(spark, sf_dir, "documents").select(
-        "source", token_count(F.col("text")).alias("n_tokens")
-    )
-    return mixture_plan(d, _Q129_WEIGHTS, _Q129_BUDGET)
-
-
-# --------------------------------------------------------------------------
-# q130 — snapshot diff / CDC (S-family): added/removed/changed keys between
-# two table versions. Operators: row-local 60-bit md5 row digests (16-byte
-# join payload however wide the table), one full-outer equi-join on the
-# key, CASE classification, unchanged majority filtered immediately.
-# The graded projection is (key, change): classification is string-format-
-# independent (each engine compares ITS OWN old/new strings), so the oracle
-# compares values directly while Spark compares digests — a hash match
-# proves the digest compare classifies identically.
-# Scale: the only shuffle is the key join; digests are map-stage md5.
-# --------------------------------------------------------------------------
-@register(
-    "q130_snapshot_diff",
-    """
-    WITH old AS (
-      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    ), new AS (
-      SELECT o_orderkey, o_custkey,
-             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
-      FROM orders WHERE o_orderkey % 101 <> 0
-      UNION ALL
-      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
-      FROM orders WHERE o_orderkey % 103 = 0
-    ), j AS (
-      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-             CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                  WHEN n.o_orderkey IS NULL THEN 'removed'
-                  WHEN o.o_custkey <> n.o_custkey OR o.o_totalprice <> n.o_totalprice THEN 'changed'
-             END AS change
-      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-    )
-    SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
-    """,
-    "snapshot diff (CDC): added/removed/changed keys between two table versions via row-local md5 row digests + one key join — the incremental-ingest primitive the reference's full-reload pipeline lacks (S-family)",
-)
-def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """What changed between yesterday's and today's orders snapshot? The
-    'new' version drops keys %101==0, bumps o_totalprice for %97==0, and
-    appends shifted copies of %103==0 — the diff must report exactly those
-    keys as removed/changed/added. See operators/diff.py::snapshot_diff."""
-    from universal_aws_data_pipeline_spark.operators.diff import snapshot_diff
-
-    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    new = (
-        old.filter(F.col("o_orderkey") % 101 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0).otherwise(
-                F.col("o_totalprice")
-            ),
-        )
-        .unionByName(
-            old.filter(F.col("o_orderkey") % 103 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100_000_000
-            )
-        )
-    )
-    return snapshot_diff(old, new, ["o_orderkey"]).select("o_orderkey", "change")
-
-
-# --------------------------------------------------------------------------
-# q131 — sequence packing (X4): concat-and-chunk docs into fixed-length
-# training sequences. Operators: md5-bucket shards packed independently
-# (ONE hash shuffle + parallel per-shard windows — never a global token
-# order through one task), exclusive prefix sum, integer div spans.
-# Oracle: identical window arithmetic — md5 shard + BIGINT floor div make
-# the packing engine-portable and hash-gradable.
-# --------------------------------------------------------------------------
-_Q131_SEQ_LEN = 256
-_Q131_SHARDS = 16
-
-
-@register(
-    "q131_sequence_packing",
-    f"""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
-             {_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} % {_Q131_SHARDS} AS shard
-      FROM documents
-    ), o AS (
-      SELECT shard, doc_id, n_tokens,
-             CAST(coalesce(sum(n_tokens) OVER (
-               PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-      FROM t WHERE n_tokens > 0
-    )
-    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, tok_offset,
-           tok_offset // {_Q131_SEQ_LEN} AS first_seq,
-           (tok_offset + n_tokens - 1) // {_Q131_SEQ_LEN} AS last_seq,
-           (tok_offset + n_tokens - 1) // {_Q131_SEQ_LEN}
-             - tok_offset // {_Q131_SEQ_LEN} + 1 AS n_seqs
-    FROM o
-    """,
-    "concat-and-chunk sequence packing: map every doc to its token offset and first/last 256-token training sequence, per-md5-shard prefix sums (one shuffle, shards pack in parallel) — the causal-LM prep step after chunking (X4)",
-)
-def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Where does each document land in the packed training-token stream?
-    Concat docs per shard in id order, cut every 256 tokens, report each
-    doc's offset and sequence span. See operators/packing.py::pack_sequences
-    for the shard-parallel plan shape."""
-    from universal_aws_data_pipeline_spark.operators.packing import pack_sequences
-    from universal_aws_data_pipeline_spark.operators.text import token_count
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("n_toks")
-    )
-    return pack_sequences(
-        d, "doc_id", "n_toks", seq_len=_Q131_SEQ_LEN, n_shards=_Q131_SHARDS
-    )
-
-
-# --------------------------------------------------------------------------
-# q132 — incremental aggregate maintenance (S-family + A-family): keep a
-# materialized group-by current from a CDC change-set. Operators: signed
-# contribution rows (remove+add handles group migration), map-side-
-# combinable delta aggregate over ONLY the changed rows, one |groups|-row
-# outer-join merge. Integer cents so maintained sums never drift.
-# Oracle: a FULL RECOMPUTE over the new snapshot — the hash match IS the
-# proof that incremental maintenance equals recomputation.
-# Scale: O(|changes| + |groups|) vs the reference's O(|table|) full reload.
-# --------------------------------------------------------------------------
-@register(
-    "q132_incremental_agg",
-    """
-    WITH o AS (
-      SELECT o_orderkey, o_custkey,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
-      FROM orders
-    ), new AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 79 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
-             CASE WHEN o_orderkey % 83 = 0 THEN cents + 100 ELSE cents END AS cents
-      FROM o WHERE o_orderkey % 89 <> 0
-      UNION ALL
-      SELECT o_orderkey + 200000000, o_custkey, cents FROM o WHERE o_orderkey % 97 = 0
-    )
-    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(cents) AS BIGINT) AS cents
-    FROM new GROUP BY o_custkey
-    """,
-    "incremental aggregate maintenance: merge a CDC change-set (removes %89, price changes %83, group migrations %79, adds %97) into a per-customer materialized view touching only changed rows + |groups| — graded against a full recompute (S/A-family)",
-)
-def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maintain the per-customer (order count, total cents) view through a
-    synthetic CDC batch without re-reading the base table: removed keys
-    (%89), price updates (%83), customer migrations (%79 — remove+add makes
-    these correct for free), and appended orders (%97, shifted keys). The
-    oracle recomputes from scratch; a hash match proves the merged view is
-    row-identical. See operators/incremental.py."""
-    from universal_aws_data_pipeline_spark.operators.incremental import (
-        apply_cdc_to_agg,
-        cdc_signed_rows,
-    )
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-    )
-    new = (
-        o.filter(F.col("o_orderkey") % 89 != 0)
-        .withColumn(
-            "cents",
-            F.when(F.col("o_orderkey") % 83 == 0, F.col("cents") + 100).otherwise(
-                F.col("cents")
-            ),
-        )
-        .withColumn(
-            "o_custkey",
-            F.when(F.col("o_orderkey") % 79 == 0, F.col("o_custkey") + 1).otherwise(
-                F.col("o_custkey")
-            ),
-        )
-        .unionByName(
-            o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 200_000_000
-            )
-        )
-    )
-    view = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("cents"),
-    )
-    signed = cdc_signed_rows(o, new, ["o_orderkey"])
-    return apply_cdc_to_agg(
-        view, signed, ["o_custkey"], ["cents"], count_col="n_orders"
-    )
-
-
-# --------------------------------------------------------------------------
-# q133 — Bradley–Terry preference strengths (iterative family): the RLHF /
-# eval primitive — per-entity strength from pairwise outcomes via the MM
-# algorithm in exact BIGINT micro-units (same hash-gradability device as
-# q115 PageRank). Scale: the comparison log aggregates ONCE to |pairs|
-# rows; each round is one shuffle join + one map-side-combinable agg.
-# Oracle: the identical recurrence unrolled as 3 chained CTE rounds.
-# --------------------------------------------------------------------------
-_BT_SCALE = 1_000_000_000_000
-
-
-def _bt_step(k: int) -> str:
-    prev = "p0" if k == 1 else f"r{k - 1}"
-    return f"""
-    r{k} AS (
-      SELECT e.me,
-             CASE WHEN e.n_wins > 0 AND d.denom > 0
-                  THEN CAST(e.n_wins * CAST({_BT_SCALE} AS BIGINT) // d.denom AS BIGINT)
-                  ELSE CAST(0 AS BIGINT) END AS p
-      FROM ent e LEFT JOIN (
-        SELECT u.me,
-               CAST(sum(u.n_games * CAST({_BT_SCALE} AS BIGINT)
-                        // greatest(a.p + b.p, 1)) AS BIGINT) AS denom
-        FROM und u JOIN {prev} a ON u.me = a.me JOIN {prev} b ON u.opp = b.me
-        GROUP BY u.me
-      ) d ON e.me = d.me
-    )"""
-
-
-@register(
-    "q133_bradley_terry",
-    f"""
-    WITH li AS (
-      SELECT l_orderkey, l_suppkey, l_extendedprice,
-             lead(l_suppkey) OVER w AS opp_s,
-             lead(l_extendedprice) OVER w AS opp_p
-      FROM lineitem
-      WINDOW w AS (PARTITION BY l_orderkey
-                   ORDER BY l_linenumber, l_suppkey, l_extendedprice)
-    ), pairs AS (
-      SELECT CASE WHEN l_extendedprice > opp_p
-                    OR (l_extendedprice = opp_p AND l_suppkey < opp_s)
-                  THEN l_suppkey ELSE opp_s END AS w,
-             CASE WHEN l_extendedprice > opp_p
-                    OR (l_extendedprice = opp_p AND l_suppkey < opp_s)
-                  THEN opp_s ELSE l_suppkey END AS l
-      FROM li WHERE opp_s IS NOT NULL AND l_suppkey <> opp_s
-    ), directed AS (
-      SELECT w, l, count(*) AS n FROM pairs GROUP BY w, l
-    ), und AS (
-      SELECT me, opp, CAST(sum(n) AS BIGINT) AS n_games FROM (
-        SELECT w AS me, l AS opp, n FROM directed
-        UNION ALL
-        SELECT l AS me, w AS opp, n FROM directed
-      ) GROUP BY me, opp
-    ), wins AS (
-      SELECT w AS me, CAST(sum(n) AS BIGINT) AS n_wins FROM directed GROUP BY w
-    ), ent AS (
-      SELECT u.me, coalesce(w.n_wins, 0) AS n_wins, u.n_games
-      FROM (SELECT me, CAST(sum(n_games) AS BIGINT) AS n_games
-            FROM und GROUP BY me) u
-      LEFT JOIN wins w ON u.me = w.me
-    ), p0 AS (
-      SELECT me, CAST(1000000 AS BIGINT) AS p FROM ent
-    ),{",".join(_bt_step(k) for k in range(1, 4))}
-    SELECT e.me AS s_suppkey, e.n_wins, e.n_games, r3.p AS strength_micro
-    FROM ent e JOIN r3 ON e.me = r3.me
-    """,
-    "Bradley-Terry supplier strength from per-order price duels: 3 exact integer micro-unit MM rounds over the pairwise-comparison log (the RLHF preference primitive; iterative family alongside q115)",
-)
-def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which suppliers win head-to-head? Consecutive lineitems of an order
-    duel (higher extendedprice wins, price tie broken by lower suppkey);
-    Bradley-Terry MM strengths over the resulting comparison log. See
-    operators/preference.py::bradley_terry_micro for the integer recurrence
-    and per-round shuffle budget."""
-    from universal_aws_data_pipeline_spark.operators.preference import (
-        bradley_terry_micro,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
-    )
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_suppkey", "l_extendedprice"
-    )
-    duels = (
-        li.select(
-            "l_suppkey",
-            "l_extendedprice",
-            F.lead("l_suppkey").over(w).alias("opp_s"),
-            F.lead("l_extendedprice").over(w).alias("opp_p"),
-        )
-        .filter(F.col("opp_s").isNotNull() & (F.col("l_suppkey") != F.col("opp_s")))
-    )
-    first_wins = (F.col("l_extendedprice") > F.col("opp_p")) | (
-        (F.col("l_extendedprice") == F.col("opp_p"))
-        & (F.col("l_suppkey") < F.col("opp_s"))
-    )
-    comparisons = duels.select(
-        F.when(first_wins, F.col("l_suppkey")).otherwise(F.col("opp_s")).alias("winner"),
-        F.when(first_wins, F.col("opp_s")).otherwise(F.col("l_suppkey")).alias("loser"),
-    )
-    return bradley_terry_micro(comparisons, "winner", "loser", iterations=3).select(
-        F.col("entity").alias("s_suppkey"), "n_wins", "n_games", "strength_micro"
-    )
-
-
-# --------------------------------------------------------------------------
-# q134 — contrastive hard-negative mining (X3): per-anchor most-similar
-# cross-label vector. Operators: bounded broadcast anchor set (ORDER BY +
-# LIMIT, the q104 capped-probe convention), one corpus pass, max-struct
-# hash aggregate (map-side combine → |anchors| rows/partition before the
-# only shuffle). Cosine is an array fold (bit-identical across engines),
-# round 6dp, lowest-id tiebreak — hash-gradable.
-# Oracle: the same bounded anchor join, argmax via row_number.
-# --------------------------------------------------------------------------
-@register(
-    "q134_hard_negatives",
-    f"""
-    WITH a AS (
-      SELECT vec_id AS aid, label AS albl, embedding AS ae
-      FROM embeddings WHERE vec_id % 13 = 0
-      ORDER BY vec_id LIMIT {_MAX_DRIVER_QUERIES}
-    ), p AS (
-      SELECT a.aid, a.albl, e.vec_id AS nid, e.label AS nlbl,
-             round({_cos_sql("e.embedding", "a.ae")}, 6) AS cos_sim
-      FROM a JOIN embeddings e ON e.label <> a.albl
-    )
-    SELECT aid AS anchor_id, albl AS anchor_label, nid AS neg_id,
-           nlbl AS neg_label, cos_sim
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY aid ORDER BY cos_sim DESC, nid) AS rn FROM p)
-    WHERE rn = 1
-    """,
-    "contrastive hard-negative mining: per-anchor most-cosine-similar CROSS-label vector, bounded broadcast probe set + one corpus pass + max-struct argmax (the negative-sampling step for embedding training; X3)",
-)
-def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hardest negative for each probe embedding: most similar vector
-    with a different label — what contrastive training mines per batch.
-    Anchor set is bounded (vec_id %13, first _MAX_DRIVER_QUERIES by id)
-    so the broadcast never scales with the corpus. See
-    operators/similarity.py::hard_negatives for the one-pass plan."""
-    from universal_aws_data_pipeline_spark.operators.similarity import hard_negatives
-
-    e = _t(spark, sf_dir, "embeddings")
-    anchors = (
-        e.filter(F.col("vec_id") % 13 == 0).orderBy("vec_id").limit(_MAX_DRIVER_QUERIES)
-    )
-    return hard_negatives(e, anchors, "vec_id", "label", "embedding")
-
-
-# --------------------------------------------------------------------------
-# q135 — per-domain quantile normalization (X4/X6): exact percent_rank of
-# quality WITHOUT the per-domain single-task window sort. Operators:
-# (source, 4dp-score) histogram (map-side combinable, ≤10,001 values/
-# domain), exclusive prefix sums over the tiny histogram, broadcast join
-# back. Oracle: the textbook percent_rank window — a hash match proves the
-# histogram rank equals the window definition (ties share min rank).
-# --------------------------------------------------------------------------
-_Q135_QUAL = """
-    qbase AS (
-      SELECT doc_id, source, text,
-             CAST(length(text) AS DOUBLE) AS n,
-             len(string_split_regex(trim(text), '\\s+')) AS ntok
-      FROM documents
-    ), qcls AS (
-      SELECT doc_id, source, n, ntok,
-        (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-        (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-        (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-      FROM qbase
-    ), qual AS (
-      SELECT doc_id, source,
-        round((least(1.0, ntok / 100.0) + alpha_ratio
-               + (1.0 - least(1.0, digit_ratio + punct_ratio))
-               + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
-                      THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
-      FROM qcls
-    )
-"""
-
-
-@register(
-    "q135_quantile_normalize",
-    f"""
-    WITH {_Q135_QUAL},
-    r AS (
-      SELECT doc_id, source, quality,
-             percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct
-      FROM qual
-    )
-    SELECT doc_id, source, quality, round(pct, 6) AS pct_rank,
-           CAST(least(9, floor(pct * 10)) AS BIGINT) AS bucket
-    FROM r
-    """,
-    "per-domain quantile normalization of quality scores: exact percent_rank from a bounded (source, 4dp-score) histogram + broadcast join — no single-task per-domain sort; graded against the textbook window (X4/X6)",
-)
-def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Make quality scores comparable across corpus domains: within-source
-    percent_rank and decile, computed histogram-style so no domain ever
-    sorts through one task. See operators/normalize.py::quantile_normalize."""
-    from universal_aws_data_pipeline_spark.operators.normalize import quantile_normalize
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", quality_score(F.col("text")).alias("quality")
-    )
-    return quantile_normalize(d, "source", "quality", n_buckets=10).select(
-        "doc_id", "source", "quality", "pct_rank", "bucket"
-    )
-
-
-# --------------------------------------------------------------------------
-# q136 — half-life recency-weighted customer value (W/temporal family):
-# time-decayed aggregates that stay BIGINT-exact. Operators: floor-
-# bucketed power-of-two decay (shiftleft, capped at 20 half-lives — no
-# float pow/exp), cents × decay_micro summed map-side-combinably.
-# The staircase decay is the deliberate trade for hash-gradable,
-# merge-exact weighted sums (see operators/temporal.py).
-# Scale: one map expression + one hash aggregate — nothing else.
-# --------------------------------------------------------------------------
-@register(
-    "q136_recency_weighted_value",
-    """
-    WITH o AS (
-      SELECT o_custkey,
-             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
-             datediff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01') AS age
-      FROM orders
-    ), w AS (
-      SELECT o_custkey, cents,
-             CASE WHEN age < 0 THEN 0
-                  ELSE 1000000 // (1 << least(age // 180, 20)) END AS decay
-      FROM o
-    )
-    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(cents) AS BIGINT) AS cents,
-           CAST(sum(cents * decay) AS BIGINT) AS weighted_micro_cents
-    FROM w GROUP BY o_custkey
-    """,
-    "half-life recency-weighted customer value: integer-exact power-of-two decay (180-day floor buckets, shiftleft — no float exp) x order cents, one map expression + one hash aggregate (temporal/W family)",
-)
-def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer lifetime value with recency decay: each order's cents are
-    weighted by 10^6 halved per elapsed 180-day bucket from the 2001-08-01
-    reference date — BIGINT-exact, so the weighted sums hash-grade and
-    merge without drift. See operators/temporal.py::halflife_decay_micro."""
-    from universal_aws_data_pipeline_spark.operators.temporal import (
-        halflife_decay_micro,
-    )
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-        F.expr("datediff(date'2001-08-01', cast(o_orderdate as date))").alias("age"),
-    )
-    decay = halflife_decay_micro(F.col("age"), 180)
-    return o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("cents"),
-        F.sum(F.col("cents") * decay).cast("long").alias("weighted_micro_cents"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q137 — referential-integrity orphan audit (A-family): the FK check the
-# reference's independent per-table COPYs never run. Operators: per
-# relationship DISTINCT parent keys (map-side combinable) + one left
-# equi-join + ONE aggregate; |relationships|-row report. The fixture
-# deletes customers %71==0 so the orders->customer leg has real orphans;
-# lineitem->orders is the clean control.
-# --------------------------------------------------------------------------
-@register(
-    "q137_referential_audit",
-    """
-    WITH cust AS (
-      SELECT c_custkey FROM customer WHERE c_custkey % 71 <> 0
-    ), r1 AS (
-      SELECT 'lineitem->orders' AS relationship,
-             CAST(count(*) AS BIGINT) AS n_children,
-             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
-        ON l.l_orderkey = o.o_orderkey
-    ), r2 AS (
-      SELECT 'orders->customer' AS relationship,
-             CAST(count(*) AS BIGINT) AS n_children,
-             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-      FROM orders o2 LEFT JOIN (SELECT DISTINCT c_custkey FROM cust) c
-        ON o2.o_custkey = c.c_custkey
-    )
-    SELECT relationship, n_children, n_orphans,
-           round(CAST(n_orphans AS DOUBLE) / n_children, 6) AS orphan_pct
-    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-    """,
-    "referential-integrity orphan audit across table pairs: DISTINCT parent keys + left join + one aggregate per relationship, |relationships|-row report (the FK gate the reference's independent COPYs lack; A-family)",
-)
-def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How many child rows point at missing parents? lineitem->orders is
-    the clean control; orders->customer runs against a fixture where
-    customers %71==0 were deleted (the un-cascaded half of the q63 GDPR
-    delete). See operators/quality.py::referential_audit."""
-    from universal_aws_data_pipeline_spark.operators.quality import referential_audit
-
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 71 != 0)
-    return referential_audit(
-        [
-            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
-            ("orders->customer", o, "o_custkey", cust, "c_custkey"),
-        ]
-    )
-
-
-# --------------------------------------------------------------------------
-# q138 — within-doc repeated-block dedup (X4, the complement of q114's
-# cross-doc surgery which keeps self-repeats by design): drop repeated
-# 8-token blocks inside each document, keep first occurrences in order.
-# Operators: ROW-LOCAL consecutive-slice blocks + keep-first higher-order
-# filter (first-index == own-index) — zero shuffles at any corpus size.
-# Oracle: explode + per-doc row_number window + ordered string_agg — the
-# hash match proves the row-local filter equals the window semantics.
-# --------------------------------------------------------------------------
-@register(
-    "q138_intra_doc_dedup",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
-    ), c AS (
-      SELECT doc_id, tk, (len(tk) + 7) // 8 AS nb FROM t
-      WHERE len(tk) > 0 AND NOT (len(tk) = 1 AND tk[1] = '')
-    ), blocks AS (
-      SELECT doc_id, nb, i AS p,
-             array_to_string(tk[i*8+1 : i*8+8], ' ') AS block
-      FROM (SELECT doc_id, tk, nb, unnest(range(0, nb)) AS i FROM c)
-    ), firsts AS (
-      SELECT doc_id, nb, block, p,
-             row_number() OVER (PARTITION BY doc_id, block ORDER BY p) AS rn
-      FROM blocks
-    )
-    SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_blocks,
-           CAST(count(*) AS BIGINT) AS n_unique_blocks,
-           string_agg(block, ' ' ORDER BY p) AS cleaned_text
-    FROM firsts WHERE rn = 1 GROUP BY doc_id
-    """,
-    "within-doc repeated-block dedup (Dolma paragraph-dedup shape): row-local keep-first filter over consecutive 8-token blocks, zero shuffles — the intra-doc complement of q114's cross-doc span surgery (X4)",
-)
-def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strip copy-pasted runs and boilerplate INSIDE each document: every
-    repeated 8-token block after its first occurrence is dropped, order
-    preserved. See operators/text.py::dedup_repeated_blocks — entirely
-    row-local; the oracle's explode+window replay proves equivalence."""
-    from universal_aws_data_pipeline_spark.operators.text import dedup_repeated_blocks
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup_repeated_blocks(d, block_tokens=8)
-
-
-# --------------------------------------------------------------------------
-# q139 — cross-source n-gram overlap matrix (X2/X6): the corpus-pair
-# redundancy diagnostic before mixing. Operators: per-doc shingles →
-# DISTINCT (source, digest), ONE digest aggregation collecting the
-# ≤|sources| owner set, ROW-LOCAL i<j pair expansion, |sources|²-bounded
-# count — the naive digest self-join never happens. Jaccard from the same
-# digest table's per-source sizes.
-# Oracle: the self-join spelling (fine at oracle scale) — a hash match
-# proves the owner-set expansion equals pairwise-join semantics.
-# --------------------------------------------------------------------------
-@register(
-    "q139_source_overlap_matrix",
-    f"""
-    WITH tt AS (
-      SELECT source, string_split({_NORM_SQL}, ' ') AS t, {_NORM_SQL} AS norm
-      FROM documents
-    ), dg AS (
-      SELECT DISTINCT source, {_hex_int_sql("sh", 15)} AS digest FROM (
-        SELECT source, unnest(CASE WHEN len(t) >= 8
-          THEN list_distinct(list_transform(range(1, len(t) - 6),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])))
-          ELSE [norm] END) AS sh
-        FROM tt
-      )
-    ), pairs AS (
-      SELECT a.source AS src_a, b.source AS src_b,
-             CAST(count(*) AS BIGINT) AS n_overlap
-      FROM dg a JOIN dg b ON a.digest = b.digest AND a.source < b.source
-      GROUP BY 1, 2
-    ), sizes AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY source
-    )
-    SELECT src_a, src_b, n_overlap, sa.n AS n_a, sb.n AS n_b,
-           round(CAST(n_overlap AS DOUBLE) / (sa.n + sb.n - n_overlap), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON pairs.src_a = sa.source
-    JOIN sizes sb ON pairs.src_b = sb.source
-    """,
-    "cross-source 8-gram overlap matrix: distinct (source, digest) -> owner-set collection -> row-local pair expansion (|sources|^2-bounded; no digest self-join), shared counts + Jaccard per source pair — the corpus-redundancy diagnostic before mixing (X2/X6)",
-)
-def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How much do the corpus sources overlap n-gram-wise? Shared distinct
-    8-gram counts and Jaccard for every source pair — decides
-    dedup-before-mix and flags near-duplicate corpora. See
-    operators/retrieval.py::corpus_overlap_matrix for why the plan
-    collects bounded owner sets instead of self-joining digests."""
-    from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
-    from universal_aws_data_pipeline_spark.operators.retrieval import (
-        corpus_overlap_matrix,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("source", "text")
-    return corpus_overlap_matrix(parallelize_text_scan(d), "source", "text", 8)
-
-
-# --------------------------------------------------------------------------
-# q140 — token frequency spectrum / count-of-counts (X4): the Zipf /
-# Good-Turing vocabulary diagnostic — "how many distinct tokens occur
-# exactly k times", plus the token mass each frequency class carries.
-# Operators: two map-side-combinable aggregations — vocab-sized, then
-# |distinct frequencies|-sized (hundreds of rows); all-integer output.
-# Scale: the token explode is the only corpus-sized stage; the spectrum
-# itself is log-bounded. The singleton row (k=1) is the Good-Turing
-# unseen-mass estimate; the head rows show stopword concentration.
-# --------------------------------------------------------------------------
-@register(
-    "q140_token_spectrum",
-    f"""
-    WITH toks AS (
-      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
-    ), vocab AS (
-      SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
-    )
-    SELECT CAST(c AS BIGINT) AS occ_count,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(c * count(*) AS BIGINT) AS token_mass
-    FROM vocab GROUP BY c
-    """,
-    "token frequency spectrum (count-of-counts): vocab aggregate -> |frequencies|-row Zipf/Good-Turing diagnostic with per-class token mass; two map-side-combinable aggregations, all-integer (X4)",
-)
-def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus vocabulary's shape: how many distinct tokens occur k
-    times, and how much token mass each frequency class carries. k=1 is
-    Good-Turing's unseen-mass estimate; the heavy tail drives vocab-size
-    and min-frequency cut decisions."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-
-    d = _t(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return vocab.groupBy("c").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        (F.col("c") * F.count(F.lit(1))).cast("long").alias("token_mass"),
-    ).select(F.col("c").cast("long").alias("occ_count"), "n_tokens", "token_mass")
-
-
-# --------------------------------------------------------------------------
-# q141 — dedup ROI report (X2 composition): what does near-dup dedup
-# actually BUY? Per cluster-size class: cluster count, total token mass,
-# and tokens saved by keeping only the min-id canonical — the
-# cost-benefit table that justifies (or kills) a dedup pass before it
-# runs at full scale. Operators: q43's CC clusters × token counts, one
-# cluster aggregate, one |size-classes|-row histogram; reuses q43's
-# checkpointed pair/cluster engine so the marginal cost is a token map.
-# Oracle: the same recursive-CTE closure as q43/q76 + token arithmetic.
-# --------------------------------------------------------------------------
-_Q141_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_Q15_ORACLE}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
-),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
-),
-tk AS (
-  SELECT doc_id, CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n
-  FROM corpus
-),
-cl AS (
-  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
-         CAST(sum(tk.n) AS BIGINT) AS tot,
-         CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 0 ELSE tk.n END) AS BIGINT) AS saved
-  FROM comp c JOIN tk ON c.doc_id = tk.doc_id
-  GROUP BY c.cluster_id
-)
-SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(sum(tot) AS BIGINT) AS total_tokens,
-       CAST(sum(saved) AS BIGINT) AS saved_tokens
-FROM cl GROUP BY cluster_size
-"""
-
-
-@register(
-    "q141_dedup_roi",
-    _Q141_ORACLE,
-    "dedup ROI report: per cluster-size class, how many near-dup clusters exist and how many tokens keeping only the canonical saves — the cost-benefit table before a full-scale dedup pass (X2 composition over q43)",
-)
-def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Is the dedup pass worth it? Tokens saved by collapsing each q43
-    near-dup cluster to its min-id canonical, histogrammed by cluster
-    size. Reuses q43's checkpointed cluster engine (same artifact as q76),
-    so the marginal cost is one token-count map + two tiny aggregates."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-
-    clusters = QUERIES["q43_dup_clusters"].fn(spark, sf_dir).select("doc_id", "cluster_id")
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
-    )
-    tk = d.unionByName(mutated).select(
-        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n")
-    )
-    cl = (
-        clusters.join(tk, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cluster_size"),
-            F.sum("n").cast("long").alias("tot"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("cluster_id"), 0).otherwise(F.col("n"))
-            )
-            .cast("long")
-            .alias("saved"),
-        )
-    )
-    return cl.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        F.sum("tot").cast("long").alias("total_tokens"),
-        F.sum("saved").cast("long").alias("saved_tokens"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q142 — SCD2 point-in-time reconstruction (warehouse family): the read
-# side of type-2 history — the dimension AS OF two dates straddling the
-# q51 merge, labeled and unioned. Operators: map-side validity predicate
-# over the merged history (composes with partition pruning on the
-# validity columns at scale — no snapshot storage, ever).
-# Oracle: replays q51's merge SQL (shared constant) + the same filters.
-# --------------------------------------------------------------------------
-@register(
-    "q142_scd2_asof",
-    f"""
-    WITH hist AS ({_Q51_ORACLE}),
-    a AS (
-      SELECT DATE '2022-01-01' AS asof_date, c_custkey, c_acctbal, c_mktsegment
-      FROM hist
-      WHERE valid_from <= DATE '2022-01-01'
-        AND (valid_to IS NULL OR valid_to > DATE '2022-01-01')
-    ), b AS (
-      SELECT DATE '2024-07-01' AS asof_date, c_custkey, c_acctbal, c_mktsegment
-      FROM hist
-      WHERE valid_from <= DATE '2024-07-01'
-        AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')
-    )
-    SELECT * FROM a UNION ALL SELECT * FROM b
-    """,
-    "SCD2 point-in-time reconstruction: the dimension as of dates before AND after the q51 merge via one map-side validity filter each — history time travel with zero snapshot storage (warehouse family)",
-)
-def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel through the q51 SCD2 history: as of 2022-01-01 every
-    customer shows PRE-update values (the update hadn't happened); as of
-    2024-07-01 the changed keys show their new versions. Both
-    reconstructions are one filter over the same history table — see
-    operators/scd.py::scd2_asof."""
-    import datetime as _dt
-
-    from universal_aws_data_pipeline_spark.operators.scd import scd2_asof
-
-    hist = QUERIES["q51_scd2_merge"].fn(spark, sf_dir)
-
-    def snap(d: _dt.date) -> DataFrame:
-        return scd2_asof(hist, d).select(
-            F.lit(d).alias("asof_date"), "c_custkey", "c_acctbal", "c_mktsegment"
-        )
-
-    return snap(_dt.date(2022, 1, 1)).unionByName(snap(_dt.date(2024, 7, 1)))
-
-
-# --------------------------------------------------------------------------
-# q143 — linear multi-touch attribution (analytics family): q120's
-# complement — every event in the 30-minute lookback shares the
-# purchase's credit equally, in integer micro-credits (10^6 div n — exact,
-# engine-portable). Operators: per-user RANGE-frame window on wall-clock
-# epoch micros (value-based frame ⇒ no tie ambiguity; NTZ-safe
-# timestampdiff device from q33/q120), collect_list of in-window touches,
-# row-local explode + credit split, channel rollup.
-# Oracle: the self-join spelling over the same strict/inclusive bounds —
-# the hash match proves the range-frame collect equals join semantics.
-# Scale: one shuffle on user_id; frames bounded by events-per-user per
-# 30 min; the rollup is |channels| rows.
-# --------------------------------------------------------------------------
-@register(
-    "q143_linear_attribution",
-    """
-    WITH p AS (
-      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
-    ), t AS (
-      SELECT user_id, ts, event_type FROM events
-    ), touch AS (
-      SELECT p.event_id AS pid, t.event_type AS channel
-      FROM p JOIN t ON p.user_id = t.user_id
-        AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 30 MINUTE
-    ), ncnt AS (
-      SELECT pid, count(*) AS n FROM touch GROUP BY pid
-    ), credits AS (
-      SELECT tc.channel, 1000000 // n.n AS credit_micro
-      FROM touch tc JOIN ncnt n USING (pid)
-      UNION ALL
-      SELECT 'direct', 1000000
-      FROM p WHERE p.event_id NOT IN (SELECT pid FROM ncnt)
-    )
-    SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
-           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total
-    FROM credits GROUP BY channel
-    """,
-    "linear multi-touch attribution: every event in the 30-min lookback shares the purchase credit equally in exact integer micro-credits; range-frame window collect (value-based, tie-proof) + row-local split, one user shuffle (analytics family)",
-)
-def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spread each purchase's credit equally over ALL touches in the prior
-    30 minutes (q120 gives it all to the last one): 10^6 div n
-    micro-credits per touch, 'direct' when no touches. The window frame is
-    RANGE on wall-clock epoch micros — inclusive at exactly -30 min,
-    exclusive of same-instant events, matching the oracle's join bounds."""
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")
-    mic = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
-    base = e.select("user_id", "event_id", "event_type", mic.alias("tm"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("tm")
-        .rangeBetween(-1_800_000_000, -1)
-    )
-    p = (
-        base.withColumn("touches", F.collect_list("event_type").over(w))
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "touches", F.size("touches").alias("n"))
-    )
-    split = p.filter(F.col("n") > 0).select(
-        F.explode("touches").alias("channel"),
-        F.expr("1000000 div n").alias("credit_micro"),
-    )
-    direct = p.filter(F.col("n") == 0).select(
-        F.lit("direct").alias("channel"),
-        F.lit(1_000_000).cast("long").alias("credit_micro"),
-    )
-    return (
-        split.unionByName(direct)
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_credits"),
-            F.sum("credit_micro").cast("long").alias("credit_micro_total"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q144 — pretraining-prep pipeline v2 (flagship composition, X-family):
-# the round-5 operators chained end-to-end the way a real corpus build
-# runs them — quality gate → WITHIN-doc block dedup (q138) → CROSS-doc
-# exact dedup on the CLEANED text (q07's keep-first on a 60-bit digest;
-# cleaning first means boilerplate can't mask true dups) → concat-and-
-# chunk sequence packing of the survivors (q131). Four stages, TWO
-# shuffles total (dedup digest + packing shard); everything else is
-# row-local. The oracle composes the same four stages' SQL spellings —
-# one hash match grades the whole pipeline, stage interactions included.
-# --------------------------------------------------------------------------
-@register(
-    "q144_pretrain_e2e",
-    f"""
-    WITH {_Q135_QUAL},
-    kept AS (
-      SELECT q.doc_id FROM qual q WHERE q.quality >= 0.5
-    ), t AS (
-      SELECT d.doc_id, string_split({_NORM_SQL}, ' ') AS tk
-      FROM documents d JOIN kept k ON d.doc_id = k.doc_id
-    ), c AS (
-      SELECT doc_id, tk, (len(tk) + 7) // 8 AS nb FROM t
-      WHERE len(tk) > 0 AND NOT (len(tk) = 1 AND tk[1] = '')
-    ), blocks AS (
-      SELECT doc_id, i AS p, array_to_string(tk[i*8+1 : i*8+8], ' ') AS block
-      FROM (SELECT doc_id, tk, unnest(range(0, nb)) AS i FROM c)
-    ), firsts AS (
-      SELECT doc_id, block, p,
-             row_number() OVER (PARTITION BY doc_id, block ORDER BY p) AS rn
-      FROM blocks
-    ), cleaned AS (
-      SELECT doc_id, string_agg(block, ' ' ORDER BY p) AS ctext
-      FROM firsts WHERE rn = 1 GROUP BY doc_id
-    ), dedup AS (
-      SELECT doc_id, ctext,
-             row_number() OVER (
-               PARTITION BY {_hex_int_sql("ctext", 15)} ORDER BY doc_id) AS dr
-      FROM cleaned
-    ), surv AS (
-      SELECT doc_id, CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_tokens,
-             {_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} % {_Q131_SHARDS} AS shard
-      FROM dedup WHERE dr = 1
-    ), packed AS (
-      SELECT shard, doc_id, n_tokens,
-             CAST(coalesce(sum(n_tokens) OVER (
-               PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-      FROM surv WHERE n_tokens > 0
-    )
-    SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens, tok_offset,
-           tok_offset // {_Q131_SEQ_LEN} AS first_seq,
-           (tok_offset + n_tokens - 1) // {_Q131_SEQ_LEN} AS last_seq
-    FROM packed
-    """,
-    "pretraining-prep pipeline v2: quality gate -> within-doc block dedup -> cross-doc exact dedup on CLEANED text -> sequence packing, composed end-to-end with TWO shuffles total; one hash match grades the whole pipeline including stage interactions (flagship composition)",
-)
-def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus build, start to finish: gate on quality >= 0.5, strip
-    within-doc repeated blocks (q138), drop cross-doc exact dups of the
-    CLEANED text keeping the min id (cleaning first so shared boilerplate
-    can't hide true duplicates), then pack survivors into 256-token
-    training sequences (q131). Stage outputs chain as DataFrames — no
-    materialization between stages; Catalyst fuses the row-local middle
-    into the two shuffle stages."""
-    from universal_aws_data_pipeline_spark.operators.packing import pack_sequences
-    from universal_aws_data_pipeline_spark.operators.text import (
-        dedup_repeated_blocks,
-        quality_score,
-    )
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    kept = d.filter(quality_score(F.col("text")) >= 0.5)
-    cleaned = dedup_repeated_blocks(kept, block_tokens=8).select("doc_id", "cleaned_text")
-    dg = F.conv(F.substring(F.md5(F.col("cleaned_text")), 1, 15), 16, 10).cast("long")
-    surv = (
-        cleaned.withColumn("_dg", dg)
-        .groupBy("_dg")
-        .agg(F.min(F.struct("doc_id", "cleaned_text")).alias("_keep"))
-        .select(
-            F.col("_keep.doc_id").alias("doc_id"),
-            F.size(F.split(F.col("_keep.cleaned_text"), " ")).cast("long").alias("n_toks"),
-        )
-    )
-    return pack_sequences(
-        surv, "doc_id", "n_toks", seq_len=_Q131_SEQ_LEN, n_shards=_Q131_SHARDS
-    ).select("shard", "doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
-
-
-# --------------------------------------------------------------------------
-# q145 — MAD robust outliers (A-family): q49's z-score uses mean/stddev,
-# which the outliers themselves inflate (masking); median absolute
-# deviation is breakdown-50% robust. Operators: two tiny per-group
-# percentile aggregates (|event types| rows each, AQE-broadcast back),
-# never a window over the full table. The 1.4826 consistency constant
-# scales MAD to sigma-equivalents; cutoff 3.5 is the standard
-# Iglewicz-Hoaglin threshold.
-# Oracle: quantile_cont twins percentile (interpolated-median parity
-# proven by q48); same mad > 0 guard both sides.
-# --------------------------------------------------------------------------
-@register(
-    "q145_mad_outliers",
-    """
-    WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type
-    ), mad AS (
-      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
-      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
-    )
-    SELECT e.event_id, e.event_type,
-           round((e.value - m.med) / (1.4826 * d.mad), 3) AS robust_z
-    FROM events e
-    JOIN med m USING (event_type)
-    JOIN mad d USING (event_type)
-    WHERE d.mad > 0
-      AND abs((e.value - m.med) / (1.4826 * d.mad)) >= 3.5
-    """,
-    "MAD robust outliers: median/median-absolute-deviation per group (two tiny percentile aggregates, broadcast back — no per-group window), Iglewicz-Hoaglin 3.5 cutoff — the masking-proof complement of q49's z-score (A-family)",
-)
-def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outliers the outliers can't hide: robust z via median and MAD
-    instead of mean/stddev (which extreme values inflate until q49 stops
-    flagging them). Two |event-types|-row aggregates broadcast back over
-    one stream read — the same two-pass shape as q49."""
-    e = _t(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
-    mad = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
-    )
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
-    return (
-        e.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
-        .filter((F.col("mad") > 0) & (F.abs(rz) >= 3.5))
-        .select("event_id", "event_type", F.round(rz, 3).alias("robust_z"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q146 — event-time disorder audit (STR-support family): the measurement
-# that SIZES a streaming watermark — per event type, how often events
-# arrive behind an already-seen later event (per-user lag inversion) and
-# the p95/max backward jump in seconds. Set the watermark delay above the
-# p95 jump and late-drop becomes quantified, not guessed.
-# Operators: one per-user grouped window (arrival order = ts,event_id of
-# the RECORD stream — the fixture's generation order), MICROSECOND
-# timestampdiff (q33's device; SECOND truncation flips boundary rows),
-# |types|-row rollup with exact integer jumps + interpolated percentile
-# (quantile_cont parity from q48).
-# --------------------------------------------------------------------------
-@register(
-    "q146_disorder_audit",
-    """
-    WITH late AS (
-      SELECT event_type, user_id, event_id,
-             CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 6 HOUR
-                  ELSE ts END AS ts
-      FROM events
-    ), o AS (
-      SELECT event_type, user_id, ts, event_id,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
-      FROM late
-    ), j AS (
-      SELECT event_type,
-             CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
-                  THEN datediff('microsecond', ts, prev_ts) ELSE NULL END AS back_us
-      FROM o
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(back_us) AS BIGINT) AS n_inversions,
-           round(CAST(count(back_us) AS DOUBLE) / count(*), 6) AS inversion_rate,
-           CAST(coalesce(max(back_us), 0) AS BIGINT) AS max_back_us,
-           CAST(coalesce(round(quantile_cont(back_us, 0.95), 0), 0) AS BIGINT) AS p95_back_us
-    FROM j GROUP BY event_type
-    """,
-    "event-time disorder audit: per-type inversion rate and p95/max backward jump in exact microseconds over per-user event_id arrival order — the number that sizes a streaming watermark delay (STR-support family)",
-)
-def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How out-of-order is this stream, really? Per event type: the
-    fraction of events carrying a timestamp EARLIER than the user's
-    previously-arrived one (event_id = arrival order), plus p95/max
-    backward jump. The p95 is the evidence-based watermark delay; max is
-    the loss bound if you use it. The fixture's generator emits in
-    timestamp order, so a deterministic late-feed perturbation (every
-    37th event's ts pulled back 6 h — the q130/q132 synthetic-CDC
-    convention; inter-event gaps here run to hours) supplies the
-    disorder the audit must measure."""
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts",
-        F.when(
-            F.col("event_id") % 37 == 0, F.col("ts") - F.expr("INTERVAL 6 HOUR")
-        ).otherwise(F.col("ts")),
-    )
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    o = e.select(
-        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
-    )
-    back = F.when(
-        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")),
-        F.expr("timestampdiff(MICROSECOND, ts, prev_ts)"),
-    )
-    return (
-        o.select("event_type", back.alias("back_us"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.count("back_us").cast("long").alias("n_inversions"),
-            F.round(
-                F.count("back_us").cast("double") / F.count(F.lit(1)), 6
-            ).alias("inversion_rate"),
-            F.coalesce(F.max("back_us"), F.lit(0)).cast("long").alias("max_back_us"),
-            F.coalesce(F.round(F.expr("percentile(back_us, 0.95)"), 0), F.lit(0))
-            .cast("long")
-            .alias("p95_back_us"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q147 — conversion-latency percentiles (analytics family): q55 counts
-# funnel conversions; this measures HOW LONG they take — per user, first
-# visit → first purchase, rolled up to latency percentiles. Operators:
-# one per-user conditional min-aggregate (map-side combinable — no
-# window), MICROSECOND-exact latency, one global percentile rollup.
-# Scale: one shuffle on user_id, then a 1-row reduction (adjudicated).
-# --------------------------------------------------------------------------
-@register(
-    "q147_conversion_latency",
-    """
-    WITH u AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
-      FROM events GROUP BY user_id
-    ), lat AS (
-      SELECT datediff('microsecond', first_view, first_purchase) AS us
-      FROM u
-      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
-        AND first_purchase >= first_view
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           CAST(round(quantile_cont(us, 0.50), 0) AS BIGINT) AS p50_us,
-           CAST(round(quantile_cont(us, 0.90), 0) AS BIGINT) AS p90_us,
-           CAST(round(quantile_cont(us, 0.99), 0) AS BIGINT) AS p99_us,
-           CAST(max(us) AS BIGINT) AS max_us
-    FROM lat
-    """,
-    "conversion-latency percentiles: first view -> first purchase per user via one conditional min-aggregate (no window), microsecond-exact, global p50/p90/p99 rollup (analytics family)",
-)
-def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How long from first sight to first sale? Per-user first-view and
-    first-purchase come from ONE conditional min-aggregate (map-side
-    combinable; never a per-user ordered window), then a single latency
-    percentile reduction. Users who purchased before ever viewing
-    (cross-device, tracking gaps) are excluded explicitly."""
-    e = _t(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "first_purchase"
-        ),
-    )
-    lat = u.filter(
-        F.col("first_view").isNotNull()
-        & F.col("first_purchase").isNotNull()
-        & (F.col("first_purchase") >= F.col("first_view"))
-    ).select(
-        F.expr("timestampdiff(MICROSECOND, first_view, first_purchase)").alias("us")
-    )
-    return lat.agg(
-        F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(us, 0.50)"), 0).cast("long").alias("p50_us"),
-        F.round(F.expr("percentile(us, 0.90)"), 0).cast("long").alias("p90_us"),
-        F.round(F.expr("percentile(us, 0.99)"), 0).cast("long").alias("p99_us"),
-        F.max("us").cast("long").alias("max_us"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q148 — k-core decomposition of the part co-purchase graph (graph family).
-# Operators: bounded parallel peeling (operators/graph.py::k_core) — each
-# round drops every node with degree < k in the surviving subgraph, all at
-# once. Fixed round count makes the iterative recurrence engine-replayable
-# (the q115 device); the result equals the true k-core whenever peel depth
-# <= rounds (rounds past the fixpoint are no-ops).
-# Scale: per round two shuffle joins vs the survivor set + one map-side-
-# combinable degree agg; no per-round driver action — rounds chain lazily
-# into ONE job. Oracle: the same peel unrolled as chained CTEs.
-# --------------------------------------------------------------------------
-_KCORE_K, _KCORE_ROUNDS = 3, 4
-
-
-def _kcore_step(i: int) -> str:
-    prev = "a0" if i == 1 else f"a{i - 1}"
-    return f"""
-    a{i} AS (
-      SELECT e.x AS node FROM e
-      JOIN {prev} p ON e.x = p.node
-      JOIN {prev} q ON e.y = q.node
-      GROUP BY e.x HAVING count(*) >= {_KCORE_K}
-    )"""
-
-
-@register(
-    "q148_kcore_parts",
-    f"""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), eu AS (
-      SELECT a.p AS x, b.p AS y
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p HAVING count(*) >= 2
-    ), e AS (
-      SELECT x, y FROM eu UNION ALL SELECT y, x FROM eu
-    ), a0 AS (
-      SELECT DISTINCT x AS node FROM e
-    ),{",".join(_kcore_step(i) for i in range(1, _KCORE_ROUNDS + 1))}
-    SELECT e.x AS part_id, CAST(count(*) AS BIGINT) AS core_deg
-    FROM e
-    JOIN a{_KCORE_ROUNDS} p ON e.x = p.node
-    JOIN a{_KCORE_ROUNDS} q ON e.y = q.node
-    GROUP BY e.x
-    """,
-    f"{_KCORE_K}-core of the repeat co-purchase graph via {_KCORE_ROUNDS} bounded parallel peel rounds: the dense always-bought-together backbone that survives when every weakly-connected part is recursively stripped (graph family)",
-)
-def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dense backbone of the co-purchase graph: parts that keep >= 3
-    repeat-co-purchase partners even after every weaker part is recursively
-    removed — the standard graph-mining densest-region preprocessing (and
-    the dedup-graph analogue: a high-core near-dup cluster is template spam,
-    a low-core one is organic). Edge set = q116's support >= 2 co-purchase
-    pairs, shared through the `_copurchase_edges` parquet artifact; peeling
-    via operators/graph.py::k_core."""
-    from universal_aws_data_pipeline_spark.operators.graph import k_core
-
-    e = _copurchase_edges(spark, sf_dir).select("a", "b")
-    return k_core(e, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
-        F.col("node").alias("part_id"), "core_deg"
-    )
-
-
-# --------------------------------------------------------------------------
-# q149 — label-propagation communities on the co-purchase graph (graph
-# family). Operators: fixed-round synchronous LPA with a deterministic
-# smallest-label tie-break (operators/graph.py::label_propagation) —
-# frequency voting splits the connected graph along dense regions, which
-# min-label connected components (q43/q56) cannot do. The tie-break is
-# what makes classic run-order-dependent LPA hash-gradable.
-# Scale: per round one shuffle join + two map-side-combinable aggs (vote
-# count absorbs celebrity fan-in pre-shuffle; argmax is a max-struct agg,
-# never a per-node sorted window); fixed rounds chain lazily into one job.
-# Oracle: the same voting recurrence unrolled as chained CTEs.
-# --------------------------------------------------------------------------
-_LPA_ROUNDS = 4
-
-
-def _lpa_step(i: int) -> str:
-    prev = "l0" if i == 1 else f"l{i - 1}"
-    return f"""
-    l{i} AS (
-      SELECT node, label FROM (
-        SELECT m.node, m.label,
-               row_number() OVER (PARTITION BY m.node ORDER BY m.cnt DESC, m.label ASC) AS rn
-        FROM (
-          SELECT e.y AS node, p.label, count(*) AS cnt
-          FROM e JOIN {prev} p ON e.x = p.node
-          GROUP BY e.y, p.label
-        ) m
-      ) WHERE rn = 1
-    )"""
-
-
-@register(
-    "q149_copurchase_communities",
-    f"""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), eu AS (
-      SELECT a.p AS x, b.p AS y
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p HAVING count(*) >= 2
-    ), e AS (
-      SELECT x, y FROM eu UNION ALL SELECT y, x FROM eu
-    ), l0 AS (
-      SELECT DISTINCT x AS node, x AS label FROM e
-    ),{",".join(_lpa_step(i) for i in range(1, _LPA_ROUNDS + 1))}
-    SELECT CAST(label AS BIGINT) AS community,
-           CAST(count(*) AS BIGINT) AS n_parts,
-           CAST(min(node) AS BIGINT) AS min_part
-    FROM l{_LPA_ROUNDS}
-    GROUP BY label HAVING count(*) >= 2
-    """,
-    f"co-purchase communities via {_LPA_ROUNDS}-round deterministic label propagation (most-frequent neighbor label, ties to smallest): dense product families split out of one connected blob, which min-label components cannot separate (graph family)",
-)
-def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product families, not components: frequency-voting label propagation
-    splits the (largely connected) co-purchase graph along its dense
-    regions, where q43/q56-style min-label closure would collapse it into
-    one giant component. Communities of >= 2 parts with their size and
-    smallest member; edge set shared with q116/q148 through the
-    `_copurchase_edges` artifact; operators/graph.py::label_propagation."""
-    from universal_aws_data_pipeline_spark.operators.graph import label_propagation
-
-    e = _copurchase_edges(spark, sf_dir).select("a", "b")
-    lbl = label_propagation(e, rounds=_LPA_ROUNDS)
-    return (
-        lbl.groupBy(F.col("community"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.min("node").cast("long").alias("min_part"),
-        )
-        .filter(F.col("n_parts") >= 2)
-        .select("community", "n_parts", "min_part")
-    )
-
-
-# --------------------------------------------------------------------------
-# q150 — k-means vector quantization in exact integers (X3 family).
-# Operators: fixed-round Lloyd iterations over 1e-6-quantized BIGINT
-# vectors (operators/cluster.py::kmeans_vq) — the codebook stage for IVF
-# coarse quantizers / SemDeDup clustering, made hash-gradable by the q115
-# device (integer floor-div recurrence, deterministic seeds = k smallest
-# ids, distance ties toward smaller cid).
-# Scale: per round one broadcast cross join (|V| x 8; the 8-row codebook
-# broadcasts, vectors never shuffle for scoring) + a min-struct agg + ONE
-# map-side-combinable k x dim centroid-sum agg (dim columns, never a
-# posexplode of |V| x dim rows); fixed rounds chain lazily into one job.
-# Oracle: the same recurrence unrolled as chained CTEs over DuckDB lists.
-# --------------------------------------------------------------------------
-_KM_K, _KM_DIM, _KM_ROUNDS = 8, 64, 2
-
-
-def _km_assign_sql(tag: str, cent: str) -> str:
-    return f"""
-    {tag} AS (
-      SELECT id, qe, cid, dist FROM (
-        SELECT d.*,
-               row_number() OVER (PARTITION BY d.id ORDER BY d.dist ASC, d.cid ASC) AS rn
-        FROM (
-          SELECT v.id, v.qe, c.cid,
-                 CAST(list_sum(list_transform(range(0, {_KM_DIM}),
-                      j -> (v.qe[j + 1] - c.cvec[j + 1]) * (v.qe[j + 1] - c.cvec[j + 1]))) AS BIGINT) AS dist
-          FROM q v CROSS JOIN {cent} c
-        ) d
-      ) WHERE rn = 1
-    )"""
-
-
-def _km_recompute_sql(tag: str, assign: str) -> str:
-    return f"""
-    {tag} AS (
-      SELECT cid, list(s ORDER BY j) AS cvec FROM (
-        SELECT a.cid, jj.j, CAST(sum(a.qe[jj.j + 1]) // count(*) AS BIGINT) AS s
-        FROM {assign} a CROSS JOIN (SELECT unnest(range(0, {_KM_DIM})) AS j) jj
-        GROUP BY a.cid, jj.j
-      ) GROUP BY cid
-    )"""
-
-
-def _q150_oracle() -> str:
-    steps = []
-    for r in range(1, _KM_ROUNDS + 1):
-        steps.append(_km_assign_sql(f"a{r}", f"c{r - 1}"))
-        steps.append(_km_recompute_sql(f"c{r}", f"a{r}"))
-    return f"""
-    WITH q AS (
-      SELECT vec_id AS id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-      FROM embeddings
-    ), c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, qe AS cvec
-      FROM (SELECT id, qe FROM q ORDER BY id LIMIT {_KM_K})
-    ),{",".join(steps)}
-    SELECT a.cid,
-           CAST(count(*) AS BIGINT) AS n_members,
-           CAST(sum(a.dist // 1048576) AS BIGINT) AS inertia_milli,
-           CAST(max(cl.l1) AS BIGINT) AS centroid_l1
-    FROM a{_KM_ROUNDS} a
-    JOIN (
-      SELECT cid, list_sum(list_transform(cvec, x -> abs(x))) AS l1 FROM c{_KM_ROUNDS}
-    ) cl USING (cid)
-    GROUP BY a.cid
-    """
-
-
-@register(
-    "q150_kmeans_vq",
-    _q150_oracle(),
-    f"k-means vector quantization ({_KM_K} clusters, {_KM_ROUNDS} Lloyd rounds) in exact 1e-6-integer arithmetic: broadcast codebook scoring, min-struct assignment, floor-div centroid update — deterministic codebook construction for IVF/SemDeDup (X3 family)",
-)
-def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn an 8-cell codebook over the corpus embeddings and report each
-    cell's size, exact integer inertia (sum of squared distances div 2^20),
-    and centroid L1 mass. Integer quantization is what makes Lloyd's
-    algorithm replayable: float centroid means drift by summation order,
-    integer floor-div means do not. operators/cluster.py::kmeans_vq."""
-    from universal_aws_data_pipeline_spark.operators.cluster import kmeans_vq
-
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long")
-        ).alias("qe"),
-    )
-    assigned, cent = kmeans_vq(q, dim=_KM_DIM, k=_KM_K, assign_rounds=_KM_ROUNDS)
-    l1 = cent.select(
-        "cid",
-        F.aggregate(
-            F.transform("cvec", lambda x: F.abs(x)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("l1"),
-    )
-    return (
-        assigned.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum(F.expr("dist div 1048576")).cast("long").alias("inertia_milli"),
-        )
-        .join(F.broadcast(l1), "cid")
-        .select("cid", "n_members", "inertia_milli", F.col("l1").cast("long").alias("centroid_l1"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q151 — CUSUM changepoint detection on daily event volume (time-series
-# family). Operators: the one-sided CUSUM recursion S_i = max(0, S_{i-1} +
-# dev_i) is NOT window-expressible as written — the classic identity
-# S_i = cs_i - min(0, min_{j<=i} cs_j) (running sum minus its running
-# minimum) turns the recursion into TWO prefix windows. Integer milli-units
-# end-to-end (the q115 device): dev = 1000*n - mean_milli with a floor-div
-# mean, so both engines replay bit-exactly.
-# Scale: one shuffle to the |types x days| daily table (map-side combined),
-# then windows over a calendar-bounded table — never over raw events.
-# --------------------------------------------------------------------------
-@register(
-    "q151_cusum_changepoints",
-    """
-    WITH d AS (
-      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
-    ), m AS (
-      SELECT event_type, CAST((1000 * sum(n)) // count(*) AS BIGINT) AS mean_milli
-      FROM d GROUP BY event_type
-    ), c AS (
-      SELECT d.event_type, d.day, m.mean_milli,
-             CAST(sum(1000 * d.n - m.mean_milli)
-                  OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cs
-      FROM d JOIN m USING (event_type)
-    ), s AS (
-      SELECT event_type, day, mean_milli,
-             cs - least(CAST(0 AS BIGINT),
-                        CAST(min(cs) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)) AS cusum
-      FROM c
-    )
-    SELECT event_type,
-           CAST(count(CASE WHEN cusum > 5 * mean_milli THEN 1 END) AS BIGINT) AS n_alarm_days,
-           min(CASE WHEN cusum > 5 * mean_milli THEN day END) AS first_alarm_day,
-           CAST(max(cusum) AS BIGINT) AS max_cusum_milli
-    FROM s GROUP BY event_type
-    """,
-    "CUSUM changepoint detection on daily event volume: the max(0, S+dev) recursion rewritten as running-sum-minus-running-min (two prefix windows over the calendar-bounded daily table), integer milli-units, 5-mean-days alarm threshold (time-series family)",
-)
-def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Where did the volume regime shift? One-sided CUSUM accumulates
-    excess over the per-type mean and alarms when the cumulated drift
-    exceeds five average days. The recursion S_i = max(0, S_{i-1}+dev_i)
-    has no direct window form; the running-sum-minus-running-minimum
-    identity computes it with two prefix windows — over the tiny daily
-    aggregate, never the raw stream. Exact integer milli-units."""
-    from pyspark.sql.window import Window
-
-    e = _t(spark, sf_dir, "events")
-    d = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    m = d.groupBy("event_type").agg(
-        F.expr("(1000 * sum(n)) div count(*)").cast("long").alias("mean_milli")
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    c = (
-        d.join(F.broadcast(m), "event_type")
-        .withColumn("cs", F.sum(F.lit(1000) * F.col("n") - F.col("mean_milli")).over(w).cast("long"))
-    )
-    s = c.withColumn(
-        "cusum",
-        F.col("cs") - F.least(F.lit(0).cast("long"), F.min("cs").over(w).cast("long")),
-    )
-    alarm = F.col("cusum") > 5 * F.col("mean_milli")
-    return s.groupBy("event_type").agg(
-        F.count(F.when(alarm, 1)).cast("long").alias("n_alarm_days"),
-        F.min(F.when(alarm, F.col("day"))).alias("first_alarm_day"),
-        F.max("cusum").cast("long").alias("max_cusum_milli"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q152 — Benford first-digit audit on order prices (A-family). Operators:
-# leading-digit histogram vs the Benford expectation log10(1+1/d), shipped
-# as PRECOMPUTED integer micro literals (float log in-engine would be an
-# ulp hazard); deviations in exact micro-share units via floor-div. The
-# standard forensic screen for fabricated/synthetic monetary data.
-# Scale: one map-side-combinable 9-bucket aggregation + a broadcast scalar
-# attach of the total; output is 9 rows forever.
-# --------------------------------------------------------------------------
-_BENFORD_MICRO = {d: round(1_000_000 * __import__("math").log10(1 + 1 / d)) for d in range(1, 10)}
-
-
-@register(
-    "q152_benford_audit",
-    f"""
-    WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-      FROM orders
-    ), hist AS (
-      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
-    ), tot AS (
-      SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM hist
-    ), exp AS (
-      SELECT * FROM (VALUES {", ".join(f"({d}, {v})" for d, v in _BENFORD_MICRO.items())}) AS t(digit, exp_micro)
-    )
-    SELECT h.digit, h.n_obs,
-           CAST((1000000 * h.n_obs) // t.total AS BIGINT) AS obs_micro,
-           CAST(e.exp_micro AS BIGINT) AS exp_micro,
-           CAST(abs((1000000 * h.n_obs) // t.total - e.exp_micro) AS BIGINT) AS abs_dev_micro
-    FROM hist h CROSS JOIN tot t JOIN exp e USING (digit)
-    """,
-    "Benford first-digit audit on order prices: leading-digit shares vs the log10(1+1/d) expectation in exact integer micro-units (precomputed literals — no in-engine float log), 9-row output — the forensic screen for fabricated monetary data (A-family)",
-)
-def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Do the prices obey Benford's law? Natural multi-magnitude monetary
-    data puts ~30.1% of leading digits at 1; uniform-synthetic data puts
-    ~11.1% everywhere — the deviation column IS the detector (the fixture's
-    uniform price generator fails the screen loudly, which is the point:
-    this is the data-quality probe that catches synthetic injections).
-    Expected shares ship as integer micro literals; one 9-bucket agg."""
-    o = _t(spark, sf_dir, "orders")
-    digits = o.select(
-        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
-        .cast("int")
-        .alias("digit")
-    )
-    hist = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    tot = hist.agg(F.sum("n_obs").cast("long").alias("total"))
-    exp = spark.createDataFrame(
-        [(d, v) for d, v in _BENFORD_MICRO.items()], "digit: int, exp_micro: long"
-    )
-    obs = F.expr("(1000000 * n_obs) div total").cast("long")
-    return (
-        hist.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(exp), "digit")
-        .select(
-            "digit",
-            "n_obs",
-            obs.alias("obs_micro"),
-            F.col("exp_micro").cast("long").alias("exp_micro"),
-            F.abs(obs - F.col("exp_micro")).cast("long").alias("abs_dev_micro"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q153 — EWMA smoothing of daily revenue-event value (time-series family).
-# Operators: exponential smoothing with integer weights — w_j =
-# round(1e6 * 0.8^j) shipped as literals (in-engine pow(0.8,j) is an
-# engine-ulp hazard), truncated at 30 lags (0.8^30 < 1e-3 of the mass).
-# The EWMA recursion becomes a BOUNDED range self-join over the daily
-# aggregate: exact cent sums, weight lookup by day-gap, floor-div ratio.
-# Scale: the self-join runs on the |types x days| table (calendar-bounded,
-# never raw events) with a <=30-row expansion per row; the daily agg
-# itself is one map-side-combinable shuffle of the stream.
-# --------------------------------------------------------------------------
-_EWMA_LAGS = 30
-_EWMA_W = [round(1_000_000 * (0.8**j)) for j in range(_EWMA_LAGS)]
-
-
-@register(
-    "q153_ewma_daily_value",
-    f"""
-    WITH v AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
-    ), j AS (
-      SELECT a.event_type, a.day, a.v_cents,
-             b.v_cents AS bv,
-             [{", ".join(str(w) for w in _EWMA_W)}][datediff('day', b.day, a.day) + 1] AS w
-      FROM v a JOIN v b
-        ON a.event_type = b.event_type
-       AND b.day <= a.day AND b.day > a.day - {_EWMA_LAGS}
-    )
-    SELECT event_type, day, max(v_cents) AS v_cents,
-           CAST(sum(bv * w) // sum(w) AS BIGINT) AS ewma_cents
-    FROM j GROUP BY event_type, day
-    """,
-    f"EWMA smoothing of daily event value: integer weights round(1e6*0.8^j) as literals over a {_EWMA_LAGS}-lag bounded self-join of the calendar-sized daily table — exact cent arithmetic, no in-engine float pow (time-series family)",
-)
-def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Smoothed daily revenue signal: exponentially weighted moving average
-    with ratio sum(w_j * x_{i-j}) / sum(w_j) over the available lags — the
-    truncated-window form self-normalizes at series starts (no warm-up
-    bias). Weights are precomputed integer literals, values exact cents:
-    both engines floor-div to the same answer. The self-join expands the
-    tiny daily table <=30x, never the raw stream."""
-    e = _t(spark, sf_dir, "events")
-    v = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("v_cents"))
-    a = v.alias("a")
-    b = v.alias("b")
-    wlit = F.array(*[F.lit(w).cast("long") for w in _EWMA_W])
-    j = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("b.day") <= F.col("a.day"))
-            & (F.col("b.day") > F.date_sub(F.col("a.day"), _EWMA_LAGS)),
-        )
-        .select(
-            F.col("a.event_type").alias("event_type"),
-            F.col("a.day").alias("day"),
-            F.col("a.v_cents").alias("v_cents"),
-            F.col("b.v_cents").alias("bv"),
-            F.element_at(wlit, F.datediff(F.col("a.day"), F.col("b.day")) + 1).alias("w"),
-        )
-    )
-    return j.groupBy("event_type", "day").agg(
-        F.max("v_cents").alias("v_cents"),
-        F.expr("sum(bv * w) div sum(w)").cast("long").alias("ewma_cents"),
-    )
+    _Q90_THETA,
+    _artifact_dir,
+    _copurchase_edges,
+    _cos_sql,
+    _hex_int_sql,
+    _mh_sql,
+    _ntz,
+    _parquet_ready,
+    _t,
+)
+
+# chunk imports are ONLY for their registration side effects; order here is
+# irrelevant because _EXPECTED_ORDER below re-imposes the graded sequence
+from universal_aws_data_pipeline_spark.plans import catalog_q001_q050  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q051_q100  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q101_q150  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q151_q174  # noqa: F401,E402
+
+# legacy re-export (tests import the projection-sign helper from here)
+from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
 
 
 # --------------------------------------------------------------------------
@@ -7683,1143 +77,197 @@ def graded_order() -> list[str]:
     return names
 
 
+
 # --------------------------------------------------------------------------
-# q154 — association rules on the co-purchase pairs (itemset family).
-# Operators: operators/itemsets.py::association_rules over the SHARED
-# support>=2 edge artifact (`_copurchase_edges` — built once per dataset,
-# fourth consumer after q116/q148/q149). Confidence and lift in exact
-# integer micro-units (floor div, the q115 device) — hash-gradable, no
-# float ratio crosses an engine boundary.
-# Scale: pairs are pre-thresholded at the artifact (99% of raw pairs are
-# support-1 noise and never materialize); item counts are one map-side-
-# combinable agg; the rule join broadcasts the dimension-sized count
-# tables; the basket total rides a 1-row broadcast.
+# The pinned registration order. The driver oracles the FIRST 50 of
+# graded_order() and the q20/q28 swaps are positional, so this list is
+# load-bearing: it is the ONLY thing that determines exposure order, not
+# chunk-module import order, not definition order inside a chunk. Append
+# new names at the END (past the graded window).
 # --------------------------------------------------------------------------
-@register(
+_EXPECTED_ORDER: list[str] = [
+    "q01_pricing_summary",
+    "q02_segment_projection",
+    "q03_topk_unshipped",
+    "q04_region_revenue",
+    "q05_transform_chain",
+    "q06_quality_checks",
+    "q07_dedup_exact",
+    "q08_token_stats",
+    "q09_lang_profile",
+    "q10_events_json",
+    "q11_partition_derive",
+    "q12_union_schema_drift",
+    "q13_window_keep_latest",
+    "q14_text_profile",
+    "q15_neardup_minhash_lsh",
+    "q16_simhash",
+    "q17_cosine_topk",
+    "q18_cosine_pairs_blocked",
+    "q19_multimodal_features",
+    "q20_lsh_topk",
+    "q21_semi_join",
+    "q22_anti_join",
+    "q23_rollup",
+    "q24_events_hourly_window",
+    "q25_promo_revenue",
+    "q26_bpe_token_budget",
+    "q27_sessionization",
+    "q28_ivf_topk",
+    "q29_fingerprints",
+    "q30_segment_stats",
+    "q31_small_quantity_revenue",
+    "q32_running_revenue",
+    "q33_event_gaps",
+    "q34_sql_interface",
+    "q35_top_suppliers_per_region",
+    "q36_json_struct_histogram",
+    "q37_wordcount_topk",
+    "q38_pivot_revenue",
+    "q39_incremental_dedup",
+    "q40_asof_join",
+    "q41_range_join",
+    "q42_embedding_centroids",
+    "q43_dup_clusters",
+    "q44_pii_redaction",
+    "q45_hash_sample",
+    "q46_token_shards",
+    "q47_cube_revenue",
+    "q48_quantity_percentiles",
+    "q49_value_outliers",
+    "q50_column_profile",
+    "q51_scd2_merge",
+    "q52_repetition_profile",
+    "q53_rich_inactive_customers",
+    "q54_mixture_report",
+    "q55_event_funnel",
+    "q56_semantic_dedup",
+    "q57_benchmark_decontamination",
+    "q58_min_cost_supplier",
+    "q59_supplier_share",
+    "q60_salted_skew_join",
+    "q61_weekly_retention",
+    "q62_rolling_daily_events",
+    "q63_gdpr_cascade_delete",
+    "q64_snapshot_diff_cdc",
+    "q65_doc_chunking",
+    "q66_sliding_window_counts",
+    "q67_train_val_test_split",
+    "q68_video_frame_sampling",
+    "q69_nation_pair_volume",
+    "q70_product_profit",
+    "q71_bracket_revenue",
+    "q72_large_orders",
+    "q73_market_share",
+    "q74_priority_exists",
+    "q75_jaccard_prefix_filter",
+    "q76_keep_best_per_cluster",
+    "q77_grouping_sets",
+    "q78_bm25_topk",
+    "q79_fuzzy_entity_match",
+    "q80_bigram_lm",
+    "q81_key_skew_profile",
+    "q82_event_transitions",
+    "q83_returned_item_report",
+    "q84_priority_class_matrix",
+    "q85_order_count_distribution",
+    "q86_top_revenue_supplier",
+    "q87_part_supplier_stats",
+    "q88_bulk_shippers",
+    "q89_sole_returning_supplier",
+    "q90_theta_distinct_sketch",
+    "q91_stratified_topn_sample",
+    "q92_zorder_cells",
+    "q93_tfidf_top_terms",
+    "q94_token_budget_selection",
+    "q95_psi_drift",
+    "q96_training_prep_pipeline",
+    "q97_rolling_distinct_sketch",
+    "q98_bucketed_colocated_join",
+    "q99_weighted_hash_sample",
+    "q100_timeseries_gapfill",
+    "q101_span_dedup_profile",
+    "q102_heavy_hitters",
+    "q103_lm_perplexity",
+    "q104_quantized_ann",
+    "q105_quality_calibration",
+    "q106_temperature_rebalance",
+    "q107_hybrid_rrf",
+    "q108_perceptual_hash",
+    "q109_cohort_triangle",
+    "q110_containment_dedup",
+    "q111_gopher_rules",
+    "q112_bloom_dedup",
+    "q113_dsir_weights",
+    "q114_span_surgery",
+    "q115_trade_pagerank",
+    "q116_copurchase_triangles",
+    "q117_countmin_freq",
+    "q118_variant_events",
+    "q119_audience_overlap",
+    "q120_last_touch_attribution",
+    "q121_split_leakage",
+    "q122_cluster_cohesion",
+    "q123_label_confusion",
+    "q124_pmi_collocations",
+    "q125_decontamination_report",
+    "q126_boolean_search",
+    "q127_random_projection",
+    "q128_document_chunking",
+    "q129_mixture_plan",
+    "q130_snapshot_diff",
+    "q131_sequence_packing",
+    "q132_incremental_agg",
+    "q133_bradley_terry",
+    "q134_hard_negatives",
+    "q135_quantile_normalize",
+    "q136_recency_weighted_value",
+    "q137_referential_audit",
+    "q138_intra_doc_dedup",
+    "q139_source_overlap_matrix",
+    "q140_token_spectrum",
+    "q141_dedup_roi",
+    "q142_scd2_asof",
+    "q143_linear_attribution",
+    "q144_pretrain_e2e",
+    "q145_mad_outliers",
+    "q146_disorder_audit",
+    "q147_conversion_latency",
+    "q148_kcore_parts",
+    "q149_copurchase_communities",
+    "q150_kmeans_vq",
+    "q151_cusum_changepoints",
+    "q152_benford_audit",
+    "q153_ewma_daily_value",
     "q154_association_rules",
-    """
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), pairs AS (
-      SELECT a.p AS x, b.p AS y, count(*) AS s
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p HAVING count(*) >= 2
-    ), items AS (
-      SELECT p, count(*) AS n FROM op GROUP BY p
-    ), tot AS (
-      SELECT count(DISTINCT o) AS nb FROM op
-    ), dirs AS (
-      SELECT x AS ante, y AS cons, s FROM pairs
-      UNION ALL SELECT y, x, s FROM pairs
-    )
-    SELECT ante, cons, CAST(s AS BIGINT) AS support,
-           CAST((1000000 * s) // ia.n AS BIGINT) AS conf_micro,
-           CAST((1000000 * s * tot.nb) // (ia.n * ic.n) AS BIGINT) AS lift_micro
-    FROM dirs
-    JOIN items ia ON dirs.ante = ia.p
-    JOIN items ic ON dirs.cons = ic.p
-    CROSS JOIN tot
-    """,
-    "market-basket association rules (support/confidence/lift in integer micro-units) from the shared support>=2 co-purchase artifact — fourth consumer of the once-mined pair table (itemset family)",
-)
-def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed buy-A-then-B rules with the classic support / confidence /
-    lift trio: confidence ranks actionability, lift separates real
-    affinity from two-popular-items coincidence. Pair supports come from
-    the shared `_copurchase_edges` artifact; only the per-item basket
-    counts rescan (one distinct agg). operators/itemsets.py."""
-    from universal_aws_data_pipeline_spark.operators.itemsets import association_rules
-
-    pairs = _copurchase_edges(spark, sf_dir)
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    return association_rules(pairs, baskets, basket_col="o", item_col="p")
-
-
-# --------------------------------------------------------------------------
-# q155 — day-of-week seasonal decomposition (seasonality family).
-# Operators: operators/seasonal.py::dow_seasonal_index — classical weekly
-# seasonal index restricted to the mean estimator so the whole computation
-# is exact int64 (cents sums, floor-div means, micro-unit index).
-# Scale: one rollup to |days| rows, a 7-row agg, 1-row broadcast; the
-# index numerator is 1e6 * PER-DAY mean, bounded whatever the history.
-# --------------------------------------------------------------------------
-@register(
     "q155_dow_seasonality",
-    """
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d,
-             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
-      FROM orders GROUP BY 1
-    ), dow AS (
-      SELECT CAST(isodow(d) AS BIGINT) AS weekday, SUM(cents) AS sw, COUNT(*) AS nw
-      FROM daily GROUP BY 1
-    ), tot AS (SELECT SUM(cents) AS st, COUNT(*) AS nt FROM daily)
-    SELECT weekday, CAST(nw AS BIGINT) AS n_days,
-           CAST(sw // nw AS BIGINT) AS mean_cents,
-           CAST((1000000 * (sw // nw)) // (st // nt) AS BIGINT) AS seasonal_micro
-    FROM dow CROSS JOIN tot
-    """,
-    "weekly seasonal index of order revenue: per-weekday mean daily cents and its micro-unit ratio to the global daily mean — exact integer classical decomposition (seasonality family)",
-)
-def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Is Monday really down, or is that the weekly shape? Mean daily
-    revenue per ISO weekday and its ratio to the global daily mean, all in
-    exact integers. operators/seasonal.py::dow_seasonal_index."""
-    from universal_aws_data_pipeline_spark.operators.seasonal import dow_seasonal_index
-
-    o = _t(spark, sf_dir, "orders")
-    return dow_seasonal_index(
-        o, "o_orderdate", F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    )
-
-
-# --------------------------------------------------------------------------
-# q156 — per-source unigram KL divergence vs the corpus (X4/mixture).
-# Operators: operators/text.py::source_kl_divergence — one token explode,
-# ONE (source, token) aggregate; source totals and global counts derive
-# from that vocab-sized table; global total on a 1-row broadcast. The
-# corpus is tokenized exactly once. round(4) after the aggregation (the
-# q103 float discipline: sums of logs are stable far past 4dp).
-# --------------------------------------------------------------------------
-@register(
     "q156_source_kl_divergence",
-    f"""
-    WITH toks AS (
-      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
-    ), sc AS (
-      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
-    ), stot AS (
-      SELECT source, sum(c) AS n FROM sc GROUP BY source
-    ), g AS (
-      SELECT tok, sum(c) AS cg FROM sc GROUP BY tok
-    ), gt AS (SELECT sum(cg) AS ng FROM g)
-    SELECT sc.source,
-           CAST(max(stot.n) AS BIGINT) AS n_tokens,
-           round(sum((CAST(c AS DOUBLE) / n) * ln((CAST(c AS DOUBLE) / n) / (CAST(cg AS DOUBLE) / ng))), 4) AS kl_nats
-    FROM sc
-    JOIN stot ON sc.source = stot.source
-    JOIN g ON sc.tok = g.tok
-    CROSS JOIN gt
-    GROUP BY sc.source
-    """,
-    "lexical idiosyncrasy per source: KL divergence of each source's unigram distribution from the whole corpus — the mixture diagnostic feeding domain-weight decisions; one tokenize pass (X4)",
-)
-def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A source that is just more-of-the-corpus scores ~0 nats; a domain-
-    specific one scores high and deserves its own q129 mixture weight.
-    operators/text.py::source_kl_divergence."""
-    from universal_aws_data_pipeline_spark.operators.text import source_kl_divergence
-
-    d = _t(spark, sf_dir, "documents")
-    return source_kl_divergence(d, group_col="source", text_col="text")
-
-
-# --------------------------------------------------------------------------
-# q157 — embedding dimension health stats (X3 hygiene).
-# Operators: operators/similarity.py::embedding_dim_stats — posexplode ->
-# ONE map-side-combinable aggregate to |dims| rows; 1e-6 integer
-# quantization makes the sums exact, so the derived mean/var doubles are
-# deterministic functions of integers (hash-gradable at round 6).
-# --------------------------------------------------------------------------
-@register(
     "q157_embedding_dim_stats",
-    """
-    WITH x AS (
-      SELECT j + 1 AS dim,
-             CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
-      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
-    )
-    SELECT dim, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(xq) AS DOUBLE) / count(*) / 1e6, 6) AS mean,
-           round((CAST(sum(xq * xq) AS DOUBLE) / count(*)
-                  - (CAST(sum(xq) AS DOUBLE) / count(*)) * (CAST(sum(xq) AS DOUBLE) / count(*))) / 1e12, 6) AS var,
-           CAST(min(xq) AS BIGINT) AS min_q,
-           CAST(max(xq) AS BIGINT) AS max_q
-    FROM x GROUP BY dim
-    """,
-    "per-dimension embedding health (mean/var/min/max on the 1e-6 grid): the dead-dimension / wild-variance / unnormalized-checkpoint audit run before any ANN index build (X3)",
-)
-def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector hygiene before indexing: a dead dim wastes index bits, a
-    wild-variance one dominates L2, a nonzero mean betrays an unnormalized
-    encoder. operators/similarity.py::embedding_dim_stats."""
-    from universal_aws_data_pipeline_spark.operators.similarity import embedding_dim_stats
-
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_dim_stats(e)
-
-
-# --------------------------------------------------------------------------
-# q158 — within-document token entropy (X4 quality).
-# Operators: operators/text.py::token_entropy — entirely ROW-LOCAL
-# higher-order-function arithmetic (distinct -> per-token count via
-# filter() -> -sum p ln p): no explode, no shuffle, a map stage at any
-# corpus size. round(4) on a per-row sum of <=|distinct| log terms.
-# --------------------------------------------------------------------------
-@register(
     "q158_token_entropy",
-    f"""
-    WITH t AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-           round(-list_sum(list_transform(list_distinct(toks),
-                 t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks))
-                      * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks)))), 4) AS entropy_nats
-    FROM t
-    """,
-    "within-doc Shannon entropy of the unigram distribution: the compressibility quality signal (template spam repeats a tiny vocabulary at any length) — row-local, zero shuffle (X4)",
-)
-def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOW evenly tokens appear (entropy), complementing Gopher's WHICH
-    tokens appear. operators/text.py::token_entropy."""
-    from universal_aws_data_pipeline_spark.operators.text import token_entropy
-
-    d = _t(spark, sf_dir, "documents")
-    return token_entropy(d)
-
-
-# --------------------------------------------------------------------------
-# q159 — equi-width histogram quantile sketch (sketch family).
-# Operators: operators/sketch.py::value_histogram + histogram_quantiles —
-# the engine-PORTABLE quantile sketch: the bin table is a pure function of
-# the data (unlike t-digest/KLL whose estimates depend on buffer layout and
-# merge order), build is one map-side-combinable agg to <=120 rows, merge
-# is count addition, estimates are exact integer arithmetic both engines
-# replay bit-identically. Estimate error bound: one bin width ($1000).
-# tests/test_round6_ops.py asserts the estimates track exact percentiles.
-# --------------------------------------------------------------------------
-_HQ_LO, _HQ_W, _HQ_NB = 0, 100_000, 120  # cents domain [0, $120k), $1k bins
-_HQ_PS = [500, 900, 990]
-
-
-@register(
     "q159_histogram_quantiles",
-    f"""
-    WITH h AS (
-      SELECT LEAST(GREATEST(CAST(floor((CAST(round(l_extendedprice * 100, 0) AS BIGINT) - {_HQ_LO}) / {_HQ_W}.0) AS BIGINT), 0), {_HQ_NB - 1}) AS bin,
-             count(*) AS c
-      FROM lineitem GROUP BY 1
-    ), cum AS (
-      SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM h
-    ), n AS (SELECT sum(c) AS n FROM h),
-    p AS (SELECT unnest([{", ".join(str(p) for p in _HQ_PS)}]) AS p_mille),
-    r AS (SELECT CAST(p_mille AS BIGINT) AS p_mille, 1 + (p_mille * (n.n - 1)) // 1000 AS r FROM p CROSS JOIN n),
-    hit AS (
-      SELECT r.p_mille, min(cum.bin) AS bin FROM r JOIN cum ON cum.cum >= r.r GROUP BY r.p_mille
-    )
-    SELECT hit.p_mille,
-           CAST({_HQ_LO} + hit.bin * {_HQ_W} + ({_HQ_W} * (r.r - (cum.cum - cum.c))) // cum.c AS BIGINT) AS est_cents
-    FROM hit JOIN r ON hit.p_mille = r.p_mille JOIN cum ON cum.bin = hit.bin
-    """,
-    "p50/p90/p99 of extended price via a 120-bin equi-width histogram sketch: mergeable (count addition), engine-portable (exact integer interpolation), error bounded by one bin width (sketch family)",
-)
-def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quantile sketch you can hash-grade: the q48-exact-percentile
-    swap-in whose state merges across partitions/days by addition.
-    operators/sketch.py::value_histogram/histogram_quantiles."""
-    from universal_aws_data_pipeline_spark.operators.sketch import (
-        histogram_quantiles,
-        value_histogram,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    hist = value_histogram(
-        li,
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
-        _HQ_LO,
-        _HQ_W,
-        _HQ_NB,
-    )
-    return histogram_quantiles(hist, _HQ_PS, _HQ_LO, _HQ_W)
-
-
-# --------------------------------------------------------------------------
-# q160 — common-neighbor link prediction on the co-purchase graph (graph
-# family). Operators: operators/graph.py::link_prediction — resource-
-# allocation-weighted shared-neighbor scores for NON-adjacent pairs, in
-# integer micro-units. Fifth consumer of the shared edge artifact.
-# Scale: wedge count has no orientation escape here (both endpoints are
-# the output), so the documented max_center_degree cap bounds wedges at
-# |V|*cap^2 pre-join, discarding only the weakest-evidence centers
-# (RA weight <= 1e6/cap); the cap is part of the contract and the oracle
-# replays it verbatim.
-# --------------------------------------------------------------------------
-_LP_MIN_COMMON, _LP_MAX_DEG = 2, 64
-
-
-@register(
     "q160_link_prediction",
-    f"""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), eu AS (
-      SELECT a.p AS x, b.p AS y
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p HAVING count(*) >= 2
-    ), adj AS (
-      SELECT x AS c, y AS n FROM eu UNION ALL SELECT y, x FROM eu
-    ), deg AS (
-      SELECT c, count(*) AS deg FROM adj GROUP BY c
-    ), ctr AS (
-      SELECT adj.c, adj.n, deg.deg FROM adj JOIN deg ON adj.c = deg.c
-      WHERE deg.deg <= {_LP_MAX_DEG}
-    ), wedges AS (
-      SELECT w1.n AS x, w2.n AS y, w1.deg
-      FROM ctr w1 JOIN ctr w2 ON w1.c = w2.c AND w1.n < w2.n
-    ), scored AS (
-      SELECT x, y, count(*) AS common, sum(1000000 // deg) AS ra_micro
-      FROM wedges GROUP BY x, y HAVING count(*) >= {_LP_MIN_COMMON}
-    )
-    SELECT s.x, s.y, CAST(s.common AS BIGINT) AS common, CAST(s.ra_micro AS BIGINT) AS ra_micro
-    FROM scored s
-    LEFT JOIN eu ON s.x = eu.x AND s.y = eu.y
-    WHERE eu.x IS NULL
-    """,
-    f"resource-allocation link prediction: shared-neighbor evidence (count + sum floor(1e6/deg(center))) for parts NOT yet co-purchased, center degree capped at {_LP_MAX_DEG} by contract (graph family)",
-)
-def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which parts SHOULD co-occur but don't yet — the recommendation /
-    missing-link readout of the co-purchase graph, scored by common
-    neighbors with the RA degree discount in exact integers.
-    operators/graph.py::link_prediction (shared edge artifact)."""
-    from universal_aws_data_pipeline_spark.operators.graph import link_prediction
-
-    e = _copurchase_edges(spark, sf_dir).select("a", "b")
-    return link_prediction(
-        e, min_common=_LP_MIN_COMMON, max_center_degree=_LP_MAX_DEG
-    )
-
-
-# --------------------------------------------------------------------------
-# q161 — mutual nearest neighbors (X3 alignment). Operators:
-# operators/similarity.py::mutual_nearest_neighbors — the bitext-mining /
-# entity-alignment primitive: pairs form only when each side is the
-# OTHER's top-1, killing asymmetric hub matches. 6dp-rounded cosine
-# BEFORE the argmax + smallest-partner tiebreak = engine-portable winner.
-# Scale: blocked self-join (|block|^2, never corpus^2) -> map-side-
-# combinable max_by per vector -> one |V|-row mutuality self-join; blocks
-# come from a coarse quantizer (q150) at real scale.
-# --------------------------------------------------------------------------
-@register(
     "q161_mutual_nn",
-    """
-    WITH n AS (
-      SELECT vec_id, label, embedding,
-             sqrt(list_sum(list_transform(embedding,
-                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
-      FROM embeddings
-    ), u AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS uv
-      FROM n
-    ), p0 AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             round(list_sum(list_transform(range(1, 65),
-                   i -> a.uv[i] * b.uv[i])), 6) AS cos
-      FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
-    ), p AS (
-      SELECT src, dst, cos FROM p0 UNION ALL SELECT dst, src, cos FROM p0
-    ), best AS (
-      SELECT src, dst, cos FROM (
-        SELECT src, dst, cos,
-               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
-        FROM p
-      ) WHERE rn = 1
-    )
-    SELECT b1.src AS x, b1.dst AS y, b1.cos AS cos_sim
-    FROM best b1 JOIN best b2 ON b1.src = b2.dst AND b1.dst = b2.src
-    WHERE b1.src < b1.dst
-    """,
-    "mutual top-1 nearest-neighbor pairs within label blocks (the bitext-mining/alignment primitive): 6dp cosine argmax each direction, pair kept only when reciprocal (X3)",
-)
-def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-best matches: the pairing that survives when one-way
-    top-1 noise is removed. operators/similarity.py::mutual_nearest_neighbors."""
-    from universal_aws_data_pipeline_spark.operators.similarity import (
-        mutual_nearest_neighbors,
-    )
-
-    e = _t(spark, sf_dir, "embeddings")
-    return mutual_nearest_neighbors(e)
-
-
-# --------------------------------------------------------------------------
-# q162 — largest-remainder quota allocation (X6 sampling). Operators:
-# operators/sampling.py::quota_allocation — Hamilton apportionment: exact-
-# integer per-source quotas that SUM EXACTLY to the budget (independently
-# rounded float shares don't). One count agg to |sources| rows; the
-# floors/remainders/rank run on that tiny table.
-# --------------------------------------------------------------------------
-_Q162_BUDGET = 1000
-
-
-@register(
     "q162_quota_allocation",
-    f"""
-    WITH c AS (
-      SELECT source, count(*) AS n_rows FROM documents GROUP BY source
-    ), t AS (SELECT sum(n_rows) AS nn FROM c),
-    b AS (
-      SELECT source, n_rows,
-             ({_Q162_BUDGET} * n_rows) // nn AS fl,
-             ({_Q162_BUDGET} * n_rows) % nn AS rem
-      FROM c CROSS JOIN t
-    ), l AS (SELECT {_Q162_BUDGET} - sum(fl) AS lv FROM b),
-    r AS (
-      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b
-    )
-    SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
-           CAST(fl + CASE WHEN rk <= l.lv THEN 1 ELSE 0 END AS BIGINT) AS quota
-    FROM r CROSS JOIN l
-    """,
-    f"Hamilton largest-remainder apportionment of a {_Q162_BUDGET}-doc eval budget across sources: exact-integer quotas summing exactly to the budget, remainder ties by name (X6)",
-)
-def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Give me exactly N docs, proportional to source sizes — with integer
-    quotas that actually sum to N. operators/sampling.py::quota_allocation."""
-    from universal_aws_data_pipeline_spark.operators.sampling import quota_allocation
-
-    d = _t(spark, sf_dir, "documents")
-    return quota_allocation(d, _Q162_BUDGET, group_col="source")
-
-
-# --------------------------------------------------------------------------
-# q163 — corpus datacard (X4/X6 reporting composition): the one-table
-# per-source summary a dataset release ships — volume, token mass, language
-# share, exact-dup rate, mean quality. Composes the q105 quality battery,
-# q07's dup semantics, and q156's token accounting into ONE grouped pass
-# over the corpus (integer micro-unit shares; avg of 4dp quality).
-# --------------------------------------------------------------------------
-@register(
     "q163_corpus_datacard",
-    f"""
-    WITH scored AS (
-      SELECT source, lang, text,
-        round((least(1.0, ntok / 100.0) + alpha_ratio
-               + (1.0 - least(1.0, digit_ratio + punct_ratio))
-               + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
-              4) AS quality,
-        ntok_norm
-      FROM (
-        SELECT source, lang, text, n, ntok,
-          len(string_split({_NORM_SQL}, ' ')) AS ntok_norm,
-          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
-          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
-          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
-          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
-        FROM (
-          SELECT source, lang, text,
-                 CAST(length(text) AS DOUBLE) AS n,
-                 len(string_split_regex(trim(text), '\\s+')) AS ntok
-          FROM documents
-        )
-      )
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(ntok_norm) AS BIGINT) AS n_tokens,
-           CAST((1000000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS en_share_micro,
-           CAST((1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*) AS BIGINT) AS dup_micro,
-           round(avg(quality), 4) AS avg_quality
-    FROM scored GROUP BY source
-    """,
-    "corpus datacard: per-source volume, normalized-token mass, English share and exact-dup rate in integer micro-units, mean quality score — the dataset-release summary table in one grouped pass (X4/X6)",
-)
-def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The table a dataset release ships. Quality via the q105 battery
-    (operators/text.py::quality_score); dup rate = 1 - distinct(md5)/n so
-    the distinct exchange is digest-sized; shares in integer micro-units."""
-    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-    from universal_aws_data_pipeline_spark.operators.text import quality_score
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "source",
-            "lang",
-            "text",
-            F.size(tokens_col(F.col("text"))).cast("long").alias("ntok_norm"),
-            quality_score(F.col("text")).alias("quality"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ntok_norm").alias("n_tokens"),
-            F.expr(
-                "(1000000 * sum(case when lang = 'en' then 1 else 0 end)) div count(*)"
-            ).alias("en_share_micro"),
-            # digest, not raw text: the distinct-agg exchange ships 16-byte
-            # md5s instead of documents (collision odds 2^-128 — the q07/q130
-            # digest convention)
-            F.expr("(1000000 * (count(*) - count(distinct md5(text)))) div count(*)").alias(
-                "dup_micro"
-            ),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q164 — semantic decontamination (X2/X3): the embedding-space complement
-# of q125's lexical shingle report — a PARAPHRASED benchmark item shares no
-# 8-grams but sits at cosine ~0.99. Operators:
-# operators/similarity.py::semantic_decontaminate. Eval fixture: every 41st
-# vector, deterministically perturbed per-dimension (the q130/q132
-# synthetic-fixture convention) so scores are nontrivial (<1.0) yet both
-# engines compute the identical floats. Scale: blocked cross-table join,
-# eval side benchmark-sized (broadcasts under AQE).
-# --------------------------------------------------------------------------
-_Q164_THRESH = 0.98
-
-
-@register(
     "q164_semantic_decontamination",
-    f"""
-    WITH ev AS (
-      SELECT vec_id + 1000000 AS eval_id, label,
-             list_transform(range(1, 65),
-               j -> CAST(embedding[j] AS DOUBLE)
-                    + 0.001 * ((((j - 1) * 7 + vec_id) % 5) - 2)) AS ve
-      FROM embeddings WHERE vec_id % 41 = 0
-    )
-    SELECT ev.eval_id, t.vec_id AS train_id,
-           round({_cos_sql("t.embedding", "ev.ve")}, 6) AS cos_sim
-    FROM embeddings t JOIN ev ON t.label = ev.label
-    WHERE round({_cos_sql("t.embedding", "ev.ve")}, 6) >= {_Q164_THRESH}
-    """,
-    "semantic decontamination: training vectors within cosine 0.98 of any (perturbed) eval vector, blocked cross-table join — catches the paraphrased contamination q125's lexical digests cannot (X2/X3)",
-)
-def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval = every 41st vector with a deterministic per-dimension nudge
-    (integer-derived, exactly replayable IEEE arithmetic); report = all
-    train vectors at cosine >= 0.98. operators/similarity.py::
-    semantic_decontaminate."""
-    from universal_aws_data_pipeline_spark.operators.similarity import (
-        semantic_decontaminate,
-    )
-
-    e = _t(spark, sf_dir, "embeddings")
-    ev = e.filter(F.col("vec_id") % 41 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding",
-            lambda x, i: x.cast("double")
-            + 0.001 * (((i * 7 + F.col("vec_id")) % 5) - 2).cast("double"),
-        ).alias("embedding"),
-    )
-    return semantic_decontaminate(e, ev, threshold=_Q164_THRESH)
-
-
-# --------------------------------------------------------------------------
-# q165 — top journey trigrams (event family): the path-mining readout of
-# the event stream — which 3-step sequences dominate user journeys (the
-# funnel-design input q55's FIXED funnel assumes). One per-user window
-# pass (lag x2 over the (ts, event_id) total order — the q146 convention;
-# fixture timestamps are microsecond-granular, so the order is engine-
-# consistent) + one map-side-combinable path count.
-# --------------------------------------------------------------------------
-@register(
     "q165_journey_trigrams",
-    """
-    WITH o AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type, 2) OVER w AS t2,
-             lag(event_type, 1) OVER w AS t1
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT t2 || '>' || t1 || '>' || event_type AS path,
-           CAST(count(*) AS BIGINT) AS n
-    FROM o WHERE t2 IS NOT NULL
-    GROUP BY 1
-    """,
-    "journey path mining: counts of every 3-step event sequence over per-user (ts, event_id)-ordered streams — the data-driven funnel-design input (event family)",
-)
-def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Which 3-step paths actually happen (vs the fixed funnel q55
-    assumes): two lags over the per-user total order, one path count."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = ev.select(
-        "event_type",
-        F.lag("event_type", 2).over(w).alias("t2"),
-        F.lag("event_type", 1).over(w).alias("t1"),
-    )
-    return (
-        o.filter(F.col("t2").isNotNull())
-        .select(F.concat_ws(">", "t2", "t1", "event_type").alias("path"))
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-# --------------------------------------------------------------------------
-# q166 — Pareto cumulative revenue share (analytics family). The 80/20
-# readout over suppliers WITHOUT the global single-task window: revenue
-# ranks through operators/sampling.py::stratified_prefix_sum (constant
-# stratum) — range-partition on the desc sort key, parallel per-partition
-# running sums, |partitions|-row offsets collect — the same two-phase
-# device q131's packing uses, here on an ungrouped global order. Exact
-# integer cents; shares in permille (1e3 factor keeps 10x-scaled totals
-# inside int64 where 1e6 would overflow).
-# --------------------------------------------------------------------------
-@register(
     "q166_pareto_share",
-    """
-    WITH rev AS (
-      SELECT l_suppkey AS s,
-             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS cents
-      FROM lineitem GROUP BY 1
-    ), c AS (
-      SELECT s, cents,
-             sum(cents) OVER (ORDER BY cents DESC, s) AS cum_cents,
-             sum(cents) OVER () AS total
-      FROM rev
-    )
-    SELECT s AS suppkey, cents, CAST(cum_cents AS BIGINT) AS cum_cents,
-           CAST((1000 * cum_cents) // total AS BIGINT) AS cum_share_permille
-    FROM c
-    """,
-    "Pareto/80-20 audit: per-supplier net revenue with cumulative share in exact permille over the revenue-desc order — computed via the two-phase distributed prefix sum, never a single-task global window (analytics family)",
-)
-def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """How concentrated is supplier revenue: cumulative permille share in
-    revenue-desc order. The oracle's global window is the SEMANTIC spec;
-    the plan runs sampling.py::stratified_prefix_sum so no task ever holds
-    the whole table."""
-    from universal_aws_data_pipeline_spark.operators.sampling import (
-        stratified_prefix_sum,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    rev = (
-        li.select(
-            F.col("l_suppkey").alias("s"),
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
-            .cast("long")
-            .alias("cents"),
-        )
-        .groupBy("s")
-        .agg(F.sum("cents").alias("cents"))
-        .withColumn("_one", F.lit(1))
-    )
-    ranked = stratified_prefix_sum(
-        rev,
-        "_one",
-        [F.col("cents").desc(), F.col("s").asc()],
-        "cents",
-        out_col="cum_before",
-    )
-    total = rev.agg(F.sum("cents").alias("total"))
-    return (
-        ranked.join(F.broadcast(total))
-        .select(
-            F.col("s").alias("suppkey"),
-            "cents",
-            (F.col("cum_before") + F.col("cents")).cast("long").alias("cum_cents"),
-            F.expr("(1000 * (cum_before + cents)) div total").alias("cum_share_permille"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q167 — Efraimidis-Spirakis weighted sample (X6 sampling). Operators:
-# operators/sampling.py::weighted_sample_topk — weighted-without-
-# replacement selection that is DETERMINISTIC across engines, reruns, and
-# partition layouts (md5-uniform, not an RNG; the module's hash-mod
-# contract extended to weighted draws). ln spelling avoids cross-libm pow;
-# 6dp key rounding + id tiebreak makes the k-boundary engine-portable.
-# Scale: one map expression + TakeOrderedAndProject.
-# --------------------------------------------------------------------------
-_Q167_K = 100
-
-
-@register(
     "q167_weighted_sample",
-    f"""
-    SELECT doc_id, n_chars,
-           round(ln(({_hex_int_sql("CAST(doc_id AS VARCHAR)", 4)} + 0.5) / 65536.0)
-                 / n_chars, 6) AS es_key
-    FROM documents
-    WHERE n_chars > 0
-    ORDER BY es_key DESC, doc_id
-    LIMIT {_Q167_K}
-    """,
-    f"weighted sampling without replacement (Efraimidis-Spirakis top-{_Q167_K} by ln(u)/w): deterministic md5-uniform draws, selection probability proportional to document length (X6)",
-)
-def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-weighted document sample that every engine reproduces
-    byte-for-byte. operators/sampling.py::weighted_sample_topk."""
-    from universal_aws_data_pipeline_spark.operators.sampling import weighted_sample_topk
-
-    d = _t(spark, sf_dir, "documents")
-    return weighted_sample_topk(d, "n_chars", _Q167_K)
-
-
-# --------------------------------------------------------------------------
-# q168 — Kaplan-Meier retention (event family). Operators:
-# operators/survival.py::km_survival — censoring-correct retention: users
-# last seen within 7 days of stream end are CENSORED (leave the at-risk
-# set without a death), which a naive retention curve counts as churn,
-# biasing it down. Integer at-risk/death counts; the survival product is
-# an ordered fold of exact-integer-ratio factors — identical fold in both
-# engines (DuckDB list_reduce's first-element seed is identity-compatible
-# under multiplication), round(6) output.
-# Scale: one grouped pass to per-user spans; everything downstream runs on
-# the |distinct lifetimes|-row table (bounded by the observation span).
-# --------------------------------------------------------------------------
-@register(
     "q168_km_retention",
-    """
-    WITH spans AS (
-      SELECT user_id,
-             min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_d,
-             max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS last_d
-      FROM events GROUP BY user_id
-    ), e AS (SELECT max(last_d) AS max_d FROM spans),
-    ev AS (
-      SELECT last_d - first_d AS t,
-             CASE WHEN last_d <= e.max_d - 7 THEN 1 ELSE 0 END AS is_death
-      FROM spans CROSS JOIN e
-    ), g AS (
-      SELECT t, sum(is_death) AS d, sum(1 - is_death) AS c FROM ev GROUP BY t
-    ), r AS (
-      SELECT t, d,
-             sum(d + c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
-      FROM g
-    ), dd AS (SELECT * FROM r WHERE d > 0),
-    f AS (
-      SELECT t, d, n_risk,
-             list(CAST(n_risk - d AS DOUBLE) / n_risk)
-               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
-      FROM dd
-    )
-    SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
-           CAST(d AS BIGINT) AS n_deaths,
-           round(list_reduce(fs, (a, b) -> a * b), 6) AS survival
-    FROM f
-    """,
-    "Kaplan-Meier user retention over event-stream lifetimes with 7-day-tail censoring: at-risk/death counts per lifetime day and the KM survival product — the churn curve a naive retention query biases downward (event family)",
-)
-def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """What fraction of users are still active after t days, censoring-
-    correct. operators/survival.py::km_survival."""
-    from universal_aws_data_pipeline_spark.operators.survival import km_survival
-
-    ev = _t(spark, sf_dir, "events")
-    return km_survival(ev, censor_tail_days=7)
-
-
-# --------------------------------------------------------------------------
-# q169 — chi-square independence audit (stats family): are order priority
-# and order year independent? Observed vs expected cell counts + per-cell
-# chi-square contributions — the contingency diagnostic behind "did the
-# priority mix shift across years". One scan to the |priorities x years|
-# cell table; expecteds from row/col margins (window sums over the tiny
-# cell table); every float derives from exact integer counts.
-# --------------------------------------------------------------------------
-@register(
     "q169_chi_square_mix",
-    """
-    WITH cells AS (
-      SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS BIGINT) AS yr,
-             count(*) AS o
-      FROM orders GROUP BY 1, 2
-    ), m AS (
-      SELECT priority, yr, o,
-             sum(o) OVER (PARTITION BY priority) AS row_tot,
-             sum(o) OVER (PARTITION BY yr) AS col_tot,
-             sum(o) OVER () AS n
-      FROM cells
-    )
-    SELECT priority, yr, CAST(o AS BIGINT) AS n_obs,
-           round(CAST(row_tot AS DOUBLE) * col_tot / n, 4) AS expected,
-           round((o - CAST(row_tot AS DOUBLE) * col_tot / n)
-                 * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
-                 / (CAST(row_tot AS DOUBLE) * col_tot / n), 4) AS chi2_part
-    FROM m
-    """,
-    "chi-square independence audit of priority x order-year: observed vs expected cell counts and per-cell contributions from row/col margins — the contingency-shift diagnostic (stats family)",
-)
-def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Did the priority mix shift across years — per-cell chi-square
-    contributions over the |priorities x years| contingency table."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    cells = o.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.year("o_orderdate").cast("long").alias("yr"),
-    ).agg(F.count(F.lit(1)).alias("o"))
-    m = cells.select(
-        "priority",
-        "yr",
-        "o",
-        F.sum("o").over(Window.partitionBy("priority")).alias("row_tot"),
-        F.sum("o").over(Window.partitionBy("yr")).alias("col_tot"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
-    )
-    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
-    return m.select(
-        "priority",
-        "yr",
-        F.col("o").cast("long").alias("n_obs"),
-        F.round(e, 4).alias("expected"),
-        F.round((F.col("o") - e) * (F.col("o") - e) / e, 4).alias("chi2_part"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q170 — weekly PSI drift trend (X18 monitoring): q95's drift index turned
-# into a TREND — each week's event-value distribution vs the week-0
-# baseline, over a full (week x bin) grid so bins empty in one period
-# still contribute their smoothed mass. One scan to the |weeks x bins|
-# cell table; Laplace 0.5 smoothing (the q95 convention).
-# --------------------------------------------------------------------------
-_Q170_BINS, _Q170_WIDTH = 10, 50.0
-
-
-@register(
     "q170_weekly_psi_trend",
-    f"""
-    WITH binned AS (
-      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week,
-             least({_Q170_BINS - 1}, greatest(0, CAST(floor(value / {_Q170_WIDTH}) AS BIGINT))) AS bin
-      FROM events
-    ), counts AS (
-      SELECT week, bin, count(*) AS c FROM binned GROUP BY week, bin
-    ), grid AS (
-      SELECT w.week, b.bin, coalesce(c.c, 0) AS c
-      FROM (SELECT DISTINCT week FROM counts) w
-      CROSS JOIN (SELECT unnest(range(0, {_Q170_BINS})) AS bin) b
-      LEFT JOIN counts c ON c.week = w.week AND c.bin = b.bin
-    ), tot AS (
-      SELECT week, sum(c) AS n FROM grid GROUP BY week
-    ), p AS (
-      SELECT g.week, g.bin,
-             (g.c + 0.5) / (t.n + {0.5 * _Q170_BINS}) AS pr
-      FROM grid g JOIN tot t ON g.week = t.week
-    ), base AS (
-      SELECT bin, pr AS p0 FROM p WHERE week = 0
-    )
-    SELECT p.week, CAST(max(t.n) AS BIGINT) AS n_events,
-           round(sum((p.pr - base.p0) * ln(p.pr / base.p0)), 4) AS psi
-    FROM p JOIN base ON p.bin = base.bin JOIN tot t ON p.week = t.week
-    WHERE p.week > 0
-    GROUP BY p.week
-    """,
-    "weekly PSI drift trend: each week's event-value histogram vs the week-0 baseline over a full week x bin grid (absent bins keep smoothed mass) — q95's monitor as a time series (X18)",
-)
-def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Is the value distribution drifting, and since when — PSI per week
-    against the first week."""
-    ev = _t(spark, sf_dir, "events")
-    binned = ev.select(
-        F.expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS BIGINT)").alias("week"),
-        F.least(
-            F.lit(_Q170_BINS - 1),
-            F.greatest(F.lit(0).cast("long"), F.floor(F.col("value") / _Q170_WIDTH).cast("long")),
-        ).alias("bin"),
-    )
-    counts = binned.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
-    weeks = counts.select("week").distinct()
-    bins = spark.range(_Q170_BINS).select(F.col("id").alias("bin"))
-    grid = (
-        weeks.crossJoin(F.broadcast(bins))
-        .join(counts, ["week", "bin"], "left")
-        .select("week", "bin", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
-    )
-    tot = grid.groupBy("week").agg(F.sum("c").alias("n"))
-    p = grid.join(tot, "week").select(
-        "week",
-        "bin",
-        ((F.col("c") + 0.5) / (F.col("n") + 0.5 * _Q170_BINS)).alias("pr"),
-    )
-    base = p.filter(F.col("week") == 0).select("bin", F.col("pr").alias("p0"))
-    return (
-        p.filter(F.col("week") > 0)
-        .join(F.broadcast(base), "bin")
-        .join(tot, "week")
-        .groupBy("week")
-        .agg(
-            F.max("n").cast("long").alias("n_events"),
-            F.round(
-                F.sum((F.col("pr") - F.col("p0")) * F.log(F.col("pr") / F.col("p0"))), 4
-            ).alias("psi"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q171 — HITS hubs & authorities on the directed trade graph (graph
-# family). Operators: operators/graph.py::hits_micro — PageRank's directed
-# complement: on the bipartite customer->supplier graph the two scores
-# separate the best-connected BUYERS (hubs) from the best-connected
-# SUPPLIERS (authorities), which q115's symmetrized PageRank blends into
-# one number. Exact-integer sums; L1 normalization via one floor-of-double
-# step per half-round (the q159 device — pure-integer scaling would
-# overflow int64). Oracle: the rounds unrolled as chained CTEs.
-# --------------------------------------------------------------------------
-_HITS_ROUNDS, _HITS_TOTAL = 3, 1_000_000_000_000
-
-
-def _hits_step(i: int) -> str:
-    prev_h = "h0" if i == 1 else f"h{i - 1}"
-    return f"""
-    ar{i} AS (
-      SELECT e.dst, sum(h) AS a FROM e JOIN {prev_h} p ON e.src = p.src GROUP BY e.dst
-    ), a{i} AS (
-      SELECT dst, CAST(floor((CAST(a AS DOUBLE) * {_HITS_TOTAL}.0)
-                             / (SELECT CAST(sum(a) AS DOUBLE) FROM ar{i})) AS BIGINT) AS a
-      FROM ar{i}
-    ), hr{i} AS (
-      SELECT e.src, sum(a) AS h FROM e JOIN a{i} p ON e.dst = p.dst GROUP BY e.src
-    ), h{i} AS (
-      SELECT src, CAST(floor((CAST(h AS DOUBLE) * {_HITS_TOTAL}.0)
-                             / (SELECT CAST(sum(h) AS DOUBLE) FROM hr{i})) AS BIGINT) AS h
-      FROM hr{i}
-    )"""
-
-
-@register(
     "q171_hits_trade",
-    f"""
-    WITH op AS (
-      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    ), e AS (
-      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM op
-    ), h0 AS (
-      SELECT src, CAST({_HITS_TOTAL} // (SELECT count(*) FROM (SELECT DISTINCT src FROM e)) AS BIGINT) AS h
-      FROM (SELECT DISTINCT src FROM e)
-    ),{",".join(_hits_step(i) for i in range(1, _HITS_ROUNDS + 1))}
-    SELECT coalesce(h.src, a.dst) AS node,
-           CAST(coalesce(h.h, 0) AS BIGINT) AS hub_micro,
-           CAST(coalesce(a.a, 0) AS BIGINT) AS auth_micro
-    FROM h{_HITS_ROUNDS} h FULL OUTER JOIN a{_HITS_ROUNDS} a ON h.src = a.dst
-    """,
-    f"{_HITS_ROUNDS}-round HITS on the directed customer->supplier trade graph: hub scores rank the best-connected buyers, authority scores the best-connected suppliers — the directed separation q115's PageRank blends (graph family)",
-)
-def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best-connected buyers (hubs) vs best-connected suppliers
-    (authorities) in one fixed-round recurrence.
-    operators/graph.py::hits_micro; integer node ids per the q115
-    convention."""
-    from universal_aws_data_pipeline_spark.operators.graph import hits_micro
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    return hits_micro(e, iterations=_HITS_ROUNDS, total_micro=_HITS_TOTAL)
-
-
-# --------------------------------------------------------------------------
-# q172 — feature hashing (X38 ML prep). Operators:
-# operators/features.py::hash_features — the hashing trick: categorical
-# features land in md5-derived signed buckets, so NO vocabulary dictionary
-# is ever built, shipped, or kept consistent across dataset versions (at
-# 100 TB a vocab build is itself a corpus pass, and dictionary drift
-# silently misaligns features between versions). Row-local expansion, one
-# explode + one map-side-combinable (id, idx) sum; sparse output rows.
-# --------------------------------------------------------------------------
-_Q172_K = 16
-
-
-def _q172_feat_sql(expr: str, k: int) -> str:
-    # mirror hash_features' NULL contract: null features hash as '<null>'
-    e = f"coalesce({expr}, '<null>')"
-    b = _hex_int_sql(e, 4)
-    s = f"(strpos('0123456789abcdef', substring(md5({e}),5,1))-1)"
-    return f"SELECT user_id, {b} % {k} AS feat_idx, 1 - 2 * ({s} % 2) AS sgn"
-
-
-@register(
     "q172_feature_hashing",
-    f"""
-    WITH base AS (
-      SELECT user_id, event_type,
-             CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hr
-      FROM events
-    ), feats AS (
-      {_q172_feat_sql("'t:' || event_type", _Q172_K)} FROM base
-      UNION ALL {_q172_feat_sql("'u:' || CAST(user_id % 100 AS VARCHAR)", _Q172_K)} FROM base
-      UNION ALL {_q172_feat_sql("'h:' || CAST(hr AS VARCHAR)", _Q172_K)} FROM base
-    )
-    SELECT user_id, CAST(feat_idx AS BIGINT) AS feat_idx,
-           CAST(sum(sgn) AS BIGINT) AS val
-    FROM feats GROUP BY user_id, feat_idx
-    HAVING sum(sgn) <> 0
-    """,
-    f"hashing-trick featurization: per-user signed {_Q172_K}-bucket md5 feature vector over (event type, user cohort, hour-of-day) — no vocabulary dictionary to build or drift, sparse output (X38 ML prep)",
-)
-def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user hashed feature vectors from the event stream — the
-    dictionary-free categorical featurization training pipelines need at
-    corpus scale. operators/features.py::hash_features."""
-    from universal_aws_data_pipeline_spark.operators.features import hash_features
-
-    ev = _t(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id",
-        "event_type",
-        (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long").alias("hr"),
-    )
-    return hash_features(
-        base,
-        "user_id",
-        [
-            F.concat(F.lit("t:"), F.col("event_type")),
-            F.concat(F.lit("u:"), (F.col("user_id") % 100).cast("string")),
-            F.concat(F.lit("h:"), F.col("hr").cast("string")),
-        ],
-        k=_Q172_K,
-    )
-
-
-# --------------------------------------------------------------------------
-# q173 — funnel conversion with Wilson intervals (stats family): per
-# event type, how many users convert to purchase — with the 95% Wilson
-# score interval, the small-n-honest bound (a 2/3 conversion is NOT "67%";
-# Wald intervals lie at the tails, Wilson doesn't). All inputs are exact
-# integer user counts; the interval is one fixed IEEE expression replayed
-# verbatim by the oracle, round(4).
-# Scale: two distinct-user rollups + one |types|-row join.
-# --------------------------------------------------------------------------
-_Q173_Z = 1.96
-
-
-@register(
     "q173_funnel_wilson",
-    f"""
-    WITH per AS (
-      SELECT event_type, user_id FROM events GROUP BY event_type, user_id
-    ), buyers AS (
-      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-    ), agg AS (
-      SELECT p.event_type,
-             count(*) AS n,
-             sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS k
-      FROM per p LEFT JOIN buyers b ON p.user_id = b.user_id
-      WHERE p.event_type <> 'purchase'
-      GROUP BY p.event_type
-    )
-    SELECT event_type, CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS n_converted,
-           round(CAST(k AS DOUBLE) / n, 4) AS p_hat,
-           round((CAST(k AS DOUBLE) / n + {_Q173_Z} * {_Q173_Z} / (2.0 * n)
-                  - {_Q173_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
-                                     + {_Q173_Z} * {_Q173_Z} / (4.0 * n * n)))
-                 / (1.0 + {_Q173_Z} * {_Q173_Z} / n), 4) AS wilson_lo,
-           round((CAST(k AS DOUBLE) / n + {_Q173_Z} * {_Q173_Z} / (2.0 * n)
-                  + {_Q173_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
-                                     + {_Q173_Z} * {_Q173_Z} / (4.0 * n * n)))
-                 / (1.0 + {_Q173_Z} * {_Q173_Z} / n), 4) AS wilson_hi
-    FROM agg
-    """,
-    "per-event-type purchase conversion with 95% Wilson score intervals: the small-n-honest uncertainty band a bare rate hides — exact integer user counts, one fixed IEEE expression (stats family)",
-)
-def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion rates you can act on: the Wilson interval stays inside
-    [0,1] and stays honest at small n, unlike Wald."""
-    ev = _t(spark, sf_dir, "events")
-    per = ev.groupBy("event_type", "user_id").agg(F.lit(1)).select("event_type", "user_id")
-    buyers = (
-        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-        .withColumn("_b", F.lit(1))
-    )
-    agg = (
-        per.filter(F.col("event_type") != "purchase")
-        .join(F.broadcast(buyers), "user_id", "left")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("k"),
-        )
-    )
-    z = _Q173_Z
-    p = F.col("k").cast("double") / F.col("n")
-    half = z * F.sqrt(p * (1.0 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n")))
-    center = p + z * z / (2.0 * F.col("n"))
-    denom = 1.0 + z * z / F.col("n")
-    return agg.select(
-        "event_type",
-        F.col("n").cast("long").alias("n_users"),
-        F.col("k").cast("long").alias("n_converted"),
-        F.round(p, 4).alias("p_hat"),
-        F.round((center - half) / denom, 4).alias("wilson_lo"),
-        F.round((center + half) / denom, 4).alias("wilson_hi"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q174 — Theil-Sen robust trend (stats family): the median of all pairwise
-# daily-revenue slopes — the trend estimator a few promo-spike days cannot
-# drag around (OLS breakdown 0%, Theil-Sen 29%). Slopes in exact integer
-# micro-cents/day via floor div; the median is an integer order statistic
-# (lower median, deterministic) — hash-exact end to end.
-# Scale: the pair stage is |days|^2 — bounded by the CALENDAR (~2.4k days
-# -> ~3M integer pairs), not by data volume; corpus size touches only the
-# daily rollup. Adjudicated cartesian: the all-pairs set IS the estimator.
-# --------------------------------------------------------------------------
-@register(
     "q174_theil_sen_trend",
-    """
-    WITH daily AS (
-      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
-             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
-      FROM orders GROUP BY 1
-    ), slopes AS (
-      SELECT (1000000 * (b.cents - a.cents)) // (b.d - a.d) AS s
-      FROM daily a JOIN daily b ON a.d < b.d
-    )
-    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY s) AS BIGINT) AS slope_micro_cents_per_day
-    FROM slopes
-    """,
-    "Theil-Sen robust revenue trend: exact-integer median of all pairwise daily-slope estimates (micro-cents/day) — promo-spike-proof where OLS is not; pair space bounded by the calendar (stats family)",
-)
-def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Is revenue trending up — robustly: the median pairwise slope.
-    Integer slopes + order-statistic median, bit-exact in any engine.
+]
 
-    The median does NOT run through `percentile_disc`: that aggregate
-    buffers every raw slope per partition and merges all buffers into ONE
-    task (measured 9 s at sf0.1 over 2.9M slopes; gigabytes through one
-    task at a 50M-slope span). operators/robust.py::theil_sen_micro
-    selects the exact same value by iterative range refinement — bounded
-    4096-row histograms per round, full-parallel scans, TakeOrdered only
-    on the final <=100k-row remainder (~3x faster here, and the only
-    shape that survives a long calendar)."""
-    from universal_aws_data_pipeline_spark.operators.robust import theil_sen_micro
-
-    o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.select(
-            F.expr("cast(floor(unix_timestamp(o_orderdate) / 86400) as bigint)").alias("d"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-        )
-        .groupBy("d")
-        .agg(F.sum("cents").alias("cents"))
+_missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]
+_extra = [n for n in QUERIES if n not in _EXPECTED_ORDER]
+if _missing or _extra:  # pragma: no cover - structural assembly guard
+    raise ImportError(
+        f"catalog assembly mismatch: missing={_missing} unregistered-in-order={_extra}"
     )
-    n_days, n_pairs, slope = theil_sen_micro(daily)
-    return spark.createDataFrame(
-        [(n_days, n_pairs, slope)],
-        "n_days: long, n_pairs: long, slope_micro_cents_per_day: long",
-    )
+_ordered = {n: QUERIES[n] for n in _EXPECTED_ORDER}
+QUERIES.clear()
+QUERIES.update(_ordered)
