@@ -181,6 +181,15 @@ HEAVY = [
     # normalizers); q172's feature explode is 3x events into a k=16 agg.
     "q171_hits_trade",
     "q172_feature_hashing",
+    # round-7 additions with a real corpus-shuffle term: q176's distinct
+    # (user, day) projection; q178's lineitem->part join + daily rollup;
+    # q179's (part, supplier) rollup; q183's distinct + per-basket pair
+    # join. (q175/q177 are dimension rollups + windows, q180/q181/q184 are
+    # |types x days| daily-table devices, q182 is one map+count — exempt.)
+    "q176_cohort_retention",
+    "q178_brand_volume_trend",
+    "q179_supplier_hhi",
+    "q183_type_cooccurrence",
 ]
 
 
@@ -300,6 +309,18 @@ def _build_scaled_trade(spark) -> None:
     for p in l_parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/lineitem.parquet")
+    # part follows lineitem's l_partkey shift so part-joins resolve; brands
+    # stay the 25 originals (a brand's series gains 10x points per day —
+    # density, which is what a brand rollup sees at a real 10x corpus)
+    part = spark.read.parquet(f"{BASE}/part.parquet")
+    p_parts = [
+        part.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * 10_000_000))
+        for k in range(COPIES)
+    ]
+    out = p_parts[0]
+    for p in p_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{SCALED}/part.parquet")
 
 
 def _build_scaled_docs(spark) -> None:

@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "3aba7b2ffaf16d3f0db0b0f6d14f8a6e", (
+    assert h == "0a38909a4ac146235758905013837ca6", (
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )

@@ -82,6 +82,9 @@ _ADJUDICATED = {
     # BroadcastNestedLoopJoin against a single-row side is the cheapest way
     # to hang a scalar on every row — VERDICT r3 reviewed these by hand.
     "cartesian-product": {
+        # q181: the 1-row (min_d, max_d) bounds table cross-joined into the
+        # |types| x |days| spine — the adjudicated scalar-attach class
+        "q181_weekly_mase",
         "q102_heavy_hitters", "q103_lm_perplexity", "q106_temperature_rebalance",
         "q107_hybrid_rrf", "q53_rich_inactive_customers", "q78_bm25_topk",
         "q81_key_skew_profile", "q93_tfidf_top_terms",
@@ -127,6 +130,12 @@ _ADJUDICATED = {
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
     # not data): the exchange moves a tiny table, by design.
     "single-partition-exchange": {
+        # q175: three global ntile windows over the |customers| DIMENSION
+        # table (the q48 percentile class); at corpus scale the documented
+        # swap is q159 histogram cuts + a broadcast range join
+        "q175_rfm_segmentation",
+        # q181: the 1-row global (min, max) day-bounds reduction
+        "q181_weekly_mase",
         "q06_quality_checks", "q102_heavy_hitters", "q103_lm_perplexity",
         "q106_temperature_rebalance", "q107_hybrid_rrf", "q113_dsir_weights",
         "q34_sql_interface", "q50_column_profile", "q53_rich_inactive_customers",

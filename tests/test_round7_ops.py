@@ -301,26 +301,24 @@ def test_rfm_scores_quintiles_and_determinism(spark):
 
 
 def test_cohort_retention_matrix(spark):
-    import datetime as dt
-
     from universal_aws_data_pipeline_spark.operators.segmentation import (
         cohort_retention,
     )
 
     rows = []
-    # cohort 2024-01: users 1,2 — user 1 returns in Feb, both in March
-    for u, months in [(1, [1, 2, 3]), (2, [1, 3]), (3, [2])]:
-        for m in months:
-            rows.append((u, dt.datetime(2024, m, 5)))
-    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    # cohort period 1: users 1,2 — user 1 returns in period 2, both in 3
+    for u, periods in [(1, [1, 2, 3]), (2, [1, 3]), (3, [2])]:
+        for m in periods:
+            rows.append((u, m))
+    df = spark.createDataFrame(rows, "user_id: long, period: long")
     got = {
-        (r["cohort_month"], r["month_offset"]): (r["n_active"], r["retention_micro"])
+        (r["cohort_period"], r["period_offset"]): (r["n_active"], r["retention_micro"])
         for r in cohort_retention(df).collect()
     }
-    assert got[("2024-01", 0)] == (2, 1_000_000)
-    assert got[("2024-01", 1)] == (1, 500_000)
-    assert got[("2024-01", 2)] == (2, 1_000_000)
-    assert got[("2024-02", 0)] == (1, 1_000_000)
+    assert got[(1, 0)] == (2, 1_000_000)
+    assert got[(1, 1)] == (1, 500_000)
+    assert got[(1, 2)] == (2, 1_000_000)
+    assert got[(2, 0)] == (1, 1_000_000)
 
 
 def test_gini_micro_bounds(spark):

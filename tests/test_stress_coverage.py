@@ -115,6 +115,12 @@ ADJUDICATED: dict[str, str] = {
     "q169_chi_square_mix": "catalyst: single scan + margin windows over the |priorities x years| cell table",
     "q173_funnel_wilson": "bounded: two distinct-user rollups + a |types|-row interval expression; event family's 10x rollup behavior measured by q27/q119",
     "q174_theil_sen_trend": "bounded: pair space is |days|^2, fixed by the CALENDAR (~3M integer pairs at any corpus size); the corpus touches only the daily rollup",
+    "q175_rfm_segmentation": "bounded: one grouped rollup to the |customers| DIMENSION table, then ntile windows over it; corpus volume touches only the map-side-combined rollup",
+    "q177_revenue_gini": "bounded: customer-revenue rollup (map-side combined) + per-nation windows over the |customers| dimension table",
+    "q180_event_burstiness": "bounded: one daily rollup to |types x days| rows, then a 3-sum grouped pass over that calendar-bounded table",
+    "q181_weekly_mase": "bounded: daily rollup + lag windows over the |types x days| zero-filled spine — calendar-bounded after the first map-side-combined agg",
+    "q182_split_manifest": "map-only: one md5-bucket expression + one grouped count to |strata x 3| rows",
+    "q184_binseg_changepoint": "bounded: prefix windows + top-1 over the |types x days| daily table; the corpus touches only the daily rollup",
 }
 
 

@@ -10,8 +10,9 @@ top of the cleaned order/event tables:
   so both engines assign identical quintile boundaries; ntile's
   first-(n mod k)-buckets-get-one-extra fill rule is the SQL-standard one
   DuckDB and Spark share.
-* cohort retention — users bucketed by first-activity month; the
-  (cohort, month-offset) matrix of distinct active users with the
+* cohort retention — users bucketed by their first active period (an
+  integer period index the caller derives: day/week/month); the
+  (cohort, period-offset) matrix of distinct active users with the
   retention ratio in exact micro-units (floor div by the cohort's size).
 
 Scale shape: RFM is one grouped rollup to |customers| rows, then three
@@ -69,35 +70,35 @@ def rfm_scores(
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
-    ts_col: str = "ts",
+    period_col: str = "period",
 ) -> DataFrame:
-    """Monthly cohort retention matrix: (cohort_month, month_offset,
-    n_active, cohort_size, retention_micro) where cohort_month is the
-    user's first active month, month_offset counts calendar months since
-    it, and retention_micro = floor(1e6 * n_active / cohort_size).
+    """Cohort retention matrix over an INTEGER period index (the caller
+    derives it — epoch-week ``floor(epoch/604800)``, month ``year*12+month``,
+    day … — so the same operator serves any cadence): users are bucketed by
+    their first active period, and each (cohort_period, period_offset) cell
+    counts the cohort's users active that many periods later, with
+    retention_micro = floor(1e6 * n_active / cohort_size).
 
-    Month arithmetic is integer (year*12 + month), so offsets are exact;
-    the ratio is a floor div of exact distinct counts — hash-gradable.
+    All arithmetic is integer (period indexes, exact distinct counts, one
+    floor div) — hash-gradable. Scale: one distinct (user, period)
+    projection (the only corpus-sized shuffle), a per-user min, and two
+    matrix-bounded grouped joins.
     """
     um = events.select(
         F.col(user_col).alias("u"),
-        (F.year(ts_col) * 12 + F.month(ts_col) - 1).cast("long").alias("m"),
+        F.col(period_col).cast("long").alias("m"),
     ).distinct()
     first = um.groupBy("u").agg(F.min("m").alias("m0"))
     joined = um.join(first, "u")
-    matrix = joined.groupBy("m0", (F.col("m") - F.col("m0")).alias("month_offset")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_active")
-    )
+    matrix = joined.groupBy(
+        "m0", (F.col("m") - F.col("m0")).alias("period_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     size = first.groupBy("m0").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
     return (
         matrix.join(size, "m0")
         .select(
-            F.concat_ws(
-                "-",
-                (F.col("m0") / 12).cast("long").cast("string"),
-                F.lpad((F.col("m0") % 12 + 1).cast("string"), 2, "0"),
-            ).alias("cohort_month"),
-            F.col("month_offset").cast("long"),
+            F.col("m0").alias("cohort_period"),
+            F.col("period_offset").cast("long"),
             "n_active",
             "cohort_size",
             F.expr("(1000000 * n_active) div cohort_size").alias("retention_micro"),

@@ -46,6 +46,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q001_q050  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q051_q100  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q101_q150  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q151_q174  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q175_q184  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -260,6 +261,16 @@ _EXPECTED_ORDER: list[str] = [
     "q172_feature_hashing",
     "q173_funnel_wilson",
     "q174_theil_sen_trend",
+    "q175_rfm_segmentation",
+    "q176_cohort_retention",
+    "q177_revenue_gini",
+    "q178_brand_volume_trend",
+    "q179_supplier_hhi",
+    "q180_event_burstiness",
+    "q181_weekly_mase",
+    "q182_split_manifest",
+    "q183_type_cooccurrence",
+    "q184_binseg_changepoint",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]
