@@ -190,6 +190,12 @@ HEAVY = [
     "q178_brand_volume_trend",
     "q179_supplier_hhi",
     "q183_type_cooccurrence",
+    # batch 2: q187's per-user lag window sees 10x users at the same
+    # per-user density; q188 runs pointer-jumping CC on the 10x disjoint
+    # co-purchase graph (10 independent components' worth of volume, the
+    # artifact build inside the window — q154 cold semantics).
+    "q187_markov_transitions",
+    "q188_component_census",
 ]
 
 

@@ -82,6 +82,10 @@ _ADJUDICATED = {
     # BroadcastNestedLoopJoin against a single-row side is the cheapest way
     # to hang a scalar on every row — VERDICT r3 reviewed these by hand.
     "cartesian-product": {
+        # q186: the 1-row per-arm-totals attach onto the |types| table
+        "q186_ab_test_z",
+        # q189: permille literals (3 rows) x the |langs| x <=32-bin sketch
+        "q189_lang_length_quantiles",
         # q181: the 1-row (min_d, max_d) bounds table cross-joined into the
         # |types| x |days| spine — the adjudicated scalar-attach class
         "q181_weekly_mase",
@@ -136,6 +140,8 @@ _ADJUDICATED = {
         "q175_rfm_segmentation",
         # q181: the 1-row global (min, max) day-bounds reduction
         "q181_weekly_mase",
+        # q186: the 1-row (na, nb) arm-totals reduction
+        "q186_ab_test_z",
         "q06_quality_checks", "q102_heavy_hitters", "q103_lm_perplexity",
         "q106_temperature_rebalance", "q107_hybrid_rrf", "q113_dsir_weights",
         "q34_sql_interface", "q50_column_profile", "q53_rich_inactive_customers",

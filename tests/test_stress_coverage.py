@@ -121,6 +121,9 @@ ADJUDICATED: dict[str, str] = {
     "q181_weekly_mase": "bounded: daily rollup + lag windows over the |types x days| zero-filled spine — calendar-bounded after the first map-side-combined agg",
     "q182_split_manifest": "map-only: one md5-bucket expression + one grouped count to |strata x 3| rows",
     "q184_binseg_changepoint": "bounded: prefix windows + top-1 over the |types x days| daily table; the corpus touches only the daily rollup",
+    "q185_entity_clusters": "composes: q79's stressed block-bounded edit-distance joins + the q43/q56-stressed pointer-jumping CC engine on a diameter-2 match graph",
+    "q186_ab_test_z": "composes: one per-user first-event window (the q165/q143-stressed per-user window family) + two rollups to |types| rows",
+    "q189_lang_length_quantiles": "bounded: one map-side-combinable agg to |langs| x 32 bins; quantile estimates are sketch-sized integer arithmetic (q159's stressed device, grouped)",
 }
 
 

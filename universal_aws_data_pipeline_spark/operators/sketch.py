@@ -563,3 +563,66 @@ def histogram_stream_fn(
         statestore.commit(merged, table, batch_id)
 
     return fn
+
+
+def grouped_value_histogram(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    lo: int,
+    width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group ``value_histogram``: one map-side-combinable aggregate to
+    <= |groups| x n_bins rows. Same clamped declared-domain contract."""
+    b = F.floor((value - F.lit(lo)) / F.lit(width)).cast("long")
+    clamped = F.least(F.greatest(b, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long"))
+    return (
+        df.select(F.col(group_col), clamped.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def grouped_histogram_quantiles(
+    hist: DataFrame,
+    group_col: str,
+    p_milles: list[int],
+    lo: int,
+    width: int,
+) -> DataFrame:
+    """Per-group quantile estimates from a ``grouped_value_histogram``
+    table — the GROUPED form of q159's engine-portable sketch quantiles:
+    identical integer arithmetic (rank r = 1 + (p*(N-1)) div 1000, linear
+    within-bin interpolation at integer resolution), with the cumulative
+    walk windowed PER GROUP so parallelism is the group count and no
+    global sort exists. Returns (group_col, p_mille, est).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = hist.groupBy(group_col).agg(F.sum("c").alias("n"))
+    cum = hist.select(group_col, "bin", "c", F.sum("c").over(w).alias("cum")).join(
+        F.broadcast(tot), group_col
+    )
+    ps = cum.sparkSession.createDataFrame([(p,) for p in p_milles], "p_mille: long")
+    j = cum.join(F.broadcast(ps))
+    ranked = j.withColumn("r", 1 + F.expr("(p_mille * (n - 1)) div 1000")).filter(
+        F.col("cum") >= F.col("r")
+    )
+    first_bin = ranked.groupBy(group_col, "p_mille").agg(
+        F.min_by(F.struct("bin", "c", "cum", "r"), "bin").alias("s")
+    )
+    return first_bin.select(
+        group_col,
+        "p_mille",
+        (
+            F.lit(lo)
+            + F.col("s.bin") * F.lit(width)
+            + F.expr(f"({width} * (s.r - (s.cum - s.c))) div s.c")
+        ).cast("long").alias("est"),
+    )

@@ -1,12 +1,12 @@
 """Query/oracle catalog — the single graded registry.
 
 Round-7 structure (VERDICT r6, item 8): the former 8,800-line single file
-is split along numeric seams into four chunk modules
-(``catalog_q001_q050`` … ``catalog_q151_q174``) plus ``_shared`` (the
+is split along numeric seams into chunk modules
+(``catalog_q001_q050`` … onwards, one per ~50-query span or round) plus ``_shared`` (the
 registry itself, table readers, artifact cache, and the cross-chunk
 oracle-SQL helpers). This module is the ASSEMBLER: it imports every chunk
 for its registration side effects and then enforces ``_EXPECTED_ORDER`` —
-the pinned 174-name registration order — in place, so the driver's graded
+the pinned registration order — in place, so the driver's graded
 window (the first 50 of :func:`graded_order`) can never shift because of a
 merge mistake or an import-order change. New queries: register them in
 (or add) a chunk module, import it below, and append their names HERE.
@@ -47,6 +47,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q051_q100  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q101_q150  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q151_q174  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q175_q184  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q185_q194  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -271,6 +272,11 @@ _EXPECTED_ORDER: list[str] = [
     "q182_split_manifest",
     "q183_type_cooccurrence",
     "q184_binseg_changepoint",
+    "q185_entity_clusters",
+    "q186_ab_test_z",
+    "q187_markov_transitions",
+    "q188_component_census",
+    "q189_lang_length_quantiles",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

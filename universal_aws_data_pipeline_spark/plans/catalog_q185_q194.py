@@ -1,0 +1,361 @@
+"""Catalog chunk: q185–q189 (round-7 batch 2 — entity resolution closure,
+inference stats, Markov transitions, graph component audit, grouped
+sketch quantiles).
+
+Each completes an existing family along a missing axis: q185 closes the
+record-linkage story (fuzzy PAIRS → transitive entity CLUSTERS), q186 adds
+the two-proportion z-test to the inference family (Wilson q173, chi-square
+q169), q187 adds the first-order Markov transition matrix to the journey
+family (trigrams q165), q188 audits the co-purchase graph's component
+structure (the CC engine's |V|-scale report), and q189 is the GROUPED form
+of q159's engine-portable histogram quantiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.plans._shared import (
+    _NORM_SQL,
+    _copurchase_edges,
+    _t,
+    register,
+)
+
+# --------------------------------------------------------------------------
+# q185 — entity-resolution clusters (linkage family). Operators:
+# operators/linkage.py::blocked_edit_distance_match (the q79 blocked
+# Levenshtein matcher, run over TWO corrupted batches) +
+# operators/graph.py::connected_components — fuzzy pairs are only half the
+# linkage story; the deliverable is transitive ENTITIES with a canonical
+# id. Cluster = {master, variant A, variant B}; canonical = min id = the
+# master (ids are constructed above 1e6 for variants).
+# Scale: block-bounded edit-distance joins (never all-pairs) + pointer-
+# jumping CC (diameter 2 here — two rounds); output 3x|masters| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q185_entity_clusters",
+    """
+    WITH RECURSIVE clean AS (
+      SELECT c_custkey AS id, lower(trim(c_name)) AS nm FROM customer
+    ), dirty AS (
+      SELECT id + 1000000 AS did,
+             substr(nm, 1, (id % 5) + 2) || substr(nm, (id % 5) + 4) AS nm,
+             right(nm, 4) AS blk
+      FROM clean
+      UNION ALL
+      SELECT id + 2000000 AS did,
+             substr(nm, 1, (id % 3) + 2) || substr(nm, (id % 3) + 4) AS nm,
+             right(nm, 4) AS blk
+      FROM clean
+    ), matched AS (
+      SELECT c.id AS a, d.did AS b
+      FROM clean c JOIN dirty d ON right(c.nm, 4) = d.blk
+      WHERE levenshtein(c.nm, d.nm) <= 1
+    ), edges AS (
+      SELECT a, b FROM matched UNION SELECT b, a FROM matched
+    ), reach(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS entity_id FROM reach GROUP BY id
+    )
+    SELECT id AS member_id, entity_id,
+           CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS cluster_size,
+           id = entity_id AS is_canonical
+    FROM comp
+    """,
+    "entity resolution closure: two corrupted ingest batches fuzzy-matched to the master, match pairs closed into transitive entities via connected components, canonical = min id (linkage family)",
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From fuzzy match PAIRS to transitive ENTITY clusters.
+    operators/linkage.py::blocked_edit_distance_match +
+    operators/graph.py::connected_components."""
+    from universal_aws_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from universal_aws_data_pipeline_spark.operators.linkage import (
+        blocked_edit_distance_match,
+    )
+
+    clean = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lower(F.trim(F.col("c_name"))).alias("nm")
+    )
+
+    def corrupt(offset: int, mod: int) -> DataFrame:
+        return clean.select(
+            (F.col("id") + offset).alias("id"),
+            F.expr(
+                f"concat(substr(nm, 1, (id % {mod}) + 2), substr(nm, (id % {mod}) + 4))"
+            ).alias("nm"),
+        )
+
+    edges = None
+    for offset, mod in ((1_000_000, 5), (2_000_000, 3)):
+        m = blocked_edit_distance_match(
+            clean,
+            corrupt(offset, mod),
+            block_fn=lambda c: F.substring(c, -4, 4),
+            id_col="id",
+            name_col="nm",
+            max_distance=1,
+        ).select(F.col("clean_id").alias("id_a"), F.col("dirty_id").alias("id_b"))
+        edges = m if edges is None else edges.unionByName(m)
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("member_id"),
+        F.col("component").alias("entity_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q186 — two-proportion z-test per event type (inference family, joining
+# Wilson q173 and chi-square q169): users split into arms by key parity,
+# and the tested proportion is "the user's FIRST event is this type" —
+# each user contributes exactly one type, so proportions stay interior
+# (per-type REACH saturates at 1.0 on this fixture: every user touches
+# every type, pooled variance hits 0 and z is undefined — the guard below
+# also nulls that case by contract). z is ONE shared IEEE expression
+# string (Python builds it once for both engines), round(4) — the q173
+# device. First-event selection orders by (ts, event_id): a TOTAL order,
+# timestamps alone are not unique (the q133 lesson).
+# Scale: one per-user window + two rollups; the per-arm totals ride a
+# 1-row broadcast; |types|-row output.
+# --------------------------------------------------------------------------
+_Q186_Z = (
+    "case when ca + cb = 0 or ca + cb = na + nb then null else "
+    "round((cast(ca as double)/na - cast(cb as double)/nb) / "
+    "sqrt(((ca+cb)/cast(na+nb as double)) * (1.0 - (ca+cb)/cast(na+nb as double))"
+    " * (1.0/na + 1.0/nb)), 4) end"
+)
+
+
+@register(
+    "q186_ab_test_z",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, user_id % 2 AS arm, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), first AS (
+      SELECT user_id, arm, event_type FROM ranked WHERE rn = 1
+    ), totals AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM first
+    ), conv AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM first GROUP BY event_type
+    )
+    SELECT event_type, ca, cb, na, nb, {_Q186_Z} AS z_score
+    FROM conv CROSS JOIN totals
+    """,
+    "two-proportion z-test of first-event type between parity-split user arms: exact integer counts, pooled-variance z as one shared IEEE expression round(4), zero-variance guarded (inference family)",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the arms differ in which event type users START with?
+    Pooled-variance two-proportion z in the q173 single-IEEE-expression
+    discipline."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.select(
+            "user_id",
+            (F.col("user_id") % 2).alias("arm"),
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = first.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    conv = first.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    return conv.join(F.broadcast(totals)).select(
+        "event_type", "ca", "cb", "na", "nb", F.expr(_Q186_Z).alias("z_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — first-order Markov transition matrix of event types (journey
+# family, the matrix complement of q165's trigram mining): P(next | cur)
+# over per-user event sequences, exact counts + floor-div micro
+# probabilities. ORDER BY carries (ts, event_id) — the fixture's
+# timestamps alone are not unique, and a partial order would make lag()
+# engine-dependent (the q133 lesson).
+# Scale: one lag window per user partition, then a map-side-combinable
+# count to the |types|² matrix; row totals join on the tiny matrix.
+# --------------------------------------------------------------------------
+@register(
+    "q187_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ), cnt AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ), tot AS (
+      SELECT prev, sum(n) AS t FROM cnt GROUP BY prev
+    )
+    SELECT cnt.prev, cnt.cur, n,
+           CAST((1000000 * n) // t AS BIGINT) AS p_micro
+    FROM cnt JOIN tot USING (prev)
+    """,
+    "first-order Markov transition matrix of per-user event sequences: exact transition counts and floor-div micro probabilities over a total (ts, event_id) order (journey family)",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does each event type lead to next? P(next | cur) per user
+    journey, |types|²-bounded output."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("prev").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "prev").select(
+        "prev", "cur", "n", F.expr("(1000000 * n) div t").alias("p_micro")
+    )
+
+
+# --------------------------------------------------------------------------
+# q188 — co-purchase component-size census (graph family). Operators:
+# operators/graph.py::connected_components over the SHARED
+# `_copurchase_edges` artifact (fifth consumer after q116/q148/q149/q154).
+# The |V|-scale structural audit: a healthy co-purchase graph has one
+# giant component plus a long tail; a shattered one means the support
+# threshold is starving downstream miners.
+# Scale: pointer-jumping CC (one shuffle join per round, observe()-gated
+# convergence), then two tiny rollups; output is |distinct sizes| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q188_component_census",
+    """
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ), edges AS (
+      SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e
+    ), reach(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT ed.b, r.lbl FROM reach r JOIN edges ed ON ed.a = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(cluster_size) AS BIGINT) AS n_parts
+    FROM sizes GROUP BY cluster_size
+    """,
+    "component-size census of the support>=2 co-purchase graph via pointer-jumping connected components over the shared edge artifact: the structural health audit for every graph miner downstream (graph family)",
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How does the co-purchase graph decompose into components?
+    operators/graph.py::connected_components over plans/_shared.py::
+    _copurchase_edges."""
+    from universal_aws_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    comp = connected_components(edges, "a", "b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("cluster_size").cast("long").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — per-language token-length quantiles via the grouped histogram
+# sketch (sketch family). Operators: operators/sketch.py::
+# grouped_value_histogram + grouped_histogram_quantiles — q159's
+# engine-portable quantile arithmetic with the cumulative walk windowed
+# PER GROUP (parallelism = group count, no global sort). The corpus-
+# profiling readout a mixture planner consumes (doc-length percentile
+# bands per language).
+# Scale: one map-side-combinable agg to |langs| x 32 bins, then
+# sketch-sized integer arithmetic. Domain [0, 256) tokens, 8-token bins.
+# --------------------------------------------------------------------------
+_Q189_LO, _Q189_W, _Q189_NB = 0, 8, 32
+_Q189_PS = [500, 900, 990]
+
+
+@register(
+    "q189_lang_length_quantiles",
+    f"""
+    WITH v AS (
+      SELECT lang, CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ), h AS (
+      SELECT lang,
+             LEAST(GREATEST(CAST(floor((nt - {_Q189_LO}) / {_Q189_W}.0) AS BIGINT), 0), {_Q189_NB - 1}) AS bin,
+             count(*) AS c
+      FROM v GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, bin, c, sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM h
+    ), n AS (SELECT lang, sum(c) AS n FROM h GROUP BY lang),
+    p AS (SELECT unnest([{", ".join(str(p) for p in _Q189_PS)}]) AS p_mille),
+    r AS (
+      SELECT n.lang, CAST(p_mille AS BIGINT) AS p_mille,
+             1 + (p_mille * (n.n - 1)) // 1000 AS r
+      FROM p CROSS JOIN n
+    ),
+    hit AS (
+      SELECT r.lang, r.p_mille, min(cum.bin) AS bin
+      FROM r JOIN cum ON cum.lang = r.lang AND cum.cum >= r.r
+      GROUP BY r.lang, r.p_mille
+    )
+    SELECT hit.lang, hit.p_mille,
+           CAST({_Q189_LO} + hit.bin * {_Q189_W} + ({_Q189_W} * (r.r - (cum.cum - cum.c))) // cum.c AS BIGINT) AS est
+    FROM hit
+    JOIN r ON hit.lang = r.lang AND hit.p_mille = r.p_mille
+    JOIN cum ON cum.lang = hit.lang AND cum.bin = hit.bin
+    """,
+    "per-language token-length p50/p90/p99 via the grouped 32-bin histogram sketch: q159's engine-portable integer quantile arithmetic with per-group cumulative windows (sketch family)",
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length percentile bands per language from a mergeable sketch.
+    operators/sketch.py::grouped_value_histogram +
+    grouped_histogram_quantiles."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        grouped_histogram_quantiles,
+        grouped_value_histogram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select("lang", F.size(tokens_col(F.col("text"))).cast("long").alias("nt"))
+    hist = grouped_value_histogram(
+        v, "lang", F.col("nt"), _Q189_LO, _Q189_W, _Q189_NB
+    )
+    return grouped_histogram_quantiles(hist, "lang", _Q189_PS, _Q189_LO, _Q189_W)
