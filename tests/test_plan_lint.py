@@ -82,6 +82,8 @@ _ADJUDICATED = {
     # BroadcastNestedLoopJoin against a single-row side is the cheapest way
     # to hang a scalar on every row — VERDICT r3 reviewed these by hand.
     "cartesian-product": {
+        # q193: permille literals (3 rows) x the |suppliers| x <=32-bin sketch
+        "q193_supplier_lag_bands",
         # q186: the 1-row per-arm-totals attach onto the |types| table
         "q186_ab_test_z",
         # q189: permille literals (3 rows) x the |langs| x <=32-bin sketch
@@ -199,6 +201,7 @@ _ADJUDICATED = {
         "q170_weekly_psi_trend",  # week>0 / week==0 splits over the computed week column
         "q174_theil_sen_trend",  # da < db pair predicate over computed day indices
         "q158_token_entropy",  # length-gate split over the computed token-array size
+        "q192_cluster_quality_spread",  # inherits q43's post-shingle similarity filters via the pair artifact
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
 }

@@ -124,6 +124,10 @@ ADJUDICATED: dict[str, str] = {
     "q185_entity_clusters": "composes: q79's stressed block-bounded edit-distance joins + the q43/q56-stressed pointer-jumping CC engine on a diameter-2 match graph",
     "q186_ab_test_z": "composes: one per-user first-event window (the q165/q143-stressed per-user window family) + two rollups to |types| rows",
     "q189_lang_length_quantiles": "bounded: one map-side-combinable agg to |langs| x 32 bins; quantile estimates are sketch-sized integer arithmetic (q159's stressed device, grouped)",
+    "q190_degree_distribution": "composes: one degree rollup over the q116/q148-stressed shared edge artifact, then a |buckets|-row agg",
+    "q191_ship_sla": "catalyst: orders->lineitem equi-join (TPC-H shape) + one grouped conditional agg to |priorities| rows",
+    "q192_cluster_quality_spread": "composes: q43's stressed pair-artifact + CC clusters joined to a map-only quality pass; rollup is |clustered-docs|-sized",
+    "q193_supplier_lag_bands": "bounded: the q189-stressed grouped-sketch device — one map-side-combinable agg to |suppliers| x 32 bins after a catalyst equi-join",
 }
 
 

@@ -277,6 +277,10 @@ _EXPECTED_ORDER: list[str] = [
     "q187_markov_transitions",
     "q188_component_census",
     "q189_lang_length_quantiles",
+    "q190_degree_distribution",
+    "q191_ship_sla",
+    "q192_cluster_quality_spread",
+    "q193_supplier_lag_bands",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

@@ -17,11 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from universal_aws_data_pipeline_spark.plans._shared import (
+    QUERIES,
     _NORM_SQL,
     _copurchase_edges,
     _t,
     register,
 )
+from universal_aws_data_pipeline_spark.plans.catalog_q001_q050 import _Q43_ORACLE
 
 # --------------------------------------------------------------------------
 # q185 — entity-resolution clusters (linkage family). Operators:
@@ -359,3 +361,248 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, "lang", F.col("nt"), _Q189_LO, _Q189_W, _Q189_NB
     )
     return grouped_histogram_quantiles(hist, "lang", _Q189_PS, _Q189_LO, _Q189_W)
+
+
+# --------------------------------------------------------------------------
+# q190 — degree distribution of the co-purchase graph (graph family,
+# completing q188's census): per power-of-two degree bucket, node and edge
+# mass. Bucket = length(bin(degree)) - 1 — an INTEGER log2 both engines
+# compute identically (no float log at exact powers). Sixth consumer of
+# the shared `_copurchase_edges` artifact.
+# Scale: one degree rollup over the edge table + a |buckets|-row agg.
+# --------------------------------------------------------------------------
+@register(
+    "q190_degree_distribution",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT a.p AS x, b.p AS y
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING count(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d) AS BIGINT) AS degree_mass
+    FROM deg GROUP BY length(bin(d)) - 1
+    """,
+    "power-of-two degree distribution of the support>=2 co-purchase graph (integer log2 via binary-string length): the skew fingerprint that predicts which graph miners need degree caps (graph family)",
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How heavy is the co-purchase graph's degree tail?
+    plans/_shared.py::_copurchase_edges + one rollup."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.groupBy(
+        (F.length(F.expr("bin(d)")) - 1).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("degree_mass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q191 — order-to-ship SLA audit per priority (warehouse ops family): per
+# o_orderpriority, how many lineitems shipped late (> 60 days after the
+# order date), the late rate in micro-units, and the mean lateness among
+# late lines in milli-days — exact integer datediffs + floor divs.
+# Scale: the standard orders->lineitem equi-join (TPC-H shape) into one
+# grouped conditional agg; |priorities|-row output.
+# --------------------------------------------------------------------------
+@register(
+    "q191_ship_sla",
+    """
+    WITH lag AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN days > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST((1000000 * sum(CASE WHEN days > 60 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS late_micro,
+           CAST((1000 * sum(CASE WHEN days > 60 THEN days ELSE 0 END))
+                // greatest(sum(CASE WHEN days > 60 THEN 1 ELSE 0 END), 1) AS BIGINT) AS late_mean_milli
+    FROM lag GROUP BY o_orderpriority
+    """,
+    "order-to-ship SLA audit per priority: late-line rate and mean lateness among late lines, exact integer datediffs and floor-div rates (warehouse ops family)",
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which priorities breach the 60-day ship SLA, and by how much?"""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lag = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    late = F.when(F.col("days") > 60, 1).otherwise(0)
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(late).cast("long").alias("n_late"),
+            F.sum(F.when(F.col("days") > 60, F.col("days")).otherwise(0))
+            .cast("long")
+            .alias("_late_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            "n_late",
+            F.expr("(1000000 * n_late) div n_lines").alias("late_micro"),
+            F.expr("(1000 * _late_days) div greatest(n_late, 1)").alias(
+                "late_mean_milli"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q192 — near-dup cluster quality spread (dedup x text quality,
+# composing two stressed engines): per q43 duplicate cluster, the min/max
+# composite quality score of its members — the evidence behind
+# keep-BEST-per-cluster (q76): when spread is ~0 any survivor works; a
+# wide spread means naive keep-first throws away the good copy. Quality
+# is the q105 round(4) expression; min/max SELECT existing values (no
+# float-sum order anywhere), spread re-rounds the difference.
+# Scale: clusters come from the checkpointed q43 pair artifact + CC;
+# quality is one map pass; the join and rollup are |clustered-docs|-sized.
+# --------------------------------------------------------------------------
+@register(
+    "q192_cluster_quality_spread",
+    f"""
+    WITH clusters AS ({_Q43_ORACLE}),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '') FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round((least(1.0, ntok / 100.0) + alpha_ratio
+                    + (1.0 - least(1.0, digit_ratio + punct_ratio))
+                    + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END) / 4.0,
+                   4) AS quality
+      FROM (
+        SELECT doc_id, ntok,
+          (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n AS alpha_ratio,
+          (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n AS digit_ratio,
+          (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n AS punct_ratio,
+          CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok AS mean_tok_len
+        FROM (
+          SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+                 len(string_split_regex(trim(text), '\\s+')) AS ntok
+          FROM corpus
+        )
+      )
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           min(quality) AS q_min, max(quality) AS q_max,
+           round(max(quality) - min(quality), 4) AS q_spread
+    FROM clusters JOIN scored USING (doc_id)
+    GROUP BY cluster_id
+    """,
+    "per near-dup cluster: the quality spread across members — zero spread means any survivor works, wide spread is the keep-best-per-cluster motivation made measurable (dedup x quality)",
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do duplicate families span quality tiers?
+    Composes q43's cluster engine with operators/text.py::quality_score."""
+    from universal_aws_data_pipeline_spark.operators.text import quality_score
+
+    clusters = QUERIES["q43_dup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+        )
+    )
+    scored = corpus.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return (
+        clusters.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min("quality").alias("q_min"),
+            F.max("quality").alias("q_max"),
+            F.round(F.max("quality") - F.min("quality"), 4).alias("q_spread"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — per-supplier ship-lag percentile bands via the grouped sketch
+# (sketch family; the q189 device on a second domain, proving the grouped
+# quantile operator generalizes): p10/p50/p90 of order-to-ship days per
+# supplier from a 32-bin histogram — the supplier-consistency readout a
+# procurement mart publishes.
+# Scale: orders->lineitem join + one map-side-combinable agg to
+# |suppliers| x 32 bins; estimates are sketch-sized integer arithmetic.
+# Domain [0, 128) days, 4-day bins.
+# --------------------------------------------------------------------------
+_Q193_LO, _Q193_W, _Q193_NB = 0, 4, 32
+_Q193_PS = [100, 500, 900]
+
+
+@register(
+    "q193_supplier_lag_bands",
+    f"""
+    WITH v AS (
+      SELECT l_suppkey, CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), h AS (
+      SELECT l_suppkey,
+             LEAST(GREATEST(CAST(floor((days - {_Q193_LO}) / {_Q193_W}.0) AS BIGINT), 0), {_Q193_NB - 1}) AS bin,
+             count(*) AS c
+      FROM v GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_suppkey, bin, c, sum(c) OVER (PARTITION BY l_suppkey ORDER BY bin) AS cum FROM h
+    ), n AS (SELECT l_suppkey, sum(c) AS n FROM h GROUP BY l_suppkey),
+    p AS (SELECT unnest([{", ".join(str(p) for p in _Q193_PS)}]) AS p_mille),
+    r AS (
+      SELECT n.l_suppkey, CAST(p_mille AS BIGINT) AS p_mille,
+             1 + (p_mille * (n.n - 1)) // 1000 AS r
+      FROM p CROSS JOIN n
+    ),
+    hit AS (
+      SELECT r.l_suppkey, r.p_mille, min(cum.bin) AS bin
+      FROM r JOIN cum ON cum.l_suppkey = r.l_suppkey AND cum.cum >= r.r
+      GROUP BY r.l_suppkey, r.p_mille
+    )
+    SELECT hit.l_suppkey, hit.p_mille,
+           CAST({_Q193_LO} + hit.bin * {_Q193_W} + ({_Q193_W} * (r.r - (cum.cum - cum.c))) // cum.c AS BIGINT) AS est
+    FROM hit
+    JOIN r ON hit.l_suppkey = r.l_suppkey AND hit.p_mille = r.p_mille
+    JOIN cum ON cum.l_suppkey = hit.l_suppkey AND cum.bin = hit.bin
+    """,
+    "per-supplier order-to-ship p10/p50/p90 day bands via the grouped 32-bin histogram sketch — the q189 grouped quantile device generalized to a second domain (sketch family)",
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which suppliers ship consistently, which have fat tails?
+    operators/sketch.py::grouped_value_histogram +
+    grouped_histogram_quantiles."""
+    from universal_aws_data_pipeline_spark.operators.sketch import (
+        grouped_histogram_quantiles,
+        grouped_value_histogram,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    v = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    hist = grouped_value_histogram(
+        v, "l_suppkey", F.col("days"), _Q193_LO, _Q193_W, _Q193_NB
+    )
+    return grouped_histogram_quantiles(hist, "l_suppkey", _Q193_PS, _Q193_LO, _Q193_W)
