@@ -128,6 +128,8 @@ ADJUDICATED: dict[str, str] = {
     "q191_ship_sla": "catalyst: orders->lineitem equi-join (TPC-H shape) + one grouped conditional agg to |priorities| rows",
     "q192_cluster_quality_spread": "composes: q43's stressed pair-artifact + CC clusters joined to a map-only quality pass; rollup is |clustered-docs|-sized",
     "q193_supplier_lag_bands": "bounded: the q189-stressed grouped-sketch device — one map-side-combinable agg to |suppliers| x 32 bins after a catalyst equi-join",
+    "q194_quantization_error": "map-only: per-vector ordered IEEE fold (no exchange beyond the |labels|-row agg); scales with scan",
+    "q195_embedding_whitening": "bounded: one posexplode agg to 64 rows broadcast back over a key-sampled subset; corpus volume touches only the map-side-combined dim stats",
 }
 
 

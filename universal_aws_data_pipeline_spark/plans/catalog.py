@@ -281,6 +281,8 @@ _EXPECTED_ORDER: list[str] = [
     "q191_ship_sla",
     "q192_cluster_quality_spread",
     "q193_supplier_lag_bands",
+    "q194_quantization_error",
+    "q195_embedding_whitening",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

@@ -1,4 +1,4 @@
-"""Catalog chunk: q185–q189 (round-7 batch 2 — entity resolution closure,
+"""Catalog chunk: q185–q195 (round-7 batches 2-4 — entity resolution closure,
 inference stats, Markov transitions, graph component audit, grouped
 sketch quantiles).
 
@@ -606,3 +606,135 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, "l_suppkey", F.col("days"), _Q193_LO, _Q193_W, _Q193_NB
     )
     return grouped_histogram_quantiles(hist, "l_suppkey", _Q193_PS, _Q193_LO, _Q193_W)
+
+
+# --------------------------------------------------------------------------
+# q194 — int8 quantization error audit (similarity family). Operators:
+# operators/similarity.py::quantize_vec — q104's production quantizer,
+# audited numerically: per vector the relative reconstruction MSE
+# floor(1e6 · Σ(x − round(x/s)·s)² / Σx²) with s = max|x|/127, then an
+# EXACT integer rollup per label (sum/max of the per-vector micro values,
+# mean via floor div). The per-vector value is one ordered IEEE fold
+# (F.aggregate ↔ list_sum over list_transform — the q17 _cos_sql
+# precedent), so both engines replay it bit-for-bit.
+# Scale: map-only per vector + one |labels|-row agg.
+# --------------------------------------------------------------------------
+_Q194_ERR = """
+CAST(floor(1000000.0 * (
+  list_sum(list_transform({v}, x ->
+    (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / {s}) * {s})
+    * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / {s}) * {s})))
+  / list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+)) AS BIGINT)
+"""
+
+
+@register(
+    "q194_quantization_error",
+    f"""
+    WITH q AS (
+      SELECT label,
+             {_Q194_ERR.format(v="embedding", s="(greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0)")} AS err_micro
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro,
+           CAST(max(err_micro) AS BIGINT) AS max_err_micro
+    FROM q GROUP BY label
+    """,
+    "relative reconstruction MSE of the q104 int8 quantizer per label (micro-units, per-vector ordered IEEE fold then exact integer rollup): the numeric-honesty audit behind the quantized ANN tier (similarity family)",
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much signal does int8 quantization cost, per label?
+    operators/similarity.py::quantize_vec replayed with its error."""
+    from universal_aws_data_pipeline_spark.operators.similarity import quantize_vec
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale, q = quantize_vec(F.col("embedding"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # materialize the scale once per row so the per-element lambda reuses
+    # ONE computed value (Spark HOF lambdas have no CSE)
+    with_s = e.select("label", F.col("embedding"), scale.alias("_s"))
+    recon_err = F.aggregate(
+        F.transform(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            lambda x: (x - F.round(x / F.col("_s")) * F.col("_s"))
+            * (x - F.round(x / F.col("_s")) * F.col("_s")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    energy = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    per_vec = with_s.select(
+        "label",
+        F.floor(F.lit(1_000_000.0) * (recon_err / energy)).cast("long").alias(
+            "err_micro"
+        ),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("sum(err_micro) div count(1)").alias("mean_err_micro"),
+        F.max("err_micro").cast("long").alias("max_err_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q195 — embedding whitening on the integer grid (similarity family,
+# closing the chunk's span at q195). Per-dim mean/var derive from EXACT
+# integer sums on the 1e-6 grid (the q157 device — order-proof), so the
+# z-score for each sampled vector is ONE deterministic IEEE expression
+# over exact integers, round(4). Sample = vec_id % 101 == 0 (the q45
+# pure-key membership contract) — whitening every vector would emit the
+# corpus; the audit needs the TRANSFORM verified, not materialized.
+# Scale: one posexplode agg to 64 rows (broadcast back) + a map over the
+# key-sampled subset.
+# --------------------------------------------------------------------------
+_Q195_Z = (
+    "round((CAST(xq AS DOUBLE) - CAST(sx AS DOUBLE) / n) / "
+    "sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * n)), 4)"
+)
+
+
+@register(
+    "q195_embedding_whitening",
+    f"""
+    WITH x AS (
+      SELECT vec_id, j + 1 AS dim,
+             CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+    ), stats AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM x GROUP BY dim
+    )
+    SELECT vec_id, x.dim, {_Q195_Z} AS z
+    FROM x JOIN stats ON x.dim = stats.dim
+    WHERE vec_id % 101 = 0
+    """,
+    "per-dim whitening (z-score) of a key-sampled vector subset: mean/var from exact integer sums on the 1e-6 grid (order-proof), one deterministic IEEE z expression round(4) — the standardization step before distance-based mining (similarity family)",
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardize embeddings against per-dim corpus statistics.
+    The q157 integer-grid device extended from audit to TRANSFORM."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "v")
+    ).select(
+        "vec_id",
+        (F.col("j") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("xq"),
+    )
+    stats = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    return (
+        x.filter(F.col("vec_id") % 101 == 0)
+        .join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", F.expr(_Q195_Z).alias("z"))
+    )
