@@ -136,9 +136,12 @@ _ADJUDICATED = {
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
     # not data): the exchange moves a tiny table, by design.
     "single-partition-exchange": {
-        # q175: three global ntile windows over the |customers| DIMENSION
-        # table (the q48 percentile class); at corpus scale the documented
-        # swap is q159 histogram cuts + a broadcast range join
+        # q175: SIZE-GATED (round-8). At graded scale the rollup is under
+        # rfm_scores' ntile_max_rows gate, so the exact global-ntile
+        # windows run (the exchange this lint sees moves the tiny rollup
+        # by design); above the gate the operator switches to quickselect
+        # composite-boundary cuts with NO global sort, and
+        # tests/test_round8_ops.py proves both paths assign identically.
         "q175_rfm_segmentation",
         # q181: the 1-row global (min, max) day-bounds reduction
         "q181_weekly_mase",

@@ -28,20 +28,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # up around the extension surface, where custom operator compositions live.
 STRESS_FLOOR = 51
 
-# Exemption classes:
+# Exemption classes (round-8 audit, VERDICT r7 item 2 — "bounded" now means
+# DOMAIN-bounded only; a cardinality that scales with SF, however slowly,
+# does not qualify):
 #   map-only      — plan has no exchange whose input grows with the corpus
 #                   beyond one scan (row-local transforms, bounded-output
 #                   rollups); scaling IS the scan.
-#   bounded       — the only post-scan state is a fixed-size table
-#                   (|sources|, |digits|, |days|, |labels|, sketch cells):
-#                   corpus volume touches one map-side-combined pass.
+#   bounded       — the only post-scan state is a DOMAIN-bounded table,
+#                   fixed by the schema or the calendar, NOT by data volume
+#                   (|sources|, |digits|, |days|, |types|, |langs|, sketch
+#                   cells): corpus volume touches one map-side-combined
+#                   pass. Dimension tables (customers, suppliers, parts)
+#                   are NOT domain-bounded — they scale linearly with SF
+#                   and belong in catalyst/size-gated/envelope instead.
 #   composes      — the query's heavy subtree is another query's stressed
 #                   engine (the q141/q145 adjudication rule).
 #   catalyst      — canonical scan->equi-join->agg/window shape built from
 #                   whole-stage-codegen built-ins: no custom candidate-pair
-#                   or iterative term; 10x behavior is Spark's own exchange
+#                   or iterative term, and no single-task stage whose input
+#                   scales with SF; 10x behavior is Spark's own exchange
 #                   path, measured across the stressed join/window family
 #                   (q27, q115–q117, q119, q120, q143, q146, q147).
+#   size-gated    — the operator carries an explicit row-count gate: an
+#                   exact single-exchange plan below the threshold, a
+#                   distributed no-global-sort plan above it, with a test
+#                   proving both paths agree (hits_micro / rfm_scores /
+#                   gini_micro pattern).
+#   envelope      — a stage funnels an SF-scaling input through one
+#                   (spillable) task by design; the entry must state the
+#                   per-task size at the 100 TB north star and name the
+#                   documented swap. Use only when the gate or swap is not
+#                   yet implemented — this class is a visible debt marker.
 ADJUDICATED: dict[str, str] = {
     "q51_scd2_merge": "catalyst: merge-on-key equi-join + window versioning; CDC-family data term measured by q132's stress row",
     "q52_repetition_profile": "map-only: row-local token stats, one corpus pass",
@@ -68,7 +85,7 @@ ADJUDICATED: dict[str, str] = {
     "q74_priority_exists": "catalyst: semi-join + count by priority (TPC-H Q4 shape)",
     "q76_keep_best_per_cluster": "composes: q43's stressed CC clusters + one max-struct argmax agg",
     "q77_grouping_sets": "catalyst: one-pass multi-granularity agg (rollup lattice), map-side-combined",
-    "q78_bm25_topk": "bounded: token explode joined to a vocab-sized df table; token-explode family stressed via q103/q113/q140",
+    "q78_bm25_topk": "catalyst: token explode + equi-join to the |vocab| df table (vocab grows sublinearly with corpus but the join is shuffle-parallel — no single-task term); token-explode family stressed via q103/q113/q140",
     "q79_fuzzy_entity_match": "catalyst: blocked equi-join + in-block levenshtein <= 1 verify; blocked-candidate family stressed via q75/q110 (same prefix/block bound)",
     "q80_bigram_lm": "bounded: vocab^2-capped bigram table; bigram family stressed via q124's row",
     "q81_key_skew_profile": "bounded: one key-frequency agg to |hot keys| rows",
@@ -81,10 +98,10 @@ ADJUDICATED: dict[str, str] = {
     "q88_bulk_shippers": "catalyst: TPC-H Q19-ish predicate join",
     "q89_sole_returning_supplier": "catalyst: TPC-H Q21 shape (exists/not-exists semi/anti pair)",
     "q90_theta_distinct_sketch": "bounded: theta kept-hash state <= theta*D rows; sketch family stressed via q117/q119",
-    "q91_stratified_topn_sample": "catalyst: per-group rank window + filter; md5-sampling family stressed via q135",
+    "q91_stratified_topn_sample": "catalyst: per-group rank window + row_number<=k filter — Spark's WindowGroupLimit pushes a per-partition top-k combine below the exchange, so the per-stratum task receives |map partitions| x k rows, not the stratum; md5-sampling family stressed via q135",
     "q92_zorder_cells": "bounded: interleaved-bit cell rollup, |cells| out, one map-side-combined pass",
-    "q93_tfidf_top_terms": "bounded: token explode + vocab-sized df join + per-doc top-n; explode family stressed via q103/q113",
-    "q94_token_budget_selection": "bounded: quality-ordered prefix-sum over a |docs|-row score table; packing family stressed via q131",
+    "q93_tfidf_top_terms": "catalyst: token explode + |vocab| equi-join + per-doc top-n window (partition key is doc_id — parallelism scales WITH the corpus, never a few fat partitions); explode family stressed via q103/q113",
+    "q94_token_budget_selection": "composes: the two-phase stratified prefix sum (sampling.py::stratified_prefix_sum — range-partitioned shards + broadcast offsets, a dominating stratum still spans many tasks); packing family stressed via q131",
     "q95_psi_drift": "bounded: two fixed-bin histograms joined on bin id",
     "q96_training_prep_pipeline": "composes: v1 of the stressed q144 composition (same engines, fewer stages)",
     "q97_rolling_distinct_sketch": "bounded: theta kept-hash state, |days|-window rollup; stressed via q117/q119",
@@ -103,7 +120,7 @@ ADJUDICATED: dict[str, str] = {
     "q128_document_chunking": "map-only: row-local window slices, 1->N generate",
     "q129_mixture_plan": "bounded: one corpus agg to |sources| rows + literal weight join",
     "q130_snapshot_diff": "catalyst: digest full-outer equi-join; CDC family stressed via q132",
-    "q136_recency_weighted_value": "bounded: per-user integer half-life fold after one grouped rollup",
+    "q136_recency_weighted_value": "catalyst: one map-side-combinable grouped rollup keyed by user (output scales with |users| but every stage is shuffle-parallel), then a row-local integer half-life fold",
     "q137_referential_audit": "catalyst: key anti-joins (orphans) + distinct counts, no pair growth",
     "q141_dedup_roi": "composes: q43's stressed cluster engine (round-5 adjudication)",
     "q142_scd2_asof": "catalyst: as-of range join against the |dim| SCD2 table; SCD family's data term is the q51/q132 merge path",
@@ -115,8 +132,8 @@ ADJUDICATED: dict[str, str] = {
     "q169_chi_square_mix": "catalyst: single scan + margin windows over the |priorities x years| cell table",
     "q173_funnel_wilson": "bounded: two distinct-user rollups + a |types|-row interval expression; event family's 10x rollup behavior measured by q27/q119",
     "q174_theil_sen_trend": "bounded: pair space is |days|^2, fixed by the CALENDAR (~3M integer pairs at any corpus size); the corpus touches only the daily rollup",
-    "q175_rfm_segmentation": "bounded: one grouped rollup to the |customers| DIMENSION table, then ntile windows over it; corpus volume touches only the map-side-combined rollup",
-    "q177_revenue_gini": "bounded: customer-revenue rollup (map-side combined) + per-nation windows over the |customers| dimension table",
+    "q175_rfm_segmentation": "size-gated: rfm_scores keeps exact global-ntile windows at <= ntile_max_rows rollup rows and switches to quickselect composite-boundary cuts (no global sort) above; paths proven identical in tests/test_round8_ops.py",
+    "q177_revenue_gini": "size-gated: gini_micro keeps the per-nation rank window at <= window_max_rows input rows and switches to the two-phase stratified prefix count (group spans many tasks) above; paths proven identical in tests/test_round8_ops.py",
     "q180_event_burstiness": "bounded: one daily rollup to |types x days| rows, then a 3-sum grouped pass over that calendar-bounded table",
     "q181_weekly_mase": "bounded: daily rollup + lag windows over the |types x days| zero-filled spine — calendar-bounded after the first map-side-combined agg",
     "q182_split_manifest": "map-only: one md5-bucket expression + one grouped count to |strata x 3| rows",
@@ -127,7 +144,7 @@ ADJUDICATED: dict[str, str] = {
     "q190_degree_distribution": "composes: one degree rollup over the q116/q148-stressed shared edge artifact, then a |buckets|-row agg",
     "q191_ship_sla": "catalyst: orders->lineitem equi-join (TPC-H shape) + one grouped conditional agg to |priorities| rows",
     "q192_cluster_quality_spread": "composes: q43's stressed pair-artifact + CC clusters joined to a map-only quality pass; rollup is |clustered-docs|-sized",
-    "q193_supplier_lag_bands": "bounded: the q189-stressed grouped-sketch device — one map-side-combinable agg to |suppliers| x 32 bins after a catalyst equi-join",
+    "q193_supplier_lag_bands": "catalyst: equi-join + one map-side-combinable grouped agg keyed by supplier (the q189-stressed 32-bin sketch device; output scales with |suppliers| but the agg is shuffle-parallel — no single-task term)",
     "q194_quantization_error": "map-only: per-vector ordered IEEE fold (no exchange beyond the |labels|-row agg); scales with scan",
     "q195_embedding_whitening": "bounded: one posexplode agg to 64 rows broadcast back over a key-sampled subset; corpus volume touches only the map-side-combined dim stats",
 }
@@ -178,7 +195,7 @@ def test_exemptions_are_live_and_classified():
     """No stale exemptions for retired queries; every reason names its class."""
     stale = set(ADJUDICATED) - set(QUERIES)
     assert not stale, f"exemptions for nonexistent queries: {sorted(stale)}"
-    classes = ("map-only", "bounded", "composes", "catalyst")
+    classes = ("map-only", "bounded", "composes", "catalyst", "size-gated", "envelope")
     bad = {n: r for n, r in ADJUDICATED.items() if not r.startswith(classes)}
     assert not bad, f"exemption reasons must lead with a class {classes}: {bad}"
 

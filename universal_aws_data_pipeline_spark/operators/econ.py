@@ -24,6 +24,7 @@ def gini_micro(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    window_max_rows: int = 10_000_000,
 ) -> DataFrame:
     """Per-group Gini coefficient of non-negative integer ``value_col``
     in micro-units: G = (2*Σ(i*x_i) − (n+1)*Σx) / (n*Σx) with x ranked
@@ -31,14 +32,45 @@ def gini_micro(
     because the ORDER BY carries value only and equal values contribute
     symmetrically: Σ(i*x) over a tie block is tie-order-invariant).
 
+    SIZE-GATED rank plan (round-8 exemption audit): a per-group window
+    sort puts each group's ENTIRE member set in one task — fine when the
+    member table is small (the exchange moves little), but groups here
+    are customers-per-nation, which scales linearly with corpus. At or
+    under ``window_max_rows`` input rows the window path runs (cheapest
+    at dimension scale); above it, ranks come from the two-phase
+    stratified prefix count (sampling.py::stratified_prefix_sum, weight
+    1): range-partition on (group, x) so a group SPANS many tasks,
+    per-shard running counts, broadcast shard offsets. Both paths yield
+    identical Gini because Σ(i*x) is invariant across any rank
+    assignment consistent with the x order (tests/test_round8_ops.py).
+    The input is localCheckpoint()ed either way — the gate needs its
+    count, and both rank plans then rescan materialized rows.
+
     Returns (group_col, n, total, gini_micro). int64-exact while
     n * Σ(i*x) stays under 2^63 — with ranks ≤ n that is
     n² · max(x) ≲ 9e18, e.g. a million members at $10k total each.
+    Groups whose total is 0 (all-zero values) are dropped — Gini is
+    undefined there, and Spark's ``div`` would yield NULL while DuckDB's
+    ``//`` raises, so emitting them could never oracle-match anyway.
     """
-    w = Window.partitionBy(group_col).orderBy("x")
-    ranked = df.select(
-        F.col(group_col), F.col(value_col).alias("x")
-    ).withColumn("i", F.row_number().over(w))
+    d = df.select(F.col(group_col), F.col(value_col).alias("x")).localCheckpoint(
+        eager=True
+    )
+    if d.count() <= window_max_rows:
+        w = Window.partitionBy(group_col).orderBy("x")
+        ranked = d.withColumn("i", F.row_number().over(w))
+    else:
+        from .sampling import stratified_prefix_sum
+
+        ranked = stratified_prefix_sum(
+            d.withColumn("_one", F.lit(1).cast("long")),
+            strata_col=group_col,
+            order_cols=[F.col("x")],
+            weight_col="_one",
+            out_col="_before",
+        ).select(
+            F.col(group_col), "x", (F.col("_before") + 1).cast("long").alias("i")
+        )
     return (
         ranked.groupBy(group_col)
         .agg(
@@ -46,6 +78,7 @@ def gini_micro(
             F.sum("x").cast("long").alias("total"),
             F.sum(F.col("i").cast("long") * F.col("x")).cast("long").alias("_ix"),
         )
+        .filter(F.col("total") > 0)
         .select(
             group_col,
             "n",
@@ -69,12 +102,13 @@ def hhi_micro(
     squaring is part of the contract (both engines replay it identically);
     the bias is < |members| ppm.
 
-    Returns (market_col, n_members, hhi_micro).
+    Returns (market_col, n_members, hhi_micro). Markets with zero total
+    are dropped (shares are undefined; see gini_micro's div-vs-// note).
     """
     per = df.groupBy(market_col, member_col).agg(
         F.sum(value_col).cast("long").alias("v")
     )
-    tot = per.groupBy(market_col).agg(F.sum("v").alias("t"))
+    tot = per.groupBy(market_col).agg(F.sum("v").alias("t")).filter(F.col("t") > 0)
     shares = per.join(tot, market_col).select(
         market_col, F.expr("(1000000 * v) div t").alias("s")
     )

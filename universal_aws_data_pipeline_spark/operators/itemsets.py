@@ -90,6 +90,10 @@ def cooccurrence_jaccard(
     matrix is |items|² tiny even though the basket table is corpus-sized.
 
     Returns (item_a, item_b, n_both, n_either, jaccard_micro) for a < b.
+    The divisor n_either = na + nb − n_both is structurally ≥ 1: a pair
+    row exists only when the items co-occur in ≥ 1 basket, so the
+    gini-style zero-divisor divergence (Spark div→NULL vs DuckDB //→error)
+    cannot arise here.
 
     Scale: one distinct (basket, item) projection (the only corpus-sized
     shuffle), per-item basket counts from it, and an |items|²-bounded

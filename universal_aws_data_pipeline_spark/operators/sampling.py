@@ -421,7 +421,6 @@ def split_manifest(
     """
     cuts = splits if splits is not None else [("train", 80), ("val", 90), ("test", 100)]
     bucket = hash_bucket(F.col(key_col).cast("string")) % 100
-    expr = None
     assign = F.lit(cuts[-1][0])
     for name, hi in reversed(cuts[:-1]):
         assign = F.when(bucket < hi, F.lit(name)).otherwise(assign)

@@ -431,8 +431,13 @@ def token_entropy(
     """
     toks = tokens_col(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_toks"))
-    short = base.filter(F.size("_toks") <= explode_threshold)
-    long_ = base.filter(F.size("_toks") > explode_threshold)
+    # NULL text => NULL token array => size() is NULL, which fails BOTH
+    # branch predicates and silently drops the row (round-7 ADVICE). Gate
+    # on a -1 sentinel so null-token docs deterministically take the short
+    # path and keep emitting an (id, null, null, null) row.
+    sz = F.coalesce(F.size("_toks"), F.lit(-1))
+    short = base.filter(sz <= explode_threshold)
+    long_ = base.filter(sz > explode_threshold)
 
     n = F.size("_toks").cast("double")
     dist = F.array_distinct(F.col("_toks"))

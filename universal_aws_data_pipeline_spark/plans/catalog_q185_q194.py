@@ -650,8 +650,7 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universal_aws_data_pipeline_spark.operators.similarity import quantize_vec
 
     e = _t(spark, sf_dir, "embeddings")
-    scale, q = quantize_vec(F.col("embedding"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale, _ = quantize_vec(F.col("embedding"))
     # materialize the scale once per row so the per-element lambda reuses
     # ONE computed value (Spark HOF lambdas have no CSE)
     with_s = e.select("label", F.col("embedding"), scale.alias("_s"))
