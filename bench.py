@@ -13,6 +13,19 @@ Two series are reported so cold-path regressions stay visible:
   q28 IVF build) and any lazy materialization.
 - ``queries`` / ``value`` (headline): best-of-2 steady state — amortized
   index builds excluded, resistant to shared-VM scheduling noise.
+
+Fixed-size JVM sessions (round 8, VERDICT r7 item 7): ~200 queries in one
+JVM is ~8,600 Spark stages, and every round's warm drift concentrated in
+the same mid-session block — accumulated JIT/GC/codegen-cache state makes a
+query's timing depend on its POSITION in the series. The harness therefore
+splits the catalog into consecutive chunks of $SPARK_GRAFT_BENCH_SESSION_SIZE
+queries (default 50) and runs each chunk in its OWN subprocess JVM: warmup,
+cold, and warm series all happen inside the chunk's session, so a query's
+number is comparable across rounds as the catalog grows — its session
+context is pinned by position, not by whatever ran before it globally.
+BENCH_detail.json carries a ``sessions`` map (query → session index) so
+``scripts/bench_compare.py`` and the committed warm references can see the
+boundaries. Set the size to 0 to restore the single-session behavior.
 """
 
 from __future__ import annotations
@@ -21,36 +34,44 @@ import gc
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
-from universal_aws_data_pipeline_spark.session import get_spark
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+def _query_names() -> list[str]:
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    return list(QUERIES)
+
+
+def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict:
+    """Warm up, then time the given queries inside THIS process's Spark
+    session. Returns {"cold": {...}, "warm": {...}, "errors": {...}}."""
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+    from universal_aws_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Scrub the build-once artifact cache so the cold series really is cold
-    # (index builds included), then warm the JVM (whole-stage codegen
-    # compilation, parquet reader classes) by executing every query once at
-    # the smallest SF: per-query timings then measure the query, not one-time
-    # JIT costs. Falls back to the bench dir if sf0.001 isn't present.
-    cache_root = os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-    )
-    shutil.rmtree(cache_root, ignore_errors=True)
+    # Warm the JVM (whole-stage codegen compilation, parquet reader classes)
+    # by executing every chunk query once at the smallest SF: per-query
+    # timings then measure the query, not one-time JIT costs. Falls back to
+    # the bench dir if sf0.001 isn't present.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for spec in QUERIES.values():
+    for name in names:
         try:
-            spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            QUERIES[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:
             pass
         spark.catalog.clearCache()
@@ -61,7 +82,8 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, spec in QUERIES.items():
+    for name in names:
+        spec = QUERIES[name]
         t0 = time.monotonic()
         try:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -85,12 +107,78 @@ def main() -> None:
         # State hygiene between queries: several operators persist
         # intermediates (shingle tables, blocked-pair inputs) whose lifetime
         # is the query, and iterative ops leave localCheckpoint RDDs behind.
-        # Across ~270 executions those accumulate until cache eviction and
-        # GC pressure contaminate later timings (observed: a query's warm
+        # Across hundreds of executions those accumulate until cache eviction
+        # and GC pressure contaminate later timings (observed: a query's warm
         # runs 3x slower than its own cold run). Clear the cache and drop
         # Python-side refs so the ContextCleaner can reap checkpoint blocks.
         spark.catalog.clearCache()
         gc.collect()
+    return {"cold": cold, "warm": warm, "errors": errors}
+
+
+def _chunk_child(out_path: str, span: str) -> None:
+    """Subprocess entry: time queries [start, end) of the catalog order and
+    write the partial result JSON to ``out_path``."""
+    start, end = (int(x) for x in span.split(":"))
+    names = _query_names()[start:end]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    result = run_chunk(names, sf_dir, cpus)
+    with open(out_path, "w") as fh:
+        json.dump(result, fh)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    session_size = int(os.environ.get("SPARK_GRAFT_BENCH_SESSION_SIZE", "50"))
+
+    # Scrub the build-once artifact cache so the cold series really is cold
+    # (index builds included).
+    cache_root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(_REPO, ".cache")
+    )
+    shutil.rmtree(cache_root, ignore_errors=True)
+
+    names = _query_names()
+    if session_size <= 0:
+        chunks = [(0, len(names))]
+    else:
+        chunks = [
+            (i, min(i + session_size, len(names)))
+            for i in range(0, len(names), session_size)
+        ]
+
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    sessions: dict[str, int] = {}
+    for si, (start, end) in enumerate(chunks):
+        for n in names[start:end]:
+            sessions[n] = si
+        if len(chunks) == 1:
+            part = run_chunk(names[start:end], sf_dir, cpus)
+        else:
+            out_path = os.path.join(_REPO, f".bench_chunk_{si}.json")
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--chunk", out_path, f"{start}:{end}"],
+                    cwd=_REPO,
+                    stdout=sys.stderr,
+                    stderr=sys.stderr,
+                )
+                if proc.returncode != 0 or not os.path.exists(out_path):
+                    for n in names[start:end]:
+                        errors[n] = f"session {si} subprocess rc={proc.returncode}"
+                    continue
+                with open(out_path) as fh:
+                    part = json.load(fh)
+            finally:
+                if os.path.exists(out_path):
+                    os.remove(out_path)
+        cold.update(part["cold"])
+        warm.update(part["warm"])
+        errors.update(part["errors"])
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -105,15 +193,17 @@ def main() -> None:
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
         "sf": sf_value,
+        "session_size": session_size,
+        "sessions": sessions,
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    detail_path = os.path.join(_REPO, "BENCH_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 
     # The driver captures only the last ~2 KB of stdout; a line carrying all
-    # 100 per-query timings gets its head truncated and fails to parse
+    # per-query timings gets its head truncated and fails to parse
     # (BENCH_r03 "parsed": null). Print a COMPACT summary line LAST — totals,
     # error names, and the 10 slowest warm queries — and point at the full
     # per-query detail written above.
@@ -127,6 +217,7 @@ def main() -> None:
         "value_cold": detail["value_cold"],
         "n_queries": len(warm),
         "n_errors": len(errors),
+        "n_sessions": len(chunks),
         "detail": "BENCH_detail.json",
     }
     if errors:
@@ -137,4 +228,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--chunk":
+        _chunk_child(sys.argv[2], sys.argv[3])
+    else:
+        main()

@@ -109,6 +109,16 @@ def main() -> int:
         detail = json.load(fh)
     cur = detail["queries"]
     print(f"total warm now {sum(cur.values()):.1f}s over {len(cur)} queries")
+    # Fixed-size JVM sessions (round 8): print per-session subtotals so
+    # drift localizes to a session instead of smearing over the catalog.
+    sessions = detail.get("sessions")
+    if sessions:
+        by_s: dict[int, float] = {}
+        for name, t in cur.items():
+            if name in sessions:
+                by_s[sessions[name]] = by_s.get(sessions[name], 0.0) + t
+        parts = " ".join(f"s{k}={v:.1f}s" for k, v in sorted(by_s.items()))
+        print(f"  sessions ({detail.get('session_size', '?')}/JVM): {parts}")
     any_flagged = False
     for ref_path in ref_paths:
         any_flagged |= compare(cur, ref_path, retry)

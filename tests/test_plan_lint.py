@@ -82,6 +82,9 @@ _ADJUDICATED = {
     # BroadcastNestedLoopJoin against a single-row side is the cheapest way
     # to hang a scalar on every row — VERDICT r3 reviewed these by hand.
     "cartesian-product": {
+        # q197: the |weeks| x |types| zero-cell grid — calendar-bounded x
+        # schema-bounded, both sides tiny by domain at any corpus size
+        "q197_weekly_js_drift",
         # q193: permille literals (3 rows) x the |suppliers| x <=32-bin sketch
         "q193_supplier_lag_bands",
         # q186: the 1-row per-arm-totals attach onto the |types| table
@@ -196,6 +199,7 @@ _ADJUDICATED = {
         "q60_salted_skew_join", "q76_keep_best_per_cluster", "q78_bm25_topk",
         "q79_fuzzy_entity_match", "q80_bigram_lm", "q97_rolling_distinct_sketch",
         "q131_sequence_packing",  # n_tokens > 0 over a computed split-size
+        "q200_packing_audit",  # same n_tokens > 0 gate (audits the q131 layout)
         "q132_incremental_agg",  # CDC fixture's key-modulo selectors
         "q138_intra_doc_dedup",  # empty-doc drop over the computed token array
         "q141_dedup_roi",  # inherits q43's post-shingle similarity filters

@@ -231,10 +231,15 @@ def test_hits_shuffle_fallback_matches_broadcast_path(spark):
 
 
 # ---------------------------------------------------------------------------
-# VERDICT r6 item 5: the sf0.1 IVF recall measurement, promoted into CI —
-# the retuned nprobe=6 path must hold the >=0.7 recall@10 contract so a
-# clustering-parameter change can't silently regress it (the sf0.01 gates
-# run a different n_clusters/corpus shape and would not catch it).
+# VERDICT r6 item 5 + r7 item 6: the sf0.1 IVF recall measurement, promoted
+# into CI, now with the MARGIN encoded, not just the floor. Round-8 sweep
+# (PERF.md): recall@10 = 0.633/0.733/0.850/0.950/0.983 at nprobe
+# 4/6/8/10/12 — the shipped nprobe=8 must clear 0.75 (0.05 above the 0.7
+# product contract; r6 showed a parameter change can silently cost 0.1, and
+# the old nprobe=6 setting held only 0.033 of headroom) and the next step
+# up must buy <0.15 more recall (the shipped setting sits past the steep
+# segment of the curve, so a regression shows up HERE before it eats the
+# product contract).
 # ---------------------------------------------------------------------------
 @pytest.mark.slow
 def test_ivf_recall_at_sf01_with_shipping_parameters(spark, tmp_path):
@@ -255,17 +260,28 @@ def test_ivf_recall_at_sf01_with_shipping_parameters(spark, tmp_path):
     # the exact q28 shipping configuration (plans/catalog.py)
     build_ivf_index(e, ivf_dir, n_clusters=16, seed=42)
     idx = load_ivf_index(spark, ivf_dir)
-    recalls = []
+    recalls: dict[int, list[float]] = {8: [], 10: []}
     for qid in [0, 7, 23, 101, 404, 997]:
         qv = [
             float(x)
             for x in e.filter(F.col("vec_id") == qid).select("embedding").head()[0]
         ]
         truth = {r["vec_id"] for r in cosine_topk(e, qv, k=10).collect()}
-        got = {r["vec_id"] for r in ivf_topk_indexed(idx, qv, k=10, nprobe=6).collect()}
-        recalls.append(len(truth & got) / 10.0)
-    mean = sum(recalls) / len(recalls)
-    assert mean >= 0.7, f"sf0.1 IVF recall@10 regressed below contract: {recalls}"
+        for nprobe in recalls:
+            got = {
+                r["vec_id"]
+                for r in ivf_topk_indexed(idx, qv, k=10, nprobe=nprobe).collect()
+            }
+            recalls[nprobe].append(len(truth & got) / 10.0)
+    mean8 = sum(recalls[8]) / len(recalls[8])
+    mean10 = sum(recalls[10]) / len(recalls[10])
+    assert mean8 >= 0.75, (
+        f"sf0.1 IVF recall@10 at shipped nprobe=8 lost its margin: {recalls[8]}"
+    )
+    assert mean10 - mean8 < 0.15, (
+        f"shipped nprobe=8 fell onto the steep part of the recall curve "
+        f"(8 -> {mean8:.2f}, 10 -> {mean10:.2f}): retune q28"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,43 @@ def pack_sequences(
         last_seq.alias("last_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+def packing_audit(
+    packed: DataFrame,
+    seq_len: int,
+) -> DataFrame:
+    """Per-shard efficiency audit of a ``pack_sequences`` layout — the
+    report a training-data pipeline publishes next to the packed corpus:
+    how full the fixed-length sequences are (padding waste concentrates in
+    each shard's final partial sequence) and how many documents fragment
+    across a sequence boundary (a fragmented doc loses attention context
+    at the cut).
+
+    Returns per shard: (shard, n_docs, total_tokens, n_seqs,
+    waste_tokens = n_seqs·seq_len − total_tokens,
+    fill_micro = floor(1e6·total_tokens / (n_seqs·seq_len)),
+    frag_docs = docs spanning > 1 sequence).
+
+    Scale: one map-side-combinable grouped agg over the packing table to
+    |shards| rows — the packing's own prefix-sum shuffle is the only
+    corpus-sized exchange, and it is already paid by ``pack_sequences``.
+    """
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("last_seq") + 1).cast("long").alias("n_seqs"),
+            F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0)).cast("long").alias("frag_docs"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "n_seqs",
+            (F.col("n_seqs") * seq_len - F.col("total_tokens")).alias("waste_tokens"),
+            F.expr(f"(1000000 * total_tokens) div (n_seqs * {seq_len})").alias("fill_micro"),
+            "frag_docs",
+        )
+    )

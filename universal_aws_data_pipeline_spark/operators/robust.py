@@ -113,6 +113,68 @@ def theil_sen_micro(
     return n_points, n_pairs, exact_rank_long(slopes, "s", rank)
 
 
+def winsorized_mean_milli(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fraction: float = 0.1,
+) -> DataFrame:
+    """Per-group winsorized-by-cutoff mean of an integer measure: drop the
+    values strictly OUTSIDE [lo, hi] where lo/hi are the exact order
+    statistics at ascending ranks ceil(f·n) and ceil((1−f)·n), then report
+    the exact milli-unit mean of what remains. Tie-INCLUSIVE by contract:
+    every row equal to a cutoff value stays (a rank-exact trim would need a
+    per-row total order; the value-cutoff form is the one both engines
+    replay bit-identically).
+
+    Returns (group_col, n, lo, hi, n_kept, wmean_milli) with
+    wmean_milli = floor(1000·Σkept / n_kept). int64-exact while
+    1000·Σkept < 2^63 — ~9e15 in value units, e.g. 6e9 rows of $150k
+    cents measures.
+
+    Scale: two runs of the q135-stressed per-group histogram-cutoff device
+    (``sampling.quantile_cutoff_by_group`` — map-side-combined (group,
+    value) histogram, cumulative window over the histogram, never the raw
+    rows) + one broadcast-sized cutoff join + one grouped agg. No
+    per-group row window anywhere.
+    """
+    from .sampling import quantile_cutoff_by_group
+
+    d = df.select(F.col(group_col), F.col(value_col).alias("_x")).localCheckpoint(
+        eager=True
+    )
+    lo = quantile_cutoff_by_group(d, group_col, "_x", fraction).withColumnRenamed(
+        "qcut", "lo"
+    )
+    hi = quantile_cutoff_by_group(d, group_col, "_x", 1.0 - fraction).withColumnRenamed(
+        "qcut", "hi"
+    )
+    cuts = F.broadcast(lo.join(hi, group_col))
+    tot = d.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    kept = (
+        d.join(cuts, group_col)
+        .filter((F.col("_x") >= F.col("lo")) & (F.col("_x") <= F.col("hi")))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("_x").cast("long").alias("_s"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+    )
+    return (
+        kept.join(F.broadcast(tot), group_col)
+        .select(
+            group_col,
+            "n",
+            F.col("lo").cast("long"),
+            F.col("hi").cast("long"),
+            "n_kept",
+            F.expr("(1000 * _s) div n_kept").alias("wmean_milli"),
+        )
+    )
+
+
 def binseg_changepoint_milli(
     daily: DataFrame,
     group_col: str,

@@ -435,3 +435,44 @@ def split_manifest(
         "n_rows",
         F.expr("(1000000 * n_rows) div t").alias("share_micro"),
     )
+
+
+def group_safe_split(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    splits: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Leakage-free train/val/test split audit: rows are assigned to splits
+    by the md5-bucket of their GROUP key (near-duplicate cluster id, exact
+    digest, entity id …), never their row key — so a duplicate cluster can
+    never straddle a split boundary and leak evaluation content into
+    training (the classic contamination failure ``split_manifest``'s
+    per-row assignment cannot prevent).
+
+    ``splits``: (name, upper_percent) cumulative cuts as in
+    ``split_manifest``. Returns (split, n_rows, n_groups, n_dup_rows) —
+    n_dup_rows counts rows living in groups of size > 1 (the rows whose
+    placement actually depended on the group rule).
+
+    Scale: one (group → size) map-side-combined rollup joined back on the
+    group key (shuffle-parallel, keyed by group), the same pure md5 bucket
+    expression as every hash sampler here, then a |splits|-row rollup.
+    """
+    cuts = splits if splits is not None else [("train", 80), ("val", 90), ("test", 100)]
+    bucket = hash_bucket(F.col(group_col).cast("string")) % 100
+    assign = F.lit(cuts[-1][0])
+    for name, hi in reversed(cuts[:-1]):
+        assign = F.when(bucket < hi, F.lit(name)).otherwise(assign)
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_gsz"))
+    return (
+        df.select(F.col(key_col), F.col(group_col))
+        .join(sizes, group_col)
+        .select(assign.alias("split"), F.col(group_col), "_gsz")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(group_col).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("_gsz") > 1, 1).otherwise(0)).cast("long").alias("n_dup_rows"),
+        )
+    )

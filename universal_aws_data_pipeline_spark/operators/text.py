@@ -526,3 +526,49 @@ def source_kl_divergence(
             F.round(F.sum(ps * F.log(ps / pg)), 4).alias("kl_nats"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Per-language out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-fit signal a
+    pretraining pipeline tracks per source/language slice: a slice whose
+    tokens routinely miss the shared vocabulary will fragment into long
+    subword sequences (high OOV ⇒ poor bytes-per-token for that slice).
+
+    Vocabulary = the ``vocab_size`` most frequent normalized tokens
+    corpus-wide, ties broken by token text ascending — fully deterministic,
+    so both engines derive the identical vocab. Returns
+    (lang_col, n_tokens, n_oov, oov_micro = floor(1e6·n_oov/n_tokens)).
+
+    Scale: one token explode (the stressed q103/q113 family), a
+    map-side-combined |vocab-universe| count agg, a top-k via
+    TakeOrderedAndProject (vocab_size rows to the driver merge — bounded),
+    then a BROADCAST vocab join back onto the exploded tokens and one
+    |langs|-row rollup. The explode is the only corpus-sized exchange.
+    """
+    toks = df.select(
+        F.col(lang_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    vocab = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_t"))
+        .limit(vocab_size)
+        .select("_t", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "_t", "left")
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_micro", F.expr("(1000000 * n_oov) div n_tokens"))
+    )

@@ -130,3 +130,55 @@ def mase_micro(
             F.expr("(1000000 * _es) div _e1").alias("mase_micro"),
         )
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (nats) between the group's
+    categorical distribution P and the GLOBAL distribution Q over
+    ``type_col`` — the bounded, symmetric drift score (0 ≤ JS ≤ ln 2) that
+    complements PSI (q95/q170: unbounded, asymmetric, bin-fragile) for
+    monitoring event-mix shift per period:
+
+        JS(P,Q) = ½ Σ_t p ln(2p/(p+q)) + ½ Σ_t q ln(2q/(p+q))
+
+    The sum runs over the FULL type domain (a type absent from the group
+    contributes its q-term: missing mass IS drift). Float ln with a
+    round(4) contract after the final sum — the source-KL discipline
+    (q156), summed over a domain-bounded |types| so cross-engine float
+    order is a last-bit concern only.
+
+    Returns (group_col, n_events, js_nats). Scale: one map-side-combined
+    rollup to |groups × types| cells, a |types|-row global rollup joined
+    on type, and a |groups × types| grid (cross join of two bounded
+    tables) that supplies the zero cells. Corpus volume touches only the
+    first rollup.
+    """
+    cells = df.groupBy(group_col, type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gtot = df.groupBy(type_col).agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    per_g = cells.groupBy(group_col).agg(F.sum("c").alias("n_events"))
+    n_all = df.count()
+    grid = per_g.crossJoin(F.broadcast(gtot))
+    full = grid.join(cells, [group_col, type_col], "left").select(
+        group_col,
+        "n_events",
+        F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c"),
+        F.col("gc").cast("double").alias("gc"),
+    )
+    p = F.col("c") / F.col("n_events").cast("double")
+    q = F.col("gc") / F.lit(float(n_all))
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+        + q * F.log(q / m) / F.lit(2.0)
+    )
+    return (
+        full.groupBy(group_col, "n_events")
+        .agg(F.round(F.sum(term), 4).alias("js_nats"))
+        .select(group_col, F.col("n_events").cast("long"), "js_nats")
+    )

@@ -48,6 +48,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q101_q150  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q151_q174  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q175_q184  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q185_q194  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q196_q203  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -283,6 +284,14 @@ _EXPECTED_ORDER: list[str] = [
     "q193_supplier_lag_bands",
     "q194_quantization_error",
     "q195_embedding_whitening",
+    "q196_winsorized_revenue",
+    "q197_weekly_js_drift",
+    "q198_oov_rate",
+    "q199_cluster_safe_split",
+    "q200_packing_audit",
+    "q201_copurchase_recs",
+    "q202_order_cadence",
+    "q203_source_dup_matrix",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

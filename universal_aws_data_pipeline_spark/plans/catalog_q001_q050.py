@@ -885,10 +885,13 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_path = _artifact_dir("ivf", sf_dir)
     if not os.path.exists(os.path.join(idx_path, "meta.json")):
         build_ivf_index(e, idx_path, n_clusters=16, seed=42)
-    # nprobe retuned 4 -> 6 (round-6 recall series, PERF.md): 4/16 probed
-    # 0.633 recall@10 vs exact; 6/16 probes 0.733, clearing the >=0.7
-    # contract while still pruning 10/16 of the corpus at the scan
-    return ivf_topk_indexed(load_ivf_index(spark, idx_path), qvec, k=10, nprobe=6)
+    # nprobe retuned 6 -> 8 (round-8 sf0.1 sweep, PERF.md): recall@10 vs
+    # exact is 4->0.633, 6->0.733, 8->0.850, 10->0.950, 12->0.983 — 6 sat
+    # on the steep part of the curve with only 4% headroom over the >=0.7
+    # contract (a parameter change cost 0.1 recall in r6); 8 buys 21%
+    # headroom while still pruning half the corpus at the scan. The CI gate
+    # (tests/test_round7_ops.py) asserts the margin, not just the floor.
+    return ivf_topk_indexed(load_ivf_index(spark, idx_path), qvec, k=10, nprobe=8)
 
 
 def _q29_oracle() -> str:
