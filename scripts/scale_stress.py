@@ -237,21 +237,39 @@ def _build_longdocs(spark) -> None:
     ).parquet(f"{LONGDOCS}/documents.parquet")
 
 
+# The per-row token-loop text family (VERDICT r7, item 4): every query
+# whose per-doc cost could grow faster than O(tokens) in document LENGTH
+# (the 10x corpus replicates doc count, not length). q158 has the
+# length-gated hybrid; the others are timed here so a super-linear term
+# shows up as a per-doc cost explosion vs the sf0.1 base run.
+LONGDOC_TEXT_FAMILY = [
+    "q52_repetition_profile",
+    "q80_bigram_lm",
+    "q103_lm_perplexity",
+    "q124_pmi_collocations",
+    "q158_token_entropy",
+]
+
+
 def longdocs_series(spark) -> dict:
-    """Time q158's hybrid on the long-doc fixture, plus a small HOF-forced
-    sample for the per-doc contrast (the full fixture on the HOF path would
-    be ~190M comparisons PER DOC — the straggler the hybrid exists to
-    avoid)."""
+    """Time the row-local text family on the book-length fixture (500 docs
+    x ~13.9k tokens — 256x the sf0.1 doc length), plus q158's HOF-forced
+    small sample for the per-doc contrast (the full fixture on the HOF
+    path would be ~190M comparisons PER DOC — the straggler the hybrid
+    exists to avoid)."""
     from universal_aws_data_pipeline_spark.operators.text import token_entropy
 
     _build_longdocs(spark)
     warmup(spark, BASE)
     docs = spark.read.parquet(f"{LONGDOCS}/documents.parquet")
-    t0 = time.monotonic()
-    QUERIES["q158_token_entropy"].fn(spark, LONGDOCS).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    hybrid = round(time.monotonic() - t0, 2)
+    family: dict[str, float] = {}
+    for name in LONGDOC_TEXT_FAMILY:
+        t0 = time.monotonic()
+        QUERIES[name].fn(spark, LONGDOCS).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        family[name] = round(time.monotonic() - t0, 2)
+        spark.catalog.clearCache()
     sample = docs.limit(10).localCheckpoint(eager=True)
     t0 = time.monotonic()
     token_entropy(sample, explode_threshold=1 << 60).write.format("noop").mode(
@@ -264,7 +282,8 @@ def longdocs_series(spark) -> dict:
     return {
         "n_docs": stats["n_docs"],
         "avg_tokens": round(stats["avg_tokens"], 1),
-        "hybrid_500_docs_sec": hybrid,
+        "family_500_docs_sec": family,
+        "hybrid_500_docs_sec": family["q158_token_entropy"],
         "hof_forced_10_docs_sec": hof_10,
     }
 

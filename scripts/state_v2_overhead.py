@@ -121,7 +121,18 @@ def _run_v1(spark, data_dir: str, work: str) -> tuple[float, int]:
     return time.monotonic() - t0, _dir_bytes(state)
 
 
-def _run_v2(spark, data_dir: str, work: str) -> tuple[float, int]:
+def _run_v2(
+    spark, data_dir: str, work: str, expected_out_rows: int
+) -> tuple[float, int]:
+    """transformWithStateInPandas + availableNow does NOT self-terminate:
+    after draining the files the stateful operator keeps scheduling empty
+    batches forever (observed: 660+ empty commits; the round-7 twin test
+    never noticed because its awaitTermination(180) simply timed out after
+    the data had been processed). The measurement therefore polls the
+    foreachBatch output-row counter — the maintainer emits one row per
+    touched group per batch, so the expected total is known exactly — and
+    stops the query once everything has been processed. Poll granularity
+    (100 ms) is inside the noise of the marginal-difference design."""
     from universal_aws_data_pipeline_spark.streaming.ops import write_stream_sink
     from universal_aws_data_pipeline_spark.streaming.stateful import agg_view_v2
 
@@ -148,8 +159,17 @@ def _run_v2(spark, data_dir: str, work: str) -> tuple[float, int]:
             "trigger": {"availableNow": True},
         },
     )
-    q.awaitTermination(1800)
+    deadline = time.monotonic() + 1800
+    while seen["rows"] < expected_out_rows and time.monotonic() < deadline:
+        if not q.isActive:
+            break
+        time.sleep(0.1)
     elapsed = time.monotonic() - t0
+    q.stop()
+    if seen["rows"] < expected_out_rows:
+        raise RuntimeError(
+            f"v2 run incomplete: {seen['rows']}/{expected_out_rows} output rows"
+        )
     state_bytes = 0
     for p in glob.glob(os.path.join(ckpt, "state")):
         state_bytes += _dir_bytes(p)
@@ -166,8 +186,19 @@ def measure(spark, groups: int) -> dict:
             try:
                 data = os.path.join(root, "in")
                 _write_batches(data, groups, touch_batches)
-                elapsed, sb = runner(spark, data, os.path.join(root, "work"))
+                if label == "v2":
+                    expected = groups + touch_batches * min(TOUCHED, groups)
+                    elapsed, sb = runner(
+                        spark, data, os.path.join(root, "work"), expected
+                    )
+                else:
+                    elapsed, sb = runner(spark, data, os.path.join(root, "work"))
                 times[tag] = elapsed
+                print(
+                    f"# {groups} groups {label} {tag}: {elapsed:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
                 if tag == "long":
                     state_bytes = sb
             finally:

@@ -394,6 +394,20 @@ def test_stateful_v2_running_totals_across_batches(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def _await_v2(q, cond, timeout=180):
+    """transformWithStateInPandas + availableNow never self-terminates (the
+    stateful operator keeps scheduling empty batches after the files are
+    drained — round-8 finding; awaitTermination(N) on such a query is an
+    N-second dead wait). Poll the driver-side fold state until ``cond``
+    holds, then stop the query explicitly."""
+    import time as _t
+
+    deadline = _t.monotonic() + timeout
+    while _t.monotonic() < deadline and q.isActive and not cond():
+        _t.sleep(0.2)
+    q.stop()
+
+
 def _run_v2_totals(spark, tmp_path):
     from universal_aws_data_pipeline_spark.streaming.stateful import running_totals_v2
 
@@ -420,14 +434,14 @@ def _run_v2_totals(spark, tmp_path):
         "trigger": {"availableNow": True},
     }
     q = write_stream_sink(out, sink)
-    q.awaitTermination(120)
+    _await_v2(q, lambda: totals.get(1, (0, 0))[0] >= 2)
     assert totals[1][0] == 2  # users 1's first two events folded
     # second batch arrives: user 1 gains another event — v2 state must
     # survive the query restart through the checkpoint
     with open(d / "b1.json", "w") as f:
         f.write(json.dumps({"event_id": 9, "ts": "2024-01-01 12:00:00", "user_id": 1, "value": 10.0}) + "\n")
     q2 = write_stream_sink(out, sink)
-    q2.awaitTermination(120)
+    _await_v2(q2, lambda: totals.get(1, (0, 0))[0] >= 3)
     assert totals[1][0] == 3 and abs(totals[1][1] - 13.0) < 1e-9
 
 
@@ -675,7 +689,12 @@ def test_stateful_v2_map_state_type_counts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        _await_v2(
+            q,
+            lambda: latest.get((1, "click")) == 3
+            and (2, "purchase") in latest,
+            timeout=240,
+        )
         # map entries accumulated across the two batches
         assert latest[(1, "click")] == 3  # 2 in b0 + 1 in b1
         assert latest[(1, "view")] == 1
@@ -770,7 +789,24 @@ def test_stateful_v2_agg_view_twin_matches_foreachbatch_maintainer(spark, tmp_pa
                 "trigger": {"availableNow": True},
             },
         )
-        qb.awaitTermination(180)
+        # transformWithStateInPandas + availableNow does NOT self-terminate:
+        # after draining the files the stateful operator keeps scheduling
+        # empty batches forever (round-8 finding — the old awaitTermination
+        # (180) here "passed" only by timing out after the data was long
+        # processed, a 3-minute dead wait). Poll the fold's output instead —
+        # the maintainer emits one row per touched group per batch, so all
+        # three batches are done once groups 1..3 have appeared and group
+        # 2's re-add landed — then stop the query explicitly.
+        import time as _time
+
+        deadline = _time.monotonic() + 180
+        while _time.monotonic() < deadline:
+            if view_v2.get(3) == (1, 100) and view_v2.get(2) == (2, 3):
+                break
+            if not qb.isActive:
+                break
+            _time.sleep(0.2)
+        qb.stop()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
