@@ -30,18 +30,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Array expression (transform over an index sequence) — no explode, no
     shuffle; shingling stays row-local and codegen'd.
+
+    The token array is LET-BOUND via a one-element outer ``transform``
+    (its lambda argument is a materialized VALUE): Spark HOF lambdas have
+    no common-subexpression elimination, so referencing ``tokens_col(text)``
+    directly inside the per-index lambda re-ran normalize+split over the
+    whole document 2n times PER SHINGLE — O(tokens × doc_length) per row,
+    invisible on ~50-token fixture docs but ~2e9 character ops per
+    book-length document (round-8 longdocs stress finding; q52 on the 13.9k
+    token fixture went from stuck-for-minutes to seconds).
     """
-    toks = tokens_col(text)
 
-    def _shingle(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)])
+    def _build(tk: Column) -> Column:
+        def _shingle(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(tk, i + F.lit(k + 1)) for k in range(n)]
+            )
 
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n), _shingle),
-        ).otherwise(F.array(normalize_text(text)))
-    )
+        return F.array_distinct(
+            F.when(
+                F.size(tk) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(tk) - n), _shingle),
+            ).otherwise(F.array(F.concat_ws(" ", tk)))
+        )
+
+    # concat_ws(" ", tokens) == normalize_text(text) (normalization collapses
+    # whitespace and trims, so rejoining the tokens reproduces it exactly) —
+    # keeps the short-document branch inside the let-bound scope.
+    return F.element_at(F.transform(F.array(tokens_col(text)), _build), 1)
 
 
 def md5_fingerprint(text: Column) -> Column:

@@ -932,16 +932,25 @@ def remove_duplicated_spans(
 
     toks = tokens_col(F.col(text_col))
 
-    def _span_at(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(span_n)])
+    # let-bind the token array through the one-element outer transform
+    # (the word_shingles round-8 fix): capturing `toks` directly in the
+    # per-index lambda re-tokenized the whole document span_n times per
+    # span — O(tokens × doc_length) per row on book-length documents
+    def _spans_of(tk: Column) -> Column:
+        def _span_at(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(tk, i + F.lit(k + 1)) for k in range(span_n)]
+            )
 
-    spans = F.when(
-        F.size(toks) >= span_n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - span_n),
-            lambda i: F.struct(i.alias("pos"), _span_at(i).alias("span")),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+        return F.when(
+            F.size(tk) >= span_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - span_n),
+                lambda i: F.struct(i.alias("pos"), _span_at(i).alias("span")),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+
+    spans = F.element_at(F.transform(F.array(toks), _spans_of), 1)
 
     expl = df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s")).select(
         "_id",

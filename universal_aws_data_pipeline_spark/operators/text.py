@@ -227,20 +227,32 @@ def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """(id, w1, w2) — every ADJACENT token pair, one row per occurrence
     (NOT distinct: language-model scoring weights repeated bigrams).
     The pair array is built row-locally (transform over an index sequence,
-    same no-explode trick as word_shingles) and exploded once."""
-    toks = tokens_col(F.col(text_col))
-    # guard: sequence(1, 0) counts DOWN in Spark — single-token docs must
-    # yield an empty pair array (explode then drops them, matching the
-    # oracle's len(t) >= 2 predicate), not a reversed bogus one
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+    same no-explode trick as word_shingles) and exploded once.
+
+    The token array is LET-BOUND via the one-element outer transform
+    (word_shingles' round-8 fix): HOF lambdas have no CSE, so capturing
+    ``tokens_col(text)`` directly in the per-index lambda re-tokenized the
+    whole document twice per pair — O(tokens × doc_length) per row on
+    book-length documents."""
+
+    def _pairs(tk: Column) -> Column:
+        # guard: sequence(1, 0) counts DOWN in Spark — single-token docs
+        # must yield an empty pair array (explode then drops them, matching
+        # the oracle's len(t) >= 2 predicate), not a reversed bogus one
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("w1"),
+                    F.element_at(tk, i + 1).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs = F.element_at(
+        F.transform(F.array(tokens_col(F.col(text_col))), _pairs), 1
+    )
     return (
         df.select(F.col(id_col), F.explode(pairs).alias("_bg"))
         .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))

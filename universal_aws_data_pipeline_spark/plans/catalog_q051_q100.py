@@ -1444,14 +1444,26 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
     from universal_aws_data_pipeline_spark.operators.dedup import parallelize_text_scan
 
-    t = tokens_col(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    # let-bind the token array through the one-element outer transform (the
+    # word_shingles round-8 fix): capturing tokens_col(text) directly in the
+    # per-index lambda re-tokenized the whole document twice per bigram —
+    # O(tokens x doc_length) per row, found by the longdocs stress
+    def _bigrams(tk):
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams = F.element_at(
+        F.transform(F.array(tokens_col(F.col("text"))), _bigrams), 1
     )
     cnt = (
         parallelize_text_scan(_t(spark, sf_dir, "documents").select("text"))
-        .filter(F.size(t) >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
