@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "b5663e5aac7aa06ea46e7c0ff870ae86", (
+    assert h == "56a0f3bb4db5766bce2af198d1b8bdb5", (
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )

@@ -155,6 +155,10 @@ ADJUDICATED: dict[str, str] = {
     "q201_copurchase_recs": "composes: the shared stressed co-purchase edge artifact + degree rollup equi-joins; the per-item top-3 window takes WindowGroupLimit pushdown (the q91 adjudication), partition key scales with the catalog",
     "q202_order_cadence": "catalyst: customer equi-join + per-customer lag window (partition key scales with |customers| — parallel) + a |segments|-row rollup",
     "q203_source_dup_matrix": "composes: the stressed q15 pair artifact + two documents equi-joins + a |sources|^2-bounded rollup",
+    "q204_effective_sample_size": "map-only: quality-weight expression battery + one map-side-combinable grouped agg to |sources| rows",
+    "q205_similarity_histogram": "composes: the stressed q15 pair artifact + one |bins|-row integer-binned rollup",
+    "q206_token_cost_ledger": "map-only: token/byte expression battery + one grouped rollup to |langs x sources| rows",
+    "q207_dow_hour_load": "bounded: one map-side-combined rollup to <= 168 calendar cells",
 }
 
 

@@ -49,6 +49,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q151_q174  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q175_q184  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q185_q194  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q196_q203  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q204_q207  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -292,6 +293,10 @@ _EXPECTED_ORDER: list[str] = [
     "q201_copurchase_recs",
     "q202_order_cadence",
     "q203_source_dup_matrix",
+    "q204_effective_sample_size",
+    "q205_similarity_histogram",
+    "q206_token_cost_ledger",
+    "q207_dow_hour_load",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]
