@@ -147,7 +147,7 @@ ADJUDICATED: dict[str, str] = {
     "q193_supplier_lag_bands": "catalyst: equi-join + one map-side-combinable grouped agg keyed by supplier (the q189-stressed 32-bin sketch device; output scales with |suppliers| but the agg is shuffle-parallel — no single-task term)",
     "q194_quantization_error": "map-only: per-vector ordered IEEE fold (no exchange beyond the |labels|-row agg); scales with scan",
     "q195_embedding_whitening": "bounded: one posexplode agg to 64 rows broadcast back over a key-sampled subset; corpus volume touches only the map-side-combined dim stats",
-    "q196_winsorized_revenue": "composes: two runs of the q135-stressed per-group histogram-cutoff device + a broadcast cutoff join + one grouped agg; no per-group row window",
+    "q196_winsorized_revenue": "composes: two runs of the q135-stressed per-group histogram-cutoff device + a broadcast cutoff join + one grouped agg; no per-group row window. Device precondition holds: the histogram is |distinct cents| per flag, bounded by the PRICE GRID (quantity 1..50 x a bounded retail-price domain, ~1e7 ceiling), not by row count — the same quantized-value contract q135 rests on (winsorized_mean_milli docstring)",
     "q197_weekly_js_drift": "bounded: one map-side-combined rollup to |weeks x types| cells; the zero-cell grid join is calendar-bounded x schema-bounded",
     "q198_oov_rate": "catalyst: token explode (the stressed q103/q113 family) + top-500 vocab via TakeOrderedAndProject (bounded driver merge) + broadcast vocab join; |langs|-row output",
     "q199_cluster_safe_split": "composes: the stressed q15 pair artifact + the q43/q56-stressed CC closure; the split adds one group-keyed size rollup (shuffle-parallel) and a map-side md5 bucket",

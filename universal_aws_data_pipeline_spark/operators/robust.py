@@ -137,6 +137,16 @@ def winsorized_mean_milli(
     value) histogram, cumulative window over the histogram, never the raw
     rows) + one broadcast-sized cutoff join + one grouped agg. No
     per-group row window anywhere.
+
+    DEVICE PRECONDITION (the round-8 exemption-audit vocabulary): the
+    histogram's row count is |distinct values| per group, so the device
+    is only domain-bounded when the measure lives on a bounded grid —
+    quantized scores (q135's round(4) quality), integer cents of a
+    bounded price domain (q196: ~1e7 ceiling from quantity × retail
+    price). For an unbounded continuous measure the per-group cumulative
+    window becomes a single-task sort that scales with data — use
+    ``exact_rank_long`` per group instead when groups are few, or bucket
+    the measure first.
     """
     from .sampling import quantile_cutoff_by_group
 
