@@ -231,3 +231,32 @@ def test_packing_audit_waste_and_fragmentation(spark):
     assert (a["n_docs"], a["total_tokens"], a["n_seqs"]) == (3, 9, 3)
     assert (a["waste_tokens"], a["frag_docs"]) == (3, 2)
     assert a["fill_micro"] == (1_000_000 * 9) // 12
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape assertions for the round-8 queries: the physical properties
+# the scale rationale depends on, pinned so a Spark upgrade or refactor
+# can't silently change the strategy.
+# ---------------------------------------------------------------------------
+def _plan(spark, name, sf_dir):
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q201_window_group_limit_pushdown(spark, sf_dir):
+    """The per-item top-3 window must take Spark's WindowGroupLimit
+    pushdown (per-partition top-k combine below the exchange) — the plan
+    property q201's stress exemption cites."""
+    p = _plan(spark, "q201_copurchase_recs", sf_dir)
+    assert "WindowGroupLimit" in p
+
+
+def test_q196_cutoff_joins_are_broadcast(spark, sf_dir):
+    """The winsorized-mean cutoff and total tables are per-group scalars —
+    every join in the plan must be broadcast (a sort-merge join here would
+    mean a corpus-sized shuffle for a 3-row attach)."""
+    p = _plan(spark, "q196_winsorized_revenue", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
