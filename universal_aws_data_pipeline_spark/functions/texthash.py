@@ -51,12 +51,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.when(
                 F.size(tk) >= n,
                 F.transform(F.sequence(F.lit(0), F.size(tk) - n), _shingle),
-            ).otherwise(F.array(F.concat_ws(" ", tk)))
+            ).otherwise(
+                # NULL text must stay [NULL] (the DuckDB oracle's `ELSE
+                # [norm]` branch yields [NULL] there): concat_ws never
+                # returns NULL, so without the guard a NULL-text document
+                # would collide with an empty-string one in every shingle /
+                # minhash fingerprint (round-8 ADVICE).
+                F.array(
+                    F.when(tk.isNull(), F.lit(None).cast("string")).otherwise(
+                        F.concat_ws(" ", tk)
+                    )
+                )
+            )
         )
 
-    # concat_ws(" ", tokens) == normalize_text(text) (normalization collapses
-    # whitespace and trims, so rejoining the tokens reproduces it exactly) —
-    # keeps the short-document branch inside the let-bound scope.
+    # concat_ws(" ", tokens) == normalize_text(text) for NON-NULL input
+    # (normalization collapses whitespace and trims, so rejoining the tokens
+    # reproduces it exactly) — keeps the short-document branch inside the
+    # let-bound scope; the isNull guard covers the one input concat_ws
+    # cannot reproduce.
     return F.element_at(F.transform(F.array(tokens_col(text)), _build), 1)
 
 

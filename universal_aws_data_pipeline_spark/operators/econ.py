@@ -43,8 +43,11 @@ def gini_micro(
     per-shard running counts, broadcast shard offsets. Both paths yield
     identical Gini because Σ(i*x) is invariant across any rank
     assignment consistent with the x order (tests/test_round8_ops.py).
-    The input is localCheckpoint()ed either way — the gate needs its
-    count, and both rank plans then rescan materialized rows.
+    The gate counts the UN-checkpointed projection (the common
+    dimension-scale case pays two cheap scans, never an eager blocking
+    materialization — round-8 ADVICE); only the large path checkpoints,
+    because the prefix-sum device then rescans materialized rows instead
+    of re-running the caller's upstream plan.
 
     Returns (group_col, n, total, gini_micro). int64-exact while
     n * Σ(i*x) stays under 2^63 — with ranks ≤ n that is
@@ -53,15 +56,14 @@ def gini_micro(
     undefined there, and Spark's ``div`` would yield NULL while DuckDB's
     ``//`` raises, so emitting them could never oracle-match anyway.
     """
-    d = df.select(F.col(group_col), F.col(value_col).alias("x")).localCheckpoint(
-        eager=True
-    )
+    d = df.select(F.col(group_col), F.col(value_col).alias("x"))
     if d.count() <= window_max_rows:
         w = Window.partitionBy(group_col).orderBy("x")
         ranked = d.withColumn("i", F.row_number().over(w))
     else:
         from .sampling import stratified_prefix_sum
 
+        d = d.localCheckpoint(eager=True)
         ranked = stratified_prefix_sum(
             d.withColumn("_one", F.lit(1).cast("long")),
             strata_col=group_col,

@@ -455,24 +455,35 @@ def group_safe_split(
     n_dup_rows counts rows living in groups of size > 1 (the rows whose
     placement actually depended on the group rule).
 
+    A NULL group key means "this row belongs to no cluster": it is
+    coalesced to the row key (the q199 convention — a singleton group per
+    ungrouped row) BEFORE bucketing and sizing, so every input row lands in
+    exactly ONE split and the audit's n_rows always totals the input. The
+    pre-fix behavior silently dropped null-group rows at the inner size
+    join (round-8 ADVICE).
+
     Scale: one (group → size) map-side-combined rollup joined back on the
     group key (shuffle-parallel, keyed by group), the same pure md5 bucket
     expression as every hash sampler here, then a |splits|-row rollup.
     """
     cuts = splits if splits is not None else [("train", 80), ("val", 90), ("test", 100)]
-    bucket = hash_bucket(F.col(group_col).cast("string")) % 100
+    g = F.coalesce(
+        F.col(group_col).cast("string"),
+        F.concat(F.lit("\x00row:"), F.col(key_col).cast("string")),
+    )
+    keyed = df.select(F.col(key_col), g.alias("_g"))
+    bucket = hash_bucket(F.col("_g")) % 100
     assign = F.lit(cuts[-1][0])
     for name, hi in reversed(cuts[:-1]):
         assign = F.when(bucket < hi, F.lit(name)).otherwise(assign)
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_gsz"))
+    sizes = keyed.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_gsz"))
     return (
-        df.select(F.col(key_col), F.col(group_col))
-        .join(sizes, group_col)
-        .select(assign.alias("split"), F.col(group_col), "_gsz")
+        keyed.join(sizes, "_g")
+        .select(assign.alias("split"), F.col("_g"), "_gsz")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.countDistinct(group_col).cast("long").alias("n_groups"),
+            F.countDistinct("_g").cast("long").alias("n_groups"),
             F.sum(F.when(F.col("_gsz") > 1, 1).otherwise(0)).cast("long").alias("n_dup_rows"),
         )
     )

@@ -151,18 +151,23 @@ def js_divergence(
     (q156), summed over a domain-bounded |types| so cross-engine float
     order is a last-bit concern only.
 
-    Returns (group_col, n_events, js_nats). Scale: one map-side-combined
-    rollup to |groups × types| cells, a |types|-row global rollup joined
-    on type, and a |groups × types| grid (cross join of two bounded
-    tables) that supplies the zero cells. Corpus volume touches only the
-    first rollup.
+    Returns (group_col, n_events, js_nats). Scale: ONE map-side-combined
+    rollup to |groups × types| cells — the only pass that touches the
+    corpus — localCheckpoint()ed (tiny, domain-bounded) so the global
+    |types| rollup, the per-group totals, and the corpus total N are all
+    derived from the materialized cells instead of re-scanning the input
+    (round-8 ADVICE: the old shape ran three separate corpus scans). N
+    comes driver-side from one collect of the |types|-row rollup; the
+    zero-cell grid is a cross join of two bounded tables.
     """
-    cells = df.groupBy(group_col, type_col).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    cells = (
+        df.groupBy(group_col, type_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    gtot = df.groupBy(type_col).agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    gtot = cells.groupBy(type_col).agg(F.sum("c").cast("long").alias("gc"))
     per_g = cells.groupBy(group_col).agg(F.sum("c").alias("n_events"))
-    n_all = df.count()
+    n_all = sum(r["gc"] for r in gtot.collect())
     grid = per_g.crossJoin(F.broadcast(gtot))
     full = grid.join(cells, [group_col, type_col], "left").select(
         group_col,
