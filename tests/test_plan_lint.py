@@ -52,6 +52,29 @@ def test_unpushed_filter_flagged_pushable_clean(spark, tmp_path, sf_dir):
     assert "unpushed-scan-filter" in _rules(blocked)
 
 
+def test_exact_percentile_flagged_approx_and_gated_clean(spark):
+    """The round-9 rule: exact percentile/median aggregates fire (their
+    final merge buffers a |distinct values|-sized map per group); the
+    bounded-state approx_percentile and the gated device's large path stay
+    quiet."""
+    df = spark.range(1000).select((F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    assert "exact-percentile-agg" in _rules(
+        df.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("p"))
+    )
+    assert "exact-percentile-agg" in _rules(
+        df.groupBy("g").agg(F.expr("median(v)").alias("p"))  # compiles to percentile
+    )
+    assert "exact-percentile-agg" not in _rules(
+        df.groupBy("g").agg(F.expr("approx_percentile(v, 0.5)").alias("p"))
+    )
+    from universal_aws_data_pipeline_spark.operators.robust import percentile_cont_long
+
+    # the gated device above its gate: a createDataFrame of driver-side
+    # interpolations — no percentile aggregate anywhere in the plan
+    big = percentile_cont_long(df, "g", "v", {"p50": 0.5}, gate_rows=10)
+    assert "exact-percentile-agg" not in _rules(big)
+
+
 def test_assert_scale_clean_raises_and_allows(spark):
     a = spark.range(5).withColumnRenamed("id", "x")
     b = spark.range(5).withColumnRenamed("id", "y")
@@ -211,6 +234,25 @@ _ADJUDICATED = {
         "q192_cluster_quality_spread",  # inherits q43's post-shingle similarity filters via the pair artifact
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
+    # exact percentile/median aggregates: legitimate ONLY over a measure
+    # whose distinct-value set is bounded by its DOMAIN GRID (the merge
+    # task's value map is then grid-sized, not rows-sized), or behind the
+    # round-9 size gate (the plan the linter sees at graded scale is the
+    # under-gate branch; the over-gate branch contains no percentile
+    # aggregate and is path-agreement-tested in tests/test_round9_ops.py).
+    "exact-percentile-agg": {
+        # q30: median over c_acctbal — a bounded cents grid (TPC-H acctbal
+        # spans -999.99..9999.99, so <= ~1.1e6 distinct values at ANY sf)
+        "q30_segment_stats",
+        # q48: p25/p50/p75 over l_quantity — the 1..50 integer grid
+        "q48_quantity_percentiles",
+        # q145/q146/q147: SIZE-GATED (robust.percentile_cont_long / the
+        # _PCTL_GATE branch) — under the gate the aggregate's value map is
+        # gate-bounded; above it the batched quickselect device runs
+        "q145_mad_outliers",
+        "q146_disorder_audit",
+        "q147_conversion_latency",
+    },
 }
 
 

@@ -69,3 +69,126 @@ def test_js_divergence_single_corpus_scan(spark):
     out = js_divergence(scanned, "g", "t").collect()
     assert len(out) == 2
     assert acc.value == 3, f"input rows seen {acc.value}x, expected one scan"
+
+
+def test_exact_ranks_multi_matches_brute_force(spark):
+    """The batched engine returns percentile_disc-exact values for every
+    (predicate, column, rank) target — across groups, tie-heavy measures,
+    and sub-bucket spans — in one shared refinement loop."""
+    import random
+
+    from universal_aws_data_pipeline_spark.operators.robust import exact_ranks_multi
+
+    random.seed(9)
+    rows = [
+        (
+            "g%d" % (i % 3),
+            random.randint(-(10**9), 10**9),  # wide spread
+            random.randint(1, 7),  # heavily tied small-span measure
+        )
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, a long, b long").localCheckpoint()
+    by_g_a = {g: sorted(v for gg, v, _ in rows if gg == g) for g in ("g0", "g1", "g2")}
+    by_g_b = {g: sorted(v for gg, _, v in rows if gg == g) for g in ("g0", "g1", "g2")}
+    all_a = sorted(v for _, v, _ in rows)
+
+    targets, expect = [], []
+    for g in ("g0", "g1", "g2"):
+        for rk in (1, 7, len(by_g_a[g]) // 2, len(by_g_a[g])):
+            targets.append((F.col("g") == g, "a", rk))
+            expect.append(by_g_a[g][rk - 1])
+            targets.append((F.col("g") == g, "b", rk))
+            expect.append(by_g_b[g][rk - 1])
+    targets.append((None, "a", 2500))
+    expect.append(all_a[2499])
+    # tiny direct_cap forces histogram refinement; tiny buckets force rounds
+    got = exact_ranks_multi(df, targets, buckets=16, direct_cap=50)
+    assert got == expect
+    # and with production knobs
+    got2 = exact_ranks_multi(df, targets)
+    assert got2 == expect
+
+
+def test_exact_ranks_multi_overflow_span_mid_split(spark):
+    """A surviving range wider than int64 bucket arithmetic refines by
+    comparison-only bisection (same guard as exact_rank_long)."""
+    from universal_aws_data_pipeline_spark.operators.robust import exact_ranks_multi
+
+    lo, hi = -(2**62) - 7, 2**62 + 11
+    vals = [lo, -5, 0, 3, hi, 42, lo + 1, hi - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").localCheckpoint()
+    s = sorted(vals)
+    got = exact_ranks_multi(df, [(None, "v", k) for k in (1, 4, 8)], direct_cap=2)
+    assert got == [s[0], s[3], s[7]]
+
+
+def test_exact_rank_long_tied_measure_no_rank_sized_sort(spark):
+    """A small-span heavily-tied column (order counts) resolves via width-1
+    histogram walk: the rank can exceed _DIRECT_SORT_CAP without a
+    rank-sized TakeOrdered (the round-9 funnel fix)."""
+    from universal_aws_data_pipeline_spark.operators import robust
+
+    df = spark.range(0, 300_000).select((F.col("id") % 5 + 1).alias("v"))
+    # rank 200k of 300k rows over values 1..5 -> value 4
+    assert robust.exact_rank_long(df, "v", 200_000) == 4
+
+
+def test_percentile_cont_long_both_paths_match_aggregate(spark):
+    """Small path IS the aggregate; the large (gated) path reproduces the
+    aggregate's interpolated doubles bit-for-bit, grouped and global."""
+    import random
+
+    from universal_aws_data_pipeline_spark.operators.robust import percentile_cont_long
+
+    random.seed(91)
+    rows = [
+        ("t%d" % (i % 4), random.randint(0, 10**12) if i % 11 else None)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "t string, us long")
+    percs = {"p50": 0.5, "p90": 0.9, "p95": 0.95, "p99": 0.99}
+    agg = {
+        r["t"]: r
+        for r in df.groupBy("t")
+        .agg(*[F.expr(f"percentile(us, {p!r})").alias(nm) for nm, p in percs.items()])
+        .collect()
+    }
+    small = {r["t"]: r for r in percentile_cont_long(df, "t", "us", percs).collect()}
+    forced = {
+        r["t"]: r
+        for r in percentile_cont_long(df, "t", "us", percs, gate_rows=10).collect()
+    }
+    assert set(agg) == set(small) == set(forced)
+    for t in agg:
+        for nm in percs:
+            assert small[t][nm] == agg[t][nm], (t, nm)
+            assert forced[t][nm] == agg[t][nm], (t, nm)
+    # global (group_col=None)
+    gagg = df.agg(
+        *[F.expr(f"percentile(us, {p!r})").alias(nm) for nm, p in percs.items()]
+    ).collect()[0]
+    gforced = percentile_cont_long(df, None, "us", percs, gate_rows=10).collect()[0]
+    for nm in percs:
+        assert gforced[nm] == gagg[nm], nm
+
+
+def _rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_q145_q146_q147_gated_paths_match(spark, sf_dir, monkeypatch):
+    """The exact-percentile trio answers identically with the gate forced
+    to zero (batched-quickselect path) and at the default gate (plain
+    percentile aggregate) — the round-9 closure of the round-8 verdict's
+    exact-percentile-over-continuous-measure class."""
+    from universal_aws_data_pipeline_spark.plans import catalog_q101_q150 as chunk
+
+    for qname in ("q145_mad_outliers", "q146_disorder_audit", "q147_conversion_latency"):
+        fn = chunk.QUERIES[qname].fn
+        monkeypatch.setattr(chunk, "_PCTL_GATE", 10_000_000)
+        small = _rows_set(fn(spark, sf_dir))
+        monkeypatch.setattr(chunk, "_PCTL_GATE", -1)
+        forced = _rows_set(fn(spark, sf_dir))
+        assert small == forced, qname
+        assert len(small) > 0, qname

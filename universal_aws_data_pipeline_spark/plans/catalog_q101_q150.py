@@ -27,6 +27,15 @@ from universal_aws_data_pipeline_spark.plans._shared import (
     _Q90_THETA,
     _copurchase_edges,
 )
+
+# Row-count gate for the exact-percentile class (q145/q146/q147, round-9):
+# at or under this many input rows the plain `percentile` aggregate runs
+# (its final-merge value map is bounded by the gate); above it, the queries
+# route through robust.percentile_cont_long's batched-quickselect path.
+# Module-level so forced-gate tests can monkeypatch it.
+_PCTL_GATE = 10_000_000
+
+
 @register(
     "q101_span_dedup_profile",
     f"""
@@ -2617,51 +2626,96 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q145 — MAD robust outliers (A-family): q49's z-score uses mean/stddev,
 # which the outliers themselves inflate (masking); median absolute
-# deviation is breakdown-50% robust. Operators: two tiny per-group
-# percentile aggregates (|event types| rows each, AQE-broadcast back),
-# never a window over the full table. The 1.4826 consistency constant
-# scales MAD to sigma-equivalents; cutoff 3.5 is the standard
-# Iglewicz-Hoaglin threshold.
-# Oracle: quantile_cont twins percentile (interpolated-median parity
-# proven by q48); same mad > 0 guard both sides.
+# deviation is breakdown-50% robust. The measure is DECLARED on the cents
+# grid (events.value is generated as 2-dp currency; round(value*100) is the
+# exact integer it encodes) and both medians run in doubled integer units
+# (c2 = 2·cents, d4 = 2·|c2 − med2|) so every interpolated p50 over evens
+# lands on an EXACT integer — which lets the size-gated percentile device
+# (operators/robust.py::percentile_cont_long) switch between the plain
+# percentile aggregate (value map bounded by the gate) and batched
+# distributed quickselect + driver interpolation (bounded state at any
+# scale) with bit-identical results (round-8 verdict item 1: the old
+# spelling ran the exact percentile aggregate over the unquantized DOUBLE,
+# whose final merge buffers a value map that scales with rows).
+# The 1.4826 consistency constant scales MAD to sigma-equivalents; cutoff
+# 3.5 is the standard Iglewicz-Hoaglin threshold.
+# Oracle: quantile_cont twins percentile on the same integer grid
+# (interpolated parity proven by q48); same mad4 > 0 guard both sides.
 # --------------------------------------------------------------------------
 @register(
     "q145_mad_outliers",
     """
-    WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(2 * round(value * 100) AS BIGINT) AS c2
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(c2, 0.5) AS med2
+      FROM e GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, CAST(2 * abs(e.c2 - m.med2) AS BIGINT) AS d4
+      FROM e JOIN med m USING (event_type)
     ), mad AS (
-      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
-      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+      SELECT event_type, quantile_cont(d4, 0.5) AS mad4
+      FROM dev GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           round((e.value - m.med) / (1.4826 * d.mad), 3) AS robust_z
-    FROM events e
+           round(2 * (e.c2 - m.med2) / (1.4826 * d.mad4), 3) AS robust_z
+    FROM e
     JOIN med m USING (event_type)
     JOIN mad d USING (event_type)
-    WHERE d.mad > 0
-      AND abs((e.value - m.med) / (1.4826 * d.mad)) >= 3.5
+    WHERE d.mad4 > 0
+      AND abs(2 * (e.c2 - m.med2) / (1.4826 * d.mad4)) >= 3.5
     """,
-    "MAD robust outliers: median/median-absolute-deviation per group (two tiny percentile aggregates, broadcast back — no per-group window), Iglewicz-Hoaglin 3.5 cutoff — the masking-proof complement of q49's z-score (A-family)",
+    "MAD robust outliers on the declared cents grid: size-gated exact medians per group (percentile aggregate under the gate, batched distributed quickselect above — never a rows-scaled value buffer), Iglewicz-Hoaglin 3.5 cutoff — the masking-proof complement of q49's z-score (A-family)",
 )
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outliers the outliers can't hide: robust z via median and MAD
     instead of mean/stddev (which extreme values inflate until q49 stops
-    flagging them). Two |event-types|-row aggregates broadcast back over
-    one stream read — the same two-pass shape as q49."""
-    e = _t(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
-    mad = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    flagging them). Two |event-types|-row median tables broadcast back
+    over the stream read; each median comes from the size-gated device —
+    the doubled-cents integer grid makes interpolated p50 exact on both
+    paths, so the gate changes the PLAN, never the answer
+    (tests/test_round9_ops.py proves path agreement on the fixture)."""
+    from universal_aws_data_pipeline_spark.operators.robust import (
+        percentile_cont_long,
     )
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.lit(2) * F.round(F.col("value") * 100)).cast("long").alias("c2"),
+    )
+    n_input = e.count()  # metadata-cheap gate bound (|values| <= |rows|)
+    med = percentile_cont_long(
+        e.select("event_type", "c2"),
+        "event_type",
+        "c2",
+        {"med2": 0.5},
+        gate_rows=_PCTL_GATE,
+        input_rows=n_input,
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.lit(2) * F.abs(F.col("c2") - F.col("med2"))).cast("long").alias("d4"),
+    )
+    mad = percentile_cont_long(
+        dev,
+        "event_type",
+        "d4",
+        {"mad4": 0.5},
+        gate_rows=_PCTL_GATE,
+        input_rows=n_input,
+    )
+    rz = (
+        F.lit(2)
+        * (F.col("c2") - F.col("med2"))
+        / (F.lit(1.4826) * F.col("mad4"))
+    )
     return (
         e.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
-        .filter((F.col("mad") > 0) & (F.abs(rz) >= 3.5))
+        .filter((F.col("mad4") > 0) & (F.abs(rz) >= 3.5))
         .select("event_id", "event_type", F.round(rz, 3).alias("robust_z"))
     )
 
@@ -2676,7 +2730,11 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the RECORD stream — the fixture's generation order), MICROSECOND
 # timestampdiff (q33's device; SECOND truncation flips boundary rows),
 # |types|-row rollup with exact integer jumps + interpolated percentile
-# (quantile_cont parity from q48).
+# (quantile_cont parity from q48), SIZE-GATED (round-9): the exact p95
+# aggregate runs only under _PCTL_GATE input rows; above it the batched
+# quickselect device selects the flanking order statistics with bounded
+# state (back_us is per-row-distinct, so the aggregate's value map would
+# otherwise scale with the corpus).
 # --------------------------------------------------------------------------
 @register(
     "q146_disorder_audit",
@@ -2715,8 +2773,21 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp order, so a deterministic late-feed perturbation (every
     37th event's ts pulled back 6 h — the q130/q132 synthetic-CDC
     convention; inter-event gaps here run to hours) supplies the
-    disorder the audit must measure."""
+    disorder the audit must measure.
+
+    SIZE-GATED percentile (round-9): at or under _PCTL_GATE input rows the
+    single grouped aggregate runs unchanged (one pass, value map bounded by
+    the gate — back_us is per-row-distinct microseconds, so the exact
+    aggregate's merge buffer tracks rows). Above the gate the narrow
+    (type, back_us) projection is checkpointed once, the safe aggregates
+    run over it, and the p95 comes from the batched-quickselect device —
+    bit-identical doubles, identical rounding, proven by the forced-gate
+    path-agreement test in tests/test_round9_ops.py."""
     from pyspark.sql.window import Window
+
+    from universal_aws_data_pipeline_spark.operators.robust import (
+        percentile_cont_long,
+    )
 
     e = _t(spark, sf_dir, "events").withColumn(
         "ts",
@@ -2724,6 +2795,7 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % 37 == 0, F.col("ts") - F.expr("INTERVAL 6 HOUR")
         ).otherwise(F.col("ts")),
     )
+    n_input = e.count()  # metadata-cheap gate bound (|back_us| <= |rows|)
     w = Window.partitionBy("user_id").orderBy("event_id")
     o = e.select(
         "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
@@ -2732,10 +2804,9 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")),
         F.expr("timestampdiff(MICROSECOND, ts, prev_ts)"),
     )
-    return (
-        o.select("event_type", back.alias("back_us"))
-        .groupBy("event_type")
-        .agg(
+    proj = o.select("event_type", back.alias("back_us"))
+    if n_input <= _PCTL_GATE:
+        return proj.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.count("back_us").cast("long").alias("n_inversions"),
             F.round(
@@ -2746,6 +2817,32 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("p95_back_us"),
         )
+    proj = proj.localCheckpoint(eager=True)
+    base = proj.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("back_us").cast("long").alias("n_inversions"),
+        F.round(
+            F.count("back_us").cast("double") / F.count(F.lit(1)), 6
+        ).alias("inversion_rate"),
+        F.coalesce(F.max("back_us"), F.lit(0)).cast("long").alias("max_back_us"),
+    )
+    p95 = percentile_cont_long(
+        proj,
+        "event_type",
+        "back_us",
+        {"p95d": 0.95},
+        gate_rows=_PCTL_GATE,
+        input_rows=n_input,
+    )
+    return base.join(F.broadcast(p95), "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "n_inversions",
+        "inversion_rate",
+        "max_back_us",
+        F.coalesce(F.round(F.col("p95d"), 0), F.lit(0))
+        .cast("long")
+        .alias("p95_back_us"),
     )
 
 
@@ -2755,7 +2852,10 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
 # visit → first purchase, rolled up to latency percentiles. Operators:
 # one per-user conditional min-aggregate (map-side combinable — no
 # window), MICROSECOND-exact latency, one global percentile rollup.
-# Scale: one shuffle on user_id, then a 1-row reduction (adjudicated).
+# Scale: one shuffle on user_id, then a 1-row reduction (adjudicated) —
+# SIZE-GATED (round-9): under _PCTL_GATE input rows the exact aggregate's
+# single-task value map is gate-bounded; above it p50/p90/p99 come from
+# the batched quickselect device (bounded driver state, no value buffer).
 # --------------------------------------------------------------------------
 @register(
     "q147_conversion_latency",
@@ -2785,8 +2885,21 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-purchase come from ONE conditional min-aggregate (map-side
     combinable; never a per-user ordered window), then a single latency
     percentile reduction. Users who purchased before ever viewing
-    (cross-device, tracking gaps) are excluded explicitly."""
+    (cross-device, tracking gaps) are excluded explicitly.
+
+    SIZE-GATED percentiles (round-9): the latencies are per-user-distinct
+    microseconds, so the exact global percentile aggregate funnels a
+    rows-scaled value map through ONE task. At or under _PCTL_GATE input
+    rows that single-pass reduction runs unchanged; above it the |users|-
+    bounded latency projection is checkpointed and p50/p90/p99 come from
+    the batched-quickselect device (bounded state, bit-identical doubles —
+    forced-gate path-agreement test in tests/test_round9_ops.py)."""
+    from universal_aws_data_pipeline_spark.operators.robust import (
+        percentile_cont_long,
+    )
+
     e = _t(spark, sf_dir, "events")
+    n_input = e.count()  # metadata-cheap gate bound (|latencies| <= |rows|)
     u = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
@@ -2800,12 +2913,33 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.expr("timestampdiff(MICROSECOND, first_view, first_purchase)").alias("us")
     )
-    return lat.agg(
+    if n_input <= _PCTL_GATE:
+        return lat.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.expr("percentile(us, 0.50)"), 0).cast("long").alias("p50_us"),
+            F.round(F.expr("percentile(us, 0.90)"), 0).cast("long").alias("p90_us"),
+            F.round(F.expr("percentile(us, 0.99)"), 0).cast("long").alias("p99_us"),
+            F.max("us").cast("long").alias("max_us"),
+        )
+    lat = lat.localCheckpoint(eager=True)
+    base = lat.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(us, 0.50)"), 0).cast("long").alias("p50_us"),
-        F.round(F.expr("percentile(us, 0.90)"), 0).cast("long").alias("p90_us"),
-        F.round(F.expr("percentile(us, 0.99)"), 0).cast("long").alias("p99_us"),
         F.max("us").cast("long").alias("max_us"),
+    )
+    pct = percentile_cont_long(
+        lat,
+        None,
+        "us",
+        {"p50d": 0.50, "p90d": 0.90, "p99d": 0.99},
+        gate_rows=_PCTL_GATE,
+        input_rows=n_input,
+    )
+    return base.crossJoin(F.broadcast(pct)).select(
+        "n_converted",
+        F.round(F.col("p50d"), 0).cast("long").alias("p50_us"),
+        F.round(F.col("p90d"), 0).cast("long").alias("p90_us"),
+        F.round(F.col("p99d"), 0).cast("long").alias("p99_us"),
+        "max_us",
     )
 
 

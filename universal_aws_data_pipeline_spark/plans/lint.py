@@ -18,6 +18,17 @@ physical plan (the thing that actually runs, post-Catalyst/AQE-prep):
   whose PushedFilters is empty — predicate evaluated after IO instead of
   inside it (non-pushable expressions like udf(col) or regex on the filter
   path do this silently).
+- ``exact-percentile-agg``: an exact ``percentile`` / ``median`` /
+  ``percentile_disc``/``percentile_cont`` aggregate (round-9, VERDICT r8
+  item 2). These buffer a per-group value→count map that is merged into
+  ONE final task per group, so memory is O(|distinct values|) there — fine
+  for a DOMAIN-GRIDDED measure (quantities 1..50, bounded cents), a
+  corpus-scaled funnel for continuous or per-row-distinct measures
+  (latencies, unbounded doubles). Each use needs an explicit adjudication:
+  state the measure's grid bound, or size-gate through
+  ``robust.percentile_cont_long`` / ``robust.exact_ranks_multi`` /
+  ``sampling.quantile_cutoff_by_group``. ``approx_percentile`` is bounded
+  state and is NOT flagged.
 
 Returns structured findings, never raises: the caller decides what blocks.
 """
@@ -83,6 +94,18 @@ def lint_plan(df: DataFrame) -> list[LintFinding]:
                 "info",
                 "Arrow-batched Python stage present (fine when built-ins "
                 "can't express the kernel)",
+            )
+        )
+
+    if re.search(r"(?<![\w_])(?:percentile|percentile_disc|percentile_cont)\(", plan):
+        findings.append(
+            LintFinding(
+                "exact-percentile-agg",
+                "warn",
+                "exact percentile/median aggregate: the final merge task "
+                "buffers a per-group value→count map sized by |distinct "
+                "values| — adjudicate the measure as grid/domain-bounded, "
+                "or size-gate through robust.percentile_cont_long",
             )
         )
 
