@@ -822,3 +822,154 @@ def test_stateful_v2_agg_view_twin_matches_foreachbatch_maintainer(spark, tmp_pa
     v2_view = sorted((g, n, v) for g, (n, v) in view_v2.items())
     assert fb_view == v2_view
     assert fb_view == [(1, 2, 19), (2, 2, 3), (3, 1, 100)]
+
+
+def test_agg_view_auto_selection_rule_and_v1_execution(spark, tmp_path):
+    """Round-9 (VERDICT r8 item 5): the measured v1/v2 crossover is CODE.
+    `choose_agg_view_mode` picks v1 at dimension-scale group counts and v2
+    above the crossover (PERF.md round-8: v1 per-batch cost linear in
+    |groups| at ~5.7 µs/group-row, v2 flat ~1 s; curves cross at
+    ~1.5–2e5 groups at 1k touched/batch). `agg_view_auto` wires the chosen
+    maintainer: the v1 branch is executed end-to-end here; the v2 branch
+    must hand back the streaming changelog operator (its execution twin is
+    test_stateful_v2_agg_view_twin_matches_foreachbatch_maintainer)."""
+    import json as _json
+    import os as _os
+
+    from universal_aws_data_pipeline_spark.operators.incremental import (
+        AGG_VIEW_CROSSOVER_GROUPS,
+        agg_view_auto,
+        choose_agg_view_mode,
+    )
+    from universal_aws_data_pipeline_spark.streaming.ops import write_stream_sink
+
+    # the selection rule sits on the measured band
+    assert 150_000 <= AGG_VIEW_CROSSOVER_GROUPS <= 200_000
+    assert choose_agg_view_mode(1_000) == "v1"
+    assert choose_agg_view_mode(AGG_VIEW_CROSSOVER_GROUPS) == "v1"
+    assert choose_agg_view_mode(AGG_VIEW_CROSSOVER_GROUPS + 1) == "v2"
+    assert choose_agg_view_mode(1_000_000) == "v2"
+
+    schema = "g LONG, v LONG, _sign INT"
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "b0.json", "w") as f:
+        for g, v, s in [(1, 10, 1), (1, 5, 1), (2, 7, 1)]:
+            f.write(_json.dumps({"g": g, "v": v, "_sign": s}) + "\n")
+    stream = spark.readStream.schema(schema).json(str(d))
+
+    # small |groups| -> v1: a foreachBatch fn maintaining the parquet view
+    state = str(tmp_path / "state")
+    mode, fn = agg_view_auto(
+        stream, state, ["g"], ["v"], observed_groups=2
+    )
+    assert mode == "v1" and callable(fn)
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "foreach_batch",
+            "fn": fn,
+            "checkpoint": str(tmp_path / "ckpt"),
+            "output_mode": "append",
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+    view = sorted(
+        (r["g"], r["n_rows"], r["v"])
+        for r in spark.read.parquet(_os.path.join(state, "view")).collect()
+    )
+    assert view == [(1, 2, 15), (2, 1, 7)]
+
+    # large |groups| -> v2: the transformWithStateInPandas changelog stream
+    mode2, handle = agg_view_auto(
+        stream, state, ["g"], ["v"], observed_groups=1_000_000
+    )
+    assert mode2 == "v2"
+    assert handle.isStreaming
+    assert set(handle.columns) == {"g", "n_rows", "v"}
+
+
+def test_streaming_js_drift_monitor_alerts(spark, tmp_path):
+    """Round-9 streaming twin of the q197 JS-drift audit (VERDICT r8 item
+    6): per-micro-batch Jensen–Shannon vs a static reference categorical
+    mix via foreachBatch. Batch 1 replays the reference mix (no alert);
+    batch 2 collapses onto one category (alert). The alert value must
+    equal the batch-computed JS over the same cells, and stay within the
+    ln 2 bound that makes one threshold portable."""
+    import json
+    import math
+
+    from universal_aws_data_pipeline_spark.operators.drift import (
+        js_drift_monitor_batch_fn,
+        js_from_ref_cells,
+    )
+
+    # reference mix for group "click": categories a/b/c at 20/20/20
+    ref_rows = [
+        {"event_id": i, "event_type": "click", "cat": "abc"[i % 3]}
+        for i in range(60)
+    ]
+    ref_df = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["cat"]) for r in ref_rows],
+        "event_id long, event_type string, cat string",
+    )
+    ref_cells = ref_df.groupBy("event_type", "cat").agg(F.count(F.lit(1)).alias("n"))
+
+    d = tmp_path / "js_in"
+    d.mkdir()
+    batches = [
+        [dict(r, event_id=1000 + i) for i, r in enumerate(ref_rows)],  # same mix
+        [  # all mass on category "a": strong, bounded drift
+            {"event_id": 2000 + i, "event_type": "click", "cat": "a"}
+            for i in range(60)
+        ],
+    ]
+    for i, batch in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as fh:
+            for r in batch:
+                fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "js_alerts")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1},
+        "event_id long, event_type string, cat string",
+    )
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "foreach_batch",
+            "fn": js_drift_monitor_batch_fn(
+                ref_cells, out, group_col="event_type", cat_col="cat", threshold=0.05
+            ),
+            "checkpoint": str(tmp_path / "ckpt_js"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+
+    alerts = spark.read.parquet(out).collect()
+    assert len(alerts) == 1 and alerts[0]["event_type"] == "click"
+    assert 0.0 < alerts[0]["js_nats"] <= round(math.log(2), 4)
+    # alert JS equals the batch-computed JS over the same cells
+    cur = (
+        spark.createDataFrame(
+            [(r["event_id"], r["event_type"], r["cat"]) for r in batches[1]],
+            "event_id long, event_type string, cat string",
+        )
+        .groupBy("event_type", "cat")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    cells = (
+        ref_cells.withColumnRenamed("n", "n_ref")
+        .join(cur, ["event_type", "cat"], "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    want = js_from_ref_cells(cells, "event_type").collect()[0]["js_nats"]
+    assert alerts[0]["js_nats"] == want
+    # P collapsed on one of three equal cats, Q uniform: the closed form is
+    # JS = ½·ln(3/2) + (1/6)·ln 2 ≈ 0.3183 (p-side: 1·ln(1/(2/3)) halved;
+    # q-side: (1/3)ln(1/2) + (2/3)ln 2 = (1/3)ln 2, halved)
+    closed = round(0.5 * math.log(1.5) + math.log(2) / 6, 4)
+    assert abs(alerts[0]["js_nats"] - closed) <= 0.0002

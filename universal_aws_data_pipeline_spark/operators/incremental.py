@@ -166,3 +166,68 @@ def agg_view_stream_fn(
         statestore.commit(merged, table, batch_id)
 
     return fn
+
+
+# Measured v1/v2 crossover (scripts/state_v2_overhead.py, PERF.md round 8):
+# v1's per-batch cost is LINEAR in |groups| (the foreachBatch maintainer
+# re-reads and atomically rewrites the full parquet view every batch,
+# ~5.7 µs/group-row), v2's is FLAT (trigger + Arrow + RocksDB round-trip on
+# the touched keys only, ~0.75–0.97 s across a 100x group jump). At 1,000
+# touched rows per batch the curves cross at ≈1.5–2×10⁵ maintained groups —
+# the default sits mid-band.
+AGG_VIEW_CROSSOVER_GROUPS = 175_000
+
+
+def choose_agg_view_mode(
+    observed_groups: int, crossover: int = AGG_VIEW_CROSSOVER_GROUPS
+) -> str:
+    """The documented v1/v2 selection rule as code (round-9, VERDICT r8
+    item 5): ``"v1"`` (foreachBatch + crash-safe parquet view — cheaper
+    below the crossover AND directly queryable as a table) at or under
+    ``crossover`` maintained groups, ``"v2"``
+    (``streaming/stateful.agg_view_v2`` — ValueState on RocksDB, per-batch
+    cost flat in |groups|) above it."""
+    return "v1" if observed_groups <= crossover else "v2"
+
+
+def agg_view_auto(
+    df: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    measure_cols: list[str],
+    observed_groups: int,
+    count_col: str = "n_rows",
+    crossover: int = AGG_VIEW_CROSSOVER_GROUPS,
+):
+    """Auto-selecting agg-view maintainer: picks the v1 or v2 structure
+    from the group count observed at wiring time (the first batch's
+    distinct groups, or a static snapshot's — a streaming query's operator
+    tree cannot be swapped once started, so the decision is made when the
+    query is BUILT, from the caller's observation).
+
+    Returns ``(mode, handle)``:
+
+    * ``("v1", fn)`` — wire ``df.writeStream.foreachBatch(fn)`` (the
+      crash-safe parquet-view maintainer; the view doubles as a table);
+    * ``("v2", stream_df)`` — wire ``stream_df.writeStream`` (the
+      RocksDB changelog maintainer; requires the RocksDB state-store
+      provider and a single group column).
+
+    ``observed_groups`` against the measured crossover decides; pass a
+    different ``crossover`` to re-tune when batch touch-width differs
+    materially from the measured 1,000 rows/batch (v1's cost does not
+    depend on touch width; v2's barely does — so a WIDER touch moves the
+    crossover DOWN, never up).
+    """
+    mode = choose_agg_view_mode(observed_groups, crossover)
+    if mode == "v1":
+        return mode, agg_view_stream_fn(
+            state_path, group_cols, measure_cols, count_col=count_col
+        )
+    if len(group_cols) != 1:
+        raise ValueError("agg_view_v2 maintains a single group column")
+    from universal_aws_data_pipeline_spark.streaming.stateful import agg_view_v2
+
+    return mode, agg_view_v2(
+        df, group_col=group_cols[0], measure_cols=measure_cols, count_col=count_col
+    )
