@@ -196,6 +196,13 @@ HEAVY = [
     # artifact build inside the window — q154 cold semantics).
     "q187_markov_transitions",
     "q188_component_census",
+    # round-9 grid-histogram two-sample stats: both reduce the corpus to
+    # the |types x cents-grid| cell table in one map-side-combined pass, so
+    # 10x volume should be ~the scan (the grid does NOT grow — key-shifted
+    # event copies reuse the same value domain); the CDF/prefix walks run
+    # on the bounded cells
+    "q208_ks_type_drift",
+    "q209_mann_whitney",
 ]
 
 

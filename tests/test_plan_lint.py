@@ -157,6 +157,9 @@ _ADJUDICATED = {
         "q174_theil_sen_trend",
         # q170: |weeks| x 10-bin grid build — both sides tiny by domain
         "q170_weekly_psi_trend",
+        # q208: the |types| x |cents-grid| zero-cell grid build + the 1-row
+        # corpus-total attach — both sides domain-bounded (q197's class)
+        "q208_ks_type_drift",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -212,6 +215,12 @@ _ADJUDICATED = {
         # q162: total/leftover 1-row reductions + the remainder-rank window
         # over the |sources|-row table — apportionment is sketch-sized
         "q162_quota_allocation",
+        # q208: the 1-row corpus-total reduction (the CDF windows are
+        # partitioned by type; only the na scalar funnels, 1 row)
+        "q208_ks_type_drift",
+        # q209: the prefix walk + 1-row U reduction over the cents-grid
+        # histogram — sketch-sized by the device precondition
+        "q209_mann_whitney",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

@@ -217,6 +217,8 @@ ADJUDICATED: dict[str, str] = {
     "q205_similarity_histogram": "composes: the stressed q15 pair artifact + one |bins|-row integer-binned rollup",
     "q206_token_cost_ledger": "map-only: token/byte expression battery + one grouped rollup to |langs x sources| rows",
     "q207_dow_hour_load": "bounded: one map-side-combined rollup to <= 168 calendar cells",
+    "q208_ks_type_drift": "bounded: one map-side-combined rollup to |types x cents-grid| cells; the CDF walk runs over that table with windows PARTITIONED by type. Device precondition (q196-style): the histogram is |distinct cents| per type, bounded by the declared 2-dp price grid (~5e4 cells at any sf), never by rows; 1e6-scaled sums int64-exact to ~9e12 rows (documented magnitude contract)",
+    "q209_mann_whitney": "bounded: one conditional rollup to the shared cents grid, then a grid-bounded prefix walk + 1-row reduction (adjudicated global window/exchange — sketch-sized by the cents-grid precondition); U int64-exact while 2*n_view*n_purchase < 2^63 (~2e9 rows/side, documented magnitude contract, ANSI fails loudly beyond)",
 }
 
 
