@@ -192,3 +192,73 @@ def test_q145_q146_q147_gated_paths_match(spark, sf_dir, monkeypatch):
         forced = _rows_set(fn(spark, sf_dir))
         assert small == forced, qname
         assert len(small) > 0, qname
+
+
+def test_q208_ks_matches_brute_force(spark, sf_dir):
+    """Independent math check (not the DuckDB mirror): the grid-histogram
+    KS equals the classic sorted-sample two-sample D computed in Python,
+    at the same floor-micro discipline."""
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["cents"])
+    all_vals = sorted(v for vs in by_type.values() for v in vs)
+    grid = sorted(set(all_vals))
+    got = {
+        r["event_type"]: (r["n_type"], r["n_rest"], r["ks_micro"])
+        for r in QUERIES["q208_ks_type_drift"].fn(spark, sf_dir).collect()
+    }
+    import bisect
+
+    n_all = len(all_vals)
+    for t, vs in by_type.items():
+        vs_sorted = sorted(vs)
+        n_t = len(vs)
+        n_r = n_all - n_t
+        d = 0
+        for v in grid:
+            ct = bisect.bisect_right(vs_sorted, v)
+            cg = bisect.bisect_right(all_vals, v)
+            d = max(d, abs((1_000_000 * ct) // n_t - (1_000_000 * (cg - ct)) // n_r))
+        assert got[t] == (n_t, n_r, d), t
+
+
+def test_q209_mann_whitney_matches_brute_force_pairs(spark, sf_dir):
+    """Independent math check: the histogram-walk doubled-U equals the
+    literal pair count 2·(#(view<purchase) + ½·#ties), and identical
+    multisets give AUC exactly 500000."""
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).collect()
+    views = sorted(r["cents"] for r in rows if r["event_type"] == "view")
+    purch = sorted(r["cents"] for r in rows if r["event_type"] == "purchase")
+    import bisect
+
+    u2 = 0
+    for p in purch:
+        below = bisect.bisect_left(views, p)
+        ties = bisect.bisect_right(views, p) - below
+        u2 += 2 * below + ties
+    r = QUERIES["q209_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    assert (r["n_view"], r["n_purchase"], r["u_doubled"]) == (
+        len(views),
+        len(purch),
+        u2,
+    )
+    assert r["auc_micro"] == (1_000_000 * u2) // (2 * len(views) * len(purch))
+    # self-comparison sanity: identical per-cell counts give exactly 1/2
+    # (2U = sum n(2C+n) over the grid telescopes to n_tot^2)
+    n = {}
+    for v in views:
+        n[v] = n.get(v, 0) + 1
+    cvb, u2_self = 0, 0
+    for v in sorted(n):
+        u2_self += n[v] * (2 * cvb + n[v])
+        cvb += n[v]
+    assert (1_000_000 * u2_self) // (2 * len(views) * len(views)) == 500_000

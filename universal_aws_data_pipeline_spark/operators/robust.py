@@ -454,10 +454,12 @@ def percentile_cont_long(
     ``percs`` maps output column name → percentage. Rows with a NULL
     measure are ignored on BOTH paths (aggregate semantics); a group with
     no non-null values is absent from the output — callers left-join and
-    coalesce. PRECONDITION: |groups| is domain-bounded (the driver holds a
+    coalesce. PRECONDITIONS: |groups| is domain-bounded (the driver holds a
     per-group target list — event types, languages, flags; for per-entity
     percentiles where |groups| scales with the corpus, use the
-    grid-bounded histogram device ``sampling.quantile_cutoff_by_group``).
+    grid-bounded histogram device ``sampling.quantile_cutoff_by_group``),
+    and group keys are non-null on the large path (an equality predicate
+    against a NULL key never matches — coalesce a nullable group first).
     ``input_rows``, when given, gates without a count job (callers pass a
     cheap upper bound, e.g. a parquet metadata row count); the large path
     localCheckpoints the null-filtered projection and rescans only that.
