@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "46ba827aad9d6bc5a631d51ac3d26a63", (
+    assert h == "a39abcf4cf6dfca70f0741f6bec4da87", (
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )

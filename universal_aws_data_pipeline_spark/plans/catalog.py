@@ -50,7 +50,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q175_q184  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q185_q194  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q196_q203  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q204_q207  # noqa: F401,E402
-from universal_aws_data_pipeline_spark.plans import catalog_q208_q209  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q208_q210  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -300,6 +300,7 @@ _EXPECTED_ORDER: list[str] = [
     "q207_dow_hour_load",
     "q208_ks_type_drift",
     "q209_mann_whitney",
+    "q210_watermark_loss_curve",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

@@ -1,4 +1,4 @@
-"""Catalog chunk: q208–q209 (round-9).
+"""Catalog chunk: q208–q210 (round-9).
 
 Two exact, hash-gradable two-sample comparisons on the DECLARED cents grid
 of ``events.value`` (2-dp currency — the same grid contract q145's round-9
@@ -216,4 +216,99 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * u_doubled) div (2 * n_view * n_purchase)")
         .cast("long")
         .alias("auc_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q210 — watermark-loss tradeoff curve (STR-support family): q146 measures
+# how disordered the stream IS (p95/max backward jump); this measures what
+# each CANDIDATE watermark delay would COST — per event type and delay D ∈
+# {1 m, 1 h, 6 h, 24 h}, the share of events arriving more than D behind
+# the user's running event-time high-water mark (the per-key lateness that
+# drives dropped state in per-user stateful aggregations). Read the two
+# together: pick the smallest D whose loss is acceptable. Same
+# deterministic 6-hour late-feed perturbation as q146 (every 37th event),
+# so the curve has real structure: D < 6 h shows losses, D = 24 h is 0.
+# Operators: one per-user running-max window (arrival order = event_id,
+# the q27/q146 family — partition key scales with |users|, parallel), ONE
+# map-side-combinable conditional rollup to |types| wide rows, and a
+# stack() unpivot to |types × 4| cells — never an explode multiplying the
+# corpus. All integer micro units (timestampdiff MICROSECOND; floor-div
+# loss shares).
+# Oracle: identical window + conditional sums; UNION ALL unpivot.
+# --------------------------------------------------------------------------
+_Q210_DELAYS_S = [60, 3600, 21600, 86400]
+
+
+@register(
+    "q210_watermark_loss_curve",
+    f"""
+    WITH late AS (
+      SELECT event_type, user_id, event_id,
+             CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 6 HOUR
+                  ELSE ts END AS ts
+      FROM events
+    ), o AS (
+      SELECT event_type,
+             datediff('microsecond', ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id)) AS late_us
+      FROM late
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             {", ".join(f"CAST(sum(CASE WHEN late_us > CAST({d} AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n{d}" for d in _Q210_DELAYS_S)}
+      FROM o GROUP BY event_type
+    ), u AS (
+      {" UNION ALL ".join(f"SELECT event_type, CAST({d} AS BIGINT) AS delay_s, n_events, n{d} AS n_late FROM g" for d in _Q210_DELAYS_S)}
+    )
+    SELECT event_type, delay_s, n_events, n_late,
+           CAST((1000000 * n_late) // n_events AS BIGINT) AS loss_micro
+    FROM u
+    """,
+    "watermark-loss tradeoff curve: per event type and candidate delay (1m/1h/6h/24h), the exact floor-micro share of events arriving later than the delay behind the user's running event-time high-water mark — the cost side of q146's disorder measurement (STR-support family)",
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What would each watermark delay actually drop? Lateness is measured
+    against the per-user running event-time max in arrival order (the
+    per-key disorder that costs state in per-user stateful aggs); the four
+    candidate delays are answered by ONE conditional rollup over the
+    window output (wide counts, then a stack() unpivot of the |types|-row
+    table — the corpus is never multiplied). Exact integers end to end."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 37 == 0, F.col("ts") - F.expr("INTERVAL 6 HOUR")
+        ).otherwise(F.col("ts")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = (
+        e.select("event_type", "ts", F.max("ts").over(w).alias("hwm"))
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, ts, hwm)").alias("late_us"),
+        )
+    )
+    g = o.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.sum((F.col("late_us") > d * 1_000_000).cast("int"))
+            .cast("long")
+            .alias(f"n{d}")
+            for d in _Q210_DELAYS_S
+        ],
+    )
+    stack = ", ".join(f"{d}L, n{d}" for d in _Q210_DELAYS_S)
+    return g.select(
+        "event_type",
+        "n_events",
+        F.expr(f"stack({len(_Q210_DELAYS_S)}, {stack}) as (delay_s, n_late)"),
+    ).select(
+        "event_type",
+        F.col("delay_s").cast("long"),
+        "n_events",
+        F.col("n_late").cast("long"),
+        F.expr("(1000000 * n_late) div n_events").cast("long").alias("loss_micro"),
     )
