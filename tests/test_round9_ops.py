@@ -262,3 +262,32 @@ def test_q209_mann_whitney_matches_brute_force_pairs(spark, sf_dir):
         u2_self += n[v] * (2 * cvb + n[v])
         cvb += n[v]
     assert (1_000_000 * u2_self) // (2 * len(views) * len(views)) == 500_000
+
+
+def test_js_drift_ref_count_column_contract(spark):
+    """The monitor accepts n_ref / n / count (a bare .count()) as the
+    reference count column and rejects anything else at wiring time
+    (round-9 review: the docstring promised .count() but the code
+    required 'n')."""
+    import pytest
+
+    from universal_aws_data_pipeline_spark.operators.drift import (
+        js_drift_monitor_batch_fn,
+    )
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], "g string, c string")
+    for ref in (
+        df.groupBy("g", "c").count(),
+        df.groupBy("g", "c").agg(F.count(F.lit(1)).alias("n")),
+        df.groupBy("g", "c").agg(F.count(F.lit(1)).alias("n_ref")),
+    ):
+        assert callable(
+            js_drift_monitor_batch_fn(ref, "/tmp/x", group_col="g", cat_col="c")
+        )
+    with pytest.raises(ValueError, match="count column"):
+        js_drift_monitor_batch_fn(
+            df.groupBy("g", "c").agg(F.count(F.lit(1)).alias("weird")),
+            "/tmp/x",
+            group_col="g",
+            cat_col="c",
+        )

@@ -219,7 +219,7 @@ ADJUDICATED: dict[str, str] = {
     "q207_dow_hour_load": "bounded: one map-side-combined rollup to <= 168 calendar cells",
     "q208_ks_type_drift": "bounded: one map-side-combined rollup to |types x cents-grid| cells; the CDF walk runs over that table with windows PARTITIONED by type. Device precondition (q196-style): the histogram is |distinct cents| per type, bounded by the declared 2-dp price grid (~5e4 cells at any sf), never by rows; 1e6-scaled sums int64-exact to ~9e12 rows (documented magnitude contract)",
     "q210_watermark_loss_curve": "catalyst: per-user running-max window (arrival order, the q27/q146 family — partition key scales with |users|) + ONE map-side-combinable conditional rollup to |types| wide rows, stack()-unpivoted to |types x 4 delays| cells (the corpus is never multiplied)",
-    "q209_mann_whitney": "bounded: one conditional rollup to the shared cents grid, then a grid-bounded prefix walk + 1-row reduction (adjudicated global window/exchange — sketch-sized by the cents-grid precondition); U int64-exact while 2*n_view*n_purchase < 2^63 (~2e9 rows/side, documented magnitude contract, ANSI fails loudly beyond)",
+    "q209_mann_whitney": "bounded: one conditional rollup to the shared cents grid, then a grid-bounded prefix walk + 1-row reduction (adjudicated global window/exchange — sketch-sized by the cents-grid precondition); int64-exact while n_view*n_purchase < ~4.6e12 (~2e6 rows/side balanced — the binding term is 1e6*u_doubled in auc_micro; documented magnitude contract, ANSI fails loudly beyond, subsample per side above)",
 }
 
 

@@ -75,18 +75,38 @@ def drift_monitor_batch_fn(
     count col ``n_ref``) and appends alert rows (group, psi, n_ref, n_cur,
     batch_id) to ``out_path`` whenever psi exceeds ``threshold``.
 
-    The reference histogram is |groups|x|bins| — always broadcast. Alerts
-    append via the same at-least-once foreachBatch contract as any sink;
-    downstream consumers dedup on (group, batch_id) if exactly-once
+    The ref/current cell combine is a UNION + one map-side-combined rollup
+    over the |groups|×|bins| cell space — deliberately not a join: the
+    zero-filling join spelling needs full_outer, which no broadcast
+    strategy supports (the hint is silently ignored and every micro-batch
+    pays a two-sided shuffle sort-merge join; round-9 review finding).
+    Alerts append via the same at-least-once foreachBatch contract as any
+    sink; downstream consumers dedup on (group, batch_id) if exactly-once
     reading matters (cf. ``idempotent_batch_writer``).
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         cur = value_histogram(batch_df, group_col, value_col, bins, width, count_col="n_cur")
+        zero = F.lit(0).cast("long")
         cells = (
-            F.broadcast(ref_hist.withColumnRenamed("n", "n_ref"))
-            .join(cur, [group_col, "bin"], "full_outer")
-            .fillna(0, subset=["n_ref", "n_cur"])
+            ref_hist.select(
+                group_col,
+                "bin",
+                F.col("n").cast("long").alias("n_ref"),
+                zero.alias("n_cur"),
+            )
+            .unionByName(
+                cur.select(
+                    group_col,
+                    "bin",
+                    zero.alias("n_ref"),
+                    F.col("n_cur").cast("long"),
+                )
+            )
+            .groupBy(group_col, "bin")
+            .agg(
+                F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur")
+            )
         )
         alerts = (
             psi_from_cells(cells, group_col, bins)
@@ -150,25 +170,53 @@ def js_drift_monitor_batch_fn(
     6: PSI had a streaming maintainer, its more robust bounded sibling did
     not). Every micro-batch's per-group CATEGORICAL mix over ``cat_col``
     is JS-compared against a static reference mix (``ref_cells``: (group,
-    cat, n_ref) — a ``groupBy(group, cat).count()`` over a trusted
-    window), and alert rows (group, js_nats, n_ref, n_cur, batch_id)
-    append to ``out_path`` when js_nats exceeds ``threshold``.
+    cat, count) rows over a trusted window — the count column may be named
+    ``n_ref``, ``n`` (an ``.agg(count().alias("n"))``), or ``count`` (a
+    bare ``.count()``); anything else raises at wiring time), and alert
+    rows (group, js_nats, n_ref, n_cur, batch_id) append to ``out_path``
+    when js_nats exceeds ``threshold``.
 
     Because JS is bounded by ln 2 ≈ 0.6931, a single threshold is
     portable across groups and batch sizes — the operational edge over
-    PSI. The reference is |groups × cats| — always broadcast; alerts ride
-    the usual at-least-once foreachBatch contract (dedup on (group,
-    batch_id) downstream if exactly-once reading matters).
+    PSI. The ref/current combine is a UNION + one map-side-combined
+    rollup over the |groups × cats| cell space (zero-filling needs
+    full_outer, which no broadcast strategy supports — see
+    ``drift_monitor_batch_fn``); alerts ride the usual at-least-once
+    foreachBatch contract (dedup on (group, batch_id) downstream if
+    exactly-once reading matters).
     """
+    cols = set(ref_cells.columns)
+    if "n_ref" in cols:
+        ref = ref_cells
+    elif "n" in cols:
+        ref = ref_cells.withColumnRenamed("n", "n_ref")
+    elif "count" in cols:
+        ref = ref_cells.withColumnRenamed("count", "n_ref")
+    else:
+        raise ValueError(
+            "ref_cells needs a count column named n_ref, n, or count; got "
+            f"{sorted(cols)}"
+        )
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         cur = batch_df.groupBy(group_col, cat_col).agg(
             F.count(F.lit(1)).alias("n_cur")
         )
+        zero = F.lit(0).cast("long")
         cells = (
-            F.broadcast(ref_cells.withColumnRenamed("n", "n_ref"))
-            .join(cur, [group_col, cat_col], "full_outer")
-            .fillna(0, subset=["n_ref", "n_cur"])
+            ref.select(
+                group_col,
+                cat_col,
+                F.col("n_ref").cast("long"),
+                zero.alias("n_cur"),
+            )
+            .unionByName(
+                cur.select(
+                    group_col, cat_col, zero.alias("n_ref"), F.col("n_cur").cast("long")
+                )
+            )
+            .groupBy(group_col, cat_col)
+            .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
         )
         alerts = (
             js_from_ref_cells(cells, group_col)

@@ -215,9 +215,11 @@ def agg_view_auto(
 
     ``observed_groups`` against the measured crossover decides; pass a
     different ``crossover`` to re-tune when batch touch-width differs
-    materially from the measured 1,000 rows/batch (v1's cost does not
-    depend on touch width; v2's barely does — so a WIDER touch moves the
-    crossover DOWN, never up).
+    materially from the measured 1,000 rows/batch. v1's per-batch cost is
+    ~linear in |groups| and independent of touch width (it rewrites the
+    whole view either way); v2's grows with the touched-key count — so a
+    WIDER touch raises v2's cost and moves the crossover UP (more groups
+    needed before v2 wins), and a narrower touch moves it down.
     """
     mode = choose_agg_view_mode(observed_groups, crossover)
     if mode == "v1":

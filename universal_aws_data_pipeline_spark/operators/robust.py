@@ -434,6 +434,7 @@ def percentile_cont_long(
     percs: dict[str, float],
     gate_rows: int = 10_000_000,
     input_rows: int | None = None,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """Exact linearly-interpolated percentiles (Spark ``percentile``
     aggregate semantics, R-7 / DuckDB ``quantile_cont`` positions) of an
@@ -462,7 +463,14 @@ def percentile_cont_long(
     against a NULL key never matches — coalesce a nullable group first).
     ``input_rows``, when given, gates without a count job (callers pass a
     cheap upper bound, e.g. a parquet metadata row count); the large path
-    localCheckpoints the null-filtered projection and rescans only that.
+    localCheckpoints the null-filtered projection and rescans only that —
+    UNLESS ``pre_materialized`` is True, for callers whose ``d`` is
+    already a checkpointed (or otherwise cheap-to-rescan) frame: the
+    refinement rounds then rescan the caller's materialization through
+    the lazy null filter instead of eagerly writing a second copy
+    (round-9 review: q146/q147 checkpoint their projections for their own
+    base aggregates, so the device re-checkpointing the same rows paid a
+    redundant blocking materialization).
 
     Returns (group_col?, <name> double …) — interpolated DOUBLEs; callers
     round/cast exactly as they would the aggregate's result.
@@ -479,7 +487,8 @@ def percentile_cont_long(
         ]
         return dd.groupBy(group_col).agg(*aggs) if group_col else dd.agg(*aggs)
     spark = d.sparkSession
-    dd = dd.localCheckpoint(eager=True)
+    if not pre_materialized:
+        dd = dd.localCheckpoint(eager=True)
     if group_col is not None:
         counts = {
             r["g"]: r["n"]

@@ -455,12 +455,17 @@ def group_safe_split(
     n_dup_rows counts rows living in groups of size > 1 (the rows whose
     placement actually depended on the group rule).
 
-    A NULL group key means "this row belongs to no cluster": it is
-    coalesced to the row key (the q199 convention — a singleton group per
-    ungrouped row) BEFORE bucketing and sizing, so every input row lands in
-    exactly ONE split and the audit's n_rows always totals the input. The
-    pre-fix behavior silently dropped null-group rows at the inner size
-    join (round-8 ADVICE).
+    A NULL group key means "this row belongs to no cluster": it becomes a
+    SINGLETON group keyed by a row-key-derived id BEFORE bucketing and
+    sizing, so every input row lands in exactly ONE split and the audit's
+    n_rows always totals the input (the pre-fix behavior silently dropped
+    null-group rows at the inner size join — round-8 ADVICE). NOTE the
+    singleton id is "\\x00row:<key>", NOT the bare row key: the prefix
+    prevents an ungrouped row whose key string equals some real group id
+    from silently joining that group. Consequence: this is NOT
+    assignment-equivalent to pre-coalescing NULLs to the bare key yourself
+    (q199's spelling) — the md5 bucket of the prefixed id differs. Pick one
+    spelling per pipeline and keep it.
 
     Scale: one (group → size) map-side-combined rollup joined back on the
     group key (shuffle-parallel, keyed by group), the same pure md5 bucket

@@ -2833,6 +2833,7 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"p95d": 0.95},
         gate_rows=_PCTL_GATE,
         input_rows=n_input,
+        pre_materialized=True,  # proj is checkpointed above for the base agg
     )
     return base.join(F.broadcast(p95), "event_type", "left").select(
         "event_type",
@@ -2933,6 +2934,7 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"p50d": 0.50, "p90d": 0.90, "p99d": 0.99},
         gate_rows=_PCTL_GATE,
         input_rows=n_input,
+        pre_materialized=True,  # lat is checkpointed above for the base agg
     )
     return base.crossJoin(F.broadcast(pct)).select(
         "n_converted",

@@ -139,10 +139,12 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid (n_view/n_purchase per cell via conditional sums), ONE cumulative
 # window over the grid-bounded cell table (global, adjudicated — the
 # table is ≤ |grid| rows by the cents-grid precondition), a 1-row
-# reduction. U = Σ_v np(v)·(2·cum_view_before(v) + nv(v)) is pure int64:
-# exact while 2·n_view·n_purchase < 2⁶³ (~2×10⁹ rows per side — documented
-# magnitude contract; ANSI mode fails loudly beyond, subsample or shard
-# above it).
+# reduction. U = Σ_v np(v)·(2·cum_view_before(v) + nv(v)) is pure int64,
+# and the BINDING bound is the 10⁶·u_doubled multiply in auc_micro:
+# u_doubled ≤ 2·n_view·n_purchase, so the query is exact while
+# n_view·n_purchase < ~4.6×10¹² (~2×10⁶ rows per side balanced — documented
+# magnitude contract; ANSI mode fails loudly beyond, subsample per side or
+# compute the AUC from per-side hash samples above it).
 # Oracle: identical grid walk; DuckDB HUGEINT sums cast at the same
 # boundaries.
 # --------------------------------------------------------------------------
