@@ -298,3 +298,30 @@ def test_token_entropy_bounds(spark, toks):
     df = spark.createDataFrame([(1, " ".join(toks))], "doc_id: long, text: string")
     r = token_entropy(df).collect()[0]
     assert 0.0 <= r["entropy_nats"] <= round(math.log(max(r["n_distinct"], 1)), 4) + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=400
+    ),
+    data=st.data(),
+)
+def test_exact_ranks_multi_property(spark, vals, data):
+    """Round-9 engine property: for ANY integer multiset and ANY valid rank
+    set, the batched engine returns exactly the sorted-order statistics —
+    including duplicate ranks, extremes, and tie-heavy inputs — with knobs
+    forced small enough that refinement rounds and the batched finish both
+    execute."""
+    from universal_aws_data_pipeline_spark.operators.robust import exact_ranks_multi
+
+    s = sorted(vals)
+    n = len(s)
+    ranks = data.draw(
+        st.lists(st.integers(min_value=1, max_value=n), min_size=1, max_size=6)
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long").localCheckpoint()
+    got = exact_ranks_multi(
+        df, [(None, "v", r) for r in ranks], buckets=8, direct_cap=3
+    )
+    assert got == [s[r - 1] for r in ranks]
