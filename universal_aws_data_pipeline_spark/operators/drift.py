@@ -8,8 +8,10 @@ reference window and the current data, per group, over fixed value bins.
 Scale shape: histograms are one conditional/grouped aggregate over the fact
 scan; everything after (smoothing, log-ratios, the PSI sum) runs on the
 |groups|x|bins| cell table — tiny at any corpus size. The streaming monitor
-is a ``foreachBatch`` step: per micro-batch histogram, broadcast join against
-the static reference histogram, alert rows appended to a parquet log.
+is a ``foreachBatch`` step: per micro-batch histogram, UNION + one
+map-side-combined rollup against the static reference cells (zero-filling
+would need a full_outer join, which no broadcast strategy supports), alert
+rows appended to a parquet log.
 """
 
 from __future__ import annotations
