@@ -973,3 +973,69 @@ def test_streaming_js_drift_monitor_alerts(spark, tmp_path):
     # q-side: (1/3)ln(1/2) + (2/3)ln 2 = (1/3)ln 2, halved)
     closed = round(0.5 * math.log(1.5) + math.log(2) / 6, 4)
     assert abs(alerts[0]["js_nats"] - closed) <= 0.0002
+
+
+def test_streaming_ks_drift_monitor_alerts(spark, tmp_path):
+    """Round-9 third drift leg: per-micro-batch exact KS (floor-micro max
+    CDF gap) vs the SAME static reference histogram the PSI monitor uses.
+    Batch 1 replays the reference (no alert); batch 2 shifts all values
+    right by 300 (alert). The alert equals the hand-computed D over the
+    shared bins and respects the [0, 1e6] bound."""
+    import json
+
+    from universal_aws_data_pipeline_spark.operators.drift import (
+        ks_drift_monitor_batch_fn,
+        ks_from_cells,
+        value_histogram,
+    )
+
+    ref_rows = [
+        {"event_id": i, "event_type": "click", "value": float(v)}
+        for i, v in enumerate([10, 60, 110, 160, 210] * 8)
+    ]
+    ref_df = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["value"]) for r in ref_rows],
+        "event_id long, event_type string, value double",
+    )
+    ref_hist = value_histogram(ref_df, "event_type", "value")
+
+    d = tmp_path / "ks_in"
+    d.mkdir()
+    batches = [
+        [dict(r, event_id=1000 + i) for i, r in enumerate(ref_rows)],
+        [dict(r, event_id=2000 + i, value=r["value"] + 300.0) for i, r in enumerate(ref_rows)],
+    ]
+    for i, batch in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as fh:
+            for r in batch:
+                fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "ks_alerts")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1},
+        "event_id long, event_type string, value double",
+    )
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "foreach_batch",
+            "fn": ks_drift_monitor_batch_fn(ref_hist, out, threshold_micro=150_000),
+            "checkpoint": str(tmp_path / "ckpt_ks"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+
+    alerts = spark.read.parquet(out).collect()
+    assert len(alerts) == 1 and alerts[0]["event_type"] == "click"
+    assert 150_000 < alerts[0]["ks_micro"] <= 1_000_000
+    # hand-check: ref fills bins 0..4 with 8 each (CDF 0.2 steps); the +300
+    # shift puts all 40 in bins 6..9-ish clamped to <=9 -> at bin 4 the ref
+    # CDF is 1.0, the current CDF is 0.0 -> D = 1e6 exactly
+    assert alerts[0]["ks_micro"] == 1_000_000
+    # identical distributions -> D = 0 (batch-side twin of the monitor math)
+    cells = (
+        ref_hist.select("event_type", "bin", F.col("n").alias("n_ref"), F.col("n").alias("n_cur"))
+    )
+    assert ks_from_cells(cells, "event_type").collect()[0]["ks_micro"] == 0

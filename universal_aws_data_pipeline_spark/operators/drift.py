@@ -228,3 +228,102 @@ def js_drift_monitor_batch_fn(
         alerts.write.mode("append").parquet(out_path)
 
     return fn
+
+
+def ks_from_cells(cells: DataFrame, group_col: str, order_col: str = "bin") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance per group from a
+    (group, ordered-cell, n_ref, n_cur) table — the exact max CDF gap in
+    floor-micro units (the q208 device, re-based onto an explicit
+    reference): D_micro = max over cells of
+    |(10⁶·cumcur) div t_cur − (10⁶·cumref) div t_ref|. Distribution-free
+    (no smoothing, no bin-count sensitivity beyond the declared grid) and
+    bounded in [0, 10⁶], so one threshold is portable across groups.
+
+    Groups the current side never touched (t_cur = 0) are dropped (KS
+    against an empty sample is undefined, not drift — the
+    ``js_from_ref_cells`` convention). The cumulative window runs
+    PARTITIONED by group over the domain-bounded cell table. Integer
+    floor-div end to end; int64-exact while 10⁶·count < 2⁶³.
+
+    Returns (group_col, ks_micro, n_ref, n_cur).
+    """
+    from pyspark.sql.window import Window
+
+    tot = cells.groupBy(group_col).agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        group_col,
+        F.sum("n_ref").over(w).cast("long").alias("cr"),
+        F.sum("n_cur").over(w).cast("long").alias("cc"),
+    )
+    gap = F.abs(
+        F.expr("(1000000 * cc) div t_cur") - F.expr("(1000000 * cr) div t_ref")
+    )
+    return (
+        cum.join(tot, group_col)
+        .filter((F.col("t_cur") > 0) & (F.col("t_ref") > 0))
+        .groupBy(group_col, "t_ref", "t_cur")
+        .agg(F.max(gap).cast("long").alias("ks_micro"))
+        .select(
+            group_col,
+            "ks_micro",
+            F.col("t_ref").alias("n_ref"),
+            F.col("t_cur").alias("n_cur"),
+        )
+    )
+
+
+def ks_drift_monitor_batch_fn(
+    ref_hist: DataFrame,
+    out_path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bins: int = 10,
+    width: float = 50.0,
+    threshold_micro: int = 150_000,
+) -> Callable[[DataFrame, int], Any]:
+    """``foreachBatch`` KS-drift monitor — the third leg of the drift trio
+    (PSI: :func:`drift_monitor_batch_fn`, sensitive but unbounded and
+    smoothing-dependent; JS: :func:`js_drift_monitor_batch_fn`, bounded
+    categorical-mix; KS: this — bounded, distribution-free, answers "did
+    the VALUE distribution move" without choosing a divergence). Every
+    micro-batch's per-group value histogram (same fixed ``value_histogram``
+    edges as the PSI twin, so one reference serves both monitors) is
+    KS-compared against the static reference; alert rows (group, ks_micro,
+    n_ref, n_cur, batch_id) append to ``out_path`` when the exact
+    floor-micro D exceeds ``threshold_micro`` (150000 = CDFs 15 points
+    apart). Cell combine is the same union + map-side-combined rollup as
+    the siblings (full_outer takes no broadcast strategy); the KS window
+    runs over |groups × bins| cells only.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        cur = value_histogram(
+            batch_df, group_col, value_col, bins, width, count_col="n_cur"
+        )
+        zero = F.lit(0).cast("long")
+        cells = (
+            ref_hist.select(
+                group_col, "bin", F.col("n").cast("long").alias("n_ref"), zero.alias("n_cur")
+            )
+            .unionByName(
+                cur.select(group_col, "bin", zero.alias("n_ref"), F.col("n_cur").cast("long"))
+            )
+            .groupBy(group_col, "bin")
+            .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
+        )
+        alerts = (
+            ks_from_cells(cells, group_col)
+            .filter(F.col("ks_micro") > threshold_micro)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        alerts.write.mode("append").parquet(out_path)
+
+    return fn
