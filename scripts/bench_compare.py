@@ -4,11 +4,14 @@ series and flag regressions.
 Usage: python scripts/bench_compare.py [detail_json] [reference_json ...]
                                        [--retry retry_detail_json]
 
-With no explicit references, gates against BOTH (VERDICT r6, item 2):
+With no explicit references, gates against THREE series (VERDICT r6 item
+2; VERDICT r9 item 1):
 
-* ``r3_warm_reference.json`` — the historic common-62 anchor, and
+* ``r3_warm_reference.json`` — the historic common-62 anchor,
 * the LATEST ``rN_warm_reference.json`` — the previous round's committed
-  shipping-close series, which covers every query that existed then.
+  shipping-close series, which covers every query that existed then, and
+* the SECOND-latest ``rN_warm_reference.json`` — two rounds back, which
+  exists purely to carry the cumulative-drift gate below.
 
 The r3-only gate left 112 of 174 queries ungated and was structurally
 blind to diffuse session-drag (r6's +13-36% warm drift on untouched
@@ -27,7 +30,21 @@ the third). Pass ``--retry <second BENCH_detail.json>``: a query then only
 flags if it is over the bar in BOTH series — real regressions reproduce,
 hiccups don't. Without --retry the single-series behavior is unchanged.
 
-Exit code 1 when any query is flagged against any reference.
+CUMULATIVE-DRIFT GATE (round-10, VERDICT r9 item 1): rounds 8 and 9 each
+shipped a warm reference ~6-7% above the previous round's while their own
+quiet-pair evidence showed ~0% — diffuse session drag that no per-query
+ratio catches can compound silently toward the 2x baseline budget. The
+common-subset TOTAL is therefore gated against EVERY reference at +10%:
+a series whose common total exceeds 1.10x any reference total is flagged
+even when no individual query fires. With --retry, the drift must
+reproduce in both series (min of the two totals is compared, same
+philosophy as per-query reproduce-to-flag). The fix for a drift flag is
+operational, not code: re-run the close pair on a quiet machine, or
+adjudicate the drift in PERF.md with evidence it is real work (new
+queries are excluded automatically — only common queries are summed).
+
+Exit code 1 when any query — or the cumulative total — is flagged against
+any reference.
 """
 
 from __future__ import annotations
@@ -51,13 +68,19 @@ def default_refs() -> list[str]:
         m = re.match(r"r(\d+)_warm_reference\.json$", os.path.basename(p))
         if m and int(m.group(1)) != 3:
             rounds.append((int(m.group(1)), p))
-    if rounds:
-        refs.append(max(rounds)[1])
+    # the two most recent rounds: the latest carries the full-width
+    # per-query gate, the one before carries the cumulative-drift gate
+    # across a two-round window (VERDICT r9 item 1)
+    for _n, p in sorted(rounds)[-2:]:
+        refs.append(p)
     return refs
 
 
 def _slow(t: float, ref_t: float) -> bool:
     return t > 1.5 * ref_t and t - ref_t > 0.3
+
+
+_CUM_DRIFT = 0.10  # common-subset total may not exceed any reference by >10%
 
 
 def compare(
@@ -80,9 +103,11 @@ def compare(
             improved.append((name, ref_t, t))
 
     common = [n for n in ref if n in cur]
+    ref_total = sum(ref[n] for n in common)
+    cur_total = sum(cur[n] for n in common)
     print(f"[{os.path.basename(ref_path)}] compared {len(common)} queries")
-    print(f"  common-subset total: ref {sum(ref[n] for n in common):.1f}s "
-          f"-> now {sum(cur[n] for n in common):.1f}s")
+    print(f"  common-subset total: ref {ref_total:.1f}s -> now {cur_total:.1f}s "
+          f"({(cur_total / ref_total - 1) * 100:+.1f}%)")
     for name, a, b in improved:
         print(f"  improved  {name}: {a:.2f}s -> {b:.2f}s")
     for name, a, b, r in cleared:
@@ -92,7 +117,20 @@ def compare(
     if not flagged:
         print("  no regressions flagged (>1.5x and >0.3s"
               + (", reproduce-to-flag" if retry is not None else "") + ")")
-    return bool(flagged)
+    # cumulative-drift gate: diffuse session drag that no per-query ratio
+    # catches must not compound round over round (VERDICT r9 item 1). With
+    # --retry the drift must reproduce: the better (min) total is gated.
+    drift_total = cur_total
+    if retry is not None:
+        retry_total = sum(retry[n] for n in common if n in retry)
+        if all(n in retry for n in common):
+            drift_total = min(cur_total, retry_total)
+    drifted = ref_total > 0 and drift_total > (1.0 + _CUM_DRIFT) * ref_total
+    if drifted:
+        print(f"  CUMULATIVE DRIFT: common total {drift_total:.1f}s exceeds "
+              f"{(1.0 + _CUM_DRIFT):.2f}x ref {ref_total:.1f}s — re-run the "
+              f"close pair on a quiet machine or adjudicate in PERF.md")
+    return bool(flagged) or drifted
 
 
 def main() -> int:

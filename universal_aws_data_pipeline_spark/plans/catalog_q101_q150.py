@@ -2686,7 +2686,7 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.lit(2) * F.round(F.col("value") * 100)).cast("long").alias("c2"),
     )
-    n_input = e.count()  # metadata-cheap gate bound (|values| <= |rows|)
+    n_input = e.count()  # one cheap parallel count job gates the plan (|values| <= |rows|)
     med = percentile_cont_long(
         e.select("event_type", "c2"),
         "event_type",
@@ -2795,7 +2795,7 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % 37 == 0, F.col("ts") - F.expr("INTERVAL 6 HOUR")
         ).otherwise(F.col("ts")),
     )
-    n_input = e.count()  # metadata-cheap gate bound (|back_us| <= |rows|)
+    n_input = e.count()  # one cheap parallel count job gates the plan (|back_us| <= |rows|)
     w = Window.partitionBy("user_id").orderBy("event_id")
     o = e.select(
         "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
@@ -2900,7 +2900,7 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "events")
-    n_input = e.count()  # metadata-cheap gate bound (|latencies| <= |rows|)
+    n_input = e.count()  # one cheap parallel count job gates the plan (|latencies| <= |rows|)
     u = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(

@@ -174,6 +174,7 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((1000000 * u_doubled) // (2 * n_view * n_purchase) AS BIGINT)
              AS auc_micro
     FROM agg
+    WHERE n_view > 0 AND n_purchase > 0
     """,
     "Mann-Whitney rank-sum effect between view and purchase values on the declared cents grid: exact doubled-U and floor-micro AUC (P(view<purchase)+half-ties) from one grid-bounded histogram — the nonparametric complement of the q186 z-test (analytics family)",
 )
@@ -184,7 +185,10 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rank over raw rows: corpus volume touches a single conditional
     rollup to the cents grid; the walk and the 1-row reduction run on the
     grid-bounded table (adjudicated global window/exchange — sketch-sized
-    by the device precondition)."""
+    by the device precondition). A one-sided corpus (zero views or zero
+    purchases) makes the AUC divisor 0 — Spark's div yields NULL where
+    DuckDB's // raises, so BOTH sides filter the degenerate case to zero
+    rows (the gini_micro convention; round-9 ADVICE)."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     ).select(
@@ -211,13 +215,16 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u_doubled"),
     )
-    return agg.select(
-        "n_view",
-        "n_purchase",
-        "u_doubled",
-        F.expr("(1000000 * u_doubled) div (2 * n_view * n_purchase)")
-        .cast("long")
-        .alias("auc_micro"),
+    return (
+        agg.filter((F.col("n_view") > 0) & (F.col("n_purchase") > 0))
+        .select(
+            "n_view",
+            "n_purchase",
+            "u_doubled",
+            F.expr("(1000000 * u_doubled) div (2 * n_view * n_purchase)")
+            .cast("long")
+            .alias("auc_micro"),
+        )
     )
 
 

@@ -97,7 +97,12 @@ def lint_plan(df: DataFrame) -> list[LintFinding]:
             )
         )
 
-    if re.search(r"(?<![\w_])(?:percentile|percentile_disc|percentile_cont)\(", plan):
+    # `median` is matched directly, not just via Spark's current lowering of
+    # median() to percentile in the physical plan — a Spark version that
+    # prints `median(` must keep firing this rule (round-9 ADVICE).
+    if re.search(
+        r"(?<![\w_])(?:percentile|percentile_disc|percentile_cont|median)\(", plan
+    ):
         findings.append(
             LintFinding(
                 "exact-percentile-agg",
