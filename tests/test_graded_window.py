@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "a39abcf4cf6dfca70f0741f6bec4da87", (
+    assert h == "9469562c34aade5b46c479a7b266564d", (
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )

@@ -325,3 +325,45 @@ def test_exact_ranks_multi_property(spark, vals, data):
         df, [(None, "v", r) for r in ranks], buckets=8, direct_cap=3
     )
     assert got == [s[r - 1] for r in ranks]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-(2**40), max_value=2**40),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    data=st.data(),
+)
+def test_exact_ranks_grouped_property(spark, vals, data):
+    """Round-10 grouped-engine property: for ANY (group, integer) multiset
+    and ANY valid (group, rank) target set, the literal-map engine returns
+    exactly the per-group sorted-order statistics — duplicate ranks,
+    extremes, tie-heavy groups — with knobs forced small enough that
+    refinement rounds and the batched finish both execute."""
+    from universal_aws_data_pipeline_spark.operators.robust import exact_ranks_grouped
+
+    by_g: dict[str, list[int]] = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for g in by_g:
+        by_g[g].sort()
+    groups = sorted(by_g)
+    targets = data.draw(
+        st.lists(
+            st.sampled_from(groups).flatmap(
+                lambda g: st.tuples(
+                    st.just(g), st.integers(min_value=1, max_value=len(by_g[g]))
+                )
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    df = spark.createDataFrame(vals, "g string, v long").localCheckpoint()
+    got = exact_ranks_grouped(df, "g", "v", targets, buckets=8, direct_cap=3)
+    assert got == [by_g[g][r - 1] for g, r in targets]

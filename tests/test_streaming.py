@@ -1039,3 +1039,62 @@ def test_streaming_ks_drift_monitor_alerts(spark, tmp_path):
         ref_hist.select("event_type", "bin", F.col("n").alias("n_ref"), F.col("n").alias("n_cur"))
     )
     assert ks_from_cells(cells, "event_type").collect()[0]["ks_micro"] == 0
+
+
+def test_streaming_drift_trio_monitor_alerts_all_legs(spark, tmp_path):
+    """Round-10 combined monitor: ONE foreachBatch step emits PSI + JS + KS
+    per group per micro-batch off one shared histogram. Batch 1 replays the
+    reference (no alert row at all); batch 2 shifts values right by 300
+    (one alert row carrying all three leg metrics and their booleans)."""
+    import json
+
+    from universal_aws_data_pipeline_spark.operators.drift import (
+        drift_trio_monitor_batch_fn,
+        value_histogram,
+    )
+
+    ref_rows = [
+        {"event_id": i, "event_type": "click", "value": float(v)}
+        for i, v in enumerate([10, 60, 110, 160, 210] * 8)
+    ]
+    ref_df = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["value"]) for r in ref_rows],
+        "event_id long, event_type string, value double",
+    )
+    ref_hist = value_histogram(ref_df, "event_type", "value")
+
+    d = tmp_path / "trio_in"
+    d.mkdir()
+    batches = [
+        [dict(r, event_id=1000 + i) for i, r in enumerate(ref_rows)],
+        [dict(r, event_id=2000 + i, value=r["value"] + 300.0) for i, r in enumerate(ref_rows)],
+    ]
+    for i, batch in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as fh:
+            for r in batch:
+                fh.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "trio_alerts")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json", "max_files_per_trigger": 1},
+        "event_id long, event_type string, value double",
+    )
+    q = write_stream_sink(
+        stream,
+        {
+            "type": "foreach_batch",
+            "fn": drift_trio_monitor_batch_fn(ref_hist, out),
+            "checkpoint": str(tmp_path / "ckpt_trio"),
+            "trigger": {"availableNow": True},
+        },
+    )
+    q.awaitTermination(120)
+
+    alerts = spark.read.parquet(out).collect()
+    assert len(alerts) == 1 and alerts[0]["event_type"] == "click"
+    a = alerts[0]
+    assert a["psi_alert"] and a["js_alert"] and a["ks_alert"]
+    assert a["ks_micro"] == 1_000_000  # total CDF separation at the shift
+    assert 0.0 < a["js_nats"] <= 0.6932 and a["psi"] > 0.1
+    assert a["n_ref"] == 40 and a["n_cur"] == 40

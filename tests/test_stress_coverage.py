@@ -220,6 +220,8 @@ ADJUDICATED: dict[str, str] = {
     "q208_ks_type_drift": "bounded: one map-side-combined rollup to |types x cents-grid| cells; the CDF walk runs over that table with windows PARTITIONED by type. Device precondition (q196-style): the histogram is |distinct cents| per type, bounded by the declared 2-dp price grid (~5e4 cells at any sf), never by rows; 1e6-scaled sums int64-exact to ~9e12 rows (documented magnitude contract)",
     "q210_watermark_loss_curve": "catalyst: per-user running-max window (arrival order, the q27/q146 family — partition key scales with |users|) + ONE map-side-combinable conditional rollup to |types| wide rows, stack()-unpivoted to |types x 4 delays| cells (the corpus is never multiplied)",
     "q209_mann_whitney": "bounded: one conditional rollup to the shared cents grid, then a grid-bounded prefix walk + 1-row reduction (adjudicated global window/exchange — sketch-sized by the cents-grid precondition); int64-exact while n_view*n_purchase < ~4.6e12 (~2e6 rows/side balanced — the binding term is 1e6*u_doubled in auc_micro; documented magnitude contract, ANSI fails loudly beyond, subsample per side above)",
+    "q211_type_trend": "bounded: per-type pair space is |days|^2 — fixed by the CALENDAR, never by corpus volume (the q174 adjudication, x|types| domain-bounded groups); corpus size touches only the daily rollup, and ALL type medians come from ONE shared exact_ranks_grouped refinement loop (round-10 engine: literal-map rounds flat in |groups|, <=2*4096-row driver histograms per target per round, never a percentile aggregate's single-task value buffer)",
+    "q212_drift_trio_audit": "bounded: one conditional map-side-combined rollup to |types| x 10 fixed value bins (the corpus is scanned once; the calendar-midpoint scalar attaches as a broadcast 1-row agg, executed at plan-build into the checkpointed cell table); PSI/JS/KS all run on the |types|x10 cells — drift.py's stressed cell devices, batch-composed",
 }
 
 
@@ -299,3 +301,53 @@ def test_stress_tables_exist():
     assert len(stressed) >= 40, f"only {len(stressed)} stress rows parsed"
     # the round-6 tail specifically (VERDICT r5 item 2)
     assert {144, 146, 147, 148, 149, 150, 151, 152, 153} <= stressed
+
+
+def test_percentile_adjudications_cross_pinned():
+    """The lint and stress registries must tell the SAME story about every
+    exact-percentile use (round-10, VERDICT r9 item 3: the round-8 q145 bug
+    was a wrong exemption string surviving beside correct code, and the
+    adjudication now lives in two dicts that could drift apart).
+
+    Both directions: every query the lint sweep excuses under
+    ``exact-percentile-agg`` must carry a stress-coverage entry that names
+    the adjudicated device — either the size gate
+    (``percentile_cont_long``) or the lint rule itself next to its grid
+    bound — and every stress entry claiming the percentile device must be
+    lint-adjudicated, so neither registry can claim an adjudication the
+    other doesn't know about."""
+    from tests.test_plan_lint import _ADJUDICATED as LINT_ADJ
+
+    lint_set = LINT_ADJ["exact-percentile-agg"]
+    for name in sorted(lint_set):
+        assert name in ADJUDICATED, (
+            f"{name} is lint-adjudicated for exact-percentile-agg but has "
+            f"no stress-coverage entry naming the bound/device"
+        )
+        reason = ADJUDICATED[name]
+        assert "percentile_cont_long" in reason or "exact-percentile-agg" in reason, (
+            f"{name}: stress reason must name the adjudicated device — "
+            f"'percentile_cont_long' (size gate) or 'exact-percentile-agg' "
+            f"(grid bound next to the lint rule); got: {reason!r}"
+        )
+        if "percentile_cont_long" in reason:
+            assert reason.startswith("size-gated"), (
+                f"{name}: a percentile_cont_long adjudication is the "
+                f"size-gated class; got: {reason!r}"
+            )
+        else:
+            assert reason.startswith("bounded"), (
+                f"{name}: a grid-bound adjudication is the bounded class; "
+                f"got: {reason!r}"
+            )
+    claiming = {
+        n
+        for n, r in ADJUDICATED.items()
+        if "percentile_cont_long" in r or "exact-percentile-agg" in r
+    }
+    extra = claiming - lint_set
+    assert not extra, (
+        f"stress entries claim the exact-percentile adjudication but are "
+        f"not in tests/test_plan_lint.py::_ADJUDICATED['exact-percentile-agg']: "
+        f"{sorted(extra)}"
+    )

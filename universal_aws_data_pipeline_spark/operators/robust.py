@@ -36,66 +36,21 @@ def exact_rank_long(df: DataFrame, col: str, rank: int) -> int:
     """Value at 1-based ascending ``rank`` of integer column ``col`` —
     ``percentile_disc`` semantics without the single-task value buffer.
     The input plan is localCheckpoint()ed once so refinement rounds rescan
-    materialized rows, not the producing query."""
+    materialized rows, not the producing query.
+
+    Since round 10 this is the single-target spelling of
+    :func:`exact_ranks_multi` (VERDICT r9 item 7): the engine inherits the
+    same guards this function historically carried — the >int64-span
+    comparison-only mid split (round 6), and the tie-block resolution that
+    never sorts a heavily tied measure (the round-9 funnel fix: a width-1
+    range resolves immediately, and the direct finish is gated on
+    surviving-ROW count only, never span). ``_BUCKETS`` / ``_DIRECT_SORT_CAP``
+    are read at call time so tests (and operators) can force paths.
+    """
     d = df.select(F.col(col).alias("v")).localCheckpoint(eager=True)
-    stats = d.agg(
-        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).collect()[0]
-    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
-    if not 1 <= rank <= n:
-        raise ValueError(f"rank {rank} outside [1, {n}]")
-    below = 0  # values < lo, already accounted for
-    in_range = n  # values inside [lo, hi]
-    while True:
-        span = hi - lo + 1
-        if span > 2**63:
-            # `(v - lo)` would overflow int64 inside Spark (silent under
-            # non-ANSI mode — wrong buckets, wrong answer). Python span math
-            # is exact, so bisect once driver-side with comparisons only:
-            # one extra counting pass, and span drops to <= 2^63 (round-6
-            # ADVICE). mid stays inside [lo, hi], so it fits in int64.
-            mid = lo + (hi - lo) // 2
-            c_left = d.filter((F.col("v") >= lo) & (F.col("v") <= mid)).count()
-            if below + c_left >= rank:
-                hi, in_range = mid, c_left
-            else:
-                below, lo, in_range = below + c_left, mid + 1, in_range - c_left
-            continue
-        if lo == hi:
-            # a single surviving value: the rank is inside its tie block, so
-            # the answer IS that value — never sort the (possibly corpus-
-            # sized) tie block to learn what we already know
-            return lo
-        remaining = d.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-        if in_range <= _DIRECT_SORT_CAP:
-            k = rank - below
-            row = (
-                remaining.orderBy("v")
-                .limit(k)
-                .orderBy(F.col("v").desc())
-                .limit(1)
-                .collect()
-            )
-            return row[0]["v"]
-        # NOTE the exit above is gated on in_range ONLY, never on span: a
-        # small span with a huge surviving row set (a heavily tied measure —
-        # order counts, quantities) must refine by width-1 histogram, not by
-        # orderBy().limit(rank) whose TakeOrdered heap is rank-sized in the
-        # driver merge (round-9 fix of a latent funnel).
-        width = -(-span // _BUCKETS)  # ceil div: every value maps to a bucket
-        hist = (
-            remaining.groupBy(F.expr(f"(v - {lo}) div {width}").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy("b")
-            .collect()
-        )
-        cum = below
-        for r in hist:
-            if cum + r["c"] >= rank:
-                lo, hi = lo + r["b"] * width, min(hi, lo + (r["b"] + 1) * width - 1)
-                below, in_range = cum, r["c"]
-                break
-            cum += r["c"]
+    return exact_ranks_multi(
+        d, [(None, "v", rank)], buckets=_BUCKETS, direct_cap=_DIRECT_SORT_CAP
+    )[0]
 
 
 def theil_sen_micro(
@@ -121,6 +76,82 @@ def theil_sen_micro(
     n_pairs = n_points * (n_points - 1) // 2
     rank = (n_pairs + 1) // 2  # percentile_disc(0.5): value at ceil(n/2)
     return n_points, n_pairs, exact_rank_long(slopes, "s", rank)
+
+
+def theil_sen_micro_grouped(
+    daily: DataFrame,
+    group_col: str,
+    x_col: str = "d",
+    y_col: str = "cents",
+) -> DataFrame:
+    """Per-group Theil–Sen slope estimates: for every group, the exact
+    lower median of all pairwise integer slopes
+    ``floor(1e6 · dy / dx)`` over x-strictly-increasing pairs — the grouped
+    form of :func:`theil_sen_micro`, with ALL group medians selected in ONE
+    shared :func:`exact_ranks_grouped` refinement loop (round-10: the
+    sequential form would pay |groups| independent driver-synchronized
+    loops).
+
+    Returns a DataFrame (group_col, n_points, n_pairs, slope_micro); a
+    group with fewer than two points has no slopes and is absent from the
+    output. PRECONDITIONS: the pair stage is |points|² PER GROUP — bounded
+    by the calendar for day-indexed series, never by corpus volume;
+    |groups| is domain-bounded (the driver holds per-group targets); group
+    keys are non-null (raises otherwise — the equality self-join and the
+    engine's map lookup would silently drop them).
+    """
+    spark = daily.sparkSession
+    a = daily.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("xa"),
+        F.col(y_col).alias("ya"),
+    )
+    b = daily.select(
+        F.col(group_col).alias("_g2"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+    )
+    slopes = (
+        a.join(b, (F.col("_g") == F.col("_g2")) & (F.col("xa") < F.col("xb")))
+        .select(
+            F.col("_g").alias(group_col),
+            F.expr("(1000000 * (yb - ya)) div (xb - xa)").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grows = (
+        daily.groupBy(
+            F.col(group_col).alias("g"),
+            F.col(group_col).cast("string").alias("gs"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if any(r["g"] is None for r in grows):
+        raise ValueError(
+            "theil_sen_micro_grouped: NULL group key — the pair self-join "
+            f"and the selection engine would silently drop it; coalesce "
+            f"`{group_col}` first"
+        )
+    plan = sorted(
+        (r["gs"], r["g"], r["n"], r["n"] * (r["n"] - 1) // 2) for r in grows
+    )
+    targets = [(gs, (np + 1) // 2) for gs, _g, _n, np in plan if np > 0]
+    vals = exact_ranks_grouped(slopes, group_col, "s", targets)
+    got = dict(zip([t[0] for t in targets], vals))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gfield = [f for f in daily.schema.fields if f.name == group_col][0]
+    schema = StructType(
+        [gfield]
+        + [
+            StructField("n_points", LongType(), False),
+            StructField("n_pairs", LongType(), False),
+            StructField("slope_micro", LongType(), True),
+        ]
+    )
+    rows = [(g, n, np, got[gs]) for gs, g, n, np in plan if np > 0]
+    return spark.createDataFrame(rows, schema)
 
 
 def winsorized_mean_milli(
@@ -155,8 +186,9 @@ def winsorized_mean_milli(
     bounded price domain (q196: ~1e7 ceiling from quantity × retail
     price). For an unbounded continuous measure the per-group cumulative
     window becomes a single-task sort that scales with data — use
-    ``exact_rank_long`` per group instead when groups are few, or bucket
-    the measure first.
+    :func:`exact_ranks_grouped` (one shared literal-map refinement loop,
+    scan cost flat in |groups|; round 10) for the cutoff ranks instead, or
+    bucket the measure first.
     """
     from .sampling import quantile_cutoff_by_group
 
@@ -341,7 +373,7 @@ def exact_ranks_multi(
         ]
         if not active:
             break
-        entries, meta = [], {}
+        entries, meta, bexprs = [], {}, {}
         for i in active:
             s = state[i]
             _pred, vc, _rk = targets[i]
@@ -358,20 +390,34 @@ def exact_ranks_multi(
                 width = -(-span // buckets)
                 bexpr = F.expr(f"(`{vc}` - {s['lo']}L) div {width}L")
                 meta[i] = ("width", width)
+            bexprs[i] = bexpr.cast("long")
             entries.append(
                 F.when(
                     _cond(i),
-                    F.struct(
-                        F.lit(i).alias("t"), bexpr.cast("long").alias("b")
-                    ),
+                    F.struct(F.lit(i).alias("t"), bexprs[i].alias("b")),
                 )
             )
-        hist = (
-            d.select(F.explode(F.array_compact(F.array(*entries))).alias("e"))
-            .groupBy(F.col("e.t").alias("t"), F.col("e.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
+        if len(active) == 1:
+            # single-target round: a plain filtered histogram — the
+            # explode-tag spelling costs ~3x here (Generate + per-row array
+            # alloc on every scan row, measured on q174's 2.9M slopes:
+            # 2.5 s -> 7.5 s warm), and with one target there is nothing to
+            # batch. Same buckets, same walk.
+            i = active[0]
+            hist = [
+                {"t": i, "b": r["b"], "c": r["c"]}
+                for r in d.filter(_cond(i))
+                .groupBy(bexprs[i].alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            ]
+        else:
+            hist = (
+                d.select(F.explode(F.array_compact(F.array(*entries))).alias("e"))
+                .groupBy(F.col("e.t").alias("t"), F.col("e.b").alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
         by_t: dict[int, list[tuple[int, int]]] = {}
         for r in hist:
             by_t.setdefault(r["t"], []).append((r["b"], r["c"]))
@@ -396,7 +442,24 @@ def exact_ranks_multi(
                 cum += c
 
     pend = [i for i, s in enumerate(state) if s["val"] is None]
-    if pend:
+    if len(pend) == 1:
+        # single-target finish: TakeOrderedAndProject over the <= direct_cap
+        # surviving rows (parallel per-partition heaps, no exchange) instead
+        # of the tagged row_number window — the heap is k <= direct_cap
+        # sized, bounded by construction
+        i = pend[0]
+        vc = targets[i][1]
+        k = targets[i][2] - state[i]["below"]
+        row = (
+            d.filter(_cond(i))
+            .orderBy(vc)
+            .limit(k)
+            .orderBy(F.col(vc).desc())
+            .limit(1)
+            .collect()
+        )
+        state[i]["val"] = int(row[0][vc])
+    elif pend:
         sel = [
             F.when(
                 _cond(i),
@@ -427,6 +490,210 @@ def exact_ranks_multi(
     return [s["val"] for s in state]
 
 
+def exact_ranks_grouped(
+    d: DataFrame,
+    group_col: str,
+    value_col: str,
+    targets: list[tuple[str, int]],
+    buckets: int = _BUCKETS,
+    direct_cap: int = _DIRECT_SORT_CAP,
+) -> list[int]:
+    """Values at 1-based ascending ranks for many (group, rank) targets in
+    one shared refinement loop — the GROUPED form of
+    :func:`exact_ranks_multi` (round-10, VERDICT r9 item 2). The multi
+    engine spells per-group restriction as one equality predicate per
+    target, so every refinement scan evaluates O(|groups|·|ranks|)
+    CASE-WHEN entries per row; here the per-round target table is a
+    LITERAL MAP keyed by the group (constant-folded by Catalyst), each row
+    pays ONE hash lookup for its own group's targets plus O(ranks-per-
+    group) range checks, and scan cost is flat in |groups|.
+
+    Each target is ``(group_key, rank)`` where ``group_key`` is the STRING
+    form of the group (the engine compares against
+    ``CAST(group_col AS STRING)`` — callers pass keys collected through the
+    same cast; string and integral group columns round-trip exactly). The
+    rank is taken over ``value_col`` (an INTEGER column) restricted to the
+    group's rows — ``percentile_disc`` semantics per target. NULL group
+    keys are the caller's problem by contract (a map lookup on NULL yields
+    NULL and the row would silently vanish): callers coalesce or raise
+    first (see :func:`percentile_cont_long`).
+
+    Per round, each row looks up its group's active targets, keeps those
+    whose surviving [lo, hi] range it falls in, and emits (target,
+    bucket-key) entries where bucket-key is ``(v−lo) − ((v−lo) % width)``
+    — the bucket's OFFSET from lo rather than its index, so the hot path
+    needs no integer division (a lambda-variable divisor has no ``div``
+    spelling, and float division is not exact at int64 scale; the offset
+    is the same partition of the range, walked in the same order).
+    ``explode`` + one map-side-combinable count agg gives every active
+    target's histogram in a single scan; the driver walks each histogram
+    independently. Driver state is ``<= 2·buckets × |targets|`` rows per
+    round; convergence, tie handling (width-1 ranges resolve without a
+    sort), the >int64-span comparison-only mid split, and the batched
+    direct finish all mirror :func:`exact_ranks_multi`.
+
+    ``d`` is rescanned once per round — callers pass a cheap-to-rescan
+    plan (localCheckpoint the projection first).
+    """
+    if not targets:
+        return []
+    gk = F.col(group_col).cast("string")
+    v = F.col(value_col).cast("long")
+    stats = {
+        r["g"]: (r["n"], r["lo"], r["hi"])
+        for r in d.groupBy(gk.alias("g"))
+        .agg(
+            F.count(value_col).alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+        .collect()
+    }
+    state: list[dict] = []
+    for i, (g, rk) in enumerate(targets):
+        n, lo, hi = stats.get(g, (0, None, None))
+        if not 1 <= rk <= n:
+            raise ValueError(f"target {i} (group {g!r}): rank {rk} outside [1, {n}]")
+        state.append(
+            {"lo": int(lo), "hi": int(hi), "below": 0, "in": n, "val": None}
+        )
+
+    def _target_map(idxs: list[int], payload) -> "F.Column":
+        """Literal map group-string -> array<struct> over ``idxs``;
+        ``payload(i)`` returns the per-target struct column."""
+        by_g: dict[str, list[int]] = {}
+        for i in idxs:
+            by_g.setdefault(targets[i][0], []).append(i)
+        kv = []
+        for g, ids in by_g.items():
+            kv.append(F.lit(g))
+            kv.append(F.array(*[payload(i) for i in ids]))
+        return F.create_map(*kv)
+
+    while True:
+        for s in state:
+            if s["val"] is None and s["lo"] == s["hi"]:
+                s["val"] = s["lo"]
+        active = [
+            i
+            for i, s in enumerate(state)
+            if s["val"] is None and s["in"] > direct_cap
+        ]
+        if not active:
+            break
+        meta: dict[int, tuple[str, int]] = {}
+
+        def _round_struct(i: int) -> "F.Column":
+            s = state[i]
+            span = s["hi"] - s["lo"] + 1
+            if span > 2**63:
+                # (v - lo) would overflow int64 inside Spark; bisect with
+                # comparisons only (driver span math is exact Python int)
+                mid = s["lo"] + (s["hi"] - s["lo"]) // 2
+                meta[i] = ("mid", mid)
+                w, m = 0, mid
+            else:
+                width = -(-span // buckets)
+                meta[i] = ("width", width)
+                w, m = width, 0
+            return F.struct(
+                F.lit(i).cast("long").alias("t"),
+                F.lit(s["lo"]).cast("long").alias("lo"),
+                F.lit(s["hi"]).cast("long").alias("hi"),
+                F.lit(w).cast("long").alias("w"),
+                F.lit(m).cast("long").alias("m"),
+            )
+
+        tm = _target_map(active, _round_struct)
+        matched = F.filter(
+            F.try_element_at(tm, gk), lambda x: (v >= x["lo"]) & (v <= x["hi"])
+        )
+        ent = F.transform(
+            matched,
+            lambda x: F.struct(
+                x["t"].alias("t"),
+                F.when(
+                    x["w"] == F.lit(0),
+                    F.when(v <= x["m"], F.lit(0).cast("long")).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                )
+                .otherwise((v - x["lo"]) - ((v - x["lo"]) % x["w"]))
+                .alias("b"),
+            ),
+        )
+        hist = (
+            d.select(F.explode(ent).alias("e"))
+            .groupBy(F.col("e.t").alias("t"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_t: dict[int, list[tuple[int, int]]] = {}
+        for r in hist:
+            by_t.setdefault(r["t"], []).append((r["b"], r["c"]))
+        for i in active:
+            s = state[i]
+            rk = targets[i][1]
+            kind, parm = meta[i]
+            cum = s["below"]
+            for b, c in sorted(by_t.get(i, [])):
+                if cum + c >= rk:
+                    if kind == "mid":
+                        if b == 0:
+                            s["hi"] = parm
+                        else:
+                            s["lo"] = parm + 1
+                    else:
+                        # b is the bucket's offset from lo (a multiple of
+                        # the width), not its index
+                        new_lo = s["lo"] + b
+                        s["hi"] = min(s["hi"], new_lo + parm - 1)
+                        s["lo"] = new_lo
+                    s["below"], s["in"] = cum, c
+                    break
+                cum += c
+
+    pend = [i for i, s in enumerate(state) if s["val"] is None]
+    if pend:
+        tm = _target_map(
+            pend,
+            lambda i: F.struct(
+                F.lit(i).cast("long").alias("t"),
+                F.lit(state[i]["lo"]).cast("long").alias("lo"),
+                F.lit(state[i]["hi"]).cast("long").alias("hi"),
+                F.lit(0).cast("long").alias("w"),
+                F.lit(0).cast("long").alias("m"),
+            ),
+        )
+        matched = F.filter(
+            F.try_element_at(tm, gk), lambda x: (v >= x["lo"]) & (v <= x["hi"])
+        )
+        ent = F.transform(
+            matched, lambda x: F.struct(x["t"].alias("t"), v.alias("v"))
+        )
+        want = F.create_map(
+            *[
+                x
+                for i in pend
+                for x in (
+                    F.lit(i).cast("long"),
+                    F.lit(targets[i][1] - state[i]["below"]),
+                )
+            ]
+        )
+        w = Window.partitionBy("t").orderBy("v")
+        picked = (
+            d.select(F.explode(ent).alias("e"))
+            .select("e.t", "e.v")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.element_at(want, F.col("t")))
+            .collect()
+        )
+        for r in picked:
+            state[r["t"]]["val"] = int(r["v"])
+    return [s["val"] for s in state]
+
+
 def percentile_cont_long(
     d: DataFrame,
     group_col: str | None,
@@ -445,8 +712,10 @@ def percentile_cont_long(
     * at or under ``gate_rows`` input rows, the plain ``percentile``
       aggregate runs — its final-merge value→count map is then bounded by
       the gate, and the plan is the cheap single-exchange one.
-    * above the gate, ranks come from :func:`exact_ranks_multi` (bounded
-      driver state, no single-task value buffer): per group, the two order
+    * above the gate, ranks come from :func:`exact_ranks_grouped` (one
+      literal-map round per refinement step — scan cost flat in |groups|;
+      the global case uses :func:`exact_ranks_multi`), with bounded driver
+      state and no single-task value buffer: per group, the two order
       statistics flanking each position ``p·(n−1)`` are selected and the
       driver interpolates with Spark's exact weighted form
       ``(hi−pos)·v_lo + (pos−lo)·v_hi`` — bit-identical to the aggregate
@@ -459,8 +728,13 @@ def percentile_cont_long(
     per-group target list — event types, languages, flags; for per-entity
     percentiles where |groups| scales with the corpus, use the
     grid-bounded histogram device ``sampling.quantile_cutoff_by_group``),
-    and group keys are non-null on the large path (an equality predicate
-    against a NULL key never matches — coalesce a nullable group first).
+    group keys are non-null on the large path — ENFORCED, not just
+    documented: a NULL group key raises ValueError there, because the
+    under-gate aggregate keeps NULL as a group while the grouped engine's
+    map lookup would silently drop it, so the gate would otherwise change
+    the ANSWER for nullable group columns (round-9 ADVICE) — and group
+    keys round-trip through CAST(… AS STRING) exactly (string/integral
+    columns do; re-key exotic group types first).
     ``input_rows``, when given, gates without a count job (callers pass a
     cheap upper bound, e.g. a parquet metadata row count); the large path
     localCheckpoints the null-filtered projection and rescans only that —
@@ -490,12 +764,26 @@ def percentile_cont_long(
     if not pre_materialized:
         dd = dd.localCheckpoint(eager=True)
     if group_col is not None:
-        counts = {
-            r["g"]: r["n"]
-            for r in dd.groupBy(F.col(group_col).alias("g"))
+        # collect the group's original value AND its string form: the
+        # grouped engine keys its literal map by CAST(group AS STRING),
+        # the output keeps the original type
+        grows = (
+            dd.groupBy(
+                F.col(group_col).alias("g"),
+                F.col(group_col).cast("string").alias("gs"),
+            )
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        }
+        )
+        if any(r["g"] is None for r in grows):
+            raise ValueError(
+                "percentile_cont_long: NULL group key on the large path — "
+                "the under-gate aggregate keeps NULL as a group but the "
+                "grouped selection engine would silently drop it; coalesce "
+                f"`{group_col}` to a sentinel first"
+            )
+        counts = {r["g"]: r["n"] for r in grows}
+        gstr = {r["g"]: r["gs"] for r in grows}
     else:
         counts = {None: dd.count()}
     plan: list[tuple] = []  # (group, name, pos, lo_rank, hi_rank)
@@ -510,17 +798,12 @@ def percentile_cont_long(
             need[(g, lo + 1)] = None
             need[(g, hi + 1)] = None
     keys = list(need)
-    vals = exact_ranks_multi(
-        dd,
-        [
-            (
-                (F.col(group_col) == F.lit(g)) if group_col is not None else None,
-                value_col,
-                rk,
-            )
-            for g, rk in keys
-        ],
-    )
+    if group_col is not None:
+        vals = exact_ranks_grouped(
+            dd, group_col, value_col, [(gstr[g], rk) for g, rk in keys]
+        )
+    else:
+        vals = exact_ranks_multi(dd, [(None, value_col, rk) for _g, rk in keys])
     got = dict(zip(keys, vals))
     by_group: dict = {}
     for g, nm, pos, lo_rk, hi_rk in plan:

@@ -51,6 +51,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q185_q194  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q196_q203  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q204_q207  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q208_q210  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q211_q212  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -301,6 +302,8 @@ _EXPECTED_ORDER: list[str] = [
     "q208_ks_type_drift",
     "q209_mann_whitney",
     "q210_watermark_loss_curve",
+    "q211_type_trend",
+    "q212_drift_trio_audit",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]
