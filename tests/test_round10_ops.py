@@ -169,6 +169,23 @@ def test_exact_ranks_grouped_matches_brute_force(spark):
     assert got2 == got
 
 
+def test_exact_ranks_grouped_accepts_precomputed_stats(spark):
+    """Callers that already grouped-scan for counts fold min/max into that
+    pass and hand the engine its stats — one grouped scan on the large
+    path, identical answers."""
+    from universal_aws_data_pipeline_spark.operators.robust import exact_ranks_grouped
+
+    rows = [("a", v) for v in (5, -3, 9, 9, 0)] + [("b", v) for v in (100, 42)]
+    df = spark.createDataFrame(rows, "g string, v long").localCheckpoint()
+    targets = [("a", 1), ("a", 3), ("a", 5), ("b", 2)]
+    want = exact_ranks_grouped(df, "g", "v", targets, buckets=4, direct_cap=1)
+    stats = {"a": (5, -3, 9), "b": (2, 42, 100)}
+    got = exact_ranks_grouped(
+        df, "g", "v", targets, buckets=4, direct_cap=1, stats=stats
+    )
+    assert got == want == [-3, 5, 9, 100]
+
+
 def test_exact_ranks_grouped_integral_group_column(spark):
     """Integral group columns round-trip through the CAST(… AS STRING) map
     key exactly."""

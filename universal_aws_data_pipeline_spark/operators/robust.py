@@ -497,6 +497,7 @@ def exact_ranks_grouped(
     targets: list[tuple[str, int]],
     buckets: int = _BUCKETS,
     direct_cap: int = _DIRECT_SORT_CAP,
+    stats: "dict[str, tuple[int, int, int]] | None" = None,
 ) -> list[int]:
     """Values at 1-based ascending ranks for many (group, rank) targets in
     one shared refinement loop — the GROUPED form of
@@ -533,22 +534,28 @@ def exact_ranks_grouped(
     direct finish all mirror :func:`exact_ranks_multi`.
 
     ``d`` is rescanned once per round — callers pass a cheap-to-rescan
-    plan (localCheckpoint the projection first).
+    plan (localCheckpoint the projection first). ``stats``, when given,
+    maps the group STRING key to (n_non_null, min, max) of ``value_col``
+    for that group and skips the engine's own stats scan — callers that
+    already ran a grouped count to build ranks fold min/max into that same
+    aggregate and save one full pass (the values must come from the same
+    CAST(group AS STRING) grouping over the same null-filtered frame).
     """
     if not targets:
         return []
     gk = F.col(group_col).cast("string")
     v = F.col(value_col).cast("long")
-    stats = {
-        r["g"]: (r["n"], r["lo"], r["hi"])
-        for r in d.groupBy(gk.alias("g"))
-        .agg(
-            F.count(value_col).alias("n"),
-            F.min(v).alias("lo"),
-            F.max(v).alias("hi"),
-        )
-        .collect()
-    }
+    if stats is None:
+        stats = {
+            r["g"]: (r["n"], r["lo"], r["hi"])
+            for r in d.groupBy(gk.alias("g"))
+            .agg(
+                F.count(value_col).alias("n"),
+                F.min(v).alias("lo"),
+                F.max(v).alias("hi"),
+            )
+            .collect()
+        }
     state: list[dict] = []
     for i, (g, rk) in enumerate(targets):
         n, lo, hi = stats.get(g, (0, None, None))
@@ -767,12 +774,19 @@ def percentile_cont_long(
         # collect the group's original value AND its string form: the
         # grouped engine keys its literal map by CAST(group AS STRING),
         # the output keeps the original type
+        # counts AND value min/max in the SAME grouped pass: the counts
+        # build the per-group ranks, the min/max seed the engine's state,
+        # so the large path pays one grouped scan, not two (round-10)
         grows = (
             dd.groupBy(
                 F.col(group_col).alias("g"),
                 F.col(group_col).cast("string").alias("gs"),
             )
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.col(value_col).cast("long")).alias("lo"),
+                F.max(F.col(value_col).cast("long")).alias("hi"),
+            )
             .collect()
         )
         if any(r["g"] is None for r in grows):
@@ -800,7 +814,11 @@ def percentile_cont_long(
     keys = list(need)
     if group_col is not None:
         vals = exact_ranks_grouped(
-            dd, group_col, value_col, [(gstr[g], rk) for g, rk in keys]
+            dd,
+            group_col,
+            value_col,
+            [(gstr[g], rk) for g, rk in keys],
+            stats={r["gs"]: (r["n"], r["lo"], r["hi"]) for r in grows},
         )
     else:
         vals = exact_ranks_multi(dd, [(None, value_col, rk) for _g, rk in keys])
