@@ -221,6 +221,10 @@ _ADJUDICATED = {
         # q209: the prefix walk + 1-row U reduction over the cents-grid
         # histogram — sketch-sized by the device precondition
         "q209_mann_whitney",
+        # q216: rank + running-sum window over the |vocab|-row word-
+        # frequency table — language-bounded (the q159 sketch-sized window
+        # class); the corpus is only touched by the word-frequency rollup
+        "q216_vocab_coverage",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

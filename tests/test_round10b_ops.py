@@ -1,0 +1,188 @@
+"""Round-10 continuation tests: the privacy family (seeded-DP release,
+k-anonymity audit), tokenizer-training statistics (BPE pair mining, vocab
+coverage), and the streaming weighted-reservoir maintainer."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.privacy import (
+    dp_group_counts,
+    k_anonymity_audit,
+)
+from universal_aws_data_pipeline_spark.operators.tokenizer import (
+    bpe_pair_counts,
+    vocab_coverage,
+)
+
+
+def _py_laplace(key: str, salt: str, scale: float) -> float:
+    """Independent Python re-derivation of the md5 inverse-CDF noise."""
+    v = int(hashlib.md5(f"dp:{salt}:{key}".encode()).hexdigest()[:8], 16)
+    u = (v + 0.5) / float(1 << 32)
+    d = u - 0.5
+    return -scale * math.copysign(1.0, d) * math.log(1.0 - 2.0 * abs(d))
+
+
+# --------------------------------------------------------------------------
+# dp_group_counts
+# --------------------------------------------------------------------------
+
+
+def test_dp_counts_bounding_and_noise_match_hand_math(spark):
+    # user 1 has 10 rows in group 'a' (capped to 2), user 2 has 1 row in
+    # 'a' and 3 in 'b' (capped to 2): bounded counts a=3, b=2.
+    rows = [("a", 1)] * 10 + [("a", 2)] + [("b", 2)] * 3
+    df = spark.createDataFrame(rows, ["g", "u"])
+    out = {
+        r["g"]: r["noisy_count"]
+        for r in dp_group_counts(
+            df, ["g"], "u", epsilon=1.0, cap=2, salt="t", release_threshold=-1e9
+        ).collect()
+    }
+    for g, bounded in [("a", 3), ("b", 2)]:
+        expected = bounded + _py_laplace(g, "t", 2.0 / 1.0)
+        assert abs(out[g] - expected) <= 5e-5, (g, out[g], expected)
+
+
+def test_dp_counts_deterministic_per_salt_and_fresh_across_salts(spark):
+    df = spark.createDataFrame([("a", i) for i in range(20)], ["g", "u"])
+    one = dp_group_counts(df, ["g"], "u", 1.0, 1, "s1", -1e9).collect()[0]["noisy_count"]
+    two = dp_group_counts(df, ["g"], "u", 1.0, 1, "s1", -1e9).collect()[0]["noisy_count"]
+    other = dp_group_counts(df, ["g"], "u", 1.0, 1, "s2", -1e9).collect()[0]["noisy_count"]
+    assert one == two  # same salt -> bit-identical release
+    assert one != other  # fresh salt -> fresh draw
+
+
+def test_dp_counts_threshold_suppresses_and_drops_raw_count(spark):
+    df = spark.createDataFrame(
+        [("big", i) for i in range(50)] + [("small", 0)], ["g", "u"]
+    )
+    out = dp_group_counts(df, ["g"], "u", 1.0, 1, "t", release_threshold=25.0)
+    assert out.columns == ["g", "noisy_count"]  # raw count never released
+    rows = out.collect()
+    assert [r["g"] for r in rows] == ["big"]  # small (1 + noise) suppressed
+
+
+def test_dp_counts_parameter_validation(spark):
+    df = spark.createDataFrame([("a", 1)], ["g", "u"])
+    with pytest.raises(ValueError, match="cap"):
+        dp_group_counts(df, ["g"], "u", 1.0, 0, "t")
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_group_counts(df, ["g"], "u", 0.0, 1, "t")
+
+
+# --------------------------------------------------------------------------
+# k_anonymity_audit
+# --------------------------------------------------------------------------
+
+
+def test_k_anonymity_bands_and_homogeneity(spark):
+    # class (1,1): 6 rows, 2 sensitive values -> anonymous, diverse
+    # class (2,2): 3 rows, 1 sensitive value  -> below_k, homogeneous
+    # class (3,3): 1 row                      -> unique, homogeneous
+    rows = (
+        [(1, 1, "x")] * 4
+        + [(1, 1, "y")] * 2
+        + [(2, 2, "x")] * 3
+        + [(3, 3, "y")]
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "s"])
+    out = {
+        r["risk_band"]: r
+        for r in k_anonymity_audit(df, ["q1", "q2"], "s", k=5).collect()
+    }
+    assert out["anonymous"]["n_classes"] == 1
+    assert out["anonymous"]["n_rows"] == 6
+    assert out["anonymous"]["homogeneous_classes"] == 0
+    assert out["below_k"]["n_rows"] == 3
+    assert out["below_k"]["homogeneous_classes"] == 1
+    assert out["unique"]["n_classes"] == 1
+    assert out["unique"]["min_size"] == 1 and out["unique"]["max_size"] == 1
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_audit(df, ["q1"], "s", k=1)
+
+
+# --------------------------------------------------------------------------
+# tokenizer statistics
+# --------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_weights_and_positions(spark):
+    # 'ab' x2 + 'ba' x1 + 'aaa' x1; single-char word 'a' contributes none.
+    df = spark.createDataFrame(
+        [("ab ab ba aaa a",)], ["text"]
+    )
+    out = {r["pair"]: (r["pair_count"], r["n_words"]) for r in bpe_pair_counts(df).collect()}
+    # 'aa' occurs at TWO positions inside 'aaa' (BPE counts positions)
+    assert out["aa"] == (2, 1)
+    assert out["ab"] == (2, 1)
+    assert out["ba"] == (1, 1)
+    assert set(out) == {"aa", "ab", "ba"}
+
+
+def test_vocab_coverage_curve_and_clamp(spark):
+    df = spark.createDataFrame([("a a a b b c",)], ["text"])
+    out = {r["vocab_budget"]: r for r in vocab_coverage(df, [1, 2, 8]).collect()}
+    assert out[1]["tokens_covered"] == 3 and out[1]["coverage"] == 0.5
+    assert out[2]["tokens_covered"] == 5 and out[2]["coverage"] == 0.8333
+    # budget beyond the vocabulary clamps to full coverage, row kept
+    assert out[8]["tokens_covered"] == 6 and out[8]["coverage"] == 1.0
+    assert out[8]["n_types"] == 3 and out[8]["total_tokens"] == 6
+    with pytest.raises(ValueError, match="budgets"):
+        vocab_coverage(df, [])
+    with pytest.raises(ValueError, match="budgets"):
+        vocab_coverage(df, [0, 4])
+
+
+def test_vocab_coverage_tie_break_is_total_order(spark):
+    # b and c tie at 2 occurrences: rank order must be (a, b, c) by
+    # (count desc, word asc) on any engine/layout
+    df = spark.createDataFrame([("a a a b b c c",)], ["text"])
+    out = {r["vocab_budget"]: r["tokens_covered"] for r in vocab_coverage(df, [2]).collect()}
+    assert out[2] == 5  # a(3) + b(2), never a(3) + c(2) ambiguity
+
+
+# --------------------------------------------------------------------------
+# weighted reservoir maintainer
+# --------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_stream_fn_matches_batch_topk(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        weighted_reservoir_stream_fn,
+        weighted_sample_topk,
+    )
+
+    b1 = spark.createDataFrame([(i, float(1 + i % 7)) for i in range(40)], ["doc_id", "w"])
+    b2 = spark.createDataFrame([(i, float(1 + i % 7)) for i in range(40, 90)], ["doc_id", "w"])
+    state = str(tmp_path / "res")
+    fn = weighted_reservoir_stream_fn(state, "w", k=10, key_col="doc_id")
+    fn(b1, 0)
+    fn(b2, 1)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{state}/sample").collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in weighted_sample_topk(b1.unionByName(b2), "w", 10, "doc_id").collect()
+    )
+    # merge-associativity: streaming top-k over batches == batch top-k over all
+    assert got == want
+
+    # replayed batch is a committed no-op
+    fn(b2, 1)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(f"{state}/sample").collect())
+    assert again == got
+
+
+def test_weighted_reservoir_k_validation():
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        weighted_reservoir_stream_fn,
+    )
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_reservoir_stream_fn("/tmp/x", "w", k=0)

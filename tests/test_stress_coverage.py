@@ -222,6 +222,10 @@ ADJUDICATED: dict[str, str] = {
     "q209_mann_whitney": "bounded: one conditional rollup to the shared cents grid, then a grid-bounded prefix walk + 1-row reduction (adjudicated global window/exchange — sketch-sized by the cents-grid precondition); int64-exact while n_view*n_purchase < ~4.6e12 (~2e6 rows/side balanced — the binding term is 1e6*u_doubled in auc_micro; documented magnitude contract, ANSI fails loudly beyond, subsample per side above)",
     "q211_type_trend": "bounded: per-type pair space is |days|^2 — fixed by the CALENDAR, never by corpus volume (the q174 adjudication, x|types| domain-bounded groups); corpus size touches only the daily rollup, and ALL type medians come from ONE shared exact_ranks_grouped refinement loop (round-10 engine: literal-map rounds flat in |groups|, <=2*4096-row driver histograms per target per round, never a percentile aggregate's single-task value buffer)",
     "q212_drift_trio_audit": "bounded: one conditional map-side-combined rollup to |types| x 10 fixed value bins (the corpus is scanned once; the calendar-midpoint scalar attaches as a broadcast 1-row agg, executed at plan-build into the checkpointed cell table); PSI/JS/KS all run on the |types|x10 cells — drift.py's stressed cell devices, batch-composed",
+    "q213_dp_event_release": "catalyst: one (user, type, week) hash agg — the only pass that sees corpus volume, map-side combinable, parallelism scales with |users x cells| — then a rollup to the |types x weeks| calendar-bounded cell domain; the Laplace noise is one scalar md5 expression per CELL (never per row), and the release filter runs on the |cells| table",
+    "q214_k_anonymity_audit": "catalyst: hash agg keyed by the quasi columns (equivalence classes scale with the dimension table — shuffle-parallel; the exact count_distinct is a second map-side-combinable pass fused by Catalyst), then a <=3-row risk-band rollup",
+    "q215_bpe_merge_pairs": "bounded: the corpus is scanned once into the |vocab| word-frequency table (a LANGUAGE-bounded domain, not a data-volume one — the q140/q93 vocabulary adjudication); the 2-gram explode is Sigma(len-1) per DISTINCT word over that table, and the top-40 is TakeOrderedAndProject",
+    "q216_vocab_coverage": "bounded: rank + running-sum window single-partition BY DESIGN over the |vocab|-row word-frequency table (language-bounded — the q159/q209 sketch-sized window class; lint single-partition-exchange entry), plus a |budgets|-row broadcast equi-join; corpus volume touches only the word-frequency rollup",
 }
 
 

@@ -1,0 +1,166 @@
+"""Privacy-preserving release and re-identification audit operators.
+
+Reference parity: none — the reference pipeline
+(`/root/reference/src/glue/transformation/transform_data.py`) has no
+privacy surface; these are LLM-training-data extensions (the SURVEY §2.11
+family). A 100 TB corpus of user events cannot ship aggregate statistics
+without a stated noise guarantee, and a table of person attributes cannot
+be cleared for joining/release without a quasi-identifier audit. Both
+operators here are pure DataFrame aggregates — built-ins only, no UDFs,
+no driver collect, output bounded by the group/class domain.
+
+Determinism contract: the Laplace noise is NOT an RNG draw — it is the
+inverse-CDF transform of an md5-derived uniform keyed on (salt, group
+key), the same engine-portable device as ``operators/sampling.hash_bucket``
+(md5 hex is identical on every engine; Spark/DuckDB native hashes are
+not). Same group + same salt → the same noise on any engine, any
+partition layout, any rerun — releases are reproducible, auditable, and
+oracle-checkable. Different salt → a fresh, independent draw. This is the
+standard seeded-DP operational trade: the ε guarantee holds against
+adversaries who do not know the salt, so the salt is handled as a secret
+(it parameterizes the release; it is never part of the output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 md5 hex nibbles → 32 bits of uniform resolution. Plenty for noise
+# shaping (the tail |noise| caps at scale·ln(2^32) ≈ 22.18·scale) while
+# keeping the DuckDB twin (_hex_int_sql(·, 8)) an 8-term strpos sum.
+_U_RES = 1 << 32
+
+
+def md5_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1): the first 8 md5 hex nibbles of
+    ``salt || key`` as an integer v ∈ [0, 2^32), then ``(v + 0.5) / 2^32``.
+    The +0.5 keeps u strictly inside the open interval so inverse-CDF
+    transforms stay finite. v is exactly representable in a double and the
+    divisor is a power of two, so u is BIT-IDENTICAL on every engine —
+    only downstream libm calls (ln) can differ, and only in the last ulp
+    (the repo-wide round(4) contract absorbs that)."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return (v.cast("double") + F.lit(0.5)) / F.lit(float(_U_RES))
+
+
+def laplace_noise(u: Column, scale: float) -> Column:
+    """Laplace(0, scale) noise from a uniform u ∈ (0, 1) via the inverse
+    CDF: ``-scale · sign(u − ½) · ln(1 − 2|u − ½|)``. With u from
+    :func:`md5_uniform` the draw is deterministic per key and bounded
+    (|noise| ≤ scale·ln(2^32)) — no infinities at the interval edges."""
+    d = u - F.lit(0.5)
+    return -F.lit(float(scale)) * F.signum(d) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(d))
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    user_col: str,
+    epsilon: float,
+    cap: int,
+    salt: str,
+    release_threshold: float = 0.0,
+) -> DataFrame:
+    """ε-DP noisy group counts with per-user contribution bounding.
+
+    Mechanism (the standard bounded-contribution Laplace release):
+
+    1. **Contribution bounding** — each user's rows within a group are
+       capped at ``cap`` (``least(count, cap)``), so adding or removing
+       one user's contribution to a group changes that group's bounded
+       count by at most ``cap``. That is the sensitivity.
+    2. **Laplace noise** — each group's bounded count gets
+       Laplace(cap / ε) noise, giving ε-DP per group under add/remove of
+       one user's contribution to that group. (A user active in g groups
+       is covered at g·ε by sequential composition — state the guarantee
+       you need and size ε accordingly; this function does not divide ε.)
+    3. **Release threshold** — groups whose NOISY count falls below
+       ``release_threshold`` are suppressed. The filter reads only the
+       noisy value, so suppression leaks nothing beyond the release
+       itself (the thresholded-release pattern for long-tail group
+       domains whose membership is itself sensitive).
+
+    The raw count never leaves: the output is (group_cols…, noisy_count)
+    with noisy_count rounded to 4 dp (the repo's ln-sum cross-engine
+    contract). Group keys are concat-joined with ':' for the noise seed —
+    callers whose key values can contain ':' pass pre-escaped columns.
+
+    Scale: one shuffle on (user, group) for the bounding aggregate — the
+    only pass over the corpus, map-side combinable — then a rollup to the
+    |groups|-bounded domain; noise is a scalar expression per group row.
+    No UDFs, no collect, state bounded by |groups|.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    bounded = (
+        df.groupBy(user_col, *group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            F.least(F.col("_n"), F.lit(int(cap))).cast("long").alias("_bounded"),
+        )
+    )
+    counts = bounded.groupBy(*group_cols).agg(
+        F.sum("_bounded").cast("long").alias("_c")
+    )
+    gk = F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols])
+    noise = laplace_noise(md5_uniform(gk, f"dp:{salt}:"), float(cap) / float(epsilon))
+    return (
+        counts.withColumn("noisy_count", F.round(F.col("_c") + noise, 4))
+        .filter(F.col("noisy_count") >= F.lit(float(release_threshold)))
+        .drop("_c")
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier combination.
+
+    Groups rows into equivalence classes on ``quasi_cols`` (rows an
+    adversary holding those attributes cannot tell apart), then rolls the
+    classes up into three risk bands:
+
+    - ``unique``    — class size 1: the quasi-identifiers re-identify the
+      row outright.
+    - ``below_k``   — 1 < size < k: linkable to a small candidate set.
+    - ``anonymous`` — size ≥ k: meets the k-anonymity bar.
+
+    Per band: class count, row count, the number of HOMOGENEOUS classes
+    (a single distinct ``sensitive_col`` value — the l-diversity = 1
+    attribute-disclosure case: even without re-identification the
+    sensitive value is learned), and min/max class size.
+
+    Scale: one shuffle on the quasi columns (exact count_distinct per
+    class is a second map-side-combinable pass fused by Catalyst), then a
+    rollup to ≤3 rows. Class cardinality is bounded by the quasi domain,
+    never the corpus.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("l_div"),
+    )
+    band = (
+        F.when(F.col("class_size") == 1, F.lit("unique"))
+        .when(F.col("class_size") < k, F.lit("below_k"))
+        .otherwise(F.lit("anonymous"))
+    )
+    return classes.groupBy(band.alias("risk_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("l_div") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("homogeneous_classes"),
+        F.min("class_size").cast("long").alias("min_size"),
+        F.max("class_size").cast("long").alias("max_size"),
+    )

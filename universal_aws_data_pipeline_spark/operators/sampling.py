@@ -492,3 +492,54 @@ def group_safe_split(
             F.sum(F.when(F.col("_gsz") > 1, 1).otherwise(0)).cast("long").alias("n_dup_rows"),
         )
     )
+
+
+def weighted_reservoir_stream_fn(
+    state_path: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+):
+    """``foreachBatch`` maintainer of a fixed-size WEIGHTED sample over an
+    append stream — the streaming twin of :func:`weighted_sample_topk`.
+
+    Why it composes: the Efraimidis–Spirakis key (``ln(u)/w`` with u the
+    deterministic md5-uniform) is a PER-ROW property, so "top-k over all
+    rows seen" is merge-associative — top-k(state ∪ top-k(batch)) equals
+    top-k(everything). Each micro-batch therefore costs one map expression
+    + TakeOrderedAndProject over the batch, then a k-vs-k merge against
+    the persisted sample; state is exactly k rows forever. The same
+    determinism makes replays SAFE by construction (same rows → same keys
+    → same winners), but state still lands through the crash-safe
+    ``statestore`` commit protocol like every maintainer here, so a
+    replayed batch is skipped without even reading the corpus, and a
+    crash mid-swap cannot lose or double-fold the sample.
+
+    Rows with non-positive weight are excluded by the
+    ``weighted_sample_topk`` contract. The persisted sample carries
+    (key_col, weight_col, es_key); downstream joins re-attach payloads.
+    """
+    import os
+
+    from universal_aws_data_pipeline_spark.operators import statestore
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = os.path.join(state_path, "sample")
+        statestore.recover(table)
+        if batch_id <= statestore.last_folded(table):
+            return  # replayed batch — already committed
+        merged = weighted_sample_topk(batch_df, weight_col, k, key_col)
+        if os.path.exists(table):
+            merged = (
+                spark.read.parquet(table)
+                .unionByName(merged)
+                .orderBy(F.col("es_key").desc(), F.col(key_col))
+                .limit(k)
+            )
+        statestore.commit(merged, table, batch_id)
+
+    return fn

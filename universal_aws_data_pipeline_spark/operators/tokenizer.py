@@ -1,0 +1,122 @@
+"""Tokenizer-training statistics: BPE merge candidates and vocab budgets.
+
+Reference parity: none — LLM-training-data extensions (SURVEY §2.11
+family). Training a subword tokenizer on a 100 TB corpus starts with two
+distributed aggregates: (a) the adjacent-symbol pair frequencies that
+drive BPE merge selection, and (b) the vocabulary coverage curve that
+sizes the vocab budget. Both factor through the WORD-FREQUENCY table
+first — the classic BPE trick: the corpus is scanned exactly once to
+build |vocab| (word, count) rows, and every later stage (pair explode,
+coverage window) runs over the vocabulary domain, which is bounded by
+language, not by corpus size. At 100 TB the word-frequency rollup is the
+only shuffle that sees corpus volume, and it is map-side combinable.
+
+Tokenization matches the repo-wide convention (``texthash.tokens_col``:
+lowercase, non-alphanumerics to spaces) so these stats compose with the
+dedup/quality operators on the same normalized token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the normalized-whitespace token stream — the
+    shared substrate for BPE pair mining and vocab budgeting. One corpus
+    scan, one map-side-combinable rollup to |vocab| rows."""
+    return (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word occurrence —
+    the first-round BPE merge-candidate table (the pair with the top
+    count is the first merge a byte-pair tokenizer learns).
+
+    Runs on the word-frequency table: each distinct word of length ≥ 2
+    contributes its (len−1) adjacent 2-grams, weighted by the word's
+    corpus count. The explode is over Σ(len−1) per DISTINCT word —
+    vocabulary-bounded, never corpus-bounded: a 100× corpus grows the
+    counts, not the exploded row set. The 2-grams come straight from
+    ``substring(w, i, 2)`` over an index sequence (array expression, no
+    UDF), identically spellable in any SQL engine.
+
+    Returns (pair, pair_count, n_words) — n_words is the number of
+    distinct word types containing the pair at least once (a merge that
+    only helps one word is a worse candidate than one spanning many).
+    Multiple occurrences of a pair inside one word each count toward
+    pair_count (BPE counts positions, not presence).
+    """
+    vocab = word_frequencies(df, text_col)
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        "w",
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("c").cast("long").alias("pair_count"),
+        F.countDistinct("w").cast("long").alias("n_words"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, budgets: list[int], text_col: str = "text"
+) -> DataFrame:
+    """Coverage curve for vocabulary sizing: for each candidate budget V,
+    the fraction of all token OCCURRENCES covered by the top-V word types
+    (ranked by count desc, word asc — a total, engine-portable order).
+    The knee of this curve is the standard vocab-size decision; mass not
+    covered is what falls to subword/UNK handling.
+
+    Scale: the ranking window runs single-partition BY DESIGN over the
+    word-frequency table — |vocab| rows, a language-bounded domain (the
+    same bounded-domain single-partition adjudication as the histogram
+    walks; the corpus itself is only touched by the word-frequency
+    rollup). Budgets clamp to the actual type count, so V beyond the
+    vocabulary reports full coverage instead of dropping the row.
+
+    Returns one row per budget: (vocab_budget, tokens_covered, coverage,
+    n_types, total_tokens), coverage rounded to 4 dp.
+    """
+    if not budgets or any(int(v) < 1 for v in budgets):
+        raise ValueError(f"budgets must be positive ints, got {budgets!r}")
+    vocab = word_frequencies(df, text_col)
+    order = Window.orderBy(F.col("c").desc(), F.col("w"))
+    cum = vocab.select(
+        F.row_number().over(order).alias("rn"),
+        F.sum("c")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    tot = vocab.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    b = F.explode(F.array(*[F.lit(int(v)) for v in sorted(set(int(v) for v in budgets))]))
+    budget_rows = tot.select(b.alias("vocab_budget"), "total_tokens", "n_types").withColumn(
+        # clamp BEFORE the join so the lookup is a plain equi-join (a
+        # |budgets|-row broadcast build side), not a non-equi nested loop
+        "rn",
+        F.least(F.col("vocab_budget").cast("int"), F.col("n_types").cast("int")),
+    )
+    return (
+        budget_rows.join(cum, "rn")
+        .select(
+            "vocab_budget",
+            F.col("cum_tokens").alias("tokens_covered"),
+            F.round(F.col("cum_tokens") / F.col("total_tokens"), 4).alias("coverage"),
+            "n_types",
+            "total_tokens",
+        )
+    )

@@ -52,6 +52,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q196_q203  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q204_q207  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q208_q210  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q211_q212  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q213_q216  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -304,6 +305,10 @@ _EXPECTED_ORDER: list[str] = [
     "q210_watermark_loss_curve",
     "q211_type_trend",
     "q212_drift_trio_audit",
+    "q213_dp_event_release",
+    "q214_k_anonymity_audit",
+    "q215_bpe_merge_pairs",
+    "q216_vocab_coverage",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]
