@@ -160,6 +160,11 @@ _ADJUDICATED = {
         # q208: the |types| x |cents-grid| zero-cell grid build + the 1-row
         # corpus-total attach — both sides domain-bounded (q197's class)
         "q208_ks_type_drift",
+        # q217: the fully-generalized ladder rung is a 1-row table-total
+        # attach (every other rung is a keyed count window)
+        "q217_k_anonymize_ladder",
+        # q219: the 1-row histogram-total attach onto the cents-grid table
+        "q219_dp_median",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -225,6 +230,13 @@ _ADJUDICATED = {
         # frequency table — language-bounded (the q159 sketch-sized window
         # class); the corpus is only touched by the word-frequency rollup
         "q216_vocab_coverage",
+        # q217: the 1-row table-total reduction for the fully-generalized
+        # rung (the per-rung class counts run keyed, in parallel)
+        "q217_k_anonymize_ladder",
+        # q219: the 1-row total reduction + the cumulative-weight walk over
+        # the cents-grid histogram — sketch-sized by the device
+        # precondition (the q209 class)
+        "q219_dp_median",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

@@ -186,3 +186,114 @@ def test_weighted_reservoir_k_validation():
 
     with pytest.raises(ValueError, match="k must be"):
         weighted_reservoir_stream_fn("/tmp/x", "w", k=0)
+
+
+# --------------------------------------------------------------------------
+# k_anonymize_ladder
+# --------------------------------------------------------------------------
+
+
+def test_k_anonymize_ladder_assigns_finest_satisfying_rung(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import k_anonymize_ladder
+
+    # (1,1) x5 -> rung 0; (2,1)/(2,2) x2 each -> rung 1 (a=2 has 4 rows);
+    # (3,9) x1 -> rung 2 (the [] total rung, 10 rows >= 3)
+    rows = [(1, 1)] * 5 + [(2, 1)] * 2 + [(2, 2)] * 2 + [(3, 9)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = k_anonymize_ladder(df, levels=[["a", "b"], ["a"], []], k=3)
+    got = {(r["a"], r["b"], r["anon_level"]) for r in out.collect()}
+    assert (1, 1, 0) in got
+    assert (2, 1, 1) in got and (2, 2, 1) in got
+    assert (3, 9, 2) in got
+    assert out.filter(F.col("anon_level") == 3).count() == 0  # nothing suppressed
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymize_ladder(df, [["a"]], k=1)
+    with pytest.raises(ValueError, match="levels"):
+        k_anonymize_ladder(df, [], k=3)
+
+
+def test_k_anonymize_ladder_suppresses_when_no_rung_reaches_k(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import k_anonymize_ladder
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], ["a", "b"])
+    out = k_anonymize_ladder(df, levels=[["a", "b"], ["a"]], k=3)
+    # no [] rung in the ladder and every class is below k -> suppress level
+    assert {r["anon_level"] for r in out.collect()} == {2}
+
+
+# --------------------------------------------------------------------------
+# dp_median_grid
+# --------------------------------------------------------------------------
+
+
+def _py_dp_median(values, epsilon, salt):
+    """Independent Python recomputation of the exponential mechanism."""
+    from collections import Counter
+
+    hist = sorted(Counter(values).items())
+    n = len(values)
+    below = 0
+    cells = []
+    for v, c in hist:
+        u = -abs(2 * below + c - n)
+        cells.append((v, math.exp(epsilon / 2.0 * u)))
+        below += c
+    totw = sum(w for _, w in cells)
+    hv = int(hashlib.md5(f"dpq:{salt}:median".encode()).hexdigest()[:8], 16)
+    draw = (hv + 0.5) / float(1 << 32)
+    cum = 0.0
+    for v, w in cells:
+        cum += w
+        if cum >= draw * totw:
+            return v
+    return cells[-1][0]
+
+
+def test_dp_median_grid_matches_python_mechanism(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_median_grid
+
+    values = [100, 100, 200, 250, 250, 250, 300, 900, 900, 1500]
+    df = spark.createDataFrame([(v,) for v in values], ["cents"])
+    for eps, salt in [(0.2, "a"), (2.0, "a"), (0.2, "b"), (5.0, "zz")]:
+        got = dp_median_grid(df, "cents", eps, salt).collect()
+        assert len(got) == 1
+        assert got[0]["dp_median_cents"] == _py_dp_median(values, eps, salt)
+        assert got[0]["epsilon"] == eps
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_median_grid(df, "cents", 0.0, "a")
+
+
+def test_dp_median_grid_is_reproducible_and_grid_valued(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_median_grid
+
+    df = spark.createDataFrame([(v,) for v in range(0, 500, 7)], ["cents"])
+    one = dp_median_grid(df, "cents", 1.0, "s").collect()[0]["dp_median_cents"]
+    two = dp_median_grid(df, "cents", 1.0, "s").collect()[0]["dp_median_cents"]
+    assert one == two  # same salt -> same release
+    assert one % 7 == 0 and 0 <= one < 500  # always an actual grid value
+
+
+# --------------------------------------------------------------------------
+# bpe_learn_merges
+# --------------------------------------------------------------------------
+
+
+def test_bpe_learn_merges_hand_computed_rounds(spark):
+    from universal_aws_data_pipeline_spark.operators.tokenizer import bpe_learn_merges
+
+    # vocab: abab x2, cd x3. Round 1: 'a b' wins (2 positions x weight 2 = 4);
+    # round 2: 'c d' (3); round 3: 'ab ab' (2). Symbol inventory shrinks
+    # 4 -> {ab,c,d} -> {ab,cd} -> {abab,cd}.
+    df = spark.createDataFrame([("abab abab cd cd cd",)], ["text"])
+    got = [tuple(r) for r in bpe_learn_merges(df, rounds=3).collect()]
+    assert got == [(1, "a b", 4, 3), (2, "c d", 3, 2), (3, "ab ab", 2, 2)]
+
+
+def test_bpe_learn_merges_stops_when_fully_fused(spark):
+    from universal_aws_data_pipeline_spark.operators.tokenizer import bpe_learn_merges
+
+    df = spark.createDataFrame([("a b a",)], ["text"])  # single-char words only
+    assert bpe_learn_merges(df, rounds=4).count() == 0
+    with pytest.raises(ValueError, match="rounds"):
+        bpe_learn_merges(df, rounds=0)

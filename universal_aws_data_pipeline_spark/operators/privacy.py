@@ -164,3 +164,121 @@ def k_anonymity_audit(
         F.min("class_size").cast("long").alias("min_size"),
         F.max("class_size").cast("long").alias("max_size"),
     )
+
+
+def k_anonymize_ladder(
+    df: DataFrame,
+    levels: list[list[str]],
+    k: int,
+) -> DataFrame:
+    """k-anonymity ENFORCEMENT by global generalization ladder — the
+    release-side counterpart of :func:`k_anonymity_audit`.
+
+    ``levels`` is a fine→coarse list of quasi-identifier column sets (the
+    generalization ladder: e.g. full postcode → district → region → []).
+    The final ``[]`` level means "fully generalized" (one class = the
+    whole table), which always satisfies k for any table with ≥ k rows —
+    include it to guarantee every row is releasable. Each row is assigned
+    ``anon_level``: the FIRST (finest) ladder level at which the row's
+    equivalence class — computed over ALL rows at that level, the global
+    recoding convention — reaches size ≥ k. Rows satisfying no level get
+    ``anon_level = len(levels)`` (suppress).
+
+    Scale: one count window per ladder level, each partitioned by that
+    level's quasi columns — shuffle-parallel in the class key, never a
+    global sort; the ``[]`` level is a 1-row total attached broadcast
+    (the adjudicated scalar-attach class). Ladders are short (3–4 rungs)
+    by construction, so this is a constant number of keyed exchanges.
+
+    Returns the input rows plus ``anon_level`` (int).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not levels:
+        raise ValueError("levels must name at least one quasi-column set")
+    from pyspark.sql import Window
+
+    out = df
+    size_cols: list[str] = []
+    for i, cols in enumerate(levels):
+        s = f"_sz{i}"
+        size_cols.append(s)
+        if cols:
+            out = out.withColumn(
+                s, F.count(F.lit(1)).over(Window.partitionBy(*cols)).cast("long")
+            )
+        else:
+            # fully-generalized rung: class size == table size (1-row attach)
+            total = df.agg(F.count(F.lit(1)).cast("long").alias(s))
+            out = out.crossJoin(F.broadcast(total))
+    assign = F.lit(len(levels))
+    for i in reversed(range(len(levels))):
+        assign = F.when(F.col(size_cols[i]) >= k, F.lit(i)).otherwise(assign)
+    return out.withColumn("anon_level", assign.cast("int")).drop(*size_cols)
+
+
+def dp_median_grid(
+    df: DataFrame,
+    cents_col: str,
+    epsilon: float,
+    salt: str,
+) -> DataFrame:
+    """ε-DP median via the EXPONENTIAL MECHANISM over a domain grid — the
+    standard DP quantile release (McSherry–Talwar): each candidate grid
+    value x gets utility u(x) = −|#below(x) − #above(x)| (0 at the true
+    median, integer everywhere) and is released with probability
+    ∝ exp(ε·u(x)/2); sensitivity of u is 1, so the release is ε-DP under
+    add/remove of one row.
+
+    Device precondition (the q208/q209 cents-grid class): ``cents_col``
+    must live on a declared bounded grid (2-dp prices → integer cents),
+    so the histogram this runs on is GRID-sized, never row-sized. The
+    cumulative weight walk and the selection are windows over that
+    histogram; corpus volume touches only the histogram rollup.
+
+    The selection draw is the deterministic md5-uniform keyed on the salt
+    (see module docstring) — same salt → same release, any engine. The
+    pick scans cumulative weights in grid order, which both engines
+    accumulate in the same sequence, so the discrete choice is
+    engine-stable (far tails underflow to exactly 0.0 identically).
+
+    Returns one row: (dp_median_cents, epsilon). The exact histogram,
+    counts, and true median never leave.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col(cents_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    total = hist.agg(F.sum("_n").cast("long").alias("_total"))
+    w = Window.orderBy("_v")
+    cum_below = F.coalesce(
+        F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("long")
+    scored = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("_below", cum_below)
+        .withColumn(
+            "_u",
+            -F.abs(F.lit(2) * F.col("_below") + F.col("_n") - F.col("_total")).cast(
+                "long"
+            ),
+        )
+        .withColumn("_w", F.exp(F.lit(float(epsilon)) / 2.0 * F.col("_u")))
+    )
+    cumw = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    totw = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    u_draw = md5_uniform(F.lit("median"), f"dpq:{salt}:")
+    return (
+        scored.withColumn("_cumw", cumw)
+        .withColumn("_totw", totw)
+        .filter(F.col("_cumw") >= u_draw * F.col("_totw"))
+        .orderBy("_v")
+        .limit(1)
+        .select(
+            F.col("_v").cast("long").alias("dp_median_cents"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+    )

@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
 
+# replace() passes per BPE merge round (see bpe_learn_merges docstring):
+# fixed, not until-fixpoint, so the SQL oracle composes the identical
+# expression. Handles self-pair runs up to 2^3 repeats per word.
+_MERGE_PASSES = 3
+
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over the normalized-whitespace token stream — the
@@ -119,4 +124,87 @@ def vocab_coverage(
             "n_types",
             "total_tokens",
         )
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame, rounds: int, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges from the corpus — the actual
+    greedy training loop, not just round-1 statistics
+    (:func:`bpe_pair_counts`).
+
+    Exactly the classic factoring: the corpus is scanned ONCE into the
+    |vocab| word-frequency table; words become space-separated symbol
+    sequences (initially characters); each round (a) counts adjacent
+    symbol pairs weighted by word frequency, (b) takes the top pair
+    (count desc, pair asc — a total order), and (c) merges it everywhere.
+    All per-round work is over the vocabulary domain — bounded by
+    language, never by corpus size — so the loop costs `rounds` tiny
+    Spark jobs after the one corpus-volume rollup. The top-pair pick is a
+    1-row driver collect per round (bounded driver state by construction);
+    the re-segmented vocab is localCheckpointed per round to keep lineage
+    flat.
+
+    Merge application is leftmost non-overlapping string replacement on
+    the sentinel-wrapped symbol string, applied in THREE passes per round:
+    one pass under-merges CONSECUTIVE occurrences of the winning pair
+    (" a b a b " — the two matches share the separator space, so a single
+    pass yields `ab a b`), and each extra pass merges the survivors;
+    three passes fix runs up to 2³ repeats. The pass count is FIXED (not
+    until-fixpoint) so the oracle can apply the identical composition —
+    replace() semantics are engine-identical (verified), making the
+    result bit-reproducible everywhere. Semantics match greedy BPE except
+    inside odd self-pair runs ≥ 5 ("aaaaa" → `aa a aa` vs greedy's
+    `aa aa a`) and self-pair runs beyond 2³ — corners real text
+    essentially never hits; determinism and cross-engine parity are the
+    contract here.
+
+    Returns one row per learned merge: (round, pair, pair_count,
+    n_symbols) — n_symbols is the distinct symbol count across the vocab
+    AFTER applying the merge (the growing symbol inventory).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    vocab = word_frequencies(df, text_col)
+    cur = vocab.select(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("seg"), "c"
+    ).localCheckpoint(eager=True)  # |vocab| rows — tiny
+    out_rows: list[tuple[int, str, int, int]] = []
+    for r in range(1, rounds + 1):
+        toks = cur.select(F.split("seg", " ").alias("t"), "c")
+        pairs = toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "c",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("pc"))
+            .orderBy(F.col("pc").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word fused to a single symbol — nothing to merge
+        pair, pc = top[0]["pair"], top[0]["pc"]
+        merged = pair.replace(" ", "")
+        seg = F.concat(F.lit(" "), F.col("seg"), F.lit(" "))
+        for _ in range(_MERGE_PASSES):
+            seg = F.replace(seg, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        cur = cur.select(F.trim(seg).alias("seg"), "c").localCheckpoint(eager=True)
+        n_symbols = (
+            cur.select(F.explode(F.split("seg", " ")).alias("s")).distinct().count()
+        )
+        out_rows.append((r, pair, int(pc), int(n_symbols)))
+    return spark.createDataFrame(
+        out_rows, "round INT, pair STRING, pair_count BIGINT, n_symbols BIGINT"
     )
