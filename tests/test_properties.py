@@ -367,3 +367,85 @@ def test_exact_ranks_grouped_property(spark, vals, data):
     df = spark.createDataFrame(vals, "g string, v long").localCheckpoint()
     got = exact_ranks_grouped(df, "g", "v", targets, buckets=8, direct_cap=3)
     assert got == [by_g[g][r - 1] for g, r in targets]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5)), min_size=1, max_size=24),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dp_counts_contribution_bound_invariant(spark, rows, cap):
+    """Rows a user adds BEYOND the cap cannot move the release: the
+    bounded count — and therefore the exact noisy value — is invariant to
+    inflating any user's row count past ``cap`` (the sensitivity
+    contract dp_group_counts' ε guarantee rests on)."""
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_group_counts
+
+    df = spark.createDataFrame([(g, u) for g, u in rows], ["g", "u"])
+    # inflate: every (g, u) appears cap + 3 extra times on top
+    inflated = spark.createDataFrame(
+        [(g, u) for g, u in rows for _ in range(cap + 3)] + [(g, u) for g, u in rows],
+        ["g", "u"],
+    )
+    base = {
+        r["g"]: r["noisy_count"]
+        for r in dp_group_counts(df, ["g"], "u", 1.0, cap, "p", -1e9).collect()
+    }
+    infl = {
+        r["g"]: r["noisy_count"]
+        for r in dp_group_counts(inflated, ["g"], "u", 1.0, cap, "p", -1e9).collect()
+    }
+    if cap == 1:
+        assert base == infl  # at cap=1 presence is all that counts
+    else:
+        # groups where every user already hit the cap must be unchanged
+        from collections import Counter
+
+        per = Counter(rows)
+        for g in base:
+            if all(c >= cap for (gg, _u), c in per.items() if gg == g):
+                assert base[g] == infl[g]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=10))
+def test_vocab_coverage_is_monotone_and_normalized(spark, words):
+    """Coverage is nondecreasing in the budget and lands exactly at 1.0
+    once the budget reaches the type count."""
+    from universal_aws_data_pipeline_spark.operators.tokenizer import vocab_coverage
+
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    budgets = [1, 2, 3, 5, 100000]
+    rows = {
+        r["vocab_budget"]: r for r in vocab_coverage(df, budgets, "text").collect()
+    }
+    cov = [rows[b]["coverage"] for b in budgets]
+    assert all(a <= b + 1e-12 for a, b in zip(cov, cov[1:]))
+    assert rows[100000]["coverage"] == 1.0  # budget >= |types| clamps to full
+    assert rows[100000]["tokens_covered"] == rows[100000]["total_tokens"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2)), min_size=1, max_size=20))
+def test_k_anonymize_ladder_levels_are_lawful(spark, rows):
+    """Every assigned rung actually satisfies k, and no FINER rung would
+    have (minimality of the global-recoding assignment)."""
+    from collections import Counter
+
+    from universal_aws_data_pipeline_spark.operators.privacy import k_anonymize_ladder
+
+    k = 3
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = k_anonymize_ladder(df, levels=[["a", "b"], ["a"], []], k=k).collect()
+    s0 = Counter((r[0], r[1]) for r in rows)
+    s1 = Counter(r[0] for r in rows)
+    n = len(rows)
+    for r in out:
+        sizes = [s0[(r["a"], r["b"])], s1[r["a"]], n]
+        lvl = r["anon_level"]
+        if lvl == 3:  # suppressed: lawful only when NO rung reaches k
+            assert all(s < k for s in sizes)
+            continue
+        assert sizes[lvl] >= k  # the assigned rung really satisfies k
+        for finer in range(lvl):
+            assert sizes[finer] < k  # and no finer rung would have
