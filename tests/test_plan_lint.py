@@ -165,6 +165,12 @@ _ADJUDICATED = {
         "q217_k_anonymize_ladder",
         # q219: the 1-row histogram-total attach onto the cents-grid table
         "q219_dp_median",
+        # q220: the |ε|-row candidate literals × the cents-grid histogram
+        # (the q159/q193 literals-times-sketch class) + 1-row total and
+        # exact-median attaches
+        "q220_dp_median_curve",
+        # q221: the 1-row table-total attach onto the (class, value) cells
+        "q221_t_closeness_audit",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -237,6 +243,12 @@ _ADJUDICATED = {
         # the cents-grid histogram — sketch-sized by the device
         # precondition (the q209 class)
         "q219_dp_median",
+        # q220: the base cumulative-count walk over the cents-grid
+        # histogram + 1-row reductions (the per-ε weight walks run
+        # PARTITIONED by candidate, in parallel)
+        "q220_dp_median_curve",
+        # q221: the 1-row table-total reduction (class rollups run keyed)
+        "q221_t_closeness_audit",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

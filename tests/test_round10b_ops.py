@@ -297,3 +297,61 @@ def test_bpe_learn_merges_stops_when_fully_fused(spark):
     assert bpe_learn_merges(df, rounds=4).count() == 0
     with pytest.raises(ValueError, match="rounds"):
         bpe_learn_merges(df, rounds=0)
+
+
+# --------------------------------------------------------------------------
+# dp_median_curve + t_closeness_audit
+# --------------------------------------------------------------------------
+
+
+def test_dp_median_curve_matches_python_per_candidate(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_median_curve
+
+    values = [100, 100, 200, 250, 250, 250, 300, 900, 900, 1500]
+    df = spark.createDataFrame([(v,) for v in values], ["cents"])
+    eps = [0.05, 0.2, 1.0, 5.0]
+    got = {r["epsilon"]: r for r in dp_median_curve(df, "cents", eps, "s").collect()}
+    exact = 250  # lower median of the 10 values
+    assert set(got) == set(eps)
+    for i, e in enumerate(eps):
+        # independent python recomputation with the index-keyed draw
+        from collections import Counter
+
+        hist = sorted(Counter(values).items())
+        n = len(values)
+        below, cells = 0, []
+        for v, c in hist:
+            cells.append((v, math.exp(e / 2.0 * (-abs(2 * below + c - n)))))
+            below += c
+        totw = sum(w for _, w in cells)
+        hv = int(hashlib.md5(f"dpu:s:{i}".encode()).hexdigest()[:8], 16)
+        draw = (hv + 0.5) / float(1 << 32)
+        cum, pick = 0.0, cells[-1][0]
+        for v, w in cells:
+            cum += w
+            if cum >= draw * totw:
+                pick = v
+                break
+        assert got[e]["dp_median_cents"] == pick
+        assert got[e]["err_cents"] == abs(pick - exact)
+    with pytest.raises(ValueError, match="epsilons"):
+        dp_median_curve(df, "cents", [], "s")
+    with pytest.raises(ValueError, match="epsilons"):
+        dp_median_curve(df, "cents", [0.5, -1.0], "s")
+
+
+def test_t_closeness_bands_hand_math(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import t_closeness_audit
+
+    # global: x 8/12, y 4/12. class A (8 rows, 4x/4y): TVD = |.5-8/12| = 1/6
+    # -> close. class B (4 rows, all x): TVD = 1 - 8/12 = 1/3 -> drifted.
+    rows = [("A", "x")] * 4 + [("A", "y")] * 4 + [("B", "x")] * 4
+    df = spark.createDataFrame(rows, ["q", "s"])
+    out = {r["closeness_band"]: r for r in t_closeness_audit(df, ["q"], "s").collect()}
+    assert out["close"]["n_classes"] == 1 and out["close"]["n_rows"] == 8
+    assert out["close"]["max_tvd"] <= 0.2
+    assert out["drifted"]["n_classes"] == 1 and out["drifted"]["n_rows"] == 4
+    # B: p(x)=1 vs q(x)=8/12 -> TVD = 1 - 8/12 = 0.3333
+    assert out["drifted"]["max_tvd"] == 0.3333
+    with pytest.raises(ValueError, match="tight"):
+        t_closeness_audit(df, ["q"], "s", tight=0.5, loose=0.2)

@@ -282,3 +282,149 @@ def dp_median_grid(
             F.lit(float(epsilon)).alias("epsilon"),
         )
     )
+
+
+def dp_median_curve(
+    df: DataFrame,
+    cents_col: str,
+    epsilons: list[float],
+    salt: str,
+) -> DataFrame:
+    """Privacy–utility curve for the exponential-mechanism median: run
+    :func:`dp_median_grid`'s selection at every candidate ε in one plan
+    and report each release's error against the exact (lower) median —
+    the engineering view that answers "which ε can we afford?" before a
+    release ships. This is an internal AUDIT (the exact median is
+    computed but used only for the error column; a production release
+    ships one ε's value via ``dp_median_grid``).
+
+    Each ε gets an INDEPENDENT deterministic draw (the md5 device keyed
+    on the ε's position in the list, engine-portable — float formatting
+    is not). Work: the cents-grid histogram once (the only corpus-volume
+    pass), cross-joined with the |ε|-row candidate table (the adjudicated
+    literals-times-sketch class), cumulative-weight walks as windows
+    PARTITIONED by ε (parallel across candidates), and a |ε|-row rollup.
+
+    Returns one row per candidate: (epsilon, dp_median_cents, err_cents).
+    """
+    if not epsilons or any(e <= 0 for e in epsilons):
+        raise ValueError(f"epsilons must be positive, got {epsilons!r}")
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col(cents_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    total = hist.agg(F.sum("_n").cast("long").alias("_total"))
+    wv = Window.orderBy("_v")
+    cum_n = F.sum("_n").over(wv.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    base = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("_cumn", cum_n)
+        .withColumn(
+            "_u",
+            -F.abs(
+                F.lit(2) * (F.col("_cumn") - F.col("_n")) + F.col("_n") - F.col("_total")
+            ).cast("long"),
+        )
+    )
+    eps_rows = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("_i"), F.lit(float(e)).alias("epsilon"))
+                for i, e in enumerate(epsilons)
+            ]
+        )
+    )
+    exact = F.min(F.when(F.lit(2) * F.col("_cumn") >= F.col("_total"), F.col("_v")))
+    scored = (
+        base.crossJoin(F.broadcast(total.select(eps_rows.alias("_e")).select("_e.*")))
+        .withColumn("_w", F.exp(F.col("epsilon") / F.lit(2.0) * F.col("_u")))
+    )
+    we = Window.partitionBy("_i").orderBy("_v")
+    u_draw = md5_uniform(F.col("_i").cast("string"), f"dpu:{salt}:")
+    picked = (
+        scored.withColumn(
+            "_cumw", F.sum("_w").over(we.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "_totw",
+            F.sum("_w").over(
+                we.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("_cumw") >= u_draw * F.col("_totw"))
+        .groupBy("_i", "epsilon")
+        .agg(F.min("_v").cast("long").alias("dp_median_cents"))
+    )
+    exact_row = base.agg(exact.cast("long").alias("_exact"))
+    return (
+        picked.crossJoin(F.broadcast(exact_row))
+        .select(
+            "epsilon",
+            "dp_median_cents",
+            F.abs(F.col("dp_median_cents") - F.col("_exact"))
+            .cast("long")
+            .alias("err_cents"),
+        )
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    tight: float = 0.2,
+    loose: float = 0.5,
+) -> DataFrame:
+    """t-closeness audit: how far each quasi-identifier equivalence
+    class's SENSITIVE-value distribution sits from the table-wide one,
+    measured by total variation distance (TVD — the categorical EMD with
+    unit ground distance, the standard t-closeness instantiation). A
+    class whose distribution diverges leaks the sensitive attribute even
+    when it is k-anonymous and l-diverse (skewness attack); t-closeness
+    demands TVD ≤ t for every class.
+
+    TVD per class is computed over PRESENT (class, value) cells only via
+    the identity  TVD = ½·(1 + Σ_present(|p−q| − q))  — the absent-value
+    mass Σ_absent q is folded in algebraically, so the plan never builds
+    the zero-filled |classes|×|values| grid.
+
+    Output: one row per closeness band (``<=tight``, ``(tight,loose]``,
+    ``>loose``) with class/row counts and the band's max TVD (4 dp).
+
+    Scale: one (quasi, sensitive) rollup — the only corpus-volume pass,
+    map-side combinable — a |values|-row broadcast global-distribution
+    attach, a keyed per-class rollup, and a ≤3-row band rollup.
+    """
+    if not (0 < tight < loose):
+        raise ValueError(f"need 0 < tight < loose, got {tight}, {loose}")
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    class_tot = cells.groupBy(*quasi_cols).agg(F.sum("_c").cast("long").alias("_ct"))
+    glob = cells.groupBy(sensitive_col).agg(F.sum("_c").cast("long").alias("_g"))
+    n_total = cells.agg(F.sum("_c").cast("long").alias("_n"))
+    scored = (
+        cells.join(class_tot, quasi_cols)
+        .join(F.broadcast(glob), sensitive_col)
+        .crossJoin(F.broadcast(n_total))
+    )
+    p = F.col("_c") / F.col("_ct")
+    q = F.col("_g") / F.col("_n")
+    tvd = F.round(
+        0.5 * (F.lit(1.0) + F.sum(F.abs(p - q) - q)), 4
+    )
+    classes = (
+        scored.groupBy(*quasi_cols)
+        .agg(tvd.alias("tvd"), F.max("_ct").cast("long").alias("class_size"))
+    )
+    band = (
+        F.when(F.col("tvd") <= tight, F.lit("close"))
+        .when(F.col("tvd") <= loose, F.lit("drifted"))
+        .otherwise(F.lit("skewed"))
+    )
+    return classes.groupBy(band.alias("closeness_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.max("tvd").alias("max_tvd"),
+    )
