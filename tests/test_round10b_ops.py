@@ -355,3 +355,32 @@ def test_t_closeness_bands_hand_math(spark):
     assert out["drifted"]["max_tvd"] == 0.3333
     with pytest.raises(ValueError, match="tight"):
         t_closeness_audit(df, ["q"], "s", tight=0.5, loose=0.2)
+
+
+def test_dp_release_stream_fn_per_batch_and_replay_identical(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.privacy import (
+        dp_group_counts,
+        dp_release_stream_fn,
+    )
+
+    out = str(tmp_path / "dp_releases")
+    fn = dp_release_stream_fn(out, ["g"], "u", epsilon=1.0, cap=2, salt="s")
+    b0 = spark.createDataFrame([("a", 1)] * 5 + [("b", 2)] * 3, ["g", "u"])
+    b1 = spark.createDataFrame([("a", 3)] * 4, ["g", "u"])
+    fn(b0, 0)
+    fn(b1, 1)
+    got = {
+        (r["g"], r["batch_id"]): r["noisy_count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # each batch's release equals the batch operator with the batch-salted key
+    for bid, bdf in [(0, b0), (1, b1)]:
+        want = dp_group_counts(bdf, ["g"], "u", 1.0, 2, f"s:b{bid}", 0.0)
+        for r in want.collect():
+            assert got[(r["g"], bid)] == r["noisy_count"]
+    # replay appends byte-identical rows: the deduped multiset is unchanged
+    n_before = spark.read.parquet(out).count()
+    fn(b1, 1)
+    after = spark.read.parquet(out)
+    assert after.count() == n_before + 1  # at-least-once append
+    assert after.distinct().count() == n_before  # dedup restores exactly

@@ -428,3 +428,49 @@ def t_closeness_audit(
         F.sum("class_size").cast("long").alias("n_rows"),
         F.max("tvd").alias("max_tvd"),
     )
+
+
+def dp_release_stream_fn(
+    out_path: str,
+    group_cols: list[str],
+    user_col: str,
+    epsilon: float,
+    cap: int,
+    salt: str,
+    release_threshold: float = 0.0,
+):
+    """``foreachBatch`` maintainer that releases ε-DP noisy group counts
+    of EACH micro-batch — the streaming twin of :func:`dp_group_counts`
+    (the q213 mechanism), for pipelines that must publish live aggregate
+    telemetry without shipping raw counts.
+
+    Per batch: contribution bounding + Laplace noise + threshold, exactly
+    the batch operator, with the noise salt extended by the batch id —
+    every batch's release is an INDEPENDENT deterministic draw (per-batch
+    ε by parallel composition across disjoint batches of the stream; the
+    same user recurring across batches composes sequentially — size ε for
+    the guarantee you need). Release rows append to ``out_path`` with the
+    batch id attached, under the same at-least-once contract as the drift
+    monitors: a replayed batch recomputes the SAME salt → the SAME noise
+    → byte-identical rows, so downstream consumers dedup on
+    (group, batch_id) losslessly (determinism is what makes at-least-once
+    safe here — a true RNG would leak extra information on every replay
+    AND corrupt the dedup).
+
+    Scale per batch: one (user, group) hash agg over the batch + a
+    |groups|-row noise expression — the q213 posture, batch-sized.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        release = dp_group_counts(
+            batch_df,
+            group_cols,
+            user_col,
+            epsilon=epsilon,
+            cap=cap,
+            salt=f"{salt}:b{batch_id}",
+            release_threshold=release_threshold,
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        release.write.mode("append").parquet(out_path)
+
+    return fn
