@@ -384,3 +384,30 @@ def test_dp_release_stream_fn_per_batch_and_replay_identical(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_before + 1  # at-least-once append
     assert after.distinct().count() == n_before  # dedup restores exactly
+
+
+def test_dp_counts_null_group_key_raises(spark):
+    """concat_ws SKIPS nulls, so (NULL,'x') and ('x',NULL) would share a
+    noise draw — the release must refuse NULL keys loudly (self-review
+    finding; the percentile NULL-group convention: enforced, not
+    documented)."""
+    df = spark.createDataFrame(
+        [("a", "x", 1), (None, "x", 2)], ["g1", "g2", "u"]
+    )
+    with pytest.raises(Exception, match="NULL group key"):
+        dp_group_counts(df, ["g1", "g2"], "u", 1.0, 1, "t", -1e9).collect()
+
+
+def test_bpe_merge_contract_self_run_boundaries(spark):
+    from universal_aws_data_pipeline_spark.operators.tokenizer import bpe_learn_merges
+
+    # run of 4: exactly greedy (2 symbols of 'aa' inside the word)
+    got4 = bpe_learn_merges(spark.createDataFrame([("aaaa",)], ["text"]), 1).collect()
+    assert got4[0]["pair"] == "a a" and got4[0]["n_symbols"] == 1  # {'aa'} only
+    # run of 6: the DOCUMENTED under-merge — 'aa a aa a' keeps the single
+    # 'a' (2 distinct symbols), where textbook greedy would give {'aa'}
+    got6 = bpe_learn_merges(spark.createDataFrame([("aaaaaa",)], ["text"]), 1).collect()
+    assert got6[0]["pair"] == "a a" and got6[0]["n_symbols"] == 2
+    # non-self pair, consecutive occurrences: exactly greedy by pass 2
+    gotab = bpe_learn_merges(spark.createDataFrame([("ababab",)], ["text"]), 1).collect()
+    assert gotab[0]["pair"] == "a b" and gotab[0]["n_symbols"] == 1  # {'ab'}

@@ -108,7 +108,27 @@ def dp_group_counts(
     counts = bounded.groupBy(*group_cols).agg(
         F.sum("_bounded").cast("long").alias("_c")
     )
-    gk = F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols])
+    # NULL group keys RAISE (execution-time, zero extra scan): concat_ws
+    # silently SKIPS nulls, so (NULL,'x') and ('x',NULL) would share one
+    # noise draw and their released difference would leak the exact raw
+    # delta — the per-group independence the epsilon guarantee rests on
+    # would be gone. Pre-coalesce NULLs into an explicit category before
+    # release (the percentile large-path NULL-group convention: enforced,
+    # not just documented).
+    any_null = None
+    for c in group_cols:
+        isn = F.col(c).isNull()
+        any_null = isn if any_null is None else (any_null | isn)
+    gk = F.when(
+        any_null,
+        F.raise_error(
+            F.lit(
+                "dp_group_counts: NULL group key — coalesce NULLs into an "
+                "explicit category before release (noise seeds must be "
+                "distinct per group)"
+            )
+        ).cast("string"),
+    ).otherwise(F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols]))
     noise = laplace_noise(md5_uniform(gk, f"dp:{salt}:"), float(cap) / float(epsilon))
     return (
         counts.withColumn("noisy_count", F.round(F.col("_c") + noise, 4))
@@ -217,6 +237,35 @@ def k_anonymize_ladder(
     return out.withColumn("anon_level", assign.cast("int")).drop(*size_cols)
 
 
+def _median_utility_hist(df: DataFrame, cents_col: str) -> DataFrame:
+    """Shared exponential-mechanism substrate for the DP median devices:
+    the value-grid histogram with a 1-row total attach, the cumulative
+    count, and the integer median utility u(v) = −|#below − #above|
+    (0 at the true median; sensitivity 1 under add/remove of one row).
+    Columns: (_v, _n, _total, _cumn, _u). The histogram is GRID-sized by
+    the caller's device precondition (q208/q209 cents-grid class); the
+    cumulative walk is the adjudicated sketch-sized single-partition
+    window."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col(cents_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    total = hist.agg(F.sum("_n").cast("long").alias("_total"))
+    wv = Window.orderBy("_v")
+    cum_n = F.sum("_n").over(wv.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("_cumn", cum_n)
+        .withColumn(
+            "_u",
+            -F.abs(
+                F.lit(2) * (F.col("_cumn") - F.col("_n")) + F.col("_n") - F.col("_total")
+            ).cast("long"),
+        )
+    )
+
+
 def dp_median_grid(
     df: DataFrame,
     cents_col: str,
@@ -243,44 +292,33 @@ def dp_median_grid(
     engine-stable (far tails underflow to exactly 0.0 identically).
 
     Returns one row: (dp_median_cents, epsilon). The exact histogram,
-    counts, and true median never leave.
+    counts, and true median never leave. Shares its scored-histogram
+    machinery with :func:`dp_median_curve` (one utility formula, one
+    walk, one pick rule — fixes land once).
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     from pyspark.sql import Window
 
-    hist = df.groupBy(F.col(cents_col).alias("_v")).agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
+    scored = _median_utility_hist(df, cents_col).withColumn(
+        "_w", F.exp(F.lit(float(epsilon)) / 2.0 * F.col("_u"))
     )
-    total = hist.agg(F.sum("_n").cast("long").alias("_total"))
     w = Window.orderBy("_v")
-    cum_below = F.coalesce(
-        F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    ).cast("long")
-    scored = (
-        hist.crossJoin(F.broadcast(total))
-        .withColumn("_below", cum_below)
-        .withColumn(
-            "_u",
-            -F.abs(F.lit(2) * F.col("_below") + F.col("_n") - F.col("_total")).cast(
-                "long"
-            ),
-        )
-        .withColumn("_w", F.exp(F.lit(float(epsilon)) / 2.0 * F.col("_u")))
-    )
-    cumw = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    totw = F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     u_draw = md5_uniform(F.lit("median"), f"dpq:{salt}:")
     return (
-        scored.withColumn("_cumw", cumw)
-        .withColumn("_totw", totw)
-        .filter(F.col("_cumw") >= u_draw * F.col("_totw"))
-        .orderBy("_v")
-        .limit(1)
-        .select(
-            F.col("_v").cast("long").alias("dp_median_cents"),
-            F.lit(float(epsilon)).alias("epsilon"),
+        scored.withColumn(
+            "_cumw", F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
+        .withColumn(
+            "_totw",
+            F.sum("_w").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("_cumw") >= u_draw * F.col("_totw"))
+        .agg(F.min("_v").cast("long").alias("dp_median_cents"))
+        .filter(F.col("dp_median_cents").isNotNull())  # empty corpus -> 0 rows
+        .select("dp_median_cents", F.lit(float(epsilon)).alias("epsilon"))
     )
 
 
@@ -300,10 +338,11 @@ def dp_median_curve(
 
     Each ε gets an INDEPENDENT deterministic draw (the md5 device keyed
     on the ε's position in the list, engine-portable — float formatting
-    is not). Work: the cents-grid histogram once (the only corpus-volume
-    pass), cross-joined with the |ε|-row candidate table (the adjudicated
-    literals-times-sketch class), cumulative-weight walks as windows
-    PARTITIONED by ε (parallel across candidates), and a |ε|-row rollup.
+    is not). Work: the shared scored histogram once (the only
+    corpus-volume pass is its rollup), cross-joined with the |ε|-row
+    literal candidate table (the adjudicated literals-times-sketch
+    class), cumulative-weight walks as windows PARTITIONED by ε (parallel
+    across candidates), and a |ε|-row rollup.
 
     Returns one row per candidate: (epsilon, dp_median_cents, err_cents).
     """
@@ -311,34 +350,12 @@ def dp_median_curve(
         raise ValueError(f"epsilons must be positive, got {epsilons!r}")
     from pyspark.sql import Window
 
-    hist = df.groupBy(F.col(cents_col).alias("_v")).agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
+    base = _median_utility_hist(df, cents_col)
+    eps_tbl = df.sparkSession.createDataFrame(
+        [(i, float(e)) for i, e in enumerate(epsilons)], "_i int, epsilon double"
     )
-    total = hist.agg(F.sum("_n").cast("long").alias("_total"))
-    wv = Window.orderBy("_v")
-    cum_n = F.sum("_n").over(wv.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
-    base = (
-        hist.crossJoin(F.broadcast(total))
-        .withColumn("_cumn", cum_n)
-        .withColumn(
-            "_u",
-            -F.abs(
-                F.lit(2) * (F.col("_cumn") - F.col("_n")) + F.col("_n") - F.col("_total")
-            ).cast("long"),
-        )
-    )
-    eps_rows = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(i).alias("_i"), F.lit(float(e)).alias("epsilon"))
-                for i, e in enumerate(epsilons)
-            ]
-        )
-    )
-    exact = F.min(F.when(F.lit(2) * F.col("_cumn") >= F.col("_total"), F.col("_v")))
-    scored = (
-        base.crossJoin(F.broadcast(total.select(eps_rows.alias("_e")).select("_e.*")))
-        .withColumn("_w", F.exp(F.col("epsilon") / F.lit(2.0) * F.col("_u")))
+    scored = base.crossJoin(F.broadcast(eps_tbl)).withColumn(
+        "_w", F.exp(F.col("epsilon") / F.lit(2.0) * F.col("_u"))
     )
     we = Window.partitionBy("_i").orderBy("_v")
     u_draw = md5_uniform(F.col("_i").cast("string"), f"dpu:{salt}:")
@@ -356,7 +373,11 @@ def dp_median_curve(
         .groupBy("_i", "epsilon")
         .agg(F.min("_v").cast("long").alias("dp_median_cents"))
     )
-    exact_row = base.agg(exact.cast("long").alias("_exact"))
+    exact_row = base.agg(
+        F.min(F.when(F.lit(2) * F.col("_cumn") >= F.col("_total"), F.col("_v")))
+        .cast("long")
+        .alias("_exact")
+    )
     return (
         picked.crossJoin(F.broadcast(exact_row))
         .select(

@@ -25,7 +25,9 @@ from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
 
 # replace() passes per BPE merge round (see bpe_learn_merges docstring):
 # fixed, not until-fixpoint, so the SQL oracle composes the identical
-# expression. Handles self-pair runs up to 2^3 repeats per word.
+# expression. Two passes make non-self pairs and self-runs <= 4 exactly
+# greedy; self-runs >= 5 under-merge at ANY pass count (isolated leftover
+# singles cannot re-pair). The third pass is headroom.
 _MERGE_PASSES = 3
 
 
@@ -90,8 +92,10 @@ def vocab_coverage(
     rollup). Budgets clamp to the actual type count, so V beyond the
     vocabulary reports full coverage instead of dropping the row.
 
-    Returns one row per budget: (vocab_budget, tokens_covered, coverage,
-    n_types, total_tokens), coverage rounded to 4 dp.
+    Returns one row per DISTINCT budget (duplicates in ``budgets`` are
+    collapsed; rows come back keyed by ``vocab_budget``, so read them by
+    value, not by input position): (vocab_budget, tokens_covered,
+    coverage, n_types, total_tokens), coverage rounded to 4 dp.
     """
     if not budgets or any(int(v) < 1 for v in budgets):
         raise ValueError(f"budgets must be positive ints, got {budgets!r}")
@@ -147,18 +151,27 @@ def bpe_learn_merges(
     flat.
 
     Merge application is leftmost non-overlapping string replacement on
-    the sentinel-wrapped symbol string, applied in THREE passes per round:
-    one pass under-merges CONSECUTIVE occurrences of the winning pair
-    (" a b a b " — the two matches share the separator space, so a single
-    pass yields `ab a b`), and each extra pass merges the survivors;
-    three passes fix runs up to 2³ repeats. The pass count is FIXED (not
-    until-fixpoint) so the oracle can apply the identical composition —
-    replace() semantics are engine-identical (verified), making the
-    result bit-reproducible everywhere. Semantics match greedy BPE except
-    inside odd self-pair runs ≥ 5 ("aaaaa" → `aa a aa` vs greedy's
-    `aa aa a`) and self-pair runs beyond 2³ — corners real text
-    essentially never hits; determinism and cross-engine parity are the
-    contract here.
+    the sentinel-wrapped symbol string, applied in THREE passes per
+    round: one pass under-merges CONSECUTIVE occurrences of the winning
+    pair (" a b a b " — the matches share the separator space, so a
+    single pass yields `ab a b`), and later passes merge leftovers whose
+    " pa pb " spelling survives. The exact contract (pass count FIXED,
+    not until-fixpoint, so the oracle composes the identical
+    expression; replace() semantics verified engine-identical, so the
+    result is bit-reproducible everywhere):
+
+    - NON-self pairs (pa ≠ pb): exact greedy BPE — pass 1 leaves only
+      isolated " pa pb " leftovers, pass 2 merges them all; pass 3 is
+      headroom.
+    - SELF-pair runs of length ≤ 4 ("aaaa"): exact greedy BPE.
+    - SELF-pair runs of length ≥ 5: leftover singles end up flanked by
+      merged symbols and can never re-pair, so they stay — run of 5
+      → `aa a aa` (greedy: `aa aa a`), run of 6 → `aa a aa a`
+      (greedy: `aa aa aa`); NO pass count fixes this, it is a property
+      of non-overlapping replacement. A corpus whose words carry 5+
+      same-char runs (e.g. "000000") under-merges those words; both
+      engines agree exactly, so determinism and cross-engine parity —
+      the contract here — are unaffected.
 
     Returns one row per learned merge: (round, pair, pair_count,
     n_symbols) — n_symbols is the distinct symbol count across the vocab

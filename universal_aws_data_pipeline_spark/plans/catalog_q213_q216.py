@@ -45,7 +45,10 @@ from universal_aws_data_pipeline_spark.plans._shared import (
 # CELL (never per row). The raw count is dropped before release.
 # Oracle: identical bounding, identical md5-uniform (8 hex nibbles →
 # (v+0.5)/2^32 — exact in doubles), identical inverse-CDF Laplace; the
-# single ln() rides the repo-wide round(4) cross-engine contract.
+# single ln() rides the repo-wide round(4) cross-engine contract. NULL
+# group keys RAISE on the Spark side (dp_group_counts: distinct groups
+# must seed distinct draws); the fixture has none, and the device
+# contract requires pre-coalesced keys.
 # --------------------------------------------------------------------------
 
 _DP_CAP = 4

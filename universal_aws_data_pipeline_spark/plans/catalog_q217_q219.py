@@ -119,7 +119,8 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIXED 3-pass leftmost non-overlapping replacement on sentinel-wrapped
 # symbol strings — fixed so the oracle composes the identical expression;
 # replace() semantics verified engine-identical (see bpe_learn_merges
-# docstring for the odd-self-pair-run caveat vs textbook greedy BPE).
+# docstring for the exact contract: non-self pairs and self-runs ≤ 4 are
+# exactly greedy BPE; self-pair runs ≥ 5 under-merge on both engines).
 # Oracle: the same three rounds as chained CTEs; the top-pair scalar
 # attaches via CROSS JOIN on the 1-row LIMIT 1 table.
 # --------------------------------------------------------------------------
