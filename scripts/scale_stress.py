@@ -203,6 +203,27 @@ HEAVY = [
     # on the bounded cells
     "q208_ks_type_drift",
     "q209_mann_whitney",
+    # round-10 continuation families. Privacy: q213's (user,type,week)
+    # bounding agg sees 10x users (the corpus-volume pass; noise stays one
+    # expr per |types x weeks| cell); q214/q217/q221 run on the 10x
+    # customer table — custkey-shifted copies keep the QUASI domain fixed
+    # (nation x balance-band), so classes get 10x fatter, exactly how a
+    # real 10x dimension table scales, and the keyed class aggs/windows
+    # should be ~linear; q219/q220's cents-grid histograms absorb 10x
+    # events into a CONSTANT grid. Tokenizer: the xk token suffixes
+    # multiply the vocab 10x — the WORST direction for the vocabulary-
+    # bounded claim (pair explode, coverage window, and all three BPE
+    # training rounds run over the 10x vocab; the corpus scan is the
+    # other term).
+    "q213_dp_event_release",
+    "q214_k_anonymity_audit",
+    "q215_bpe_merge_pairs",
+    "q216_vocab_coverage",
+    "q217_k_anonymize_ladder",
+    "q218_bpe_learn_merges",
+    "q219_dp_median",
+    "q220_dp_median_curve",
+    "q221_t_closeness_audit",
 ]
 
 
@@ -215,6 +236,25 @@ def build_scaled(spark) -> None:
     _build_scaled_docs(spark)
     _build_scaled_trade(spark)
     _build_scaled_events(spark)
+    _build_scaled_customer(spark)
+
+
+def _build_scaled_customer(spark) -> None:
+    """10 copies of customer with ONLY c_custkey shifted: the quasi-
+    identifier domain (nation x balance-band) is fixed by schema, so a
+    real 10x dimension table means 10x-fatter equivalence classes — which
+    is exactly what the privacy audits must stay linear under."""
+    if os.path.isdir(f"{SCALED}/customer.parquet"):
+        return
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    parts = [
+        cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * 10_000_000))
+        for k in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SCALED}/customer.parquet")
 
 
 def _build_longdocs(spark) -> None:
