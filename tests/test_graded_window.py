@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "600c151f6a694e14140c62e3be4f5e7a", (
+    assert h == "c6c429a5887016eb71ca3feea244cdde", (
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )

@@ -411,3 +411,17 @@ def test_bpe_merge_contract_self_run_boundaries(spark):
     # non-self pair, consecutive occurrences: exactly greedy by pass 2
     gotab = bpe_learn_merges(spark.createDataFrame([("ababab",)], ["text"]), 1).collect()
     assert gotab[0]["pair"] == "a b" and gotab[0]["n_symbols"] == 1  # {'ab'}
+
+
+def test_bpe_corpus_stats_compression_hand_math(spark):
+    from universal_aws_data_pipeline_spark.operators.tokenizer import bpe_learn_merges
+
+    # vocab: 'abab' x2 (4 chars), 'cd' x3 (2 chars) -> baseline 2*4+3*2 = 14
+    # round 1 merges 'a b' -> 'ab ab' (2 syms) & 'c d' (2): 2*2+3*2 = 10
+    # round 2 merges 'c d' -> 'cd' (1): 2*2+3*1 = 7
+    df = spark.createDataFrame([("abab abab cd cd cd",)], ["text"])
+    got = [tuple(r) for r in bpe_learn_merges(df, 2, corpus_stats=True).collect()]
+    assert got[0] == (1, "a b", 4, 3, 10, round(10 / 14, 4))
+    assert got[1] == (2, "c d", 3, 2, 7, round(7 / 14, 4))
+    # default mode keeps the original 4-column schema
+    assert len(bpe_learn_merges(df, 1).columns) == 4

@@ -230,6 +230,7 @@ ADJUDICATED: dict[str, str] = {
     "q218_bpe_learn_merges": "bounded: the corpus is scanned once into the |vocab| word-frequency table (language-bounded — the q215 adjudication); each of the 3 merge rounds is a pair explode + rollup + 1-row top-pair collect + leftmost-replace re-segmentation OVER THAT TABLE, localCheckpointed per round (|vocab| rows); corpus volume never re-enters the loop",
     "q219_dp_median": "bounded: one map-side-combined rollup to the cents grid (the q208/q209 grid precondition — |grid| cells at ANY sf), then utility/weight expressions + the cumulative-weight walk as grid-sized windows (adjudicated single-partition — sketch-sized) and a 1-row release; exp underflows to exactly 0.0 identically on both engines in the far tail",
     "q220_dp_median_curve": "bounded: the q219 grid device x a |epsilon|-row literal candidate table (adjudicated literals-times-sketch cross join); per-candidate weight walks run as windows PARTITIONED by candidate (parallel), the shared cumulative-count walk is the adjudicated grid-sized single-partition window, output is |epsilon| rows",
+    "q222_bpe_compression_curve": "composes: the q218 training loop (10x-stressed, exponent -0.20) plus ONE extra |vocab|-sized aggregate per round — same vocabulary-bounded posture, measured by the q218 stress row",
     "q221_t_closeness_audit": "catalyst: one (quasi, sensitive) hash agg — the only corpus-volume pass, map-side combinable — then keyed joins to |classes|/|values| tables, the adjudicated 1-row total attach, a keyed per-class rollup via the algebraic absent-mass fold (never the zero-filled |classes|x|values| grid), and a <=3-row band rollup",
 }
 

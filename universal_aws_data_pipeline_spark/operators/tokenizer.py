@@ -132,7 +132,7 @@ def vocab_coverage(
 
 
 def bpe_learn_merges(
-    df: DataFrame, rounds: int, text_col: str = "text"
+    df: DataFrame, rounds: int, text_col: str = "text", corpus_stats: bool = False
 ) -> DataFrame:
     """Learn the first ``rounds`` BPE merges from the corpus — the actual
     greedy training loop, not just round-1 statistics
@@ -175,7 +175,12 @@ def bpe_learn_merges(
 
     Returns one row per learned merge: (round, pair, pair_count,
     n_symbols) — n_symbols is the distinct symbol count across the vocab
-    AFTER applying the merge (the growing symbol inventory).
+    AFTER applying the merge (the growing symbol inventory). With
+    ``corpus_stats=True`` two columns join them: ``corpus_symbols``
+    (total corpus symbol occurrences, Σ count·|segmentation|, after the
+    merge) and ``compression`` (corpus_symbols over the round-0
+    character baseline, 4 dp) — what each merge actually buys on the
+    corpus, at the cost of one extra |vocab|-sized aggregate per round.
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
@@ -184,7 +189,13 @@ def bpe_learn_merges(
     cur = vocab.select(
         F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("seg"), "c"
     ).localCheckpoint(eager=True)  # |vocab| rows — tiny
-    out_rows: list[tuple[int, str, int, int]] = []
+    base_symbols = None
+    if corpus_stats:
+        base_symbols = int(
+            vocab.agg(F.sum(F.col("c") * F.length("w")).cast("long").alias("b"))
+            .collect()[0]["b"]
+        )
+    out_rows: list = []
     for r in range(1, rounds + 1):
         toks = cur.select(F.split("seg", " ").alias("t"), "c")
         pairs = toks.select(
@@ -217,7 +228,27 @@ def bpe_learn_merges(
         n_symbols = (
             cur.select(F.explode(F.split("seg", " ")).alias("s")).distinct().count()
         )
-        out_rows.append((r, pair, int(pc), int(n_symbols)))
-    return spark.createDataFrame(
-        out_rows, "round INT, pair STRING, pair_count BIGINT, n_symbols BIGINT"
-    )
+        if corpus_stats:
+            corpus_symbols = int(
+                cur.agg(
+                    F.sum(F.col("c") * F.size(F.split("seg", " ")))
+                    .cast("long")
+                    .alias("cs")
+                ).collect()[0]["cs"]
+            )
+            out_rows.append(
+                (
+                    r,
+                    pair,
+                    int(pc),
+                    int(n_symbols),
+                    corpus_symbols,
+                    round(corpus_symbols / base_symbols, 4),
+                )
+            )
+        else:
+            out_rows.append((r, pair, int(pc), int(n_symbols)))
+    schema = "round INT, pair STRING, pair_count BIGINT, n_symbols BIGINT"
+    if corpus_stats:
+        schema += ", corpus_symbols BIGINT, compression DOUBLE"
+    return spark.createDataFrame(out_rows, schema)

@@ -55,6 +55,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q211_q212  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q213_q216  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q217_q219  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q220_q221  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q222  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -316,6 +317,7 @@ _EXPECTED_ORDER: list[str] = [
     "q219_dp_median",
     "q220_dp_median_curve",
     "q221_t_closeness_audit",
+    "q222_bpe_compression_curve",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

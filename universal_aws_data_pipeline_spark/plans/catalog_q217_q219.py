@@ -128,8 +128,11 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Chained-CTE oracle for ``rounds`` greedy BPE merge rounds."""
+def _bpe_oracle(rounds: int, corpus_stats: bool = False) -> str:
+    """Chained-CTE oracle for ``rounds`` greedy BPE merge rounds; with
+    ``corpus_stats`` each round's row carries the post-merge corpus
+    symbol total and its compression vs the round-0 character baseline
+    (the q222 twin of ``bpe_learn_merges(corpus_stats=True)``)."""
     split = "string_split(seg, ' ')"
     pair_list = (
         f"list_transform(range(1, CAST(len({split}) AS INTEGER)),"
@@ -140,6 +143,10 @@ def _bpe_oracle(rounds: int) -> str:
         "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY w)",
         r"seg0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg, c FROM vocab)",
     ]
+    if corpus_stats:
+        ctes.append(
+            "b0 AS (SELECT CAST(sum(c * len(w)) AS BIGINT) AS bs FROM vocab)"
+        )
     selects = []
     for r in range(1, rounds + 1):
         prev = f"seg{r - 1}"
@@ -166,10 +173,23 @@ def _bpe_oracle(rounds: int) -> str:
             f"s{r} AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS ns FROM"
             f" (SELECT unnest(string_split(seg, ' ')) AS sym FROM seg{r}))"
         )
-        selects.append(
-            f"SELECT CAST({r} AS INTEGER) AS round, t{r}.pair AS pair,"
-            f" t{r}.pc AS pair_count, s{r}.ns AS n_symbols FROM t{r} CROSS JOIN s{r}"
-        )
+        if corpus_stats:
+            ctes.append(
+                f"cs{r} AS (SELECT CAST(sum(c * len(string_split(seg, ' '))) AS BIGINT)"
+                f" AS cs FROM seg{r})"
+            )
+            selects.append(
+                f"SELECT CAST({r} AS INTEGER) AS round, t{r}.pair AS pair,"
+                f" t{r}.pc AS pair_count, s{r}.ns AS n_symbols,"
+                f" cs{r}.cs AS corpus_symbols,"
+                f" round(cs{r}.cs / CAST(b0.bs AS DOUBLE), 4) AS compression"
+                f" FROM t{r} CROSS JOIN s{r} CROSS JOIN cs{r} CROSS JOIN b0"
+            )
+        else:
+            selects.append(
+                f"SELECT CAST({r} AS INTEGER) AS round, t{r}.pair AS pair,"
+                f" t{r}.pc AS pair_count, s{r}.ns AS n_symbols FROM t{r} CROSS JOIN s{r}"
+            )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
