@@ -1098,3 +1098,99 @@ def test_streaming_drift_trio_monitor_alerts_all_legs(spark, tmp_path):
     assert a["ks_micro"] == 1_000_000  # total CDF separation at the shift
     assert 0.0 < a["js_nats"] <= 0.6932 and a["psi"] > 0.1
     assert a["n_ref"] == 40 and a["n_cur"] == 40
+
+
+def test_streaming_weighted_reservoir_maintainer(spark, tmp_path):
+    """STR5 through a REAL stream: two file micro-batches feed the
+    foreachBatch weighted-reservoir maintainer; the persisted k-row state
+    must equal the batch Efraimidis–Spirakis top-k over every row seen —
+    the merge-associativity contract, independent of the file→batch
+    order availableNow happens to pick."""
+    import json as _json
+
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        weighted_reservoir_stream_fn,
+        weighted_sample_topk,
+    )
+
+    d = tmp_path / "res_in"
+    d.mkdir()
+    rows = [(i, float(1 + i % 7)) for i in range(80)]
+    for part, chunk in enumerate((rows[:40], rows[40:])):
+        with open(d / f"b{part}.json", "w") as fh:
+            for doc_id, w in chunk:
+                fh.write(_json.dumps({"doc_id": doc_id, "w": w}) + "\n")
+
+    state = str(tmp_path / "res_state")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json",
+         "max_files_per_trigger": 1},
+        "doc_id long, w double",
+    )
+    q = write_stream_sink(
+        stream,
+        {"type": "foreach_batch",
+         "fn": weighted_reservoir_stream_fn(state, "w", k=10, key_col="doc_id"),
+         "checkpoint": str(tmp_path / "ckpt_res"),
+         "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(f"{state}/sample").collect())
+    all_df = spark.createDataFrame(rows, "doc_id long, w double")
+    want = sorted(
+        r["doc_id"] for r in weighted_sample_topk(all_df, "w", 10, "doc_id").collect()
+    )
+    assert got == want
+
+
+def test_streaming_dp_release_maintainer(spark, tmp_path):
+    """STR6 through a REAL stream: each micro-batch's DP release must
+    equal the batch operator with that batch's id-salted key. Groups are
+    split across the files so the check is robust to whichever file
+    availableNow assigns to which batch id."""
+    import json as _json
+
+    from universal_aws_data_pipeline_spark.operators.privacy import (
+        dp_group_counts,
+        dp_release_stream_fn,
+    )
+
+    d = tmp_path / "dp_in"
+    d.mkdir()
+    files = {
+        0: [("a", u) for u in range(6)],
+        1: [("b", u) for u in range(4)] + [("b", 0)],
+    }
+    for part, chunk in files.items():
+        with open(d / f"b{part}.json", "w") as fh:
+            for g, u in chunk:
+                fh.write(_json.dumps({"g": g, "u": u}) + "\n")
+
+    out = str(tmp_path / "dp_releases")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json",
+         "max_files_per_trigger": 1},
+        "g string, u long",
+    )
+    q = write_stream_sink(
+        stream,
+        {"type": "foreach_batch",
+         "fn": dp_release_stream_fn(out, ["g"], "u", epsilon=1.0, cap=2, salt="s"),
+         "checkpoint": str(tmp_path / "ckpt_dp"),
+         "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+
+    releases = spark.read.parquet(out).collect()
+    assert {r["g"] for r in releases} == {"a", "b"}
+    by_group = {("a",): files[0], ("b",): files[1]}
+    for r in releases:
+        chunk = by_group[(r["g"],)]
+        bdf = spark.createDataFrame(chunk, "g string, u long")
+        want = dp_group_counts(
+            bdf, ["g"], "u", 1.0, 2, f"s:b{r['batch_id']}", 0.0
+        ).collect()
+        assert len(want) == 1 and want[0]["noisy_count"] == r["noisy_count"]
