@@ -425,3 +425,56 @@ def test_bpe_corpus_stats_compression_hand_math(spark):
     assert got[1] == (2, "c d", 3, 2, 7, round(7 / 14, 4))
     # default mode keeps the original 4-column schema
     assert len(bpe_learn_merges(df, 1).columns) == 4
+
+
+# --------------------------------------------------------------------------
+# second self-review pass regressions
+# --------------------------------------------------------------------------
+
+
+def test_t_closeness_keeps_null_classes_and_categories(spark):
+    """NULL quasi values and NULL sensitive cells are real classes /
+    categories: equality joins would silently drop them (NULL != NULL)
+    and the audit would understate leakage. Hand math: both classes have
+    TVD exactly 0.25 -> 'drifted'."""
+    from universal_aws_data_pipeline_spark.operators.privacy import t_closeness_audit
+
+    rows = [("A", "x")] * 2 + [("A", None)] * 2 + [(None, "x")] * 4
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["closeness_band"]: r for r in t_closeness_audit(df, ["q"], "s").collect()}
+    assert set(out) == {"drifted"}
+    assert out["drifted"]["n_classes"] == 2  # NULL-quasi class counted
+    assert out["drifted"]["n_rows"] == 8  # NULL sensitive cells counted
+    assert out["drifted"]["max_tvd"] == 0.25
+
+
+def test_dp_release_stream_fn_null_key_does_not_poison(spark, tmp_path):
+    """A NULL group key must NOT wedge the stream (the batch raise would
+    replay forever from the checkpoint): the maintainer coalesces NULLs
+    to the explicit '(null)' category, which gets its own draw."""
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_release_stream_fn
+
+    out = str(tmp_path / "rel")
+    fn = dp_release_stream_fn(out, ["g"], "u", 1.0, 1, "s", release_threshold=-1e9)
+    fn(spark.createDataFrame([("a", 1), (None, 2), (None, 3)], "g string, u long"), 0)
+    got = {r["g"]: r["noisy_count"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a", "(null)"}
+
+
+def test_dp_counts_empty_group_cols_is_global_release(spark):
+    """group_cols=[] is the degenerate global count release — the NULL
+    guard must not break it (F.when(None, ...) regression)."""
+    df = spark.createDataFrame([("u%d" % (i % 3),) for i in range(5)], ["u"])
+    out = dp_group_counts(df, [], "u", 1.0, 1, "s", -1e9).collect()
+    assert len(out) == 1
+    expected = 3 + _py_laplace("", "s", 1.0)  # 3 users, cap 1, '' seed
+    assert abs(out[0]["noisy_count"] - expected) <= 5e-5
+
+
+def test_bpe_corpus_stats_empty_corpus_graceful(spark):
+    from universal_aws_data_pipeline_spark.operators.tokenizer import bpe_learn_merges
+
+    df = spark.createDataFrame([("   ",)], ["text"])
+    out = bpe_learn_merges(df, 2, corpus_stats=True)
+    assert out.count() == 0
+    assert len(out.columns) == 6  # schema stable even when empty

@@ -115,10 +115,9 @@ def dp_group_counts(
     # would be gone. Pre-coalesce NULLs into an explicit category before
     # release (the percentile large-path NULL-group convention: enforced,
     # not just documented).
-    any_null = None
+    any_null = F.lit(False)  # group_cols=[] -> global release, '' seed
     for c in group_cols:
-        isn = F.col(c).isNull()
-        any_null = isn if any_null is None else (any_null | isn)
+        any_null = any_null | F.col(c).isNull()
     gk = F.when(
         any_null,
         F.raise_error(
@@ -412,6 +411,9 @@ def t_closeness_audit(
 
     Output: one row per closeness band (``<=tight``, ``(tight,loose]``,
     ``>loose``) with class/row counts and the band's max TVD (4 dp).
+    NULL quasi or sensitive values are real classes/categories and are
+    KEPT (window partitioning, not equality joins — NULL != NULL would
+    silently drop exactly the under-curated rows an audit exists for).
 
     Scale: one (quasi, sensitive) rollup — the only corpus-volume pass,
     map-side combinable — a |values|-row broadcast global-distribution
@@ -419,15 +421,27 @@ def t_closeness_audit(
     """
     if not (0 < tight < loose):
         raise ValueError(f"need 0 < tight < loose, got {tight}, {loose}")
+    from pyspark.sql import Window
+
     cells = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
-    class_tot = cells.groupBy(*quasi_cols).agg(F.sum("_c").cast("long").alias("_ct"))
-    glob = cells.groupBy(sensitive_col).agg(F.sum("_c").cast("long").alias("_g"))
+    # class/global totals attach via KEYED WINDOWS over the cell table,
+    # not equality joins: NULL quasi or sensitive values are legitimate
+    # equivalence classes / categories, and an equality join would
+    # silently drop them (NULL != NULL) — a privacy audit that loses
+    # exactly the rows most likely to be under-curated would understate
+    # leakage. Window partitioning groups NULL keys like groupBy does.
     n_total = cells.agg(F.sum("_c").cast("long").alias("_n"))
     scored = (
-        cells.join(class_tot, quasi_cols)
-        .join(F.broadcast(glob), sensitive_col)
+        cells.withColumn(
+            "_ct",
+            F.sum("_c").over(Window.partitionBy(*quasi_cols)).cast("long"),
+        )
+        .withColumn(
+            "_g",
+            F.sum("_c").over(Window.partitionBy(sensitive_col)).cast("long"),
+        )
         .crossJoin(F.broadcast(n_total))
     )
     p = F.col("_c") / F.col("_ct")
@@ -478,11 +492,25 @@ def dp_release_stream_fn(
     safe here — a true RNG would leak extra information on every replay
     AND corrupt the dedup).
 
+    NULL group keys: the batch operator RAISES on them (distinct groups
+    must seed distinct draws), but a raise inside foreachBatch is a
+    POISON PILL — the failed micro-batch replays from the checkpoint and
+    re-raises forever, taking the telemetry pipeline down on one bad
+    record. The maintainer therefore pre-coalesces every group column to
+    the explicit ``"(null)"`` category (cast to string for a stable
+    release-log schema): NULL becomes a legitimate released group with
+    its own independent draw, the stream stays alive, and the batch
+    operator's strictness is preserved for offline callers.
+
     Scale per batch: one (user, group) hash agg over the batch + a
     |groups|-row noise expression — the q213 posture, batch-sized.
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        for c in group_cols:
+            batch_df = batch_df.withColumn(
+                c, F.coalesce(F.col(c).cast("string"), F.lit("(null)"))
+            )
         release = dp_group_counts(
             batch_df,
             group_cols,

@@ -189,12 +189,17 @@ def bpe_learn_merges(
     cur = vocab.select(
         F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("seg"), "c"
     ).localCheckpoint(eager=True)  # |vocab| rows — tiny
-    base_symbols = None
+    base_symbols = 0
     if corpus_stats:
-        base_symbols = int(
-            vocab.agg(F.sum(F.col("c") * F.length("w")).cast("long").alias("b"))
-            .collect()[0]["b"]
-        )
+        # baseline = round-0 corpus symbol (character) total, computed
+        # over the CHECKPOINTED seg table — NOT over the lazy vocab plan,
+        # which would re-run the corpus-volume explode/rollup as a second
+        # scan (actions do not share exchanges). None on an empty corpus
+        # -> 0; the loop then emits no rows, so it is never divided by.
+        b = cur.agg(
+            F.sum(F.col("c") * F.size(F.split("seg", " "))).cast("long").alias("b")
+        ).collect()[0]["b"]
+        base_symbols = int(b) if b is not None else 0
     out_rows: list = []
     for r in range(1, rounds + 1):
         toks = cur.select(F.split("seg", " ").alias("t"), "c")
@@ -236,19 +241,17 @@ def bpe_learn_merges(
                     .alias("cs")
                 ).collect()[0]["cs"]
             )
-            out_rows.append(
-                (
-                    r,
-                    pair,
-                    int(pc),
-                    int(n_symbols),
-                    corpus_symbols,
-                    round(corpus_symbols / base_symbols, 4),
-                )
-            )
+            out_rows.append((r, pair, int(pc), int(n_symbols), corpus_symbols))
         else:
             out_rows.append((r, pair, int(pc), int(n_symbols)))
     schema = "round INT, pair STRING, pair_count BIGINT, n_symbols BIGINT"
     if corpus_stats:
-        schema += ", corpus_symbols BIGINT, compression DOUBLE"
+        # compression rounds via F.round (HALF_UP — for positive values
+        # identical to DuckDB's half-away round; Python's round() is
+        # banker's and diverges on exact 4-dp ties like 5/32 = 0.15625)
+        out = spark.createDataFrame(out_rows, schema + ", corpus_symbols BIGINT")
+        return out.withColumn(
+            "compression",
+            F.round(F.col("corpus_symbols") / F.lit(base_symbols), 4),
+        )
     return spark.createDataFrame(out_rows, schema)
