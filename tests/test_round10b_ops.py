@@ -478,3 +478,53 @@ def test_bpe_corpus_stats_empty_corpus_graceful(spark):
     out = bpe_learn_merges(df, 2, corpus_stats=True)
     assert out.count() == 0
     assert len(out.columns) == 6  # schema stable even when empty
+
+
+# --------------------------------------------------------------------------
+# dp_group_sums (the bounded-sum release)
+# --------------------------------------------------------------------------
+
+
+def _py_laplace_sum(key: str, salt: str, scale: float) -> float:
+    v = int(hashlib.md5(f"dps:{salt}:{key}".encode()).hexdigest()[:8], 16)
+    u = (v + 0.5) / float(1 << 32)
+    d = u - 0.5
+    return -scale * math.copysign(1.0, d) * math.log(1.0 - 2.0 * abs(d))
+
+
+def test_dp_sums_clipping_and_noise_match_hand_math(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_group_sums
+
+    # user 1 contributes 150 to 'a' (clips to 100); user 2 contributes 40
+    # to 'a' and -30 to 'b' (negative clips to 0): bounded a=140, b=0.
+    rows = [("a", 1, 150), ("a", 2, 40), ("b", 2, -30)]
+    df = spark.createDataFrame(rows, "g string, u long, v long")
+    out = {
+        r["g"]: r["noisy_sum"]
+        for r in dp_group_sums(df, ["g"], "u", "v", 1.0, 100, "t").collect()
+    }
+    for g, bounded in [("a", 140), ("b", 0)]:
+        expected = bounded + _py_laplace_sum(g, "t", 100.0)
+        assert abs(out[g] - expected) <= 5e-5, (g, out[g], expected)
+
+
+def test_dp_sums_clip_invariance_and_validation(spark):
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_group_sums
+
+    base = spark.createDataFrame([("a", 1, 100), ("a", 2, 100)], "g string, u long, v long")
+    # inflating user 1's contribution far past the clip cannot move the release
+    inflated = spark.createDataFrame(
+        [("a", 1, 100_000), ("a", 2, 100)], "g string, u long, v long"
+    )
+    one = dp_group_sums(base, ["g"], "u", "v", 1.0, 50, "s").collect()[0]["noisy_sum"]
+    two = dp_group_sums(inflated, ["g"], "u", "v", 1.0, 50, "s").collect()[0]["noisy_sum"]
+    assert one == two
+    with pytest.raises(ValueError, match="clip"):
+        dp_group_sums(base, ["g"], "u", "v", 1.0, 0, "s")
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_group_sums(base, ["g"], "u", "v", 0.0, 50, "s")
+    with pytest.raises(Exception, match="NULL group key"):
+        dp_group_sums(
+            spark.createDataFrame([(None, 1, 5)], "g string, u long, v long"),
+            ["g"], "u", "v", 1.0, 50, "s",
+        ).collect()

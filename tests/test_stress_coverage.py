@@ -231,6 +231,7 @@ ADJUDICATED: dict[str, str] = {
     "q219_dp_median": "bounded: one map-side-combined rollup to the cents grid (the q208/q209 grid precondition — |grid| cells at ANY sf), then utility/weight expressions + the cumulative-weight walk as grid-sized windows (adjudicated single-partition — sketch-sized) and a 1-row release; exp underflows to exactly 0.0 identically on both engines in the far tail",
     "q220_dp_median_curve": "bounded: the q219 grid device x a |epsilon|-row literal candidate table (adjudicated literals-times-sketch cross join); per-candidate weight walks run as windows PARTITIONED by candidate (parallel), the shared cumulative-count walk is the adjudicated grid-sized single-partition window, output is |epsilon| rows",
     "q222_bpe_compression_curve": "composes: the q218 training loop (10x-stressed, exponent -0.20) plus ONE extra |vocab|-sized aggregate per round — same vocabulary-bounded posture, measured by the q218 stress row",
+    "q223_dp_value_release": "catalyst: one (user, type, week) hash agg with the clipped-sum rollup — the q213 posture exactly (10x-stressed, exponent 0.14); noise is one scalar md5 expression per |types x weeks| cell",
     "q221_t_closeness_audit": "catalyst: one (quasi, sensitive) hash agg — the only corpus-volume pass, map-side combinable — then keyed joins to |classes|/|values| tables, the adjudicated 1-row total attach, a keyed per-class rollup via the algebraic absent-mass fold (never the zero-filled |classes|x|values| grid), and a <=3-row band rollup",
 }
 

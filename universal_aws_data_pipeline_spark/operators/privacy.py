@@ -108,32 +108,95 @@ def dp_group_counts(
     counts = bounded.groupBy(*group_cols).agg(
         F.sum("_bounded").cast("long").alias("_c")
     )
-    # NULL group keys RAISE (execution-time, zero extra scan): concat_ws
-    # silently SKIPS nulls, so (NULL,'x') and ('x',NULL) would share one
-    # noise draw and their released difference would leak the exact raw
-    # delta — the per-group independence the epsilon guarantee rests on
-    # would be gone. Pre-coalesce NULLs into an explicit category before
-    # release (the percentile large-path NULL-group convention: enforced,
-    # not just documented).
-    any_null = F.lit(False)  # group_cols=[] -> global release, '' seed
-    for c in group_cols:
-        any_null = any_null | F.col(c).isNull()
-    gk = F.when(
-        any_null,
-        F.raise_error(
-            F.lit(
-                "dp_group_counts: NULL group key — coalesce NULLs into an "
-                "explicit category before release (noise seeds must be "
-                "distinct per group)"
-            )
-        ).cast("string"),
-    ).otherwise(F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols]))
+    gk = _guarded_group_seed(group_cols)
     noise = laplace_noise(md5_uniform(gk, f"dp:{salt}:"), float(cap) / float(epsilon))
     return (
         counts.withColumn("noisy_count", F.round(F.col("_c") + noise, 4))
         .filter(F.col("noisy_count") >= F.lit(float(release_threshold)))
         .drop("_c")
     )
+
+
+def _guarded_group_seed(group_cols: list[str]) -> Column:
+    """The noise-seed key for a group row: ':'-joined stringified group
+    values. NULL group keys RAISE (execution-time, zero extra scan):
+    concat_ws silently SKIPS nulls, so (NULL,'x') and ('x',NULL) would
+    share one noise draw and their released difference would leak the
+    exact raw delta — the per-group independence the ε guarantee rests
+    on would be gone. Pre-coalesce NULLs into an explicit category before
+    release (the percentile large-path NULL-group convention: enforced,
+    not just documented). ``group_cols=[]`` is the global release ('' seed).
+    """
+    any_null = F.lit(False)
+    for c in group_cols:
+        any_null = any_null | F.col(c).isNull()
+    return F.when(
+        any_null,
+        F.raise_error(
+            F.lit(
+                "dp release: NULL group key — coalesce NULLs into an "
+                "explicit category before release (noise seeds must be "
+                "distinct per group)"
+            )
+        ).cast("string"),
+    ).otherwise(F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols]))
+
+
+def dp_group_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    user_col: str,
+    value_col: str,
+    epsilon: float,
+    clip: int,
+    salt: str,
+    release_threshold: float | None = None,
+) -> DataFrame:
+    """ε-DP noisy group SUMS with per-user clipping — the bounded-sum
+    Laplace release, completing the mechanism trio with
+    :func:`dp_group_counts` (counts) and :func:`dp_median_grid`
+    (quantiles).
+
+    Mechanism: each user's total ``value_col`` within a group is CLIPPED
+    to [0, clip] (the non-negative-measure contract: a negative per-user
+    total clips to 0 — use a shifted measure if signed releases are
+    needed), so add/remove of one user's contribution moves the group sum
+    by at most ``clip`` — the sensitivity. Laplace(clip/ε) noise per
+    group via the deterministic md5 device (seed prefix ``dps:`` —
+    disjoint from the count release's ``dp:`` so the two mechanisms on
+    the same groups draw independently). Groups below
+    ``release_threshold`` (when given) are suppressed on the NOISY value,
+    as in the count release. The raw sum never leaves.
+
+    ``value_col`` should be an integer measure (e.g. cents) so the
+    clipped aggregate is exact; the output ``noisy_sum`` rounds to 4 dp
+    (the repo's ln cross-engine contract).
+
+    Scale: one (user, group) hash agg — the only corpus-volume pass,
+    map-side combinable — then a rollup to the group domain with one
+    scalar noise expression per group row. NULL group keys raise (see
+    :func:`_guarded_group_seed`).
+    """
+    if clip < 1:
+        raise ValueError(f"clip must be >= 1, got {clip}")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    per_user = df.groupBy(user_col, *group_cols).agg(
+        F.sum(value_col).cast("long").alias("_s")
+    )
+    bounded = per_user.select(
+        *group_cols,
+        F.least(F.greatest(F.col("_s"), F.lit(0)), F.lit(int(clip)))
+        .cast("long")
+        .alias("_b"),
+    )
+    sums = bounded.groupBy(*group_cols).agg(F.sum("_b").cast("long").alias("_t"))
+    gk = _guarded_group_seed(group_cols)
+    noise = laplace_noise(md5_uniform(gk, f"dps:{salt}:"), float(clip) / float(epsilon))
+    out = sums.withColumn("noisy_sum", F.round(F.col("_t") + noise, 4)).drop("_t")
+    if release_threshold is not None:
+        out = out.filter(F.col("noisy_sum") >= F.lit(float(release_threshold)))
+    return out
 
 
 def k_anonymity_audit(
