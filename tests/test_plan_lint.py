@@ -161,10 +161,14 @@ _ADJUDICATED = {
         # corpus-total attach — both sides domain-bounded (q197's class)
         "q208_ks_type_drift",
         # q217: the fully-generalized ladder rung is a 1-row table-total
-        # attach (every other rung is a keyed count window)
+        # attach (every other rung is a domain-bounded groupBy-count
+        # broadcast-HASH-joined back — round-11 re-spell)
         "q217_k_anonymize_ladder",
         # q219: the 1-row histogram-total attach onto the cents-grid table
         "q219_dp_median",
+        # q224: the three 1-row released-cell-count attaches onto the
+        # 3-row ledger (plus q219's adjudicated total attach, inherited)
+        "q224_dp_budget_ledger",
         # q220: the |ε|-row candidate literals × the cents-grid histogram
         # (the q159/q193 literals-times-sketch class) + 1-row total and
         # exact-median attaches
@@ -249,6 +253,10 @@ _ADJUDICATED = {
         "q220_dp_median_curve",
         # q221: the 1-row table-total reduction (class rollups run keyed)
         "q221_t_closeness_audit",
+        # q224: three 1-row count reductions over the release outputs +
+        # the composition window over the 3-row literal ledger — every
+        # funneled input is release-surface-sized, never corpus-sized
+        "q224_dp_budget_ledger",
     },
     # filters intrinsically evaluated post-IO: predicates over transform
     # outputs (q05 required-filter after casts — reference semantics), salted

@@ -494,3 +494,14 @@ def test_r5_graph_and_sketch_plans(spark, sf_dir):
     p119 = _plan(spark, sf_dir, "q119_audience_overlap")
     assert "CartesianProduct" not in p119 and "BroadcastNestedLoopJoin" not in p119
     assert "BroadcastHashJoin" in p119
+
+
+def test_q217_ladder_sizes_via_broadcast_not_window(spark, sf_dir):
+    """k_anonymize_ladder's rung class sizes must come from a bounded
+    groupBy-count broadcast-joined back, never a count window partitioned
+    by the rung key: coarse rungs (the nationkey rung has 25 classes)
+    would buffer 1/|classes| of the table in one task's window frame at
+    any scale (round-10 verdict item 1; the q105/q135 convention)."""
+    plan = _plan(spark, sf_dir, "q217_k_anonymize_ladder")
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # one size attach per keyed rung

@@ -528,3 +528,82 @@ def test_dp_sums_clip_invariance_and_validation(spark):
             spark.createDataFrame([(None, 1, 5)], "g string, u long, v long"),
             ["g"], "u", "v", 1.0, 50, "s",
         ).collect()
+
+
+# --------------------------------------------------------------------------
+# round-11 ADVICE regressions
+# --------------------------------------------------------------------------
+
+
+def test_k_anonymity_null_sensitive_is_a_category(spark):
+    """NULL sensitive values are observable categories (the t-closeness
+    convention): a {value, NULL} class is DIVERSE (l_div 2), an all-NULL
+    class is HOMOGENEOUS (l_div 1) — bare count_distinct got both wrong
+    (round-10 ADVICE)."""
+    rows = [(1, "x"), (1, None), (2, None), (2, None)]
+    df = spark.createDataFrame(rows, ["q", "s"])
+    out = {
+        r["risk_band"]: r for r in k_anonymity_audit(df, ["q"], "s", k=2).collect()
+    }
+    # both classes have 2 rows -> anonymous band; only the all-NULL one is
+    # homogeneous
+    assert out["anonymous"]["n_classes"] == 2
+    assert out["anonymous"]["homogeneous_classes"] == 1
+
+
+def test_vocab_coverage_empty_corpus_emits_zero_rows_not_nothing(spark):
+    df = spark.createDataFrame([], "text string")
+    rows = {r["vocab_budget"]: r for r in vocab_coverage(df, [1, 8]).collect()}
+    assert set(rows) == {1, 8}
+    for r in rows.values():
+        assert r["tokens_covered"] == 0
+        assert r["coverage"] == 0.0
+        assert r["n_types"] == 0
+        assert r["total_tokens"] == 0
+
+
+def test_weighted_reservoir_recurring_key_occupies_one_slot(spark, tmp_path):
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        weighted_reservoir_stream_fn,
+    )
+
+    # doc 0 has a huge weight and recurs in batch 1 (not a replay): the
+    # merged sample must hold it ONCE, not in two of the k slots
+    b1 = spark.createDataFrame([(i, 100.0 if i == 0 else 1.0) for i in range(10)], ["doc_id", "w"])
+    b2 = spark.createDataFrame([(0, 100.0), (11, 1.0), (12, 1.0)], ["doc_id", "w"])
+    state = str(tmp_path / "res")
+    fn = weighted_reservoir_stream_fn(state, "w", k=5, key_col="doc_id")
+    fn(b1, 0)
+    fn(b2, 1)
+    got = [r["doc_id"] for r in spark.read.parquet(f"{state}/sample").collect()]
+    assert len(got) == 5
+    assert len(set(got)) == 5  # no key occupies two slots
+    assert got.count(0) == 1
+
+
+def test_dp_median_totw_is_final_cumulative_weight(spark):
+    """totw must be max over the ORDERED running sum (one accumulation
+    order shared with cumw), and the release on a known grid is the value
+    hand-math picks (round-10 ADVICE on float addition order)."""
+    import hashlib as _h
+    import math as _m
+
+    from universal_aws_data_pipeline_spark.operators.privacy import dp_median_grid
+
+    rows = [(v,) for v in [100] * 3 + [200] * 5 + [300] * 3]
+    df = spark.createDataFrame(rows, "cents long")
+    got = dp_median_grid(df, "cents", epsilon=2.0, salt="tw").collect()[0][
+        "dp_median_cents"
+    ]
+    # hand walk: utilities u(100)=-abs(0+3-11)=-8, u(200)=-abs(6+5-11)=0,
+    # u(300)=-abs(16+3-11)=-8; weights exp(eps/2*u) in grid order
+    ws = [_m.exp(1.0 * u) for u in (-8, 0, -8)]
+    cum, cums = 0.0, []
+    for w in ws:
+        cum += w
+        cums.append(cum)
+    tot = max(cums)
+    v = int(_h.md5(b"dpq:tw:median").hexdigest()[:8], 16)
+    u_draw = (v + 0.5) / float(1 << 32)
+    want = [100, 200, 300][min(i for i, c in enumerate(cums) if c >= u_draw * tot)]
+    assert got == want

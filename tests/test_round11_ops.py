@@ -1,0 +1,148 @@
+"""Round-11 tests: the ε-budget composition ledger (seed-collision guard,
+per-unit composition), the shared NULL-group pre-coalesce, and the BPE
+apply-merges operator (train/apply segmentation agreement)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.privacy import (
+    DpRelease,
+    coalesce_group_keys,
+    epsilon_ledger,
+)
+from universal_aws_data_pipeline_spark.operators.tokenizer import (
+    apply_merges,
+    bpe_learn_merges,
+)
+
+
+# --------------------------------------------------------------------------
+# epsilon_ledger
+# --------------------------------------------------------------------------
+
+
+def _rel(name="r1", mech="count", unit="t/user", eps=1.0, sens=2.0, prefix="dp:a:"):
+    return DpRelease(name, mech, unit, eps, sens, prefix)
+
+
+def test_epsilon_ledger_composes_per_unit(spark):
+    out = {
+        r["release"]: r
+        for r in epsilon_ledger(
+            spark,
+            [
+                _rel("counts", "count", "t/user", 1.0, 4.0, "dp:x:"),
+                _rel("sums", "sum", "t/user", 0.5, 500.0, "dps:x:"),
+                _rel("median", "median", "t/row", 0.2, 1.0, "dpq:x:"),
+            ],
+        ).collect()
+    }
+    # basic sequential composition adds per unit, not globally
+    assert out["counts"]["eps_unit_total"] == 1.5
+    assert out["sums"]["eps_unit_total"] == 1.5
+    assert out["median"]["eps_unit_total"] == 0.2
+    assert out["sums"]["sensitivity"] == 500.0
+
+
+def test_epsilon_ledger_rejects_seed_namespace_collision(spark):
+    # exact duplicate: two releases drawing from one namespace would share
+    # noise — differencing their outputs cancels it (the deterministic
+    # device makes this a genuine leak, hence a machine guard)
+    with pytest.raises(ValueError, match="seed-namespace collision"):
+        epsilon_ledger(
+            spark,
+            [_rel("a", prefix="dp:x:"), _rel("b", mech="sum", prefix="dp:x:")],
+        )
+    # proper string prefix: composed keys can alias across the namespaces
+    with pytest.raises(ValueError, match="seed-namespace collision"):
+        epsilon_ledger(
+            spark,
+            [_rel("a", prefix="dp:x:"), _rel("b", mech="sum", prefix="dp:x:b")],
+        )
+
+
+def test_epsilon_ledger_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        epsilon_ledger(spark, [])
+    with pytest.raises(ValueError, match="duplicate release names"):
+        epsilon_ledger(spark, [_rel("a"), _rel("a", prefix="dps:y:")])
+    with pytest.raises(ValueError, match="unknown mechanism"):
+        epsilon_ledger(spark, [_rel(mech="gauss")])
+    with pytest.raises(ValueError, match="epsilon must be"):
+        epsilon_ledger(spark, [_rel(eps=0.0)])
+    with pytest.raises(ValueError, match="sensitivity must be"):
+        epsilon_ledger(spark, [_rel(sens=-1.0)])
+
+
+# --------------------------------------------------------------------------
+# coalesce_group_keys
+# --------------------------------------------------------------------------
+
+
+def test_coalesce_group_keys_null_becomes_category(spark):
+    df = spark.createDataFrame([("a", 1), (None, 2), (None, 3)], ["g", "u"])
+    out = coalesce_group_keys(df, ["g"])
+    vals = sorted(r["g"] for r in out.select("g").distinct().collect())
+    assert vals == ["(null)", "a"]
+    assert dict(out.dtypes)["g"] == "string"
+
+
+def test_coalesce_group_keys_casts_nonstring_keys(spark):
+    df = spark.createDataFrame([(7, 1), (None, 2)], "g int, u int")
+    out = coalesce_group_keys(df, ["g"])
+    assert sorted(r["g"] for r in out.select("g").distinct().collect()) == [
+        "(null)",
+        "7",
+    ]
+
+
+# --------------------------------------------------------------------------
+# apply_merges
+# --------------------------------------------------------------------------
+
+
+def test_apply_merges_validates_pair_format(spark):
+    df = spark.createDataFrame([("ab",)], ["text"])
+    for bad in ["ab", "a b c", " b", "a "]:
+        with pytest.raises(ValueError, match="symbol pairs"):
+            apply_merges(df, [bad])
+
+
+def test_apply_merges_segmentation_preserves_characters(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the thin cat",)], ["text"]
+    )
+    out = apply_merges(df, ["t h", "th e"]).collect()
+    assert out  # vocabulary is non-empty
+    for r in out:
+        # removing segmentation spaces reconstructs the word exactly
+        assert r["seg"].replace(" ", "") == r["w"]
+    segs = {r["w"]: r["seg"] for r in out}
+    assert segs["the"] == "the"  # t+h merged, then th+e
+    assert segs["thin"] == "th i n"  # first merge applies, second doesn't
+
+
+def test_apply_merges_agrees_with_training_segmentation(spark):
+    """Applying the learned merge list reproduces the training loop's final
+    symbol inventory — the train/apply shared-contract guarantee."""
+    df = spark.createDataFrame(
+        [("banana bandana",), ("an analog banana",), ("a banal canal",)],
+        ["text"],
+    )
+    learned = bpe_learn_merges(df, rounds=3).collect()
+    merges = [r["pair"] for r in sorted(learned, key=lambda r: r["round"])]
+    seg_tbl = apply_merges(df, merges)
+    n_symbols = (
+        seg_tbl.select(F.explode(F.split("seg", " ")).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_symbols == learned[-1]["n_symbols"]
+
+
+def test_apply_merges_empty_merge_list_is_character_baseline(spark):
+    df = spark.createDataFrame([("ab ba",)], ["text"])
+    segs = {r["w"]: r["seg"] for r in apply_merges(df, []).collect()}
+    assert segs == {"ab": "a b", "ba": "b a"}

@@ -1149,10 +1149,14 @@ def test_streaming_dp_release_maintainer(spark, tmp_path):
     """STR6 through a REAL stream: each micro-batch's DP release must
     equal the batch operator with that batch's id-salted key. Groups are
     split across the files so the check is robust to whichever file
-    availableNow assigns to which batch id."""
+    availableNow assigns to which batch id. One record carries a NULL
+    group key: the maintainer's pre-coalesce must release it as the
+    "(null)" category (its own independent draw) instead of poisoning
+    the stream with the batch operator's NULL-seed raise."""
     import json as _json
 
     from universal_aws_data_pipeline_spark.operators.privacy import (
+        coalesce_group_keys,
         dp_group_counts,
         dp_release_stream_fn,
     )
@@ -1161,7 +1165,7 @@ def test_streaming_dp_release_maintainer(spark, tmp_path):
     d.mkdir()
     files = {
         0: [("a", u) for u in range(6)],
-        1: [("b", u) for u in range(4)] + [("b", 0)],
+        1: [("b", u) for u in range(4)] + [("b", 0)] + [(None, u) for u in range(3)],
     }
     for part, chunk in files.items():
         with open(d / f"b{part}.json", "w") as fh:
@@ -1178,19 +1182,28 @@ def test_streaming_dp_release_maintainer(spark, tmp_path):
     q = write_stream_sink(
         stream,
         {"type": "foreach_batch",
-         "fn": dp_release_stream_fn(out, ["g"], "u", epsilon=1.0, cap=2, salt="s"),
+         "fn": dp_release_stream_fn(out, ["g"], "u", epsilon=1.0, cap=2, salt="s",
+                                    release_threshold=-1e9),
          "checkpoint": str(tmp_path / "ckpt_dp"),
          "trigger": {"availableNow": True}},
     )
     q.awaitTermination(120)
 
     releases = spark.read.parquet(out).collect()
-    assert {r["g"] for r in releases} == {"a", "b"}
-    by_group = {("a",): files[0], ("b",): files[1]}
+    assert {r["g"] for r in releases} == {"a", "b", "(null)"}
     for r in releases:
-        chunk = by_group[(r["g"],)]
-        bdf = spark.createDataFrame(chunk, "g string, u long")
-        want = dp_group_counts(
-            bdf, ["g"], "u", 1.0, 2, f"s:b{r['batch_id']}", 0.0
-        ).collect()
-        assert len(want) == 1 and want[0]["noisy_count"] == r["noisy_count"]
+        chunk = next(
+            c
+            for c in files.values()
+            if r["g"] in {"(null)" if g is None else g for g, _ in c}
+        )
+        bdf = coalesce_group_keys(
+            spark.createDataFrame(chunk, "g string, u long"), ["g"]
+        )
+        want = {
+            row["g"]: row["noisy_count"]
+            for row in dp_group_counts(
+                bdf, ["g"], "u", 1.0, 2, f"s:b{r['batch_id']}", -1e9
+            ).collect()
+        }
+        assert want[r["g"]] == r["noisy_count"]

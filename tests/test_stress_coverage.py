@@ -226,7 +226,7 @@ ADJUDICATED: dict[str, str] = {
     "q214_k_anonymity_audit": "catalyst: hash agg keyed by the quasi columns (equivalence classes scale with the dimension table — shuffle-parallel; the exact count_distinct is a second map-side-combinable pass fused by Catalyst), then a <=3-row risk-band rollup",
     "q215_bpe_merge_pairs": "bounded: the corpus is scanned once into the |vocab| word-frequency table (a LANGUAGE-bounded domain, not a data-volume one — the q140/q93 vocabulary adjudication); the 2-gram explode is Sigma(len-1) per DISTINCT word over that table, and the top-40 is TakeOrderedAndProject",
     "q216_vocab_coverage": "bounded: rank + running-sum window single-partition BY DESIGN over the |vocab|-row word-frequency table (language-bounded — the q159/q209 sketch-sized window class; lint single-partition-exchange entry), plus a |budgets|-row broadcast equi-join; corpus volume touches only the word-frequency rollup",
-    "q217_k_anonymize_ladder": "catalyst: one count window per ladder rung, each PARTITIONED by that rung's quasi key (shuffle-parallel — parallelism scales with |classes|; the ladder is 4 rungs by construction); the fully-generalized rung is the adjudicated 1-row table-total attach; final rollup is <=|rungs|+1 rows",
+    "q217_k_anonymize_ladder": "catalyst: per rung, a groupBy(rung_cols).count() bounded by the rung's quasi DOMAIN, broadcast-joined back with null-safe equality (round-11 re-spell — NO per-rung count window, so no task ever buffers 1/|classes| of the table; 10x re-stressed at exponent -0.16); the fully-generalized rung is the adjudicated 1-row table-total attach; final rollup is <=|rungs|+1 rows",
     "q218_bpe_learn_merges": "bounded: the corpus is scanned once into the |vocab| word-frequency table (language-bounded — the q215 adjudication); each of the 3 merge rounds is a pair explode + rollup + 1-row top-pair collect + leftmost-replace re-segmentation OVER THAT TABLE, localCheckpointed per round (|vocab| rows); corpus volume never re-enters the loop",
     "q219_dp_median": "bounded: one map-side-combined rollup to the cents grid (the q208/q209 grid precondition — |grid| cells at ANY sf), then utility/weight expressions + the cumulative-weight walk as grid-sized windows (adjudicated single-partition — sketch-sized) and a 1-row release; exp underflows to exactly 0.0 identically on both engines in the far tail",
     "q220_dp_median_curve": "bounded: the q219 grid device x a |epsilon|-row literal candidate table (adjudicated literals-times-sketch cross join); per-candidate weight walks run as windows PARTITIONED by candidate (parallel), the shared cumulative-count walk is the adjudicated grid-sized single-partition window, output is |epsilon| rows",

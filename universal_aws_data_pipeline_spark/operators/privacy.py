@@ -23,7 +23,9 @@ adversaries who do not know the salt, so the salt is handled as a secret
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # 8 md5 hex nibbles → 32 bits of uniform resolution. Plenty for noise
@@ -219,7 +221,15 @@ def k_anonymity_audit(
     Per band: class count, row count, the number of HOMOGENEOUS classes
     (a single distinct ``sensitive_col`` value — the l-diversity = 1
     attribute-disclosure case: even without re-identification the
-    sensitive value is learned), and min/max class size.
+    sensitive value is learned), and min/max class size. A NULL sensitive
+    value is a REAL observable category (the t_closeness_audit
+    convention): it counts toward l-diversity via an explicit "(null)"
+    coalesce — bare count_distinct ignores NULLs, which would score an
+    all-NULL class l_div = 0 (never flagged homogeneous) and a
+    {value, NULL} class l_div = 1 (flagged despite two observable
+    categories). Sensitive values that literally spell "(null)" collide
+    with the NULL category by this convention — pre-escape if that
+    matters.
 
     Scale: one shuffle on the quasi columns (exact count_distinct per
     class is a second map-side-combinable pass fused by Catalyst), then a
@@ -230,7 +240,9 @@ def k_anonymity_audit(
         raise ValueError(f"k must be >= 2, got {k}")
     classes = df.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("class_size"),
-        F.countDistinct(sensitive_col).alias("l_div"),
+        F.countDistinct(
+            F.coalesce(F.col(sensitive_col).cast("string"), F.lit("(null)"))
+        ).alias("l_div"),
     )
     band = (
         F.when(F.col("class_size") == 1, F.lit("unique"))
@@ -266,11 +278,21 @@ def k_anonymize_ladder(
     recoding convention — reaches size ≥ k. Rows satisfying no level get
     ``anon_level = len(levels)`` (suppress).
 
-    Scale: one count window per ladder level, each partitioned by that
-    level's quasi columns — shuffle-parallel in the class key, never a
-    global sort; the ``[]`` level is a 1-row total attached broadcast
+    Scale: per rung, class sizes come from ``groupBy(rung_cols).count()``
+    (map-side combinable, output bounded by the rung's quasi DOMAIN —
+    never the corpus) broadcast-joined back onto the rows with null-safe
+    key equality (``<=>`` — NULL quasi values are legitimate classes and
+    groupBy/window partitioning both keep them; a plain equi-join would
+    silently drop exactly those rows). NOT a count window partitioned by
+    the rung key: coarse rungs concentrate rows by construction (a
+    nation-level rung has |nations| classes), so a per-class window
+    buffers 1/|classes| of the table in ONE task's frame at any scale —
+    the q105/q135 no-per-group-window-over-corpus-frames convention.
+    With the aggregate+broadcast spelling, parallelism stays corpus-wide
+    at every rung. The ``[]`` level is the 1-row total attached broadcast
     (the adjudicated scalar-attach class). Ladders are short (3–4 rungs)
-    by construction, so this is a constant number of keyed exchanges.
+    by construction, so this is a constant number of broadcast attaches
+    after one shuffle-free scan.
 
     Returns the input rows plus ``anon_level`` (int).
     """
@@ -278,7 +300,6 @@ def k_anonymize_ladder(
         raise ValueError(f"k must be >= 2, got {k}")
     if not levels:
         raise ValueError("levels must name at least one quasi-column set")
-    from pyspark.sql import Window
 
     out = df
     size_cols: list[str] = []
@@ -286,8 +307,16 @@ def k_anonymize_ladder(
         s = f"_sz{i}"
         size_cols.append(s)
         if cols:
-            out = out.withColumn(
-                s, F.count(F.lit(1)).over(Window.partitionBy(*cols)).cast("long")
+            sizes = df.groupBy(*cols).agg(F.count(F.lit(1)).cast("long").alias(s))
+            keyed = sizes.select(
+                *[F.col(c).alias(f"_k{i}_{j}") for j, c in enumerate(cols)], s
+            )
+            cond = None
+            for j, c in enumerate(cols):
+                eq = F.col(c).eqNullSafe(F.col(f"_k{i}_{j}"))
+                cond = eq if cond is None else cond & eq
+            out = out.join(F.broadcast(keyed), cond).drop(
+                *[f"_k{i}_{j}" for j in range(len(cols))]
             )
         else:
             # fully-generalized rung: class size == table size (1-row attach)
@@ -351,7 +380,11 @@ def dp_median_grid(
     (see module docstring) — same salt → same release, any engine. The
     pick scans cumulative weights in grid order, which both engines
     accumulate in the same sequence, so the discrete choice is
-    engine-stable (far tails underflow to exactly 0.0 identically).
+    engine-stable (far tails underflow to exactly 0.0 identically). The
+    total weight is derived as max(cumw) over the SAME ordered running
+    sum — never an independent unordered ``sum() OVER ()``, whose
+    unspecified float addition order could diverge from the walk by an
+    ulp and flip the raw-double pick filter (round-10 ADVICE).
 
     Returns one row: (dp_median_cents, epsilon). The exact histogram,
     counts, and true median never leave. Shares its scored-histogram
@@ -373,7 +406,10 @@ def dp_median_grid(
         )
         .withColumn(
             "_totw",
-            F.sum("_w").over(
+            # max over the ORDERED running sum == its final value (weights
+            # are >= 0), so totw shares cumw's exact accumulation order on
+            # every engine — an independent full-frame sum() would not
+            F.max("_cumw").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             ),
         )
@@ -427,7 +463,9 @@ def dp_median_curve(
         )
         .withColumn(
             "_totw",
-            F.sum("_w").over(
+            # final value of the ordered running sum (see dp_median_grid):
+            # totw and cumw share one accumulation order on both engines
+            F.max("_cumw").over(
                 we.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
             ),
         )
@@ -528,6 +566,130 @@ def t_closeness_audit(
     )
 
 
+def coalesce_group_keys(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Pre-coalesce NULL group keys into the explicit ``"(null)"`` category
+    (cast to string for a stable release-log schema) — the step every DP
+    release path must run before :func:`dp_group_counts` /
+    :func:`dp_group_sums` when its group columns can carry NULLs: the
+    release operators RAISE on NULL keys (see :func:`_guarded_group_seed` —
+    concat_ws would collapse distinct groups onto one noise draw), so NULL
+    must become a legitimate category with its own independent draw.
+    Factored out so the batch queries and the streaming maintainer share
+    ONE spelling (a batch twin graded against the oracle then covers the
+    maintainer's NULL path too). Group values that literally spell
+    "(null)" collide with the NULL category by this convention —
+    pre-escape if that matters."""
+    for c in group_cols:
+        df = df.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit("(null)")))
+    return df
+
+
+@dataclass(frozen=True)
+class DpRelease:
+    """One row of the ε-budget registry: a shipped DP release's mechanism
+    metadata, declared ONCE next to the release it describes.
+
+    - ``name``: the release's stable identifier (ledger join key).
+    - ``mechanism``: ``count`` / ``sum`` (Laplace) or ``median``
+      (exponential mechanism) — the repo's release trio.
+    - ``unit``: the privacy unit the ε guarantee is stated against, e.g.
+      ``events/user`` (add/remove one user's contribution) or
+      ``events/row`` (add/remove one row). Budgets COMPOSE per unit:
+      two releases on different units do not share a budget.
+    - ``epsilon`` / ``sensitivity``: the mechanism's parameters as
+      shipped (cap for counts, clip for sums, 1 for the median utility).
+    - ``seed_prefix``: the FULL deterministic-noise seed namespace
+      (mechanism tag + salt + trailing ':'), e.g. ``dp:r10:``. Because
+      the noise device is deterministic (module docstring), two releases
+      sharing a namespace draw the SAME noise — their released
+      difference cancels it exactly, a genuine leak — so the ledger
+      REJECTS collisions instead of trusting convention.
+    """
+
+    name: str
+    mechanism: str
+    unit: str
+    epsilon: float
+    sensitivity: float
+    seed_prefix: str
+
+
+def epsilon_ledger(spark: SparkSession, releases: list[DpRelease]) -> DataFrame:
+    """ε-budget composition ledger over a set of shipped DP releases.
+
+    Real privacy review demands an ACCOUNTING once more than one release
+    ships against the same data: each mechanism is ε-DP in isolation, but
+    an adversary sees all of them, and under basic sequential composition
+    the budgets ADD per privacy unit. This operator turns the declarative
+    registry into the auditable ledger table: one row per release with
+    its mechanism parameters plus ``eps_unit_total`` — the composed
+    budget of ALL registered releases sharing that row's ``unit``.
+
+    Validation (raises ValueError, because each failure breaks a stated
+    guarantee rather than a convenience):
+
+    - duplicate release names — the ledger join key must be stable;
+    - non-positive ε or sensitivity — not a DP mechanism;
+    - unknown mechanism tag (not count/sum/median);
+    - **seed-namespace collisions**: two releases whose ``seed_prefix``
+      strings are equal — or where one is a string prefix of the other,
+      so composed keys could alias — draw correlated noise under the
+      deterministic device; differencing their outputs cancels the noise
+      and leaks raw deltas. The md5 seed makes reuse a GENUINE leak, so
+      it gets a machine guard, not a docstring.
+
+    Scale: the ledger is a |releases|-row literal DataFrame; the
+    composition sum is a window over it. Join it to per-release released
+    cell counts (tiny aggregates of the release outputs) for the full
+    audit artifact — see the graded q224.
+    """
+    if not releases:
+        raise ValueError("epsilon_ledger: at least one release required")
+    names = [r.name for r in releases]
+    if len(set(names)) != len(names):
+        raise ValueError(f"epsilon_ledger: duplicate release names in {names}")
+    allowed = {"count", "sum", "median"}
+    for r in releases:
+        if r.mechanism not in allowed:
+            raise ValueError(
+                f"epsilon_ledger: unknown mechanism {r.mechanism!r} for "
+                f"{r.name!r} (expected one of {sorted(allowed)})"
+            )
+        if r.epsilon <= 0:
+            raise ValueError(f"epsilon_ledger: epsilon must be > 0 for {r.name!r}")
+        if r.sensitivity <= 0:
+            raise ValueError(
+                f"epsilon_ledger: sensitivity must be > 0 for {r.name!r}"
+            )
+    for a in releases:
+        for b in releases:
+            if a.name < b.name and (
+                a.seed_prefix.startswith(b.seed_prefix)
+                or b.seed_prefix.startswith(a.seed_prefix)
+            ):
+                raise ValueError(
+                    "epsilon_ledger: seed-namespace collision between "
+                    f"{a.name!r} ({a.seed_prefix!r}) and {b.name!r} "
+                    f"({b.seed_prefix!r}) — the deterministic noise device "
+                    "makes seed reuse a leak; give each release a disjoint "
+                    "salt namespace"
+                )
+    from pyspark.sql import Window
+
+    led = spark.createDataFrame(
+        [
+            (r.name, r.mechanism, r.unit, float(r.epsilon), float(r.sensitivity))
+            for r in releases
+        ],
+        "release string, mechanism string, unit string, "
+        "epsilon double, sensitivity double",
+    )
+    return led.withColumn(
+        "eps_unit_total",
+        F.round(F.sum("epsilon").over(Window.partitionBy("unit")), 4),
+    )
+
+
 def dp_release_stream_fn(
     out_path: str,
     group_cols: list[str],
@@ -570,10 +732,7 @@ def dp_release_stream_fn(
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        for c in group_cols:
-            batch_df = batch_df.withColumn(
-                c, F.coalesce(F.col(c).cast("string"), F.lit("(null)"))
-            )
+        batch_df = coalesce_group_keys(batch_df, group_cols)
         release = dp_group_counts(
             batch_df,
             group_cols,

@@ -518,6 +518,17 @@ def weighted_reservoir_stream_fn(
     Rows with non-positive weight are excluded by the
     ``weighted_sample_topk`` contract. The persisted sample carries
     (key_col, weight_col, es_key); downstream joins re-attach payloads.
+
+    A ``key_col`` value that legitimately RECURS in later (non-replayed)
+    batches is collapsed to ONE slot at the merge: the state∪batch union
+    dedups per key, keeping the (es_key, weight)-max row — deterministic
+    (max of a struct, no first()/dropDuplicates tie ambiguity), so replay
+    still reproduces byte-identical state. Without this, a recurring key
+    occupies two of the k sample slots with identical es_key — matching
+    batch ``weighted_sample_topk`` on duplicated input, but not what a
+    "sampling without replacement" reservoir should hand a downstream
+    join (round-10 ADVICE). Within a single batch the batch operator's
+    semantics are unchanged.
     """
     import os
 
@@ -537,6 +548,15 @@ def weighted_reservoir_stream_fn(
             merged = (
                 spark.read.parquet(table)
                 .unionByName(merged)
+                # one slot per key: keep the (es_key, weight)-max row —
+                # deterministic struct-max, replay-stable (see docstring)
+                .groupBy(key_col)
+                .agg(F.max(F.struct("es_key", weight_col)).alias("_m"))
+                .select(
+                    key_col,
+                    F.col(f"_m.{weight_col}").alias(weight_col),
+                    F.col("_m.es_key").alias("es_key"),
+                )
                 .orderBy(F.col("es_key").desc(), F.col(key_col))
                 .limit(k)
             )

@@ -90,7 +90,11 @@ def vocab_coverage(
     same bounded-domain single-partition adjudication as the histogram
     walks; the corpus itself is only touched by the word-frequency
     rollup). Budgets clamp to the actual type count, so V beyond the
-    vocabulary reports full coverage instead of dropping the row.
+    vocabulary reports full coverage instead of dropping the row. An
+    EMPTY corpus (n_types = 0) still emits every budget row, with
+    tokens_covered 0 and coverage 0.0 — the clamp floors at rank 1 and
+    the rank lookup left-joins, so the no-types case degrades to zeros
+    instead of silently returning an empty curve (round-10 ADVICE).
 
     Returns one row per DISTINCT budget (duplicates in ``budgets`` are
     collapsed; rows come back keyed by ``vocab_budget``, so read them by
@@ -109,26 +113,81 @@ def vocab_coverage(
         .alias("cum_tokens"),
     )
     tot = vocab.agg(
-        F.sum("c").cast("long").alias("total_tokens"),
+        # sum over zero rows is NULL — coalesce so the empty-corpus curve
+        # reports total_tokens 0, not NULL
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
     b = F.explode(F.array(*[F.lit(int(v)) for v in sorted(set(int(v) for v in budgets))]))
     budget_rows = tot.select(b.alias("vocab_budget"), "total_tokens", "n_types").withColumn(
         # clamp BEFORE the join so the lookup is a plain equi-join (a
-        # |budgets|-row broadcast build side), not a non-equi nested loop
+        # |budgets|-row broadcast build side), not a non-equi nested loop;
+        # the greatest(.., 1) floor keeps the rank valid on an EMPTY
+        # corpus (n_types = 0 would clamp rn to 0, matching no rank row)
         "rn",
-        F.least(F.col("vocab_budget").cast("int"), F.col("n_types").cast("int")),
+        F.greatest(
+            F.least(F.col("vocab_budget").cast("int"), F.col("n_types").cast("int")),
+            F.lit(1),
+        ),
     )
     return (
-        budget_rows.join(cum, "rn")
+        budget_rows.join(cum, "rn", "left")  # left: empty corpus has no ranks
         .select(
             "vocab_budget",
-            F.col("cum_tokens").alias("tokens_covered"),
-            F.round(F.col("cum_tokens") / F.col("total_tokens"), 4).alias("coverage"),
+            F.coalesce(F.col("cum_tokens"), F.lit(0)).cast("long").alias("tokens_covered"),
+            F.coalesce(
+                F.round(F.col("cum_tokens") / F.col("total_tokens"), 4), F.lit(0.0)
+            ).alias("coverage"),
             "n_types",
             "total_tokens",
         )
     )
+
+
+def apply_merges(
+    df: DataFrame, merges: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize the corpus with a LEARNED merge table — the apply side of
+    :func:`bpe_learn_merges` (train) and the step every downstream token
+    count implies: learn merges once, then segment fresh text with them.
+
+    ``merges`` is the ORDERED merge list as ``bpe_learn_merges`` returns
+    it (``"a b"`` pairs, train order — BPE applies merges in learned
+    priority order). Each merge is applied with the SAME fixed
+    ``_MERGE_PASSES``-pass leftmost non-overlapping replacement as
+    training (one shared contract, so train-time segmentations and
+    apply-time segmentations agree exactly — including the documented
+    self-run-≥5 under-merge, which both sides share), and the whole
+    merge chain composes into ONE column expression: applying V merges
+    is V·passes scalar replace() calls inside whole-stage codegen, no
+    loop over data, no driver synchronization, no UDF.
+
+    Returns the re-segmented VOCABULARY ``(w, seg, c)`` — word, its
+    space-separated symbol segmentation under the merges, corpus count.
+    Per-document tokenization factors through this table by construction
+    (a word's segmentation is context-free), so downstream symbol
+    statistics stay vocabulary-bounded: corpus volume touches only the
+    word-frequency rollup, exactly the training-side discipline.
+
+    Scale: one corpus scan → |vocab| rows → a pure column expression.
+    The merge list is driver-side by nature (it IS the tokenizer model,
+    |vocab_budget| entries, kilobytes).
+    """
+    for m in merges:
+        parts = m.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"merges must be 'left right' symbol pairs, got {m!r}"
+            )
+    vocab = word_frequencies(df, text_col)
+    seg: F.Column = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" ")
+    )
+    for pair in merges:
+        merged = pair.replace(" ", "")
+        for _ in range(_MERGE_PASSES):
+            seg = F.replace(seg, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return vocab.select("w", F.trim(seg).alias("seg"), "c")
 
 
 def bpe_learn_merges(

@@ -61,9 +61,9 @@ _DP_KEY_SQL = f"'dp:{_DP_SALT}:' || event_type || ':' || CAST(wk AS VARCHAR)"
 _DP_U_SQL = f"(({_hex_int_sql(_DP_KEY_SQL, 8)}) + 0.5) / 4294967296.0"
 
 
-@register(
-    "q213_dp_event_release",
-    f"""
+# module constant so the q224 budget-ledger oracle can replay this release
+# verbatim (a count over this exact text) — one spelling, zero drift
+_Q213_ORACLE = f"""
     WITH bounded AS (
       SELECT event_type,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
@@ -79,7 +79,12 @@ _DP_U_SQL = f"(({_hex_int_sql(_DP_KEY_SQL, 8)}) + 0.5) / 4294967296.0"
       FROM (SELECT *, {_DP_U_SQL} AS u FROM counts)
     )
     SELECT event_type, wk, noisy_count FROM noised WHERE noisy_count >= {_DP_TAU}
-    """,
+    """
+
+
+@register(
+    "q213_dp_event_release",
+    _Q213_ORACLE,
     "epsilon-DP weekly event-count release: per-user contribution bounding (cap 4) -> seeded Laplace(cap/eps) noise via the deterministic md5 inverse-CDF device -> release threshold; the raw count never leaves (privacy family)",
 )
 def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +135,7 @@ _KA_K = 5
       SELECT c_nationkey,
              CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kilo,
              count(*) AS class_size,
-             count(DISTINCT c_mktsegment) AS l_div
+             count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), '(null)')) AS l_div
       FROM customer GROUP BY 1, 2
     )
     SELECT CASE WHEN class_size = 1 THEN 'unique'
@@ -247,18 +252,22 @@ _VOCAB_BUDGETS = [1, 2, 4, 8, 16, 32]
                AS cum_tokens
       FROM vocab
     ), tot AS (
-      SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total_tokens,
              CAST(count(*) AS BIGINT) AS n_types
       FROM vocab
     ), b AS (
       SELECT CAST(unnest({_VOCAB_BUDGETS}) AS INTEGER) AS vocab_budget
     )
+    -- LEFT JOIN + greatest(.., 1) floor: the operator's empty-corpus
+    -- contract (budget rows degrade to zeros, never vanish) mirrored
     SELECT b.vocab_budget,
-           c.cum_tokens AS tokens_covered,
-           round(c.cum_tokens / CAST(t.total_tokens AS DOUBLE), 4) AS coverage,
+           CAST(coalesce(c.cum_tokens, 0) AS BIGINT) AS tokens_covered,
+           coalesce(round(c.cum_tokens / CAST(t.total_tokens AS DOUBLE), 4), 0.0)
+             AS coverage,
            t.n_types, t.total_tokens
     FROM b CROSS JOIN tot t
-    JOIN cum c ON c.rn = least(b.vocab_budget, CAST(t.n_types AS INTEGER))
+    LEFT JOIN cum c
+      ON c.rn = greatest(least(b.vocab_budget, CAST(t.n_types AS INTEGER)), 1)
     """,
     "vocabulary coverage curve: share of all token occurrences covered by the top-V word types at candidate vocab budgets V - the tokenizer vocab-sizing curve, windowed over the language-bounded |vocab| table (tokenizer family)",
 )

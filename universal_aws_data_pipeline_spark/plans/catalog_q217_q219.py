@@ -27,12 +27,16 @@ from universal_aws_data_pipeline_spark.plans._shared import (
 # fully generalized. Each customer gets the FINEST rung whose equivalence
 # class reaches k=5 (global recoding); the output is the per-rung census —
 # how much generalization the release actually pays.
-# Operators: one count window per rung, each partitioned by that rung's
-# quasi key (shuffle-parallel, never a global sort; the ladder is 4 rungs
-# by construction), the fully-generalized rung is the adjudicated 1-row
-# scalar attach; then a ≤|rungs|-row rollup with a per-rung distinct-class
-# count.
-# Oracle: identical windows; DuckDB count(*) OVER () serves the last rung.
+# Operators: per rung, class sizes from groupBy(rung_cols).count()
+# (map-side combinable, bounded by the rung's quasi DOMAIN) broadcast-
+# joined back with null-safe key equality — NOT a count window partitioned
+# by the rung key: the coarse nationkey rung has 25 classes, so a window
+# would buffer 1/25 of the table per task at any scale (the q105/q135
+# no-per-group-window convention; round-10 verdict item 1). The fully-
+# generalized rung is the adjudicated 1-row scalar attach; then a
+# ≤|rungs|-row rollup with a per-rung distinct-class count.
+# Oracle: count windows (DuckDB's frame, row-count-equivalent to the
+# groupBy size attach; count(*) OVER () serves the last rung).
 # --------------------------------------------------------------------------
 
 _LADDER_K = 5
@@ -128,11 +132,13 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int, corpus_stats: bool = False) -> str:
-    """Chained-CTE oracle for ``rounds`` greedy BPE merge rounds; with
-    ``corpus_stats`` each round's row carries the post-merge corpus
-    symbol total and its compression vs the round-0 character baseline
-    (the q222 twin of ``bpe_learn_merges(corpus_stats=True)``)."""
+def _bpe_seg_ctes(rounds: int, corpus_stats: bool = False) -> list[str]:
+    """The shared CTE chain replaying ``rounds`` greedy BPE merge rounds
+    (toks → vocab → seg0 → per-round pair mining p{r} / top-pair t{r} /
+    re-segmentation seg{r} / symbol census s{r}). ``_bpe_oracle`` (q218/
+    q222) selects the per-round merge rows from it; the q226 apply-merges
+    oracle reads the final ``seg{rounds}`` table — one CTE text, so the
+    train and apply oracles can never diverge on the merge contract."""
     split = "string_split(seg, ' ')"
     pair_list = (
         f"list_transform(range(1, CAST(len({split}) AS INTEGER)),"
@@ -147,7 +153,6 @@ def _bpe_oracle(rounds: int, corpus_stats: bool = False) -> str:
         ctes.append(
             "b0 AS (SELECT CAST(sum(c * len(w)) AS BIGINT) AS bs FROM vocab)"
         )
-    selects = []
     for r in range(1, rounds + 1):
         prev = f"seg{r - 1}"
         ctes.append(
@@ -178,6 +183,18 @@ def _bpe_oracle(rounds: int, corpus_stats: bool = False) -> str:
                 f"cs{r} AS (SELECT CAST(sum(c * len(string_split(seg, ' '))) AS BIGINT)"
                 f" AS cs FROM seg{r})"
             )
+    return ctes
+
+
+def _bpe_oracle(rounds: int, corpus_stats: bool = False) -> str:
+    """Chained-CTE oracle for ``rounds`` greedy BPE merge rounds; with
+    ``corpus_stats`` each round's row carries the post-merge corpus
+    symbol total and its compression vs the round-0 character baseline
+    (the q222 twin of ``bpe_learn_merges(corpus_stats=True)``)."""
+    ctes = _bpe_seg_ctes(rounds, corpus_stats)
+    selects = []
+    for r in range(1, rounds + 1):
+        if corpus_stats:
             selects.append(
                 f"SELECT CAST({r} AS INTEGER) AS round, t{r}.pair AS pair,"
                 f" t{r}.pc AS pair_count, s{r}.ns AS n_symbols,"
@@ -233,9 +250,9 @@ _DPM_KEY_SQL = f"'dpq:{_DPM_SALT}:' || 'median'"
 _DPM_U_SQL = f"(({_hex_int_sql(_DPM_KEY_SQL, 8)}) + 0.5) / 4294967296.0"
 
 
-@register(
-    "q219_dp_median",
-    f"""
+# module constant so the q224 budget-ledger oracle can replay this release
+# verbatim — one spelling, zero drift
+_Q219_ORACLE = f"""
     WITH h AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1
@@ -249,18 +266,26 @@ _DPM_U_SQL = f"(({_hex_int_sql(_DPM_KEY_SQL, 8)}) + 0.5) / 4294967296.0"
     ), wt AS (
       SELECT v, exp((CAST({_DPM_EPS} AS DOUBLE) / 2) * (-abs(2 * below + n - t)))
                AS wgt FROM sc
-    ), cw AS (
-      SELECT v,
-             sum(wgt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw,
-             sum(wgt) OVER () AS totw
+    ), cum AS (
+      SELECT v, sum(wgt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw
       FROM wt
+    ), cw AS (
+      -- totw = max over the ORDERED running sum, the same accumulation
+      -- order Spark uses (an unordered sum() OVER () has unspecified
+      -- float addition order and could diverge by an ulp)
+      SELECT v, cumw, max(cumw) OVER () AS totw FROM cum
     )
     SELECT CAST(v AS BIGINT) AS dp_median_cents,
            CAST({_DPM_EPS} AS DOUBLE) AS epsilon
     FROM cw
     WHERE cumw >= ({_DPM_U_SQL}) * totw
     ORDER BY v LIMIT 1
-    """,
+    """
+
+
+@register(
+    "q219_dp_median",
+    _Q219_ORACLE,
     "epsilon-DP median of event values via the exponential mechanism over the cents grid: integer utility -|#below - #above| per grid cell, exp(eps*u/2) weights, deterministic md5 selection draw - the standard DP quantile release, grid-bounded (privacy family)",
 )
 def q219(spark: SparkSession, sf_dir: str) -> DataFrame:

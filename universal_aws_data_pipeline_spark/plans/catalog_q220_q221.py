@@ -64,11 +64,14 @@ _CURVE_VALUES = ", ".join(
       SELECT e.i, e.epsilon, c.v,
              exp((e.epsilon / 2) * (-abs(2 * (c.cumn - c.n) + c.n - c.t))) AS wgt
       FROM cumh c CROSS JOIN eps e
-    ), cw AS (
+    ), cum AS (
       SELECT i, epsilon, v,
-             sum(wgt) OVER (PARTITION BY i ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw,
-             sum(wgt) OVER (PARTITION BY i) AS totw
+             sum(wgt) OVER (PARTITION BY i ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw
       FROM wt
+    ), cw AS (
+      -- totw = max over the ordered running sum per candidate: one
+      -- accumulation order shared with cumw on both engines (r10 ADVICE)
+      SELECT i, epsilon, v, cumw, max(cumw) OVER (PARTITION BY i) AS totw FROM cum
     ), picked AS (
       SELECT i, epsilon, CAST(min(v) AS BIGINT) AS dp_median_cents
       FROM cw

@@ -42,9 +42,9 @@ _DPS_KEY_SQL = f"'dps:{_DPS_SALT}:' || event_type || ':' || CAST(wk AS VARCHAR)"
 _DPS_U_SQL = f"(({_hex_int_sql(_DPS_KEY_SQL, 8)}) + 0.5) / 4294967296.0"
 
 
-@register(
-    "q223_dp_value_release",
-    f"""
+# module constant so the q224 budget-ledger oracle can replay this release
+# verbatim — one spelling, zero drift
+_Q223_ORACLE = f"""
     WITH per_user AS (
       SELECT event_type,
              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
@@ -61,7 +61,12 @@ _DPS_U_SQL = f"(({_hex_int_sql(_DPS_KEY_SQL, 8)}) + 0.5) / 4294967296.0"
            round(t + (-{_DPS_B} * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 4)
              AS noisy_sum
     FROM (SELECT *, {_DPS_U_SQL} AS u FROM sums)
-    """,
+    """
+
+
+@register(
+    "q223_dp_value_release",
+    _Q223_ORACLE,
     "epsilon-DP weekly value release: per-user weekly cent totals clipped to [0, 500] (the sensitivity - the clip bites at this corpus's per-user averages) -> seeded Laplace(clip/eps) per cell on the disjoint dps: seed prefix; the raw sum never leaves - the bounded-sum member of the DP release trio (privacy family)",
 )
 def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
