@@ -147,6 +147,20 @@ def main() -> int:
         detail = json.load(fh)
     cur = detail["queries"]
     print(f"total warm now {sum(cur.values()):.1f}s over {len(cur)} queries")
+    # Close-protocol completeness gate (round-11, VERDICT r10 item 2): a
+    # detail series that misses catalog queries must never ship as the
+    # round's warm reference — r10 shipped a 222-query reference against a
+    # 223-query catalog because q223 landed after the close pair ran (the
+    # documented catalog-edit/bench-pair pitfall, now machine-checked).
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    count_gap = len(cur) != len(QUERIES)
+    if count_gap:
+        print(f"  INCOMPLETE SERIES: detail covers {len(cur)} queries but the "
+              f"catalog has {len(QUERIES)} — the catalog changed after the "
+              f"bench ran; re-run the close pair at HEAD before shipping a "
+              f"reference")
     # Fixed-size JVM sessions (round 8): print per-session subtotals so
     # drift localizes to a session instead of smearing over the catalog.
     sessions = detail.get("sessions")
@@ -157,7 +171,7 @@ def main() -> int:
                 by_s[sessions[name]] = by_s.get(sessions[name], 0.0) + t
         parts = " ".join(f"s{k}={v:.1f}s" for k, v in sorted(by_s.items()))
         print(f"  sessions ({detail.get('session_size', '?')}/JVM): {parts}")
-    any_flagged = False
+    any_flagged = count_gap
     for ref_path in ref_paths:
         any_flagged |= compare(cur, ref_path, retry)
     return 1 if any_flagged else 0

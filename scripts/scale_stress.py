@@ -224,6 +224,15 @@ HEAVY = [
     "q219_dp_median",
     "q220_dp_median_curve",
     "q221_t_closeness_audit",
+    # round-11: q224 composes the three release plans' count reductions
+    # (its corpus terms ARE q213/q219/q223's, measured above — this row
+    # measures the composition overhead); q225 is the q213 posture over a
+    # NULL-bearing group key (10x users through the (user, group) bounding
+    # agg); q226 re-segments the 10x VOCAB with learned merges (train loop
+    # + apply expression + symbol rollup, all vocabulary-bounded).
+    "q224_dp_budget_ledger",
+    "q225_dp_null_category_release",
+    "q226_bpe_apply_merges",
 ]
 
 
@@ -444,13 +453,15 @@ def warmup(spark, sf_dir: str) -> None:
 
 
 def timed_series(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
-    # scrub this dataset's artifact cache so every build cost is inside the
-    # measured window (cold semantics, matching bench.py's cold series)
+    # scrub the STRESS artifact cache so every build cost is inside the
+    # measured window (cold semantics, matching bench.py's cold series).
+    # main() points SPARK_GRAFT_INDEX_DIR at a stress-private dir first:
+    # scrubbing the repo's shared .cache made the NEXT bench cold series
+    # pay full index rebuilds (r10's 257 s cold outlier — VERDICT r10
+    # item 8 / the memory-noted pitfall), silently breaking cold
+    # comparability across rounds.
     cache_root = os.environ.get("SPARK_GRAFT_INDEX_DIR", os.path.join(REPO, ".cache"))
-    import hashlib
-
-    for kind in ("shingles", "semantic_pairs", "dup_pairs", "ivf"):
-        shutil.rmtree(cache_root, ignore_errors=True)
+    shutil.rmtree(cache_root, ignore_errors=True)
     warmup(spark, sf_dir)
     out = {}
     for name in names or HEAVY:
@@ -462,6 +473,11 @@ def timed_series(spark, sf_dir: str, names: list[str] | None = None) -> dict[str
 
 
 def main() -> None:
+    # stress runs build/scrub artifacts in their own cache dir, never the
+    # repo-shared .cache a subsequent bench's cold series depends on
+    os.environ.setdefault(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(REPO, ".cache_stress")
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="scale_stress", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
