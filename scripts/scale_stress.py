@@ -233,6 +233,9 @@ HEAVY = [
     "q224_dp_budget_ledger",
     "q225_dp_null_category_release",
     "q226_bpe_apply_merges",
+    # q227: the (lang, word) rollup is the corpus pass; the fertility join
+    # rides the 10x VOCAB segmentation table
+    "q227_tokenizer_fertility",
 ]
 
 

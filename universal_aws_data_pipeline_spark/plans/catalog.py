@@ -57,7 +57,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q217_q219  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q220_q221  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q222  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q223  # noqa: F401,E402
-from universal_aws_data_pipeline_spark.plans import catalog_q224_q226  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q224_q227  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -324,6 +324,7 @@ _EXPECTED_ORDER: list[str] = [
     "q224_dp_budget_ledger",
     "q225_dp_null_category_release",
     "q226_bpe_apply_merges",
+    "q227_tokenizer_fertility",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

@@ -1,4 +1,4 @@
-"""Catalog chunk: q224–q226 (round 11).
+"""Catalog chunk: q224–q227 (round 11).
 
 Closing the loops the round-10 families opened:
 
@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from universal_aws_data_pipeline_spark.plans._shared import (
     _MAX_DRIVER_QUERIES,
+    _NORM_SQL,
     _hex_int_sql,
     _t,
     register,
@@ -280,4 +281,108 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("corpus_count").desc(), "symbol")
         .limit(40)
+    )
+
+
+# --------------------------------------------------------------------------
+# q227 — tokenizer fertility audit by language (tokenizer family): under
+# the LEARNED merges, how many symbols does each language pay per word
+# and per character? BPE trained on a skewed language mix systematically
+# inflates token costs for the under-represented languages (the
+# multilingual-fairness failure every production tokenizer review
+# checks); this is that audit, computed from the learned tokenizer, not
+# a proxy. fertility = symbols/word; compression = symbols/char (1.0 =
+# no merge ever fires for that language's words).
+# Operators: the (lang, word) rollup is the ONLY corpus-volume pass
+# (map-side combinable, keyed by a language-bounded domain); symbol
+# costs come from apply_merges' |vocab| segmentation table joined on the
+# word (vocab-keyed equi-join — Catalyst broadcasts the smaller side),
+# then a |langs|-row rollup. The q218 training loop supplies the merges
+# (3-row bounded collect, shared contract with q226).
+# Oracle: the shared q218 CTE chain's seg3 table; the word is recovered
+# from its segmentation by deleting spaces (segmentation preserves
+# characters — the apply_merges invariant, property-tested), then the
+# identical (lang, word) rollup and join.
+# --------------------------------------------------------------------------
+
+_Q227_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_seg_ctes(_APPLY_ROUNDS))
+    + f""",
+    sizes AS (
+      SELECT replace(seg, ' ', '') AS w,
+             CAST(len(string_split(seg, ' ')) AS BIGINT) AS nsym,
+             CAST(len(replace(seg, ' ', '')) AS BIGINT) AS nchr
+      FROM seg{_APPLY_ROUNDS}
+    ), lw AS (
+      SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ), lwc AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM lw WHERE w <> '' GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS ws_tokens,
+           CAST(sum(c * nsym) AS BIGINT) AS bpe_symbols,
+           round(sum(c * nsym) / CAST(sum(c) AS DOUBLE), 4) AS fertility,
+           round(sum(c * nsym) / CAST(sum(c * nchr) AS DOUBLE), 4) AS compression
+    FROM lwc JOIN sizes USING (w)
+    GROUP BY lang
+    """
+)
+
+
+@register(
+    "q227_tokenizer_fertility",
+    _Q227_ORACLE,
+    "tokenizer fertility audit by language: symbols per word and per character that each language pays under the LEARNED BPE merges - the multilingual token-cost fairness check (a tokenizer trained on a skewed mix inflates costs for under-represented languages); (lang, word) rollup + vocab-keyed segmentation join (tokenizer family)",
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which languages pay more tokens under the learned tokenizer? Per
+    language: whitespace tokens, BPE symbols under the q218-learned
+    merges, fertility (symbols/word) and compression (symbols/char).
+    The (lang, word) rollup is the only corpus-volume pass; symbol costs
+    ride apply_merges' vocabulary-bounded segmentation table.
+    operators/tokenizer.py::apply_merges."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        apply_merges,
+        bpe_learn_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        r["pair"]
+        for r in bpe_learn_merges(d, rounds=_APPLY_ROUNDS, text_col="text")
+        .orderBy("round")
+        .limit(_MAX_DRIVER_QUERIES)
+        .collect()
+    ]
+    sizes = apply_merges(d, merges, text_col="text").select(
+        "w",
+        F.size(F.split("seg", " ")).cast("long").alias("nsym"),
+        F.length("w").cast("long").alias("nchr"),
+    )
+    lang_words = (
+        d.select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        lang_words.join(sizes, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("ws_tokens"),
+            F.sum(F.col("c") * F.col("nsym")).cast("long").alias("bpe_symbols"),
+            F.round(
+                F.sum(F.col("c") * F.col("nsym"))
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("c") * F.col("nsym"))
+                / F.sum(F.col("c") * F.col("nchr")).cast("double"),
+                4,
+            ).alias("compression"),
+        )
     )
