@@ -449,3 +449,63 @@ def test_k_anonymize_ladder_levels_are_lawful(spark, rows):
         assert sizes[lvl] >= k  # the assigned rung really satisfies k
         for finer in range(lvl):
             assert sizes[finer] < k  # and no finer rung would have
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=8), st.integers(1, 3))
+def test_apply_merges_inverts_by_deleting_spaces(spark, texts, rounds):
+    """Segmentation under ANY learned merge list preserves characters:
+    deleting the segmentation spaces reconstructs the word exactly — the
+    invariant the q227 oracle's word recovery rests on — and the symbol
+    inventory equals the training loop's post-merge census (train/apply
+    shared contract)."""
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        apply_merges,
+        bpe_learn_merges,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    learned = sorted(bpe_learn_merges(df, rounds).collect(), key=lambda r: r["round"])
+    merges = [r["pair"] for r in learned]
+    out = apply_merges(df, merges).collect()
+    for r in out:
+        assert r["seg"].replace(" ", "") == r["w"]
+    if learned:
+        seg_tbl = apply_merges(df, merges)
+        n_symbols = (
+            seg_tbl.select(F.explode(F.split("seg", " ")).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_symbols == learned[-1]["n_symbols"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3"]), st.floats(0.01, 8.0)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_epsilon_ledger_totals_are_per_unit_sums(spark, entries):
+    """eps_unit_total equals the plain sum of epsilons within each unit
+    (basic sequential composition), for any registry shape."""
+    from universal_aws_data_pipeline_spark.operators.privacy import (
+        DpRelease,
+        epsilon_ledger,
+    )
+
+    releases = [
+        DpRelease(f"r{i}", "count", unit, round(e, 3), 1.0, f"dp:s{i}:")
+        for i, (unit, e) in enumerate(entries)
+    ]
+    rows = epsilon_ledger(spark, releases).collect()
+    by_unit: dict[str, float] = {}
+    for r in releases:
+        by_unit[r.unit] = by_unit.get(r.unit, 0.0) + r.epsilon
+    for row in rows:
+        assert abs(row["eps_unit_total"] - round(by_unit[row["unit"]], 4)) < 1e-9
