@@ -133,9 +133,36 @@ def compare(
     return bool(flagged) or drifted
 
 
+def _catalog_count() -> int:
+    """Length of catalog.py's pinned ``_EXPECTED_ORDER`` list via an ast
+    parse — the registry's own invariant makes the pin equal the live
+    QUERIES dict (catalog.py raises ImportError on any mismatch), so the
+    parse is exact without importing pyspark."""
+    import ast
+
+    path = os.path.join(HERE, "..", "universal_aws_data_pipeline_spark",
+                        "plans", "catalog.py")
+    with open(path) as fh:
+        tree = ast.parse(fh.read())
+    for node in ast.walk(tree):
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, ast.AnnAssign) and node.value is not None:
+            targets = [node.target]  # `_EXPECTED_ORDER: list[str] = [...]`
+        for t in targets:
+            if isinstance(t, ast.Name) and t.id == "_EXPECTED_ORDER":
+                return len(node.value.elts)
+    raise RuntimeError("catalog.py: _EXPECTED_ORDER not found")
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     retry = None
+    skip_count_gate = False
+    if "--no-count-gate" in args:
+        skip_count_gate = True
+        args.remove("--no-count-gate")
     if "--retry" in args:
         i = args.index("--retry")
         with open(args[i + 1]) as fh:
@@ -152,15 +179,20 @@ def main() -> int:
     # round's warm reference — r10 shipped a 222-query reference against a
     # 223-query catalog because q223 landed after the close pair ran (the
     # documented catalog-edit/bench-pair pitfall, now machine-checked).
-    sys.path.insert(0, os.path.join(HERE, ".."))
-    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
-
-    count_gap = len(cur) != len(QUERIES)
-    if count_gap:
-        print(f"  INCOMPLETE SERIES: detail covers {len(cur)} queries but the "
-              f"catalog has {len(QUERIES)} — the catalog changed after the "
-              f"bench ran; re-run the close pair at HEAD before shipping a "
-              f"reference")
+    # The count comes from an ast parse of catalog.py's _EXPECTED_ORDER
+    # (the pinned registry this script's repo makes load-bearing), so the
+    # script stays stdlib-only — no pyspark import just to read a length.
+    # --no-count-gate skips it for archaeology over historical series.
+    count_gap = False
+    if not skip_count_gate:
+        n_catalog = _catalog_count()
+        count_gap = len(cur) != n_catalog
+        if count_gap:
+            print(f"  INCOMPLETE SERIES: detail covers {len(cur)} queries but "
+                  f"the catalog has {n_catalog} — the catalog changed after "
+                  f"the bench ran; re-run the close pair at HEAD before "
+                  f"shipping a reference (--no-count-gate to compare a "
+                  f"historical series anyway)")
     # Fixed-size JVM sessions (round 8): print per-session subtotals so
     # drift localizes to a session instead of smearing over the catalog.
     sessions = detail.get("sessions")

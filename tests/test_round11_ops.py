@@ -146,3 +146,58 @@ def test_apply_merges_empty_merge_list_is_character_baseline(spark):
     df = spark.createDataFrame([("ab ba",)], ["text"])
     segs = {r["w"]: r["seg"] for r in apply_merges(df, []).collect()}
     assert segs == {"ab": "a b", "ba": "b a"}
+
+
+# --------------------------------------------------------------------------
+# round-11 review regressions
+# --------------------------------------------------------------------------
+
+
+def test_q226_oracle_matches_engine_when_training_exhausts(spark, tmp_path, monkeypatch):
+    """When greedy training runs out of merges before the fixed round
+    count (every word fused), the oracle's seg chain must CARRY the last
+    segmentation forward (LEFT JOIN ON TRUE), not collapse to zero rows —
+    the engine's apply_merges output stays non-empty."""
+    import duckdb
+
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+    from universal_aws_data_pipeline_spark.plans.catalog_q224_q227 import (
+        _Q226_ORACLE,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sdir = str(tmp_path)
+    spark.createDataFrame([("ab",), ("ab",)], ["text"]).write.parquet(
+        f"{sdir}/documents.parquet"
+    )
+    s_rows = sorted(
+        tuple(r) for r in QUERIES["q226_bpe_apply_merges"].fn(spark, sdir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sdir}/documents.parquet/*.parquet')"
+    )
+    d_rows = sorted(tuple(r) for r in con.execute(_Q226_ORACLE).fetchall())
+    assert s_rows == [("ab", 2, 1)]  # one fused symbol, non-empty
+    assert d_rows == s_rows
+
+
+def test_weighted_reservoir_first_batch_dedups_within_batch(spark, tmp_path):
+    """A key duplicated WITHIN batch 0 must hold one slot, same as a key
+    recurring across batches — the one-slot invariant applies on every
+    commit path, not just the state merge."""
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        weighted_reservoir_stream_fn,
+    )
+
+    b0 = spark.createDataFrame(
+        [(0, 100.0), (0, 100.0)] + [(i, 1.0) for i in range(1, 8)],
+        ["doc_id", "w"],
+    )
+    state = str(tmp_path / "res")
+    fn = weighted_reservoir_stream_fn(state, "w", k=5, key_col="doc_id")
+    fn(b0, 0)
+    got = [r["doc_id"] for r in spark.read.parquet(f"{state}/sample").collect()]
+    assert len(got) == 5 and len(set(got)) == 5
+    assert got.count(0) == 1

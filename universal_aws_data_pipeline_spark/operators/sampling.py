@@ -519,16 +519,18 @@ def weighted_reservoir_stream_fn(
     ``weighted_sample_topk`` contract. The persisted sample carries
     (key_col, weight_col, es_key); downstream joins re-attach payloads.
 
-    A ``key_col`` value that legitimately RECURS in later (non-replayed)
-    batches is collapsed to ONE slot at the merge: the state∪batch union
-    dedups per key, keeping the (es_key, weight)-max row — deterministic
-    (max of a struct, no first()/dropDuplicates tie ambiguity), so replay
-    still reproduces byte-identical state. Without this, a recurring key
-    occupies two of the k sample slots with identical es_key — matching
-    batch ``weighted_sample_topk`` on duplicated input, but not what a
+    A ``key_col`` value that RECURS — across batches or within one — is
+    collapsed to ONE slot: every commit dedups per key, keeping the
+    (es_key, weight)-max row — deterministic (max of a struct, no
+    first()/dropDuplicates tie ambiguity), so replay still reproduces
+    byte-identical state. Without this, a recurring key occupies two of
+    the k sample slots with identical es_key — matching batch
+    ``weighted_sample_topk`` on duplicated input, but not what a
     "sampling without replacement" reservoir should hand a downstream
-    join (round-10 ADVICE). Within a single batch the batch operator's
-    semantics are unchanged.
+    join (round-10 ADVICE; the within-batch case closed in round 11).
+    The standalone batch operator keeps duplicated-input = duplicated-
+    output semantics; only the maintainer enforces the one-slot
+    invariant.
     """
     import os
 
@@ -543,13 +545,23 @@ def weighted_reservoir_stream_fn(
         statestore.recover(table)
         if batch_id <= statestore.last_folded(table):
             return  # replayed batch — already committed
-        merged = weighted_sample_topk(batch_df, weight_col, k, key_col)
+        # one slot per key on EVERY path: dedup the batch BEFORE the
+        # top-k truncation (a duplicate surviving into the k-row batch
+        # sample would burn a slot the next-best key should hold). Max
+        # weight per key IS the (rounded-)es_key-max row: u is fixed per
+        # key and es_key = ln(u)/w with ln(u) < 0, monotone in w — a
+        # map-side-combinable pre-aggregate, deterministic, replay-stable.
+        batch_best = batch_df.filter(F.col(weight_col) > 0).groupBy(key_col).agg(
+            F.max(weight_col).alias(weight_col)
+        )
+        merged = weighted_sample_topk(batch_best, weight_col, k, key_col)
         if os.path.exists(table):
+            # state and batch sample are each key-unique; the union can
+            # still repeat a key ACROSS them — keep the (es_key, weight)-
+            # max row per key (deterministic struct-max), then re-truncate
             merged = (
                 spark.read.parquet(table)
                 .unionByName(merged)
-                # one slot per key: keep the (es_key, weight)-max row —
-                # deterministic struct-max, replay-stable (see docstring)
                 .groupBy(key_col)
                 .agg(F.max(F.struct("es_key", weight_col)).alias("_m"))
                 .select(

@@ -170,9 +170,18 @@ def _bpe_seg_ctes(rounds: int, corpus_stats: bool = False) -> list[str]:
                 f"replace({merged_expr}, ' ' || t{r}.pair || ' ',"
                 f" ' ' || replace(t{r}.pair, ' ', '') || ' ')"
             )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when round r learns NO merge
+        # (every word already fused — t{r} is empty, the engine loop's
+        # early break), the seg chain must CARRY the previous segmentation
+        # forward instead of collapsing to zero rows, or the q226/q227
+        # seg-table consumers would diverge from apply_merges on a
+        # merge-exhausted corpus. q218/q222 are unaffected either way —
+        # their per-round rows select FROM t{r}, which is empty exactly
+        # when the engine emitted no round-r row.
         ctes.append(
-            f"seg{r} AS (SELECT trim({merged_expr}) AS seg, c"
-            f" FROM {prev} CROSS JOIN t{r})"
+            f"seg{r} AS (SELECT CASE WHEN t{r}.pair IS NULL THEN seg"
+            f" ELSE trim({merged_expr}) END AS seg, c"
+            f" FROM {prev} LEFT JOIN t{r} ON TRUE)"
         )
         ctes.append(
             f"s{r} AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS ns FROM"

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from universal_aws_data_pipeline_spark.plans._shared import (
     _MAX_DRIVER_QUERIES,
     _NORM_SQL,
+    _artifact_dir,
     _hex_int_sql,
+    _parquet_ready,
     _t,
     register,
 )
@@ -222,14 +224,53 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
 # like under the learned tokenizer, the substrate of every downstream
 # token count. Top-40 by corpus occurrences with the symbol as tiebreak.
 # Operators: one corpus scan → |vocab| word-frequency rollup; the learned
-# merges come from the q218 loop (3-row driver collect, bounded by
-# construction); the merge application is a pure column expression
+# merges come from the dataset's trained-once merge artifact (the
+# amortized-index convention — `_learned_merges`: training is the build,
+# applying is the probe; a 3-row bounded collect reads the model back);
+# the merge application is a pure column expression
 # (3 merges × 3 passes of replace(), whole-stage codegen); then a
 # vocabulary-bounded symbol explode + rollup + TakeOrderedAndProject.
 # Oracle: the q218 CTE chain's seg3 table (ONE text, imported), unnested.
 # --------------------------------------------------------------------------
 
 _APPLY_ROUNDS = 3
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The q218-trained merge list for a dataset, trained ONCE and cached
+    as a parquet artifact (the q15-shingle convention: `_SUCCESS` gates
+    reuse, overwrite clears partials). The merge table IS the tokenizer
+    model — training it is a build step, applying it is the per-query
+    work, and both q226 and q227 consume the same model, so re-running
+    the 3-round driver-synchronized training loop inside every query
+    would measure the build, not the probe (the amortized-index
+    convention `_artifact_dir` documents). Training is deterministic in
+    the data, and the cache is keyed by the dataset PATH like every
+    artifact here (shingles, co-purchase edges) — so it shares their
+    documented contract: regenerating a dataset IN PLACE requires
+    scrubbing the cache dir, or consumers read the previous corpus's
+    model."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        bpe_learn_merges,
+    )
+
+    path = os.path.join(_artifact_dir("bpe_merges", sf_dir), f"r{_APPLY_ROUNDS}")
+    if not _parquet_ready(path):
+        d = _t(spark, sf_dir, "documents")
+        bpe_learn_merges(d, rounds=_APPLY_ROUNDS, text_col="text").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return [
+        r["pair"]
+        for r in spark.read.parquet(path)
+        .orderBy("round")
+        .limit(_MAX_DRIVER_QUERIES)
+        .collect()
+    ]
+
+
 _Q226_ORACLE = (
     "WITH "
     + ",\n".join(_bpe_seg_ctes(_APPLY_ROUNDS))
@@ -252,26 +293,17 @@ _Q226_ORACLE = (
     "apply a LEARNED BPE merge table to the corpus: the q218-trained merges re-segment the vocabulary via the shared fixed-pass contract, yielding the symbol-frequency table under the learned tokenizer (top-40, corpus-count desc) - the tokenize-with-vocab step downstream token accounting implies (tokenizer family)",
 )
 def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """What does the corpus look like under the learned tokenizer? Train
-    the q218 merges, apply them with the SAME fixed-pass replacement
-    (train/apply cannot disagree), and roll up the symbol frequencies —
-    segmentation factors through the |vocab| table, so the corpus is
-    scanned once and everything after is vocabulary-sized.
+    """What does the corpus look like under the learned tokenizer? Apply
+    the q218-trained merges (the dataset's trained-once model artifact)
+    with the SAME fixed-pass replacement as training (train/apply cannot
+    disagree), and roll up the symbol frequencies — segmentation factors
+    through the |vocab| table, so the corpus is scanned once and
+    everything after is vocabulary-sized.
     operators/tokenizer.py::apply_merges."""
-    from universal_aws_data_pipeline_spark.operators.tokenizer import (
-        apply_merges,
-        bpe_learn_merges,
-    )
+    from universal_aws_data_pipeline_spark.operators.tokenizer import apply_merges
 
     d = _t(spark, sf_dir, "documents")
-    merges = [
-        r["pair"]
-        for r in bpe_learn_merges(d, rounds=_APPLY_ROUNDS, text_col="text")
-        .orderBy("round")
-        .limit(_MAX_DRIVER_QUERIES)
-        .collect()
-    ]
-    seg_tbl = apply_merges(d, merges, text_col="text")
+    seg_tbl = apply_merges(d, _learned_merges(spark, sf_dir), text_col="text")
     return (
         seg_tbl.select(F.explode(F.split("seg", " ")).alias("symbol"), "seg", "c")
         .groupBy("symbol")
@@ -297,8 +329,8 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (map-side combinable, keyed by a language-bounded domain); symbol
 # costs come from apply_merges' |vocab| segmentation table joined on the
 # word (vocab-keyed equi-join — Catalyst broadcasts the smaller side),
-# then a |langs|-row rollup. The q218 training loop supplies the merges
-# (3-row bounded collect, shared contract with q226).
+# then a |langs|-row rollup. The merges come from the shared trained-once
+# artifact (`_learned_merges`, the q226 model — one build per dataset).
 # Oracle: the shared q218 CTE chain's seg3 table; the word is recovered
 # from its segmentation by deleting spaces (segmentation preserves
 # characters — the apply_merges invariant, property-tested), then the
@@ -344,20 +376,10 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride apply_merges' vocabulary-bounded segmentation table.
     operators/tokenizer.py::apply_merges."""
     from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
-    from universal_aws_data_pipeline_spark.operators.tokenizer import (
-        apply_merges,
-        bpe_learn_merges,
-    )
+    from universal_aws_data_pipeline_spark.operators.tokenizer import apply_merges
 
     d = _t(spark, sf_dir, "documents")
-    merges = [
-        r["pair"]
-        for r in bpe_learn_merges(d, rounds=_APPLY_ROUNDS, text_col="text")
-        .orderBy("round")
-        .limit(_MAX_DRIVER_QUERIES)
-        .collect()
-    ]
-    sizes = apply_merges(d, merges, text_col="text").select(
+    sizes = apply_merges(d, _learned_merges(spark, sf_dir), text_col="text").select(
         "w",
         F.size(F.split("seg", " ")).cast("long").alias("nsym"),
         F.length("w").cast("long").alias("nchr"),
