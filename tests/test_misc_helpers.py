@@ -262,3 +262,23 @@ def test_provenance_column_names_source_files(spark, tmp_path):
     # the file set for a predicate IS the re-ingest list
     bad_files = {r["_input_file"] for r in df.filter(F.col("id") >= 5).collect()}
     assert len(bad_files) >= 1 and all("/b/" in f for f in bad_files)
+
+
+def test_bench_compare_catalog_count_matches_registry():
+    """The close gate's ast parse of _EXPECTED_ORDER must equal the live
+    registry (catalog.py's own assembly guard makes them equal — this
+    test catches the parse breaking on a refactor, e.g. the annotated-
+    assignment form)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(repo, "scripts", "bench_compare.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
+
+    assert mod._catalog_count() == len(QUERIES)
