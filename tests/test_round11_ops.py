@@ -201,3 +201,89 @@ def test_weighted_reservoir_first_batch_dedups_within_batch(spark, tmp_path):
     got = [r["doc_id"] for r in spark.read.parquet(f"{state}/sample").collect()]
     assert len(got) == 5 and len(set(got)) == 5
     assert got.count(0) == 1
+
+
+# --------------------------------------------------------------------------
+# token_cost_stream_fn
+# --------------------------------------------------------------------------
+
+
+def test_token_cost_stream_fn_matches_batch_math_and_replays_identically(
+    spark, tmp_path
+):
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        token_cost_stream_fn,
+    )
+
+    out = str(tmp_path / "cost_log")
+    fn = token_cost_stream_fn(out, ["t h", "th e"], group_col="lang")
+    b0 = spark.createDataFrame(
+        [("the the cat", "en"), ("the thin", "en"), ("le chat", None)],
+        ["text", "lang"],
+    )
+    fn(b0, 0)
+    rows = {r["lang"]: r for r in spark.read.parquet(out).collect()}
+    # en: words the(x3), cat, thin -> ws 5; symbols: the->1 each (3),
+    # cat->3, thin->3 ("th i n") -> 9; chars 3*3+3+4 = 16
+    assert rows["en"]["ws_tokens"] == 5
+    assert rows["en"]["bpe_symbols"] == 3 * 1 + 3 + 3
+    assert rows["en"]["chars"] == 16
+    # NULL lang is a kept category
+    assert rows["(null)"]["ws_tokens"] == 2
+    assert rows["(null)"]["bpe_symbols"] == 2 + 4  # 'le', 'chat' unmerged chars
+    # replay: same batch id -> byte-identical appended rows (dedup on
+    # (lang, batch_id) is lossless)
+    fn(b0, 0)
+    again = spark.read.parquet(out).collect()
+    assert len(again) == 4
+    dedup = {(r["lang"], r["batch_id"], r["ws_tokens"], r["bpe_symbols"], r["chars"]) for r in again}
+    assert len(dedup) == 2
+
+
+def test_token_cost_stream_real_stream_is_additive(spark, tmp_path):
+    """Real stream: per-batch raw counts must sum to the whole corpus's
+    counts (the mergeable-telemetry contract), whatever the file->batch
+    assignment."""
+    import json as _json
+
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        token_cost_stream_fn,
+    )
+    from universal_aws_data_pipeline_spark.streaming.ops import (
+        read_stream_source,
+        write_stream_sink,
+    )
+
+    d = tmp_path / "cost_in"
+    d.mkdir()
+    texts = [f"the cat {i} sat on the mat" for i in range(20)]
+    for part, chunk in enumerate((texts[:10], texts[10:])):
+        with open(d / f"b{part}.json", "w") as fh:
+            for t in chunk:
+                fh.write(_json.dumps({"text": t}) + "\n")
+
+    out = str(tmp_path / "cost_log")
+    stream = read_stream_source(
+        spark,
+        {"type": "file", "path": str(d), "format": "json",
+         "max_files_per_trigger": 1},
+        "text string",
+    )
+    q = write_stream_sink(
+        stream,
+        {"type": "foreach_batch",
+         "fn": token_cost_stream_fn(out, ["t h", "th e"]),
+         "checkpoint": str(tmp_path / "ckpt_cost"),
+         "trigger": {"availableNow": True}},
+    )
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(out).collect()
+    assert {r["batch_id"] for r in log} == {0, 1}
+    total_ws = sum(r["ws_tokens"] for r in log)
+    total_sym = sum(r["bpe_symbols"] for r in log)
+    # whole corpus: 7 words per doc x 20 docs
+    assert total_ws == 140
+    # per doc: the(1)+cat(3)+digit(>=1)+sat(3)+on(2)+the(1)+mat(3)
+    digits_syms = sum(len(str(i)) for i in range(20))
+    assert total_sym == 20 * (1 + 3 + 3 + 2 + 1 + 3) + digits_syms

@@ -190,6 +190,80 @@ def apply_merges(
     return vocab.select("w", F.trim(seg).alias("seg"), "c")
 
 
+def token_cost_stream_fn(
+    out_path: str,
+    merges: list[str],
+    text_col: str = "text",
+    group_col: str | None = None,
+):
+    """``foreachBatch`` maintainer of a live token-cost telemetry log
+    under a FIXED learned merge list — the streaming twin of the q227
+    fertility audit: a production ingestion stream wants to know, per
+    micro-batch, how many tokens the new data will cost under the
+    tokenizer that is actually deployed (budget burn, language-mix
+    shifts), without re-training anything.
+
+    Per batch: the batch's word-frequency rollup (optionally keyed by
+    ``group_col``, e.g. language) → :func:`apply_merges`' segmentation
+    as a pure column expression → one summary row per group with RAW
+    ADDITIVE counts (ws_tokens, bpe_symbols, chars) plus the batch id,
+    appended to ``out_path``. Raw counts, not ratios, so the log is
+    MERGEABLE: any window's fertility/compression is a sum-then-divide
+    over its rows, exact — the same additive-telemetry contract as the
+    drift maintainers. NULL group values are kept as a real category
+    via an explicit "(null)" coalesce (a telemetry stream must not drop
+    exactly the unlabeled slice).
+
+    At-least-once safety comes from determinism (the
+    ``dp_release_stream_fn`` pattern): the counts are pure functions of
+    the batch rows and the fixed merge list, so a replayed batch appends
+    byte-identical rows and downstream consumers dedup on
+    (group, batch_id) losslessly.
+
+    Scale per batch: two map-side-combinable rollups over the batch (the
+    batch-wide vocabulary that prices each word via
+    :func:`apply_merges` — one contract spelling, shared with training —
+    and the (group, word) count table), a batch-vocabulary-keyed
+    equi-join, and a |groups|-row aggregate.
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        gcols = []
+        if group_col is not None:
+            batch_df = batch_df.withColumn(
+                group_col,
+                F.coalesce(F.col(group_col).cast("string"), F.lit("(null)")),
+            )
+            gcols = [group_col]
+        # per-word symbol costs via apply_merges VERBATIM — one merge-
+        # contract spelling shared with training/q226/q227 (and its
+        # merge-format validation); the (group, word) rollup is the only
+        # batch-volume pass, joined on the batch-vocabulary-sized table
+        sizes = apply_merges(batch_df, merges, text_col).select(
+            "w",
+            F.size(F.split("seg", " ")).cast("long").alias("_nsym"),
+            F.length("w").cast("long").alias("_nchr"),
+        )
+        gw = (
+            batch_df.select(
+                *gcols, F.explode(tokens_col(F.col(text_col))).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy(*gcols, "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        out = gw.join(sizes, "w").groupBy(*gcols).agg(
+            F.sum("c").cast("long").alias("ws_tokens"),
+            F.sum(F.col("c") * F.col("_nsym")).cast("long").alias("bpe_symbols"),
+            F.sum(F.col("c") * F.col("_nchr")).cast("long").alias("chars"),
+        )
+        out.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return fn
+
+
 def bpe_learn_merges(
     df: DataFrame, rounds: int, text_col: str = "text", corpus_stats: bool = False
 ) -> DataFrame:
