@@ -51,10 +51,21 @@ def _query_names() -> list[str]:
 
 def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict:
     """Warm up, then time the given queries inside THIS process's Spark
-    session. Returns {"cold": {...}, "warm": {...}, "errors": {...}}."""
+    session. Returns {"cold": {...}, "warm": {...}, "errors": {...},
+    "load": [before_1m, after_1m, after_5m]}.
+
+    The loadavg capture (round 12, VERDICT r11 item 2) exists because
+    adjudicating the r11 driver run as host-drag pollution took a
+    forensic session (warm>cold inversions + quiet-host re-runs): with
+    the host load recorded per chunk session, a polluted series is
+    identifiable from its own artifact — ``scripts/bench_compare.py``
+    prints it next to the per-session subtotals, and the close protocol
+    gates "ship" on the recorded reading instead of `uptime` eyeballing.
+    """
     from universal_aws_data_pipeline_spark.plans.catalog import QUERIES
     from universal_aws_data_pipeline_spark.session import get_spark
 
+    load_before = os.getloadavg()[0]
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
@@ -113,7 +124,18 @@ def run_chunk(names: list[str], sf_dir: str, cpus: str) -> dict:
         # Python-side refs so the ContextCleaner can reap checkpoint blocks.
         spark.catalog.clearCache()
         gc.collect()
-    return {"cold": cold, "warm": warm, "errors": errors}
+    after = os.getloadavg()
+    # before_1m is the host state the session STARTED under (pre-existing
+    # contention); after_1m/after_5m say what it ran under — the 5-minute
+    # average spans a typical ~50-query chunk, so a quiet before + hot
+    # after-5m reads as "this bench was the load", which is fine; a hot
+    # BEFORE reads as external drag.
+    return {
+        "cold": cold,
+        "warm": warm,
+        "errors": errors,
+        "load": [round(load_before, 2), round(after[0], 2), round(after[1], 2)],
+    }
 
 
 def _chunk_child(out_path: str, span: str) -> None:
@@ -153,6 +175,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     sessions: dict[str, int] = {}
+    load: dict[str, list[float]] = {}
     for si, (start, end) in enumerate(chunks):
         for n in names[start:end]:
             sessions[n] = si
@@ -179,6 +202,8 @@ def main() -> None:
         cold.update(part["cold"])
         warm.update(part["warm"])
         errors.update(part["errors"])
+        if "load" in part:
+            load[str(si)] = part["load"]
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -195,6 +220,10 @@ def main() -> None:
         "sf": sf_value,
         "session_size": session_size,
         "sessions": sessions,
+        # host loadavg per chunk session: [before_1m, after_1m, after_5m] —
+        # the self-evidence that distinguishes a drag-polluted series from a
+        # real regression (VERDICT r11 item 2)
+        "load": load,
     }
     if errors:
         detail["errors"] = errors
@@ -218,6 +247,7 @@ def main() -> None:
         "n_queries": len(warm),
         "n_errors": len(errors),
         "n_sessions": len(chunks),
+        "load_max_1m": max((v[1] for v in load.values()), default=0.0),
         "detail": "BENCH_detail.json",
     }
     if errors:

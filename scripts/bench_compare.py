@@ -43,6 +43,17 @@ operational, not code: re-run the close pair on a quiet machine, or
 adjudicate the drift in PERF.md with evidence it is real work (new
 queries are excluded automatically — only common queries are summed).
 
+REFERENCE WRITER (round-12, VERDICT r11 item 1): r11 shipped its warm
+reference with q132=6.51s/q133=7.14s — values the gate itself dismissed as
+jitter ("did not reproduce"; retries 1.74s/5.03s, quiet-host truth
+2.05s/4.03s) — making the next round's per-query gate 3-4x too lenient for
+exactly those queries. ``--write-reference PATH`` (requires ``--retry``)
+makes the shipping rule mechanical: every query the gate cleared as jitter
+against ANY reference ships min(run, retry); every other query ships the
+run value. A reference is refused when the series is incomplete (count
+gate) or when any regression actually reproduced — a flagged series must
+be adjudicated, not shipped.
+
 Exit code 1 when any query — or the cumulative total — is flagged against
 any reference.
 """
@@ -83,9 +94,28 @@ def _slow(t: float, ref_t: float) -> bool:
 _CUM_DRIFT = 0.10  # common-subset total may not exceed any reference by >10%
 
 
+def build_reference(
+    cur: dict[str, float],
+    retry: dict[str, float] | None,
+    cleared: set[str],
+) -> dict[str, float]:
+    """The mechanical shipping rule (VERDICT r11 item 1): a query the gate
+    cleared as jitter ships min(run, retry) — its run-1 value is, by the
+    gate's own finding, a non-reproducing hiccup and must not loosen next
+    round's gate. Everything else ships the run value (the single-series
+    behavior, unchanged)."""
+    out = {}
+    for name, t in cur.items():
+        if name in cleared and retry is not None and name in retry:
+            out[name] = min(t, retry[name])
+        else:
+            out[name] = t
+    return out
+
+
 def compare(
     cur: dict[str, float], ref_path: str, retry: dict[str, float] | None
-) -> bool:
+) -> tuple[bool, set[str]]:
     with open(ref_path) as fh:
         ref_doc = json.load(fh)
     ref = ref_doc["warm"]
@@ -130,7 +160,7 @@ def compare(
         print(f"  CUMULATIVE DRIFT: common total {drift_total:.1f}s exceeds "
               f"{(1.0 + _CUM_DRIFT):.2f}x ref {ref_total:.1f}s — re-run the "
               f"close pair on a quiet machine or adjudicate in PERF.md")
-    return bool(flagged) or drifted
+    return bool(flagged) or drifted, {name for name, *_ in cleared}
 
 
 def _catalog_count() -> int:
@@ -168,6 +198,15 @@ def main() -> int:
         with open(args[i + 1]) as fh:
             retry = json.load(fh)["queries"]
         del args[i : i + 2]
+    write_ref = None
+    if "--write-reference" in args:
+        i = args.index("--write-reference")
+        write_ref = args[i + 1]
+        del args[i : i + 2]
+        if retry is None:
+            print("--write-reference requires --retry: the jitter-clearing "
+                  "rule needs both series in hand")
+            return 1
     detail_path = args[0] if args else os.path.join(HERE, "..", "BENCH_detail.json")
     ref_paths = args[1:] if len(args) > 1 else default_refs()
     with open(detail_path) as fh:
@@ -203,9 +242,49 @@ def main() -> int:
                 by_s[sessions[name]] = by_s.get(sessions[name], 0.0) + t
         parts = " ".join(f"s{k}={v:.1f}s" for k, v in sorted(by_s.items()))
         print(f"  sessions ({detail.get('session_size', '?')}/JVM): {parts}")
+    # Host-load telemetry per session (round-12, VERDICT r11 item 2):
+    # [before_1m, after_1m, after_5m] loadavg around each chunk JVM. The
+    # bench itself drives ~CPUS runnable threads WHILE a query executes, so
+    # after_1m reflects bench work; the tell for EXTERNAL drag is a hot
+    # BEFORE (the next session inherits the previous one's tail through the
+    # 1m decay, so sustained before >> idle baseline across sessions is the
+    # pollution signature the r11 adjudication had to reconstruct manually).
+    loads = detail.get("load")
+    if loads:
+        parts = " ".join(
+            f"s{k}={v[0]:.1f}/{v[1]:.1f}/{v[2]:.1f}"
+            for k, v in sorted(loads.items(), key=lambda kv: int(kv[0]))
+        )
+        print(f"  loadavg (before_1m/after_1m/after_5m): {parts}")
     any_flagged = count_gap
+    cleared_all: set[str] = set()
     for ref_path in ref_paths:
-        any_flagged |= compare(cur, ref_path, retry)
+        flagged, cleared = compare(cur, ref_path, retry)
+        any_flagged |= flagged
+        cleared_all |= cleared
+    if write_ref is not None:
+        if any_flagged:
+            print(f"NOT writing {write_ref}: series is flagged (regression, "
+                  f"drift, or incomplete) — adjudicate before shipping")
+            return 1
+        ref = build_reference(cur, retry, cleared_all)
+        # the rule's own invariant, asserted at write time: no shipped value
+        # may be one the gate dismissed as non-reproducing
+        for name in cleared_all:
+            assert name not in ref or ref[name] <= min(
+                cur[name], retry.get(name, cur[name])
+            ), name
+        doc = {
+            "source": "written by bench_compare.py --write-reference: run-1 "
+                      "values, except jitter-cleared queries ship "
+                      "min(run, retry) (VERDICT r11 item 1)",
+            "jitter_cleared": sorted(cleared_all),
+            "warm": ref,
+        }
+        with open(write_ref, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+        print(f"wrote {write_ref}: {len(ref)} queries, "
+              f"{len(cleared_all)} jitter-cleared shipped as min(run, retry)")
     return 1 if any_flagged else 0
 
 

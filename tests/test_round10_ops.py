@@ -107,7 +107,8 @@ def test_cumulative_drift_flags_diffuse_drag(bench_compare_mod, tmp_path, capsys
     # every query +12%: under the per-query bar (1.12x < 1.5x) but the
     # common total is 22.4s vs 20.0s = +12% > the 10% drift bound
     cur = {f"q{i}": 1.12 for i in range(20)}
-    assert bench_compare_mod.compare(cur, ref_path, None) is True
+    flagged, _cleared = bench_compare_mod.compare(cur, ref_path, None)
+    assert flagged is True
     out = capsys.readouterr().out
     assert "CUMULATIVE DRIFT" in out
     assert "REGRESSED" not in out
@@ -116,7 +117,8 @@ def test_cumulative_drift_flags_diffuse_drag(bench_compare_mod, tmp_path, capsys
 def test_cumulative_drift_quiet_within_bound(bench_compare_mod, tmp_path, capsys):
     ref_path = _write_ref(tmp_path, "ref.json", {f"q{i}": 1.0 for i in range(20)})
     cur = {f"q{i}": 1.05 for i in range(20)}
-    assert bench_compare_mod.compare(cur, ref_path, None) is False
+    flagged, _cleared = bench_compare_mod.compare(cur, ref_path, None)
+    assert flagged is False
     assert "CUMULATIVE DRIFT" not in capsys.readouterr().out
 
 
@@ -126,7 +128,8 @@ def test_cumulative_drift_cleared_by_quiet_retry(bench_compare_mod, tmp_path, ca
     ref_path = _write_ref(tmp_path, "ref.json", {f"q{i}": 1.0 for i in range(20)})
     cur = {f"q{i}": 1.12 for i in range(20)}
     retry = {f"q{i}": 1.01 for i in range(20)}
-    assert bench_compare_mod.compare(cur, ref_path, retry) is False
+    flagged, _cleared = bench_compare_mod.compare(cur, ref_path, retry)
+    assert flagged is False
     assert "CUMULATIVE DRIFT" not in capsys.readouterr().out
 
 
