@@ -236,6 +236,18 @@ HEAVY = [
     # q227: the (lang, word) rollup is the corpus pass; the fertility join
     # rides the 10x VOCAB segmentation table
     "q227_tokenizer_fertility",
+    # round-12: q228's rank/cumsum windows see 10x-fatter source domains
+    # (the doc copies keep the SAME 20 sources — exactly the mega-domain
+    # shape the WindowGroupLimit prune exists for); q229 trains the
+    # unigram EM on the 10x VOCAB (the xk suffixes are the worst direction
+    # for the vocabulary-bounded claim: candidates, the Viterbi fold, and
+    # both M-steps all see 10x pieces; build inside the window, cold
+    # semantics); q230's (lang, word) rollup is the corpus pass — both
+    # segmentation joins ride the 10x-vocab model tables (run q226/q229
+    # earlier in the list so each model artifact builds in its OWN slot).
+    "q228_domain_cap",
+    "q229_unigram_lm_train",
+    "q230_tokenizer_comparison",
 ]
 
 

@@ -114,7 +114,14 @@ def bradley_terry_micro(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("p"),
-        )
+        # checkpoint each round's strengths (|entities| rows — tiny): every
+        # round consumes p TWICE (me + opp join sides), so an unbroken
+        # lineage doubles the executed join tree per iteration (2^rounds
+        # recomputations of round 1 by round N). The round-12 q133 creep
+        # adjudication (PERF.md) measured the flattened plan ~12% faster at
+        # 3 iterations on sf0.1 and, more importantly, linear — not
+        # geometric — in the iteration count.
+        ).localCheckpoint(eager=True)
 
     return entities.join(p, "me").select(
         F.col("me").alias("entity"),

@@ -401,6 +401,75 @@ def weighted_sample_topk(
     )
 
 
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    doc_cap: int | None = None,
+    token_cap: int | None = None,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-domain crawl-governance cap (the C4/RefinedWeb rule): keep at
+    most ``doc_cap`` documents and/or ``token_cap`` tokens per domain,
+    keeping the BEST documents within the cap. Without a ceiling like
+    this, a handful of mega-domains (self-replicating boilerplate farms,
+    mirror networks) dominate a web-scale training mix no matter how the
+    mixture rates are planned — q94 selects by quality within a global
+    token budget and q129 plans mixture rates, but neither enforces a
+    per-source ceiling; this is that missing governance operator.
+
+    Ranking within a domain: ``order_by`` columns (best first), with the
+    id appended as the final tiebreak so the cut is total and
+    engine-reproducible. Default ranking is the q91 device — smallest
+    (md5-bucket, id) — i.e. a deterministic uniform sample of the domain
+    when no quality signal is supplied.
+
+    Caps compose: ``doc_cap`` keeps rank <= doc_cap; ``token_cap`` keeps
+    the rank-order prefix whose RUNNING token total (including the
+    current document) stays <= token_cap. Both given = whichever binds
+    first. Returns the kept rows plus ``domain_rank`` (and ``cum_tokens``
+    when token-capped).
+
+    Scale: one grouped shuffle on the domain key — never a global sort.
+    The rank filter is the WindowGroupLimit shape (row_number <= k), so
+    Spark pre-prunes every map partition to its local top-k before the
+    exchange: the shuffle carries O(k) rows per domain per partition, not
+    the domain's full volume. The token-cap running sum is a per-domain
+    window — bounded by the LARGER of doc_cap (apply both at scale: the
+    rank prune runs first, so the cumsum window only ever sees doc_cap
+    rows per domain) or the domain's size; a token-only cap over a
+    mega-domain should therefore ride with a generous doc_cap companion
+    (token_cap is itself an upper bound on keepable docs whenever every
+    doc has >= 1 token).
+    """
+    if doc_cap is None and token_cap is None:
+        raise ValueError("cap_per_domain: at least one of doc_cap/token_cap")
+    if doc_cap is not None and doc_cap < 1:
+        raise ValueError(f"doc_cap must be >= 1, got {doc_cap}")
+    if token_cap is not None:
+        if token_cap < 1:
+            raise ValueError(f"token_cap must be >= 1, got {token_cap}")
+        if token_col is None:
+            raise ValueError("token_cap requires token_col")
+    ordering = list(order_by) if order_by else [hash_bucket(F.col(id_col))]
+    ordering.append(F.col(id_col))
+    w = Window.partitionBy(domain_col).orderBy(*ordering)
+    out = df.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+    if doc_cap is not None:
+        # rank-filter FIRST: WindowGroupLimit prunes map-side, and the
+        # token-cap window below then runs over <= doc_cap rows per domain
+        out = out.filter(F.col("domain_rank") <= doc_cap)
+    if token_cap is not None:
+        cum = Window.partitionBy(domain_col).orderBy("domain_rank").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = out.withColumn(
+            "cum_tokens", F.sum(F.col(token_col).cast("long")).over(cum)
+        ).filter(F.col("cum_tokens") <= token_cap)
+    return out
+
+
 def split_manifest(
     df: DataFrame,
     key_col: str,

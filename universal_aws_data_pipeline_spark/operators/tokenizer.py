@@ -264,6 +264,260 @@ def token_cost_stream_fn(
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — the standard alternative to
+# BPE (Kudo 2018), trained by FIXED-ROUND hard EM (Viterbi E-step) so every
+# round is a deterministic function of the data and hash-grades against a
+# SQL oracle. The same discipline as the BPE family: the corpus is scanned
+# once into the |vocab| word-frequency table, and everything after —
+# candidate pieces, Viterbi segmentation, expected counts — runs over the
+# vocabulary domain (bounded by language, never by corpus size).
+#
+# Exact contract (all constants fixed so the oracle composes identically):
+# - candidate pieces: every substring of length 1.._UNI_MAX_PIECE of every
+#   vocab word; words longer than _UNI_MAX_WORD are EXCLUDED from training
+#   and audits (documented filter, mirrored in every oracle).
+# - piece probabilities live as integer MICRO-NAT costs (the q113 device):
+#   cost = round((ln(total) - ln(count)) * 1e6) as BIGINT — ln runs on
+#   exact integers, and the Viterbi DP is then pure BIGINT min-plus
+#   arithmetic: zero float surface inside the recursion, so both engines
+#   agree bit-for-bit.
+# - smoothing/coverage: single-character pieces get +1 on every count pass
+#   (seed and each M-step) and are NEVER pruned — the standard unigram-LM
+#   rule that keeps every word segmentable; multi-char pieces with zero
+#   Viterbi usage drop implicitly (EM's own pruning), and a final explicit
+#   prune keeps the top-`keep_multi` multi-char pieces by (count desc,
+#   piece asc) — the "drop lowest-loss pieces" step, simplified from
+#   SentencePiece's loss ranking to usage ranking (hard-EM usage IS the
+#   piece's likelihood contribution under the Viterbi objective).
+# - tie-break: when two segmentations of a word cost the same, the longer
+#   final piece wins at every DP position (key = cost*4 + (3 - piece_len),
+#   minimized) — a total, engine-portable order.
+# ---------------------------------------------------------------------------
+
+_UNI_MAX_PIECE = 3
+_UNI_MAX_WORD = 12
+_UNI_BIG = 10**12  # "piece unavailable" cost — dominates any real path
+
+
+def _uni_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency substrate for unigram training: the shared
+    ``word_frequencies`` rollup with the trainer's max-word-length
+    contract applied (words longer than _UNI_MAX_WORD are excluded —
+    the DP and its oracle replay are fixed-depth)."""
+    return word_frequencies(df, text_col).filter(
+        F.length("w") <= _UNI_MAX_WORD
+    )
+
+
+def _uni_candidates(vocab: DataFrame) -> DataFrame:
+    """(w, c, i, L, piece): every substring of length L in 1.._UNI_MAX_PIECE
+    ending at position i (1-based) of every vocab word. Vocabulary-bounded:
+    sum of len(w)·_UNI_MAX_PIECE rows per DISTINCT word — a 100x corpus
+    grows c, not this row set."""
+    parts = []
+    for L in range(1, _UNI_MAX_PIECE + 1):
+        parts.append(
+            vocab.filter(F.length("w") >= L)
+            .select(
+                "w",
+                "c",
+                F.explode(F.sequence(F.lit(L), F.length("w"))).alias("i"),
+                F.lit(L).alias("L"),
+            )
+            .withColumn(
+                "piece", F.col("w").substr(F.col("i") - F.lit(L - 1), F.lit(L))
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _uni_costs(counts: DataFrame) -> DataFrame:
+    """(piece, cnt) -> (piece, cnt, cost): micro-nat cost of each piece
+    under the multinomial counts. The total is a 1-row broadcast attach
+    (the adjudicated scalar-attach shape); ln runs on exact integers so
+    the rounded micro-nat is engine-identical."""
+    total = counts.agg(F.sum("cnt").cast("long").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(
+            (F.log(F.col("t").cast("double")) - F.log(F.col("cnt").cast("double")))
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+
+
+def _uni_seed(vocab: DataFrame) -> DataFrame:
+    """Round-0 model: piece counts = substring occurrences weighted by word
+    frequency (+1 on single chars, the uniform smoothing rule)."""
+    cand = _uni_candidates(vocab)
+    seed = cand.groupBy("piece").agg(F.sum("c").cast("long").alias("s"))
+    adj = seed.select(
+        "piece",
+        (
+            F.col("s")
+            + F.when(F.length("piece") == 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cnt"),
+    )
+    return _uni_costs(adj)
+
+
+def unigram_viterbi_segment(vocab: DataFrame, model: DataFrame) -> DataFrame:
+    """Viterbi-segment every vocab word under a (piece, cost) model — the
+    E-step and the apply step in one function (train/apply share ONE
+    contract, the q226 discipline).
+
+    Relational prep, then a single fold: candidates equi-join the model on
+    the piece (never a driver-side lookup table), one grouped pass builds
+    per-word (position -> cost) maps per piece length, and the DP itself is
+    ONE ``F.aggregate`` fold over positions 1..len(w) — BIGINT min-plus
+    steps carrying the last three best-prefix states, no UDF, no loop over
+    data, no driver synchronization. Unreachable transitions cost _UNI_BIG;
+    single-char pieces are always in the model (never pruned), so every
+    word segments.
+
+    Returns (w, c, seg, cost): the space-separated Viterbi segmentation
+    and its total micro-nat cost. Scale: one vocab-bounded join + one
+    grouped rollup; corpus volume never appears."""
+    cand = _uni_candidates(vocab)
+    sc = cand.join(model.select("piece", "cost"), "piece")
+
+    def entries(L: int) -> F.Column:
+        return F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("L") == L,
+                    F.struct(F.col("i").alias("k"), F.col("cost").alias("v")),
+                )
+            )
+        )
+
+    per = sc.groupBy("w", "c").agg(
+        entries(1).alias("m1"), entries(2).alias("m2"), entries(3).alias("m3")
+    )
+    big = F.lit(_UNI_BIG).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("b1"),
+        big.alias("b2"),
+        big.alias("b3"),
+        F.lit("").alias("s1"),
+        F.lit("").alias("s2"),
+        F.lit("").alias("s3"),
+    )
+
+    def step(acc: F.Column, i: F.Column) -> F.Column:
+        # acc carries best[i-1], best[i-2], best[i-3] (+ their segs); a
+        # piece of length j ending at i extends best[i-j]
+        c1 = F.coalesce(F.element_at(F.col("m1"), i), big)
+        c2 = F.coalesce(F.element_at(F.col("m2"), i), big)
+        c3 = F.coalesce(F.element_at(F.col("m3"), i), big)
+        b1c, b2c, b3c = acc["b1"] + c1, acc["b2"] + c2, acc["b3"] + c3
+        # tie-break key: cost*4 + (3 - piece_len) — equal-cost paths pick
+        # the longer final piece, identically in the SQL oracle's arg_min
+        k1, k2, k3 = b1c * 4 + 2, b2c * 4 + 1, b3c * 4
+        kmin = F.least(k1, k2, k3)
+        nb = F.least(b1c, b2c, b3c)
+        ns = (
+            F.when(
+                kmin == k3,
+                F.concat(acc["s3"], F.lit(" "), F.col("w").substr(i - 2, F.lit(3))),
+            )
+            .when(
+                kmin == k2,
+                F.concat(acc["s2"], F.lit(" "), F.col("w").substr(i - 1, F.lit(2))),
+            )
+            .otherwise(
+                F.concat(acc["s1"], F.lit(" "), F.col("w").substr(i, F.lit(1)))
+            )
+        )
+        return F.struct(
+            nb.alias("b1"),
+            acc["b1"].alias("b2"),
+            acc["b2"].alias("b3"),
+            ns.alias("s1"),
+            acc["s1"].alias("s2"),
+            acc["s2"].alias("s3"),
+        )
+
+    st = F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step)
+    return per.withColumn("_st", st).select(
+        "w",
+        "c",
+        F.trim(F.col("_st")["s1"]).alias("seg"),
+        F.col("_st")["b1"].alias("cost"),
+    )
+
+
+def _uni_mstep(seg_tbl: DataFrame, char_inventory: DataFrame) -> DataFrame:
+    """M-step: piece usage counts from the Viterbi segmentations (+1 on
+    every single char — chars missing from all segmentations survive with
+    count 1), renormalized into micro-nat costs. Multi-char pieces with
+    zero usage drop here — EM's implicit prune."""
+    used = (
+        seg_tbl.select(F.explode(F.split("seg", " ")).alias("piece"), "c")
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("used"))
+    )
+    chars = char_inventory.join(used, "piece", "left").select(
+        "piece",
+        (F.coalesce(F.col("used"), F.lit(0)) + 1).cast("long").alias("cnt"),
+    )
+    multi = used.filter(F.length("piece") >= 2).select(
+        "piece", F.col("used").alias("cnt")
+    )
+    return _uni_costs(chars.unionByName(multi))
+
+
+def unigram_train(
+    df: DataFrame,
+    rounds: int,
+    keep_multi: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train a unigram-LM tokenizer by ``rounds`` of hard (Viterbi) EM,
+    then prune to single chars + the top ``keep_multi`` multi-char pieces
+    by (final count desc, piece asc).
+
+    Returns the final model (piece, cnt, cost) — cnt is the last M-step's
+    adjusted count, cost its micro-nat. Like ``bpe_learn_merges``, the
+    corpus is scanned exactly once (the word-frequency rollup); each EM
+    round is a handful of vocabulary-bounded Spark jobs with NO driver
+    collect at all (the model stays distributed and joins the candidate
+    table). Per-round localCheckpoints keep lineage flat. The prune's
+    top-k is orderBy+limit — TakeOrderedAndProject, k rows per partition
+    to the driver merge, never a single-partition window."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if keep_multi < 1:
+        raise ValueError(f"keep_multi must be >= 1, got {keep_multi}")
+    vocab = _uni_vocab(df, text_col).localCheckpoint(eager=True)
+    chars = (
+        _uni_candidates(vocab)
+        .filter(F.col("L") == 1)
+        .select("piece")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    model = _uni_seed(vocab).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        seg = unigram_viterbi_segment(vocab, model)
+        model = _uni_mstep(seg, chars).localCheckpoint(eager=True)
+    return model.filter(F.length("piece") == 1).unionByName(
+        model.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(keep_multi)
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame, rounds: int, text_col: str = "text", corpus_stats: bool = False
 ) -> DataFrame:

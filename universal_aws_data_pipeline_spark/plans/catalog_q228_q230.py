@@ -1,0 +1,421 @@
+"""Catalog chunk: q228–q230 (round 12).
+
+- **q228** is the per-domain crawl-governance cap (VERDICT r11 item 5):
+  the C4/RefinedWeb-style hard ceiling — at most N documents AND at most
+  T tokens per source, keep-best-by-quality within the cap — the one
+  standard LLM-corpus governance operator the catalog lacked (q94 selects
+  by quality within a GLOBAL token budget, q129 plans mixture rates;
+  neither enforces a per-source ceiling).
+- **q229/q230** train and audit the unigram-LM (SentencePiece-style)
+  tokenizer (VERDICT r11 item 3): the standard alternative to the
+  complete BPE family, trained by fixed-round Viterbi-EM over the same
+  |vocab| word-frequency substrate, with costs in exact integer
+  micro-nats so every round hash-grades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from universal_aws_data_pipeline_spark.operators.tokenizer import (
+    _UNI_MAX_PIECE,
+    _UNI_MAX_WORD,
+)
+from universal_aws_data_pipeline_spark.plans._shared import (
+    _NORM_SQL,
+    _artifact_dir,
+    _parquet_ready,
+    _t,
+    register,
+)
+from universal_aws_data_pipeline_spark.plans.catalog_q217_q219 import _bpe_seg_ctes
+from universal_aws_data_pipeline_spark.plans.catalog_q224_q227 import (
+    _APPLY_ROUNDS,
+    _learned_merges,
+)
+
+# --------------------------------------------------------------------------
+# q228 — per-domain cap (governance family). Every source keeps at most
+# _CAP_DOCS documents and _CAP_TOKENS whitespace tokens, best-quality
+# first (q14's composite score, doc_id tiebreak). Output is the
+# per-source governance report: what the domain offered, what survived
+# the cap, and the quality bar the cut landed on.
+# Operators: ONE grouped shuffle on source; the rank filter is the
+# WindowGroupLimit shape (row_number <= k — map partitions pre-prune to
+# their local top-k before the exchange), and the token-cap running sum
+# then runs over <= _CAP_DOCS rows per domain by construction. The
+# summary is a |sources|-row rollup left-joined to the |sources|-row
+# totals.
+# Oracle: identical ranking (quality rounds to 4dp BEFORE ranking on both
+# engines, so boundary ties resolve by doc_id identically), identical
+# running-sum frame (domain_rank is unique per partition, so DuckDB's
+# default RANGE frame equals Spark's explicit ROWS frame).
+# --------------------------------------------------------------------------
+
+_CAP_DOCS = 6
+_CAP_TOKENS = 400
+
+_Q228_QUALITY_SQL = """
+    SELECT doc_id, source,
+      round((least(1.0, ntok / 100.0)
+             + (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n
+             + (1.0 - least(1.0,
+                 (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n
+                 + (n - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n))
+             + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                    THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality,
+      CAST(ntok AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, source, text,
+             CAST(length(text) AS DOUBLE) AS n,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS mean_tok_len
+      FROM documents
+    )
+"""
+
+
+@register(
+    "q228_domain_cap",
+    f"""
+    WITH scored AS ({_Q228_QUALITY_SQL}),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS BIGINT) AS domain_rank
+      FROM scored
+    ), capped AS (
+      SELECT *, CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY domain_rank
+             ) AS BIGINT) AS cum_tokens
+      FROM ranked WHERE domain_rank <= {_CAP_DOCS}
+    ), kept AS (
+      SELECT * FROM capped WHERE cum_tokens <= {_CAP_TOKENS}
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT tot.source, tot.n_docs,
+           CAST(coalesce(count(kept.doc_id), 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(kept.n_tokens), 0) AS BIGINT) AS kept_tokens,
+           min(kept.quality) AS min_quality
+    FROM tot LEFT JOIN kept ON tot.source = kept.source
+    GROUP BY tot.source, tot.n_docs
+    """,
+    f"per-domain crawl-governance cap (C4/RefinedWeb rule): keep at most {_CAP_DOCS} docs AND {_CAP_TOKENS} whitespace tokens per source, best-quality-first with doc_id tiebreak; per-source report of offered vs kept volume and the quality bar (governance family)",
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source survives the per-domain ceiling? Rank each
+    source's documents by the q14 quality score, keep the best
+    _CAP_DOCS whose running token total stays within _CAP_TOKENS, and
+    report per source: offered docs, kept docs, kept tokens, and the
+    lowest quality that made the cut. One grouped shuffle; the rank
+    filter is WindowGroupLimit-prunable, so at 100 TB a mega-domain's
+    volume never crosses the exchange.
+    operators/sampling.py::cap_per_domain."""
+    from universal_aws_data_pipeline_spark.operators.sampling import cap_per_domain
+    from universal_aws_data_pipeline_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = cap_per_domain(
+        scored,
+        "source",
+        doc_cap=_CAP_DOCS,
+        token_cap=_CAP_TOKENS,
+        order_by=[F.col("quality").desc()],
+        token_col="n_tokens",
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.min("quality").alias("min_quality"),
+    )
+    return tot.join(per, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        "min_quality",
+    )
+
+
+# --------------------------------------------------------------------------
+# q229 — unigram-LM tokenizer training (tokenizer family; VERDICT r11 item
+# 3). Fixed-round hard EM (Viterbi E-step) over the |vocab| word-frequency
+# table: seed = substring counts, E-step = exact BIGINT min-plus Viterbi
+# under micro-nat costs (the q113 device — the only float surface is one
+# ln per piece per round, on exact integers), M-step = usage counts (+1 on
+# chars), final prune = chars + top-K multi-char pieces. The model is the
+# dataset's trained-once parquet artifact (the q226 amortization
+# convention): training is the build, the query reads the model back.
+# Operators: one corpus scan (word-frequency rollup); per round, one
+# vocab-bounded candidate/model equi-join + one grouped map-build + one
+# fold expression + two rollups — NO driver collect anywhere (the model
+# stays distributed and joins the candidates). Prune is
+# TakeOrderedAndProject.
+# Oracle: the EM recursion replayed as chained per-position CTEs — the
+# DP is position-synchronous, so _UNI_MAX_WORD CTEs per round replay the
+# fold exactly; arg_min's tie key (cost*4 + 3-len) matches the engine's.
+# --------------------------------------------------------------------------
+
+_UNI_ROUNDS = 2
+_UNI_KEEP = 16
+
+
+def _uni_cost_cte(name: str, src: str) -> str:
+    """Micro-nat cost CTE: round((ln(total) - ln(cnt)) * 1e6) as BIGINT —
+    ln on exact integers, identical spelling to the engine's _uni_costs."""
+    return (
+        f"{name} AS MATERIALIZED (SELECT piece, cnt,"
+        f" CAST(round((ln(t) - ln(cnt)) * 1000000.0, 0) AS BIGINT) AS cost"
+        f" FROM (SELECT piece, cnt, sum(cnt) OVER () AS t FROM {src}) z)"
+    )
+
+
+def _uni_estep_ctes(tag: str, model: str) -> list[str]:
+    """One Viterbi pass as CTEs: u_sc{tag} (candidates priced under
+    ``model``), u_v{tag}_0..MAXW (the per-position DP — each position's
+    best prefix is the min over the <=3 piece lengths ending there, with
+    the engine's exact tie key), u_fin{tag} (each word's segmentation,
+    read off at position len(w))."""
+    ctes = [
+        f"u_sc{tag} AS MATERIALIZED (SELECT cand.w, cand.c, cand.i, cand.L, cand.piece,"
+        f" m.cost FROM u_cand cand JOIN {model} m USING (piece))",
+        f"u_v{tag}_0 AS MATERIALIZED (SELECT w, c, CAST(0 AS BIGINT) AS b, '' AS seg FROM u_vocab)",
+    ]
+    for i in range(1, _UNI_MAX_WORD + 1):
+        branches = []
+        for j in range(1, min(_UNI_MAX_PIECE, i) + 1):
+            branches.append(
+                f"SELECT v.w, v.c, v.b + s.cost AS bc,"
+                f" (v.b + s.cost) * 4 + {3 - j} AS k,"
+                f" v.seg || ' ' || s.piece AS sg"
+                f" FROM u_v{tag}_{i - j} v JOIN u_sc{tag} s"
+                f" ON s.w = v.w AND s.i = {i} AND s.L = {j}"
+            )
+        u = " UNION ALL ".join(branches)
+        ctes.append(
+            f"u_v{tag}_{i} AS MATERIALIZED (SELECT w, c, CAST(min(bc) AS BIGINT) AS b,"
+            f" arg_min(sg, k) AS seg FROM ({u}) z GROUP BY w, c)"
+        )
+    fin = " UNION ALL ".join(
+        f"SELECT w, c, trim(seg) AS seg, b FROM u_v{tag}_{i} WHERE len(w) = {i}"
+        for i in range(1, _UNI_MAX_WORD + 1)
+    )
+    ctes.append(f"u_fin{tag} AS MATERIALIZED ({fin})")
+    return ctes
+
+
+def _uni_ctes(rounds: int, keep_multi: int) -> list[str]:
+    """The full training replay: corpus -> vocab -> candidates -> seed
+    model -> ``rounds`` x (E-step, M-step) -> pruned u_model."""
+    ctes = [
+        f"u_toks AS MATERIALIZED (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)",
+        f"u_vocab AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u_toks"
+        f" WHERE w <> '' AND len(w) <= {_UNI_MAX_WORD} GROUP BY w)",
+        f"u_cand AS MATERIALIZED (SELECT w, c, i, L, substring(w, i - L + 1, L) AS piece"
+        f" FROM u_vocab, (SELECT unnest(range(1, {_UNI_MAX_PIECE + 1})) AS L) lt,"
+        f" (SELECT unnest(range(1, {_UNI_MAX_WORD + 1})) AS i) it"
+        f" WHERE i BETWEEN L AND len(w))",
+        "u_chars AS MATERIALIZED (SELECT DISTINCT piece FROM u_cand WHERE L = 1)",
+        "u_seed AS MATERIALIZED (SELECT piece, CAST(sum(c) + CASE WHEN len(piece) = 1"
+        " THEN 1 ELSE 0 END AS BIGINT) AS cnt FROM u_cand GROUP BY piece)",
+        _uni_cost_cte("u_m0", "u_seed"),
+    ]
+    for r in range(1, rounds + 1):
+        ctes += _uni_estep_ctes(str(r), f"u_m{r - 1}")
+        ctes.append(
+            f"u_cnt{r} AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS used FROM"
+            f" (SELECT unnest(string_split(seg, ' ')) AS piece, c FROM u_fin{r}) z"
+            f" GROUP BY piece)"
+        )
+        ctes.append(
+            f"u_adj{r} AS MATERIALIZED ("
+            f"SELECT ch.piece, CAST(coalesce(u.used, 0) + 1 AS BIGINT) AS cnt"
+            f" FROM u_chars ch LEFT JOIN u_cnt{r} u USING (piece)"
+            f" UNION ALL SELECT piece, used AS cnt FROM u_cnt{r}"
+            f" WHERE len(piece) >= 2)"
+        )
+        ctes.append(_uni_cost_cte(f"u_m{r}", f"u_adj{r}"))
+    ctes.append(
+        f"u_model AS MATERIALIZED ("
+        f"SELECT piece, cnt, cost FROM u_m{rounds} WHERE len(piece) = 1"
+        f" UNION ALL SELECT piece, cnt, cost FROM"
+        f" (SELECT *, row_number() OVER (ORDER BY cnt DESC, piece) AS rn"
+        f" FROM u_m{rounds} WHERE len(piece) >= 2) z WHERE rn <= {keep_multi})"
+    )
+    return ctes
+
+
+def _uni_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset's trained-once unigram model (piece, cnt, cost) — the
+    q226 `_learned_merges` convention: `_SUCCESS` gates reuse, overwrite
+    clears partials, the cache is keyed by dataset path. The model is a
+    DataFrame, NOT a driver-side list: its consumers JOIN it (the Viterbi
+    candidate pricing), so nothing here ever collects."""
+    import os
+
+    from universal_aws_data_pipeline_spark.operators.tokenizer import unigram_train
+
+    path = os.path.join(
+        _artifact_dir("unigram_model", sf_dir), f"r{_UNI_ROUNDS}k{_UNI_KEEP}"
+    )
+    if not _parquet_ready(path):
+        d = _t(spark, sf_dir, "documents")
+        unigram_train(d, rounds=_UNI_ROUNDS, keep_multi=_UNI_KEEP).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+_Q229_ORACLE = (
+    "WITH "
+    + ",\n".join(_uni_ctes(_UNI_ROUNDS, _UNI_KEEP))
+    + """
+    SELECT piece, CAST(len(piece) AS INTEGER) AS piece_len,
+           cnt AS n_used, cost AS cost_micro
+    FROM u_model
+    ORDER BY n_used DESC, piece
+    LIMIT 40
+    """
+)
+
+
+@register(
+    "q229_unigram_lm_train",
+    _Q229_ORACLE,
+    f"unigram-LM (SentencePiece-style) tokenizer training: {_UNI_ROUNDS} rounds of hard EM — BIGINT min-plus Viterbi segmentation of the |vocab| table under integer micro-nat piece costs, usage-count M-step (+1 char smoothing), prune to chars + top-{_UNI_KEEP} multi-char pieces; the standard alternative to the BPE family, trained on the same word-frequency substrate (tokenizer family)",
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What pieces does a unigram-LM tokenizer learn from this corpus?
+    Two rounds of Viterbi-EM over the word-frequency table — every piece
+    probability an integer micro-nat, every DP step exact BIGINT min-plus
+    — then prune to single chars + the top multi-char pieces. One corpus
+    scan; each round is vocabulary-bounded joins and one fold expression,
+    no driver collect. operators/tokenizer.py::unigram_train."""
+    return (
+        _uni_model(spark, sf_dir)
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("cnt").alias("n_used"),
+            F.col("cost").alias("cost_micro"),
+        )
+        .orderBy(F.col("n_used").desc(), "piece")
+        .limit(40)
+    )
+
+
+# --------------------------------------------------------------------------
+# q230 — BPE-vs-unigram fertility comparison by language (tokenizer
+# family): the fairness audit q227 runs for the learned BPE merges,
+# extended to both trained tokenizers on one row — per language, how many
+# symbols does each model pay per word, and which compresses better? The
+# two models come from the dataset's trained-once artifacts (q226's merge
+# table, q229's unigram model); both segmentations factor through the
+# |vocab| table, so the (lang, word) rollup is the ONLY corpus-volume
+# pass. Words longer than the unigram trainer's _UNI_MAX_WORD are
+# excluded on both sides (the trainer's documented contract).
+# Oracle: the shared q218 BPE CTE chain + the shared q229 unigram chain +
+# one extra Viterbi pass under the pruned u_model — one CTE text each, so
+# neither train/apply pair can drift.
+# --------------------------------------------------------------------------
+
+_Q230_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        _uni_ctes(_UNI_ROUNDS, _UNI_KEEP)
+        + _uni_estep_ctes("a", "u_model")
+        + _bpe_seg_ctes(_APPLY_ROUNDS)
+    )
+    + f""",
+    sizes_bpe AS (
+      SELECT replace(seg, ' ', '') AS w,
+             CAST(len(string_split(seg, ' ')) AS BIGINT) AS bsym
+      FROM seg{_APPLY_ROUNDS}
+    ), sizes_uni AS (
+      SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS usym
+      FROM u_fina
+    ), lw AS (
+      SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ), lwc AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM lw WHERE w <> '' AND len(w) <= {_UNI_MAX_WORD} GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS ws_tokens,
+           CAST(sum(c * bsym) AS BIGINT) AS bpe_symbols,
+           CAST(sum(c * usym) AS BIGINT) AS uni_symbols,
+           round(sum(c * bsym) / CAST(sum(c) AS DOUBLE), 4) AS bpe_fertility,
+           round(sum(c * usym) / CAST(sum(c) AS DOUBLE), 4) AS uni_fertility,
+           round(sum(c * usym) / CAST(sum(c * bsym) AS DOUBLE), 4) AS uni_vs_bpe
+    FROM lwc JOIN sizes_bpe USING (w) JOIN sizes_uni USING (w)
+    GROUP BY lang
+    """
+)
+
+
+@register(
+    "q230_tokenizer_comparison",
+    _Q230_ORACLE,
+    "BPE-vs-unigram tokenizer fairness comparison by language: per-language fertility (symbols/word) under BOTH trained models — the learned BPE merges and the EM-trained unigram LM — plus their ratio; one (lang, word) corpus pass, both segmentations ride vocabulary-bounded model joins (tokenizer family)",
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which tokenizer treats which language better? Per language: symbol
+    cost per word under the learned BPE merges AND under the trained
+    unigram LM, plus the uni/BPE ratio (< 1 = unigram compresses that
+    language better). Both models load from trained-once artifacts; the
+    (lang, word) rollup is the only corpus-volume pass.
+    operators/tokenizer.py::unigram_viterbi_segment + apply_merges."""
+    from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        _uni_vocab,
+        apply_merges,
+        unigram_viterbi_segment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni_sizes = unigram_viterbi_segment(
+        _uni_vocab(d), _uni_model(spark, sf_dir)
+    ).select("w", F.size(F.split("seg", " ")).cast("long").alias("usym"))
+    bpe_sizes = apply_merges(d, _learned_merges(spark, sf_dir)).select(
+        "w", F.size(F.split("seg", " ")).cast("long").alias("bsym")
+    )
+    lang_words = (
+        d.select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _UNI_MAX_WORD))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        lang_words.join(bpe_sizes, "w")
+        .join(uni_sizes, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("ws_tokens"),
+            F.sum(F.col("c") * F.col("bsym")).cast("long").alias("bpe_symbols"),
+            F.sum(F.col("c") * F.col("usym")).cast("long").alias("uni_symbols"),
+            F.round(
+                F.sum(F.col("c") * F.col("bsym")) / F.sum("c").cast("double"), 4
+            ).alias("bpe_fertility"),
+            F.round(
+                F.sum(F.col("c") * F.col("usym")) / F.sum("c").cast("double"), 4
+            ).alias("uni_fertility"),
+            F.round(
+                F.sum(F.col("c") * F.col("usym"))
+                / F.sum(F.col("c") * F.col("bsym")).cast("double"),
+                4,
+            ).alias("uni_vs_bpe"),
+        )
+    )
