@@ -256,6 +256,18 @@ def main() -> int:
             for k, v in sorted(loads.items(), key=lambda kv: int(kv[0]))
         )
         print(f"  loadavg (before_1m/after_1m/after_5m): {parts}")
+        # Only session 0's BEFORE reading is a clean external-drag signal:
+        # later sessions inherit the previous chunk's own 32-thread tail
+        # through the 1m decay. A hot start is the r11 pollution signature
+        # — the ship decision should prefer a quieter window (VERDICT r11
+        # item 7: gate "ship" on the recorded reading, not uptime
+        # eyeballing). Warning, not refusal: the reproduce-to-flag pair and
+        # the drift gate remain the correctness authority.
+        s0 = loads.get("0")
+        if s0 and s0[0] > 4.0:
+            print(f"  WARNING: series started under external load "
+                  f"(s0 before_1m={s0[0]:.1f}) — prefer a quieter window "
+                  f"before shipping a reference")
     any_flagged = count_gap
     cleared_all: set[str] = set()
     for ref_path in ref_paths:

@@ -346,3 +346,23 @@ def test_unigram_smoothing_keeps_unused_chars(spark):
     rows = {r.piece: r.cnt for r in model.collect()}
     assert rows["a"] == 1 and rows["b"] == 1  # smoothing floor
     assert rows["ab"] == 3  # one use per corpus occurrence
+
+
+def test_hot_start_warns_before_ship(bench_compare_mod, tmp_path, monkeypatch, capsys):
+    """A series whose FIRST session began under external load must say so
+    next to the gate output (the r11 pollution signature, now
+    self-evident from the artifact)."""
+    ref_path = _write_ref(tmp_path, "r0_ref.json", {"qa": 1.0})
+    detail_path = tmp_path / "detail.json"
+    detail_path.write_text(json.dumps({
+        "queries": {"qa": 1.0},
+        "sessions": {"qa": 0},
+        "load": {"0": [9.3, 30.1, 22.0]},
+    }))
+    monkeypatch.setattr(
+        "sys.argv",
+        ["bench_compare.py", "--no-count-gate", str(detail_path), ref_path],
+    )
+    assert bench_compare_mod.main() == 0
+    out = capsys.readouterr().out
+    assert "WARNING: series started under external load" in out
