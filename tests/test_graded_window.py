@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "02b7cbc3bc08089d12970b7cf841c802", (
+    assert h == "a248880ff1ca3e53a2704af4d036fab4", (  # r12: +q228-q230 appended
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )
