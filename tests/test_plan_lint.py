@@ -132,6 +132,9 @@ _ADJUDICATED = {
         "q124_pmi_collocations",
         # q152: 1-row total attach onto the 9-row digit histogram
         "q152_benford_audit",
+        # q231: per EM round, the 1-row n_pieces model-count attach onto
+        # the 1-row corpus-stats agg — both sides literally one row
+        "q231_unigram_em_curve",
         # q150: |V| x k codebook scoring against a BROADCAST k-row (k=8,
         # fixed constant) centroid table — the intended Lloyd-assignment
         # plan; vectors never shuffle for scoring
@@ -212,6 +215,9 @@ _ADJUDICATED = {
         "q155_dow_seasonality",
         # q156: the 1-row global token total reduction
         "q156_source_kl_divergence",
+        # q231: the per-round 1-row corpus-cost/symbol reductions (partials
+        # combine map-side over the |vocab| segmentation) and model counts
+        "q231_unigram_em_curve",
         # q159: the 1-row bin-count total + the cumulative window over the
         # <=120-row sketch — sketch-sized by construction
         "q159_histogram_quantiles",

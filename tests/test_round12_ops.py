@@ -366,3 +366,99 @@ def test_hot_start_warns_before_ship(bench_compare_mod, tmp_path, monkeypatch, c
     assert bench_compare_mod.main() == 0
     out = capsys.readouterr().out
     assert "WARNING: series started under external load" in out
+
+
+# --------------------------------------------------------------------------
+# domain_cap_stream_fn (STR8): streaming per-domain admission quota — the
+# governance family's streaming twin
+# --------------------------------------------------------------------------
+
+
+def test_domain_cap_stream_fn_quota_and_replay(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        domain_cap_stream_fn,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    fn = domain_cap_stream_fn(state, out, "source", doc_cap=3,
+                              quality_col="q", id_col="doc_id")
+    # batch 0: domain a offers 4 (cap 3 -> best 3 admitted); b offers 1
+    b0 = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.5), ("a", 3, 0.8), ("a", 4, 0.7), ("b", 5, 0.1)],
+        "source string, doc_id long, q double",
+    )
+    fn(b0, 0)
+    got0 = {(r.source, r.doc_id, r.admit_rank) for r in spark.read.parquet(out).collect()}
+    assert got0 == {("a", 1, 1), ("a", 3, 2), ("a", 4, 3), ("b", 5, 1)}
+    # batch 1: a's quota is burned -> even a perfect doc is rejected;
+    # b admits 2 more (remaining = 2)
+    b1 = spark.createDataFrame(
+        [("a", 6, 1.0), ("b", 7, 0.3), ("b", 8, 0.2), ("b", 9, 0.9)],
+        "source string, doc_id long, q double",
+    )
+    fn(b1, 1)
+    rows = spark.read.parquet(out).collect()
+    admitted = {(r.source, r.doc_id) for r in rows}
+    assert ("a", 6) not in admitted
+    assert {("b", 9), ("b", 7)} <= admitted and ("b", 8) not in admitted
+    assert len(rows) == 6
+    # replayed batch id: skipped outright — no new rows, state unchanged
+    fn(b1, 1)
+    assert spark.read.parquet(out).count() == 6
+    st = {r.source: r.n_admitted for r in spark.read.parquet(f"{state}/admitted").collect()}
+    assert st == {"a": 3, "b": 3}
+
+
+def test_domain_cap_stream_fn_default_hash_order_and_validation(spark, tmp_path):
+    """Without a quality column the q91 hash device ranks — deterministic
+    across reruns; doc_cap must validate."""
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        domain_cap_stream_fn,
+        hash_bucket,
+    )
+
+    with pytest.raises(ValueError, match=">= 1"):
+        domain_cap_stream_fn("s", "o", "source", doc_cap=0)
+    state = str(tmp_path / "state2")
+    out = str(tmp_path / "out2")
+    fn = domain_cap_stream_fn(state, out, "source", doc_cap=1, id_col="doc_id")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3)], "source string, doc_id long"
+    )
+    fn(df, 0)
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    want = min((buckets[i], i) for i in (1, 2, 3))[1]
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [want]
+
+
+def test_unigram_em_curve_shape_and_degradation(spark):
+    """Two rows for two rounds; on the fixture corpus the E-step objective
+    improves round over round (deterministic for THIS corpus — not a
+    general EM guarantee under the +1 smoothing); an empty corpus
+    degrades to zero rows-per-round, not an empty frame."""
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        unigram_em_curve,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r.round: r for r in unigram_em_curve(df, rounds=2).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].corpus_cost_micro < rows[1].corpus_cost_micro
+    assert rows[1].n_pieces > 0 and rows[1].corpus_symbols > 0
+    with pytest.raises(ValueError, match="rounds"):
+        unigram_em_curve(df, rounds=0)
+    empty = spark.createDataFrame([], "text string")
+    erows = {r.round: r for r in unigram_em_curve(empty, rounds=2).collect()}
+    assert set(erows) == {1, 2}
+    assert all(
+        (r.corpus_cost_micro, r.corpus_symbols, r.n_pieces) == (0, 0, 0)
+        for r in erows.values()
+    )

@@ -470,6 +470,111 @@ def cap_per_domain(
     return out
 
 
+def domain_cap_stream_fn(
+    state_path: str,
+    out_path: str,
+    domain_col: str,
+    doc_cap: int,
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` maintainer enforcing a per-domain admission quota
+    on a LIVE ingestion stream — the streaming twin of
+    :func:`cap_per_domain` (STR8). A crawl feed admits at most ``doc_cap``
+    documents per domain over the stream's lifetime, best-first WITHIN
+    each batch; once a domain's quota is burned, its later arrivals are
+    rejected forever. This is the online shape of the C4/RefinedWeb
+    ceiling: the batch operator governs a corpus you already hold, this
+    one governs one you are still receiving.
+
+    Per batch: rank the batch's rows within each domain — ``quality_col``
+    desc when given, else the q91 hash device — with the id as final
+    tiebreak; admit ``rank <= remaining quota``; APPEND the admitted rows
+    (id, domain, quality?, admit_rank, batch_id) to ``out_path``; fold the
+    per-domain admitted counts into the state table via the crash-safe
+    ``statestore`` commit protocol (state = one (domain, n_admitted) row
+    per domain ever seen — domain-bounded forever).
+
+    Replay safety (at-least-once): a batch id at or below the state's
+    last-folded marker is SKIPPED outright. The crash window between the
+    out-append and the state commit is covered by determinism, the
+    DP-release/token-cost contract: admissions are a pure function of
+    (state, batch), and a pre-commit crash replays against the UNCHANGED
+    state — byte-identical rows re-append and downstream consumers dedup
+    on (id, batch_id) losslessly. The append-then-commit order is
+    load-bearing: committing first would burn quota for rows that were
+    never written. Recurring ids are NOT deduped here — admission control
+    composes downstream of the dedup operators (q07/q15), which own that
+    contract.
+
+    Scale per batch: one grouped rank window on the domain key (the
+    literal ``rank <= doc_cap`` prune is applied FIRST and takes the
+    WindowGroupLimit shape; the variable remaining-quota bound then
+    filters the survivors), one broadcast-sized state join (state is
+    |domains| rows), and a |domains|-row fold.
+    """
+    import os
+
+    from universal_aws_data_pipeline_spark.operators import statestore
+
+    if doc_cap < 1:
+        raise ValueError(f"doc_cap must be >= 1, got {doc_cap}")
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = os.path.join(state_path, "admitted")
+        statestore.recover(table)
+        if batch_id <= statestore.last_folded(table):
+            return  # replayed batch — already committed
+        ordering = (
+            [F.col(quality_col).desc()] if quality_col else [hash_bucket(F.col(id_col))]
+        ) + [F.col(id_col)]
+        w = Window.partitionBy(domain_col).orderBy(*ordering)
+        ranked = batch_df.withColumn(
+            "admit_rank", F.row_number().over(w).cast("long")
+        ).filter(F.col("admit_rank") <= doc_cap)  # literal bound: map-side prune
+        if os.path.exists(table):
+            state = spark.read.parquet(table)
+        else:
+            # empty state inherits the batch's domain TYPE (a string-pinned
+            # schema would break numeric domain keys at the union)
+            state = (
+                batch_df.select(domain_col)
+                .limit(0)
+                .withColumn("n_admitted", F.lit(0).cast("long"))
+            )
+        admitted = (
+            ranked.join(F.broadcast(state), domain_col, "left")
+            .filter(
+                F.col("admit_rank")
+                <= doc_cap - F.coalesce(F.col("n_admitted"), F.lit(0))
+            )
+            .select(
+                id_col,
+                domain_col,
+                *([quality_col] if quality_col else []),
+                "admit_rank",
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            )
+        )
+        # append BEFORE committing state (see docstring) — and only the
+        # deterministic projection above, so a crash-window replay appends
+        # byte-identical rows
+        admitted.write.mode("append").parquet(out_path)
+        folded = (
+            state.unionByName(
+                admitted.groupBy(domain_col).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_admitted")
+                )
+            )
+            .groupBy(domain_col)
+            .agg(F.sum("n_admitted").cast("long").alias("n_admitted"))
+        )
+        statestore.commit(folded, table, batch_id)
+
+    return fn
+
+
 def split_manifest(
     df: DataFrame,
     key_col: str,

@@ -518,6 +518,72 @@ def unigram_train(
     )
 
 
+def unigram_em_curve(
+    df: DataFrame, rounds: int, text_col: str = "text"
+) -> DataFrame:
+    """Per-round EM convergence curve for the unigram-LM trainer — the
+    unigram twin of ``bpe_learn_merges(corpus_stats=True)``'s compression
+    curve (q222): the data behind "how many EM rounds are worth running".
+
+    One row per round r: ``corpus_cost_micro`` (the E-step objective —
+    total Viterbi cost of the corpus under the PRE-round model m_{r-1},
+    exact BIGINT micro-nats), ``corpus_symbols`` (corpus volume of the
+    round's segmentation, Σ count·|pieces|), and ``n_pieces`` (model size
+    AFTER the round's M-step — zero-usage multi-char pieces have already
+    dropped, EM's implicit prune).
+
+    Runs the SAME loop as :func:`unigram_train` (one corpus scan, then
+    vocabulary-bounded rounds) with two extra 1-row aggregates per round;
+    the per-round stats stay DataFrames (a union of 1-row aggregates +
+    1-row broadcast attaches) — like the trainer, no driver collect
+    anywhere. Empty corpus ⇒ every round row with zeros (the
+    vocab_coverage degradation rule)."""
+    from functools import reduce
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    vocab = _uni_vocab(df, text_col).localCheckpoint(eager=True)
+    chars = (
+        _uni_candidates(vocab)
+        .filter(F.col("L") == 1)
+        .select("piece")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    model = _uni_seed(vocab).localCheckpoint(eager=True)
+    stats = []
+    for r in range(1, rounds + 1):
+        # checkpoint the segmentation: it feeds BOTH the stats row and the
+        # M-step — an unbroken lineage would run the Viterbi fold twice
+        seg = unigram_viterbi_segment(vocab, model).localCheckpoint(eager=True)
+        model = _uni_mstep(seg, chars).localCheckpoint(eager=True)
+        row = (
+            seg.agg(
+                F.coalesce(F.sum(F.col("c") * F.col("cost")), F.lit(0))
+                .cast("long")
+                .alias("corpus_cost_micro"),
+                F.coalesce(
+                    F.sum(F.col("c") * F.size(F.split("seg", " "))), F.lit(0)
+                )
+                .cast("long")
+                .alias("corpus_symbols"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    model.agg(F.count(F.lit(1)).cast("long").alias("n_pieces"))
+                )
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "corpus_cost_micro",
+                "corpus_symbols",
+                "n_pieces",
+            )
+        )
+        stats.append(row)
+    return reduce(lambda a, b: a.unionByName(b), stats)
+
+
 def bpe_learn_merges(
     df: DataFrame, rounds: int, text_col: str = "text", corpus_stats: bool = False
 ) -> DataFrame:

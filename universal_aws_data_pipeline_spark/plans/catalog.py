@@ -329,6 +329,7 @@ _EXPECTED_ORDER: list[str] = [
     "q228_domain_cap",
     "q229_unigram_lm_train",
     "q230_tokenizer_comparison",
+    "q231_unigram_em_curve",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

@@ -419,3 +419,57 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uni_vs_bpe"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q231 — unigram EM convergence curve (tokenizer family): the q222
+# analogue for the unigram trainer — per EM round, the E-step objective
+# (total corpus Viterbi cost under the pre-round model, exact BIGINT
+# micro-nats), the corpus symbol volume of that segmentation, and the
+# post-M-step model size (zero-usage pieces already dropped — EM's
+# implicit prune). The data behind "how many EM rounds / how large a
+# piece inventory is worth it", computed live like q218/q222 (the curve
+# IS the training trajectory; amortizing it would measure a parquet
+# read).
+# Operators: the q229 loop with two extra 1-row aggregates per round —
+# one corpus scan, vocabulary-bounded rounds, a union of 1-row stat
+# rows, no driver collect.
+# Oracle: the shared _uni_ctes chain read per round — u_fin{r} carries
+# each word's Viterbi cost b, u_m{r} is the post-M-step model.
+# --------------------------------------------------------------------------
+
+_Q231_ROUND_SELECTS = "\nUNION ALL ".join(
+    f"SELECT CAST({r} AS INTEGER) AS round,"
+    f" (SELECT CAST(coalesce(sum(c * b), 0) AS BIGINT) FROM u_fin{r})"
+    f"   AS corpus_cost_micro,"
+    f" (SELECT CAST(coalesce(sum(c * len(string_split(seg, ' '))), 0) AS BIGINT)"
+    f"   FROM u_fin{r}) AS corpus_symbols,"
+    f" (SELECT CAST(count(*) AS BIGINT) FROM u_m{r}) AS n_pieces"
+    for r in range(1, _UNI_ROUNDS + 1)
+)
+
+_Q231_ORACLE = (
+    "WITH "
+    + ",\n".join(_uni_ctes(_UNI_ROUNDS, _UNI_KEEP))
+    + "\n"
+    + _Q231_ROUND_SELECTS
+)
+
+
+@register(
+    "q231_unigram_em_curve",
+    _Q231_ORACLE,
+    f"unigram-LM EM convergence curve: per round, the E-step objective (total corpus Viterbi cost under the pre-round model, exact integer micro-nats), the segmentation's corpus symbol volume, and the post-M-step model size - the how-many-rounds/how-big-a-vocab decision data, the q222 analogue for the unigram family ({_UNI_ROUNDS} rounds; tokenizer family)",
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is another EM round still buying anything? Per round: the corpus
+    Viterbi cost under the model the round started from, the symbol
+    volume of its segmentation, and the model size after its M-step.
+    Same loop as q229 with two extra 1-row aggregates per round; no
+    driver collect. operators/tokenizer.py::unigram_em_curve."""
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        unigram_em_curve,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_em_curve(d, rounds=_UNI_ROUNDS, text_col="text")
