@@ -509,3 +509,71 @@ def test_epsilon_ledger_totals_are_per_unit_sums(spark, entries):
         by_unit[r.unit] = by_unit.get(r.unit, 0.0) + r.epsilon
     for row in rows:
         assert abs(row["eps_unit_total"] - round(by_unit[row["unit"]], 4)) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["d0", "d1", "d2"]),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=10, max_value=120),
+)
+def test_cap_per_domain_matches_reference(spark, rows, doc_cap, token_cap):
+    """For ANY corpus and caps, the kept set equals the Python reference:
+    the rank-order prefix per domain, doc-capped then running-token-
+    capped — never best-fit repacking, never an over-cap admit."""
+    from universal_aws_data_pipeline_spark.operators.sampling import cap_per_domain
+
+    data = [(dom, i, round(q, 4), t) for i, (dom, q, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "source string, doc_id long, quality double, n_tokens long"
+    )
+    kept = cap_per_domain(
+        df, "source", doc_cap=doc_cap, token_cap=token_cap,
+        order_by=[F.col("quality").desc()], token_col="n_tokens",
+    )
+    got = {(r.source, r.doc_id) for r in kept.collect()}
+    want = set()
+    by_dom: dict = {}
+    for dom, doc_id, q, t in data:
+        by_dom.setdefault(dom, []).append((-q, doc_id, t))
+    for dom, docs in by_dom.items():
+        docs.sort()
+        cum = 0
+        for rank, (_negq, doc_id, t) in enumerate(docs[:doc_cap], start=1):
+            cum += t
+            if cum <= token_cap:
+                want.add((dom, doc_id))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=5))
+def test_unigram_viterbi_preserves_characters_any_corpus(spark, texts):
+    """For ANY corpus: every (length-capped) vocab word segments under the
+    seed model, deleting spaces recovers the word exactly, and the DP
+    cost is a real path cost (below the unavailable-transition
+    sentinel)."""
+    from universal_aws_data_pipeline_spark.operators.tokenizer import (
+        _UNI_BIG,
+        _uni_seed,
+        _uni_vocab,
+        unigram_viterbi_segment,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    vocab = _uni_vocab(df)
+    if vocab.count() == 0:
+        return  # nothing tokenizable — vacuous
+    seg = unigram_viterbi_segment(vocab, _uni_seed(vocab)).collect()
+    assert len(seg) == vocab.count()
+    for r in seg:
+        assert r.seg.replace(" ", "") == r.w
+        assert 0 <= r.cost < _UNI_BIG

@@ -462,3 +462,40 @@ def test_unigram_em_curve_shape_and_degradation(spark):
         (r.corpus_cost_micro, r.corpus_symbols, r.n_pieces) == (0, 0, 0)
         for r in erows.values()
     )
+
+
+def test_domain_cap_stream_fn_precommit_crash_replay_is_byte_identical(spark, tmp_path):
+    """The documented crash window: admitted rows appended, crash BEFORE
+    the state commit. The replay then runs against the UNCHANGED state
+    and must append byte-identical rows — dedup on (doc_id, batch_id)
+    recovers the exact admitted set (the determinism contract the
+    append-before-commit ordering relies on)."""
+    import shutil
+
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        domain_cap_stream_fn,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    fn = domain_cap_stream_fn(state, out, "source", doc_cap=2,
+                              quality_col="q", id_col="doc_id")
+    batch = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.5), ("a", 3, 0.8)],
+        "source string, doc_id long, q double",
+    )
+    fn(batch, 0)
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    # simulate the pre-commit crash: the append survived, the state fold
+    # did not — wipe the committed state so batch 0 reads as un-folded
+    shutil.rmtree(state)
+    fn(batch, 0)  # replay against the unchanged (empty) state
+    rows = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert len(rows) == 2 * len(first)
+    # every appended row appears exactly twice, byte-identical
+    from collections import Counter
+
+    assert all(n == 2 for n in Counter(rows).values())
+    # downstream dedup on (doc_id, batch_id) recovers the exact set
+    dedup = sorted(set(rows))
+    assert dedup == first
