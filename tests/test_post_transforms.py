@@ -383,3 +383,35 @@ def test_bloom_after_span_surgery_composition(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     assert set(got) == {1}
     assert got[1] == rows[0][1]
+
+
+def test_domain_cap_post_transform(spark):
+    """The C4/RefinedWeb ceiling as a declarative config step: schema
+    passes through unchanged (governance internals dropped), the kept
+    set matches the operator, and streaming frames are rejected like
+    every cross-row op."""
+    from universal_aws_data_pipeline_spark.operators.post import apply_post_transforms
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9, 100), ("a", 2, 0.8, 150), ("a", 3, 0.7, 200),
+         ("b", 4, 0.5, 10)],
+        "source string, doc_id long, quality double, n_tokens long",
+    )
+    out = apply_post_transforms(
+        df,
+        [{"op": "domain_cap", "domain": "source", "doc_cap": 2,
+          "token_cap": 300, "quality": "quality", "id": "doc_id",
+          "tokens": "n_tokens"}],
+    )
+    assert out.columns == df.columns
+    assert {(r.source, r.doc_id) for r in out.collect()} == {
+        ("a", 1), ("a", 2), ("b", 4)
+    }
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(value AS STRING) AS source", "value AS doc_id")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cross-row"):
+        apply_post_transforms(stream, [{"op": "domain_cap", "doc_cap": 1}])

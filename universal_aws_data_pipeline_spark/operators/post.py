@@ -30,6 +30,11 @@ operators deserve the same door, not just a Python API.
   corpus_path: parquet_dir}`` (probes a STORED corpus bloom built by
   ``bloom.build_bloom``+``save_bloom``; map-side probe + confirm join
   against the corpus parquet — batch-only for the join)
+- ``{op: domain_cap, domain: source_col, doc_cap?: N, token_cap?: T,
+  quality?: quality_col, id: id_col, tokens?: token_col}`` (batch-only:
+  per-domain rank window; the C4/RefinedWeb per-source ceiling — at
+  least one cap required, token_cap requires tokens; the live-stream
+  twin is ``sampling.domain_cap_stream_fn``)
 
 Row-local ops (sample / redact / repetition) are streaming-safe and pass
 through unchanged on streams; cross-row ops raise on a streaming frame with
@@ -44,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _CROSS_ROW_OPS = {
+    "domain_cap",
     "exact_dedup",
     "neardup_filter",
     "span_dedup_filter",
@@ -148,6 +154,21 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
                 .join(cleaned, id_col)
                 .withColumnRenamed("cleaned_text", text_col)
             )
+        elif op == "domain_cap":
+            from universal_aws_data_pipeline_spark.operators.sampling import cap_per_domain
+
+            order = (
+                [F.col(spec["quality"]).desc()] if spec.get("quality") else None
+            )
+            df = cap_per_domain(
+                df,
+                spec.get("domain", "source"),
+                doc_cap=int(spec["doc_cap"]) if "doc_cap" in spec else None,
+                token_cap=int(spec["token_cap"]) if "token_cap" in spec else None,
+                order_by=order,
+                id_col=spec.get("id", "doc_id"),
+                token_col=spec.get("tokens"),
+            ).drop("domain_rank", "cum_tokens")  # governance internals
         elif op == "gopher_filter":
             from universal_aws_data_pipeline_spark.operators.text import gopher_pass
 
