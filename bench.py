@@ -247,7 +247,11 @@ def main() -> None:
         "n_queries": len(warm),
         "n_errors": len(errors),
         "n_sessions": len(chunks),
-        "load_max_1m": max((v[1] for v in load.values()), default=0.0),
+        # the discriminating drag signal: what the host was doing BEFORE the
+        # first chunk started. after_1m is dominated by the bench's own
+        # ~CPUS worker threads and reads hot on every healthy run; later
+        # sessions' before_1m inherit the previous chunk's tail.
+        "load_s0_before_1m": load.get("0", [0.0])[0],
         "detail": "BENCH_detail.json",
     }
     if errors:

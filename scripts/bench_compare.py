@@ -49,10 +49,12 @@ jitter ("did not reproduce"; retries 1.74s/5.03s, quiet-host truth
 2.05s/4.03s) — making the next round's per-query gate 3-4x too lenient for
 exactly those queries. ``--write-reference PATH`` (requires ``--retry``)
 makes the shipping rule mechanical: every query the gate cleared as jitter
-against ANY reference ships min(run, retry); every other query ships the
-run value. A reference is refused when the series is incomplete (count
-gate) or when any regression actually reproduced — a flagged series must
-be adjudicated, not shipped.
+against ANY reference ships min(run, retry) — and so does every BRAND-NEW
+query (present in no reference: it can neither flag nor clear, so a run-1
+hiccup would otherwise ship unchecked); every other query ships the run
+value. A reference is refused when the series is incomplete (count gate)
+or when any regression actually reproduced — a flagged series must be
+adjudicated, not shipped.
 
 Exit code 1 when any query — or the cumulative total — is flagged against
 any reference.
@@ -279,24 +281,37 @@ def main() -> int:
             print(f"NOT writing {write_ref}: series is flagged (regression, "
                   f"drift, or incomplete) — adjudicate before shipping")
             return 1
-        ref = build_reference(cur, retry, cleared_all)
+        # BRAND-NEW queries (present in no reference) can neither flag nor
+        # clear, so a run-1 hiccup on one would ship unchecked — exactly the
+        # r11 q132/q133 mode, for the queries most likely to hiccup (first
+        # round in the series). They ship min(run, retry) too.
+        known: set[str] = set()
+        for ref_path in ref_paths:
+            with open(ref_path) as fh:
+                known |= set(json.load(fh)["warm"])
+        new_queries = set(cur) - known
+        ref = build_reference(cur, retry, cleared_all | new_queries)
         # the rule's own invariant, asserted at write time: no shipped value
-        # may be one the gate dismissed as non-reproducing
-        for name in cleared_all:
+        # may be one the gate dismissed as non-reproducing (or, for a new
+        # query, one the retry contradicts)
+        for name in cleared_all | new_queries:
             assert name not in ref or ref[name] <= min(
                 cur[name], retry.get(name, cur[name])
             ), name
         doc = {
             "source": "written by bench_compare.py --write-reference: run-1 "
-                      "values, except jitter-cleared queries ship "
+                      "values, except jitter-cleared queries and brand-new "
+                      "queries (in no reference — ungated) ship "
                       "min(run, retry) (VERDICT r11 item 1)",
             "jitter_cleared": sorted(cleared_all),
+            "new_min": sorted(new_queries),
             "warm": ref,
         }
         with open(write_ref, "w") as fh:
             json.dump(doc, fh, indent=1, sort_keys=True)
         print(f"wrote {write_ref}: {len(ref)} queries, "
-              f"{len(cleared_all)} jitter-cleared shipped as min(run, retry)")
+              f"{len(cleared_all)} jitter-cleared + {len(new_queries)} new "
+              f"shipped as min(run, retry)")
     return 1 if any_flagged else 0
 
 

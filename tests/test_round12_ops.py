@@ -499,3 +499,87 @@ def test_domain_cap_stream_fn_precommit_crash_replay_is_byte_identical(spark, tm
     # downstream dedup on (doc_id, batch_id) recovers the exact set
     dedup = sorted(set(rows))
     assert dedup == first
+
+
+def test_write_reference_new_queries_ship_min(bench_compare_mod, tmp_path, monkeypatch):
+    """A query in NO reference can neither flag nor clear — it ships
+    min(run, retry) so a first-round hiccup can't loosen next round's
+    gate (round-12 review finding)."""
+    ref_path = _write_ref(tmp_path, "r0_ref.json", {"qa": 1.0})
+    detail_path = tmp_path / "detail.json"
+    detail_path.write_text(json.dumps({"queries": {"qa": 1.0, "qnew": 5.0}}))
+    retry_path = tmp_path / "retry.json"
+    retry_path.write_text(json.dumps({"queries": {"qa": 1.0, "qnew": 1.2}}))
+    out_path = tmp_path / "shipped.json"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["bench_compare.py", "--no-count-gate", "--retry", str(retry_path),
+         "--write-reference", str(out_path), str(detail_path), ref_path],
+    )
+    assert bench_compare_mod.main() == 0
+    shipped = json.loads(out_path.read_text())
+    assert shipped["warm"] == {"qa": 1.0, "qnew": 1.2}
+    assert shipped["new_min"] == ["qnew"]
+
+
+def test_domain_cap_stream_fn_null_domain_quota(spark, tmp_path):
+    """NULL domains are a real category with a real lifetime quota: the
+    state lookup is null-safe, so batch 2 must NOT hand the unlabeled
+    slice a fresh cap (round-12 review finding)."""
+    from universal_aws_data_pipeline_spark.operators.sampling import (
+        domain_cap_stream_fn,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    fn = domain_cap_stream_fn(state, out, "source", doc_cap=2,
+                              quality_col="q", id_col="doc_id")
+    b0 = spark.createDataFrame(
+        [(None, 1, 0.9), (None, 2, 0.8), (None, 3, 0.7), ("a", 4, 0.5)],
+        "source string, doc_id long, q double",
+    )
+    fn(b0, 0)
+    assert spark.read.parquet(out).count() == 3  # 2 NULL-domain + 1 'a'
+    b1 = spark.createDataFrame(
+        [(None, 5, 1.0), (None, 6, 0.9), ("a", 7, 0.4)],
+        "source string, doc_id long, q double",
+    )
+    fn(b1, 1)
+    rows = spark.read.parquet(out).collect()
+    null_admits = [r.doc_id for r in rows if r.source is None]
+    assert sorted(null_admits) == [1, 2]  # quota burned in batch 0, stays burned
+    assert {r.doc_id for r in rows if r.source == "a"} == {4, 7}
+
+
+def test_cap_per_domain_output_column_collision_raises(spark):
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.sampling import cap_per_domain
+
+    df = _cap_fixture(spark).withColumn("domain_rank", F.lit(1))
+    with pytest.raises(ValueError, match="domain_rank"):
+        cap_per_domain(df, "source", doc_cap=1)
+    df2 = _cap_fixture(spark).withColumn("cum_tokens", F.lit(7))
+    with pytest.raises(ValueError, match="cum_tokens"):
+        cap_per_domain(df2, "source", token_cap=100, token_col="n_tokens")
+    # doc-cap-only: a pre-existing cum_tokens is NOT the operator's output
+    # and must survive untouched
+    kept = cap_per_domain(df2, "source", doc_cap=1)
+    assert "cum_tokens" in kept.columns
+    assert all(r.cum_tokens == 7 for r in kept.collect())
+
+
+def test_domain_cap_post_transform_preserves_user_cum_tokens(spark):
+    """Doc-cap-only config step: the op never creates cum_tokens, so a
+    user's same-named data column must pass through (round-12 review)."""
+    from pyspark.sql import functions as F
+
+    from universal_aws_data_pipeline_spark.operators.post import apply_post_transforms
+
+    df = _cap_fixture(spark).withColumn("cum_tokens", F.lit(42))
+    out = apply_post_transforms(
+        df, [{"op": "domain_cap", "domain": "source", "doc_cap": 1,
+              "quality": "quality", "id": "doc_id"}],
+    )
+    assert "cum_tokens" in out.columns and "domain_rank" not in out.columns
+    assert all(r.cum_tokens == 42 for r in out.collect())

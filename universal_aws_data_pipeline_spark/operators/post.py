@@ -160,6 +160,7 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
             order = (
                 [F.col(spec["quality"]).desc()] if spec.get("quality") else None
             )
+            before = set(df.columns)
             df = cap_per_domain(
                 df,
                 spec.get("domain", "source"),
@@ -168,7 +169,11 @@ def apply_post_transforms(df: DataFrame, specs: list[dict[str, Any]]) -> DataFra
                 order_by=order,
                 id_col=spec.get("id", "doc_id"),
                 token_col=spec.get("tokens"),
-            ).drop("domain_rank", "cum_tokens")  # governance internals
+            )
+            # drop ONLY the governance columns the operator ADDED — a
+            # pre-existing user column named cum_tokens (doc-cap-only runs,
+            # where the operator never creates it) must pass through
+            df = df.drop(*[c for c in ("domain_rank", "cum_tokens") if c not in before])
         elif op == "gopher_filter":
             from universal_aws_data_pipeline_spark.operators.text import gopher_pass
 

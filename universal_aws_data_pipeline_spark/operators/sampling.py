@@ -452,6 +452,13 @@ def cap_per_domain(
             raise ValueError(f"token_cap must be >= 1, got {token_cap}")
         if token_col is None:
             raise ValueError("token_cap requires token_col")
+    # the output columns are part of the contract — silently OVERWRITING a
+    # caller's same-named data column (withColumn replaces) would corrupt it
+    # and make any downstream drop delete real data (round-12 review)
+    if "domain_rank" in df.columns:
+        raise ValueError("cap_per_domain adds 'domain_rank'; rename the existing column first")
+    if token_cap is not None and "cum_tokens" in df.columns:
+        raise ValueError("cap_per_domain adds 'cum_tokens'; rename the existing column first")
     ordering = list(order_by) if order_by else [hash_bucket(F.col(id_col))]
     ordering.append(F.col(id_col))
     w = Window.partitionBy(domain_col).orderBy(*ordering)
@@ -543,8 +550,18 @@ def domain_cap_stream_fn(
                 .limit(0)
                 .withColumn("n_admitted", F.lit(0).cast("long"))
             )
+        # NULL-safe state lookup: a NULL domain (missing metadata) is a real
+        # category with a real quota — a plain equi-join would never match
+        # its state row and the unlabeled slice would get a fresh doc_cap
+        # every batch (round-12 review finding; the window's partitionBy and
+        # the fold's groupBy already treat NULL as one group)
         admitted = (
-            ranked.join(F.broadcast(state), domain_col, "left")
+            ranked.join(
+                F.broadcast(state.withColumnRenamed(domain_col, "_state_dom")),
+                F.col(domain_col).eqNullSafe(F.col("_state_dom")),
+                "left",
+            )
+            .drop("_state_dom")
             .filter(
                 F.col("admit_rank")
                 <= doc_cap - F.coalesce(F.col("n_admitted"), F.lit(0))

@@ -145,7 +145,10 @@ def vocab_coverage(
 
 
 def apply_merges(
-    df: DataFrame, merges: list[str], text_col: str = "text"
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a LEARNED merge table — the apply side of
     :func:`bpe_learn_merges` (train) and the step every downstream token
@@ -171,7 +174,10 @@ def apply_merges(
 
     Scale: one corpus scan → |vocab| rows → a pure column expression.
     The merge list is driver-side by nature (it IS the tokenizer model,
-    |vocab_budget| entries, kilobytes).
+    |vocab_budget| entries, kilobytes). A caller that already holds the
+    (w, c) word-frequency table passes it as ``vocab`` and the corpus
+    scan is skipped entirely (q230 shares ONE corpus pass across both
+    tokenizer models this way).
     """
     for m in merges:
         parts = m.split(" ")
@@ -179,7 +185,8 @@ def apply_merges(
             raise ValueError(
                 f"merges must be 'left right' symbol pairs, got {m!r}"
             )
-    vocab = word_frequencies(df, text_col)
+    if vocab is None:
+        vocab = word_frequencies(df, text_col)
     seg: F.Column = F.concat(
         F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" ")
     )
@@ -477,6 +484,35 @@ def _uni_mstep(seg_tbl: DataFrame, char_inventory: DataFrame) -> DataFrame:
     return _uni_costs(chars.unionByName(multi))
 
 
+def _uni_em_setup(df: DataFrame, text_col: str):
+    """Checkpointed (vocab, char-inventory) pair — the loop's fixed inputs."""
+    vocab = _uni_vocab(df, text_col).localCheckpoint(eager=True)
+    chars = (
+        _uni_candidates(vocab)
+        .filter(F.col("L") == 1)
+        .select("piece")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return vocab, chars
+
+
+def _uni_em_rounds(vocab: DataFrame, chars: DataFrame, rounds: int):
+    """THE fixed-round hard-EM loop, yielded round by round as
+    (r, seg, model) — ``unigram_train`` and ``unigram_em_curve`` both
+    consume this one generator, so the trainer's contract (smoothing,
+    candidate bounds, checkpoint cadence) cannot drift between the model
+    and its reported trajectory (round-12 review). ``seg`` is
+    checkpointed because the curve consumes it twice (stats + M-step);
+    for the trainer that is one extra materialization of a
+    vocab-bounded table."""
+    model = _uni_seed(vocab).localCheckpoint(eager=True)
+    for r in range(1, rounds + 1):
+        seg = unigram_viterbi_segment(vocab, model).localCheckpoint(eager=True)
+        model = _uni_mstep(seg, chars).localCheckpoint(eager=True)
+        yield r, seg, model
+
+
 def unigram_train(
     df: DataFrame,
     rounds: int,
@@ -499,18 +535,10 @@ def unigram_train(
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if keep_multi < 1:
         raise ValueError(f"keep_multi must be >= 1, got {keep_multi}")
-    vocab = _uni_vocab(df, text_col).localCheckpoint(eager=True)
-    chars = (
-        _uni_candidates(vocab)
-        .filter(F.col("L") == 1)
-        .select("piece")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    model = _uni_seed(vocab).localCheckpoint(eager=True)
-    for _ in range(rounds):
-        seg = unigram_viterbi_segment(vocab, model)
-        model = _uni_mstep(seg, chars).localCheckpoint(eager=True)
+    vocab, chars = _uni_em_setup(df, text_col)
+    model = None
+    for _r, _seg, model in _uni_em_rounds(vocab, chars, rounds):
+        pass
     return model.filter(F.length("piece") == 1).unionByName(
         model.filter(F.length("piece") >= 2)
         .orderBy(F.col("cnt").desc(), "piece")
@@ -542,21 +570,9 @@ def unigram_em_curve(
 
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    vocab = _uni_vocab(df, text_col).localCheckpoint(eager=True)
-    chars = (
-        _uni_candidates(vocab)
-        .filter(F.col("L") == 1)
-        .select("piece")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    model = _uni_seed(vocab).localCheckpoint(eager=True)
+    vocab, chars = _uni_em_setup(df, text_col)
     stats = []
-    for r in range(1, rounds + 1):
-        # checkpoint the segmentation: it feeds BOTH the stats row and the
-        # M-step — an unbroken lineage would run the Viterbi fold twice
-        seg = unigram_viterbi_segment(vocab, model).localCheckpoint(eager=True)
-        model = _uni_mstep(seg, chars).localCheckpoint(eager=True)
+    for r, seg, model in _uni_em_rounds(vocab, chars, rounds):
         row = (
             seg.agg(
                 F.coalesce(F.sum(F.col("c") * F.col("cost")), F.lit(0))

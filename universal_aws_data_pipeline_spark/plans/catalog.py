@@ -58,7 +58,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q220_q221  # noqa: F
 from universal_aws_data_pipeline_spark.plans import catalog_q222  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q223  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q224_q227  # noqa: F401,E402
-from universal_aws_data_pipeline_spark.plans import catalog_q228_q230  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q228_q231  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402

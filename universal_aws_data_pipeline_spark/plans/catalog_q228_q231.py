@@ -1,4 +1,4 @@
-"""Catalog chunk: q228–q230 (round 12).
+"""Catalog chunk: q228–q231 (round 12).
 
 - **q228** is the per-domain crawl-governance cap (VERDICT r11 item 5):
   the C4/RefinedWeb-style hard ceiling — at most N documents AND at most
@@ -11,6 +11,9 @@
   complete BPE family, trained by fixed-round Viterbi-EM over the same
   |vocab| word-frequency substrate, with costs in exact integer
   micro-nats so every round hash-grades.
+- **q231** is the unigram EM convergence curve — the q222 analogue:
+  per-round E-step objective, segmentation volume, and post-M-step
+  model size.
 """
 
 from __future__ import annotations
@@ -380,24 +383,32 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/tokenizer.py::unigram_viterbi_segment + apply_merges."""
     from universal_aws_data_pipeline_spark.functions.texthash import tokens_col
     from universal_aws_data_pipeline_spark.operators.tokenizer import (
-        _uni_vocab,
         apply_merges,
         unigram_viterbi_segment,
     )
 
     d = _t(spark, sf_dir, "documents")
-    uni_sizes = unigram_viterbi_segment(
-        _uni_vocab(d), _uni_model(spark, sf_dir)
-    ).select("w", F.size(F.split("seg", " ")).cast("long").alias("usym"))
-    bpe_sizes = apply_merges(d, _learned_merges(spark, sf_dir)).select(
-        "w", F.size(F.split("seg", " ")).cast("long").alias("bsym")
-    )
-    lang_words = (
+    # the ONE corpus-volume pass: the (lang, word) rollup. Everything else
+    # derives from it — the word-frequency table both models price is its
+    # |langs x vocab|-bounded re-aggregation, NOT a second corpus scan
+    # (round-12 review: the first spelling scanned documents three times).
+    # localCheckpoint is the single-execution barrier for its 3 consumers.
+    lw = (
         d.select("lang", F.explode(tokens_col(F.col("text"))).alias("w"))
-        .filter((F.col("w") != "") & (F.length("w") <= _UNI_MAX_WORD))
+        .filter(F.col("w") != "")
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    vocab_all = lw.groupBy("w").agg(F.sum("c").cast("long").alias("c"))
+    uni_sizes = unigram_viterbi_segment(
+        vocab_all.filter(F.length("w") <= _UNI_MAX_WORD),
+        _uni_model(spark, sf_dir),
+    ).select("w", F.size(F.split("seg", " ")).cast("long").alias("usym"))
+    bpe_sizes = apply_merges(
+        d, _learned_merges(spark, sf_dir), vocab=vocab_all
+    ).select("w", F.size(F.split("seg", " ")).cast("long").alias("bsym"))
+    lang_words = lw.filter(F.length("w") <= _UNI_MAX_WORD)
     return (
         lang_words.join(bpe_sizes, "w")
         .join(uni_sizes, "w")
