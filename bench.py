@@ -250,8 +250,10 @@ def main() -> None:
         # the discriminating drag signal: what the host was doing BEFORE the
         # first chunk started. after_1m is dominated by the bench's own
         # ~CPUS worker threads and reads hot on every healthy run; later
-        # sessions' before_1m inherit the previous chunk's tail.
-        "load_s0_before_1m": load.get("0", [0.0])[0],
+        # sessions' before_1m inherit the previous chunk's tail. null — not
+        # 0.0 — when session 0 produced no sample (a failed chunk must not
+        # read as a perfectly quiet host).
+        "load_s0_before_1m": load.get("0", [None])[0],
         "detail": "BENCH_detail.json",
     }
     if errors:

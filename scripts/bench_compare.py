@@ -281,13 +281,24 @@ def main() -> int:
             print(f"NOT writing {write_ref}: series is flagged (regression, "
                   f"drift, or incomplete) — adjudicate before shipping")
             return 1
+        # Pair-completeness gate: a query missing from the RETRY series
+        # (it errored there — bench.py omits erroring queries) leaves the
+        # min(run, retry) rule with nothing to check against; shipping its
+        # run-1 value while claiming it was retry-checked would be the
+        # silent-pollution mode this writer exists to close. A broken pair
+        # is adjudicated, not shipped.
+        missing_retry = sorted(set(cur) - set(retry))
+        if missing_retry:
+            print(f"NOT writing {write_ref}: retry series is missing "
+                  f"{missing_retry} — re-run the pair before shipping")
+            return 1
         # BRAND-NEW queries (present in no reference) can neither flag nor
         # clear, so a run-1 hiccup on one would ship unchecked — exactly the
         # r11 q132/q133 mode, for the queries most likely to hiccup (first
         # round in the series). They ship min(run, retry) too.
         known: set[str] = set()
-        for ref_path in ref_paths:
-            with open(ref_path) as fh:
+        for rp in ref_paths:
+            with open(rp) as fh:
                 known |= set(json.load(fh)["warm"])
         new_queries = set(cur) - known
         ref = build_reference(cur, retry, cleared_all | new_queries)

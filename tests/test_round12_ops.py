@@ -583,3 +583,22 @@ def test_domain_cap_post_transform_preserves_user_cum_tokens(spark):
     )
     assert "cum_tokens" in out.columns and "domain_rank" not in out.columns
     assert all(r.cum_tokens == 42 for r in out.collect())
+
+
+def test_write_reference_refuses_incomplete_retry(bench_compare_mod, tmp_path, monkeypatch):
+    """A query that errored out of the RETRY series leaves min(run, retry)
+    unverifiable — the pair is broken and must not ship (round-12 review,
+    second pass)."""
+    ref_path = _write_ref(tmp_path, "r0_ref.json", {"qa": 1.0})
+    detail_path = tmp_path / "detail.json"
+    detail_path.write_text(json.dumps({"queries": {"qa": 1.0, "qnew": 5.0}}))
+    retry_path = tmp_path / "retry.json"
+    retry_path.write_text(json.dumps({"queries": {"qa": 1.0}}))  # qnew errored
+    out_path = tmp_path / "shipped.json"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["bench_compare.py", "--no-count-gate", "--retry", str(retry_path),
+         "--write-reference", str(out_path), str(detail_path), ref_path],
+    )
+    assert bench_compare_mod.main() == 1
+    assert not out_path.exists()

@@ -497,18 +497,22 @@ def _uni_em_setup(df: DataFrame, text_col: str):
     return vocab, chars
 
 
-def _uni_em_rounds(vocab: DataFrame, chars: DataFrame, rounds: int):
+def _uni_em_rounds(
+    vocab: DataFrame, chars: DataFrame, rounds: int, checkpoint_seg: bool = False
+):
     """THE fixed-round hard-EM loop, yielded round by round as
     (r, seg, model) — ``unigram_train`` and ``unigram_em_curve`` both
     consume this one generator, so the trainer's contract (smoothing,
     candidate bounds, checkpoint cadence) cannot drift between the model
-    and its reported trajectory (round-12 review). ``seg`` is
-    checkpointed because the curve consumes it twice (stats + M-step);
-    for the trainer that is one extra materialization of a
-    vocab-bounded table."""
+    and its reported trajectory (round-12 review). ``checkpoint_seg`` is
+    for consumers that read each round's segmentation TWICE (the curve's
+    stats row + the M-step); the trainer reads it once and skips the
+    extra materialization."""
     model = _uni_seed(vocab).localCheckpoint(eager=True)
     for r in range(1, rounds + 1):
-        seg = unigram_viterbi_segment(vocab, model).localCheckpoint(eager=True)
+        seg = unigram_viterbi_segment(vocab, model)
+        if checkpoint_seg:
+            seg = seg.localCheckpoint(eager=True)
         model = _uni_mstep(seg, chars).localCheckpoint(eager=True)
         yield r, seg, model
 
@@ -572,7 +576,7 @@ def unigram_em_curve(
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     vocab, chars = _uni_em_setup(df, text_col)
     stats = []
-    for r, seg, model in _uni_em_rounds(vocab, chars, rounds):
+    for r, seg, model in _uni_em_rounds(vocab, chars, rounds, checkpoint_seg=True):
         row = (
             seg.agg(
                 F.coalesce(F.sum(F.col("c") * F.col("cost")), F.lit(0))
