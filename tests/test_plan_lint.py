@@ -178,6 +178,11 @@ _ADJUDICATED = {
         "q220_dp_median_curve",
         # q221: the 1-row table-total attach onto the (class, value) cells
         "q221_t_closeness_audit",
+        # q233: the 1-row model-bias (Σ w·m) attach onto the per-doc scores
+        "q233_quality_classifier_score",
+        # q234: the per-round 1-row attaches — model bias, residual total,
+        # doc count, and the 64-row-model L1 reduction (4 per round)
+        "q234_classifier_convergence",
     },
     # single-partition exchanges that reduce to 1-row scalars or run windows
     # over already-aggregated tables (days, types, buckets — hundreds of rows,
@@ -218,6 +223,12 @@ _ADJUDICATED = {
         # q231: the per-round 1-row corpus-cost/symbol reductions (partials
         # combine map-side over the |vocab| segmentation) and model counts
         "q231_unigram_em_curve",
+        # q233: the 1-row model-bias reduction over the 64-row model
+        "q233_quality_classifier_score",
+        # q234: per-round 1-row reductions — bias, residual total, the
+        # 3-stat objective row, the model L1 (partials combine map-side;
+        # each exchange ships ≤ 64 rows)
+        "q234_classifier_convergence",
         # q159: the 1-row bin-count total + the cumulative window over the
         # <=120-row sketch — sketch-sized by construction
         "q159_histogram_quantiles",

