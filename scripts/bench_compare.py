@@ -56,6 +56,32 @@ value. A reference is refused when the series is incomplete (count gate)
 or when any regression actually reproduced — a flagged series must be
 adjudicated, not shipped.
 
+ROUND-13 WRITER HARDENING (VERDICT r12 "What's wrong" 1+2): the r12
+reference shipped from the round's SLOWER clean pair (182.6 s vs pair-1's
+165.2 s on the common subset — uniform host drag the per-query gate cannot
+see), making the r13 gate ~10% lenient across the board. Two mechanical
+fixes:
+
+* ``--fold-clean DETAIL_JSON`` (repeatable, with ``--write-reference``):
+  an EARLIER clean complete series from the SAME round (its gate run
+  recorded rc 0) folds into the shipped reference per-query as
+  min(ship_value, fold_value) — the min(run, retry) principle extended
+  across the round's clean evidence, so the shipped reference is the
+  round's best clean measurement, not the close pair's luck of the
+  scheduling draw. Only queries present in the fold series fold (a series
+  predating a catalog append covers fewer queries; the close pair still
+  provides every query). The written doc records which queries folded.
+* hot-start ship refusal: ``--write-reference`` now REFUSES (not warns)
+  when the series started under external load (session-0 before_1m > 4.0)
+  — pass ``--allow-hot`` after adjudicating the drag in PERF.md. The
+  plain compare keeps the warning-only behavior.
+
+Protocol rule (r12 "What's wrong" 2, procedural): any post-close PLAN
+change — however well A/B'd — re-runs the close pair at final HEAD before
+the reference ships; the count gate catches catalog membership changes
+but not plan re-spellings, so the rule is the close checklist's, not this
+script's.
+
 Exit code 1 when any query — or the cumulative total — is flagged against
 any reference.
 """
@@ -200,6 +226,15 @@ def main() -> int:
         with open(args[i + 1]) as fh:
             retry = json.load(fh)["queries"]
         del args[i : i + 2]
+    allow_hot = False
+    if "--allow-hot" in args:
+        allow_hot = True
+        args.remove("--allow-hot")
+    fold_paths: list[str] = []
+    while "--fold-clean" in args:
+        i = args.index("--fold-clean")
+        fold_paths.append(args[i + 1])
+        del args[i : i + 2]
     write_ref = None
     if "--write-reference" in args:
         i = args.index("--write-reference")
@@ -209,6 +244,9 @@ def main() -> int:
             print("--write-reference requires --retry: the jitter-clearing "
                   "rule needs both series in hand")
             return 1
+    if fold_paths and write_ref is None:
+        print("--fold-clean only applies with --write-reference")
+        return 1
     detail_path = args[0] if args else os.path.join(HERE, "..", "BENCH_detail.json")
     ref_paths = args[1:] if len(args) > 1 else default_refs()
     with open(detail_path) as fh:
@@ -270,6 +308,15 @@ def main() -> int:
             print(f"  WARNING: series started under external load "
                   f"(s0 before_1m={s0[0]:.1f}) — prefer a quieter window "
                   f"before shipping a reference")
+            if write_ref is not None and not allow_hot:
+                # round-13: a hot start REFUSES the ship (the r12 leniency
+                # crack: uniform drag is invisible to per-query gates). Pass
+                # --allow-hot only with a PERF.md adjudication.
+                print(f"NOT writing {write_ref}: hot start "
+                      f"(s0 before_1m={s0[0]:.1f} > 4.0) — re-run in a "
+                      f"quieter window, or pass --allow-hot with a PERF.md "
+                      f"adjudication")
+                return 1
     any_flagged = count_gap
     cleared_all: set[str] = set()
     for ref_path in ref_paths:
@@ -302,27 +349,51 @@ def main() -> int:
                 known |= set(json.load(fh)["warm"])
         new_queries = set(cur) - known
         ref = build_reference(cur, retry, cleared_all | new_queries)
-        # the rule's own invariant, asserted at write time: no shipped value
-        # may be one the gate dismissed as non-reproducing (or, for a new
-        # query, one the retry contradicts)
-        for name in cleared_all | new_queries:
-            assert name not in ref or ref[name] <= min(
-                cur[name], retry.get(name, cur[name])
-            ), name
+        # the rule's own invariant, checked explicitly at write time (a bare
+        # assert is silently skipped under python -O — round-12 ADVICE): no
+        # shipped value may be one the gate dismissed as non-reproducing
+        # (or, for a new query, one the retry contradicts)
+        bad = [
+            name
+            for name in cleared_all | new_queries
+            if name in ref
+            and ref[name] > min(cur[name], retry.get(name, cur[name]))
+        ]
+        if bad:
+            print(f"NOT writing {write_ref}: shipping-rule invariant "
+                  f"violated for {bad} — build_reference bug, do not ship")
+            return 1
+        # fold earlier clean same-round series (round-13): each fold series
+        # contributes per-query mins over its common subset, so the shipped
+        # reference is the round's BEST clean evidence, not the close
+        # pair's scheduling luck (the r12 182.6s-vs-165.2s crack)
+        folded: dict[str, float] = {}
+        for fp in fold_paths:
+            with open(fp) as fh:
+                fold_q = json.load(fh)["queries"]
+            for name, t in fold_q.items():
+                if name in ref and t < ref[name]:
+                    ref[name] = t
+                    folded[name] = t
         doc = {
             "source": "written by bench_compare.py --write-reference: run-1 "
                       "values, except jitter-cleared queries and brand-new "
                       "queries (in no reference — ungated) ship "
-                      "min(run, retry) (VERDICT r11 item 1)",
+                      "min(run, retry) (VERDICT r11 item 1); earlier clean "
+                      "same-round series fold in per-query via --fold-clean "
+                      "(VERDICT r12 item 4)",
             "jitter_cleared": sorted(cleared_all),
             "new_min": sorted(new_queries),
+            "folded_from": [os.path.basename(p) for p in fold_paths],
+            "folded": sorted(folded),
             "warm": ref,
         }
         with open(write_ref, "w") as fh:
             json.dump(doc, fh, indent=1, sort_keys=True)
         print(f"wrote {write_ref}: {len(ref)} queries, "
               f"{len(cleared_all)} jitter-cleared + {len(new_queries)} new "
-              f"shipped as min(run, retry)")
+              f"shipped as min(run, retry), {len(folded)} folded from "
+              f"{len(fold_paths)} earlier clean series")
     return 1 if any_flagged else 0
 
 

@@ -17,6 +17,16 @@ Replication is density-preserving, not similarity-creating:
 
 Usage: SPARK_GRAFT_CPUS=32 python scripts/scale_stress.py
 Writes per-query timings + exponents to stdout as one JSON line.
+
+GATE MODE (round-13, VERDICT r12 item 6): ``--gate qNNN [qNNN...]`` runs
+the base/scaled pair for the named queries and EXITS 1 when any measured
+10x exponent exceeds the bound (default 0.6, override via
+SPARK_GRAFT_STRESS_GATE) — the close protocol runs this for every query
+ADDED in the round, so a super-linear plan (q230's original 0.45-exponent
+triple corpus scan) fails the close instead of surviving to review. The
+absolute guard (scaled time must exceed 1.0 s) keeps sub-second noise from
+flagging; an over-bound query is either re-spelled or adjudicated in
+PERF.md with the bound's rationale, never shipped silently.
 """
 
 from __future__ import annotations
@@ -248,6 +258,20 @@ HEAVY = [
     "q228_domain_cap",
     "q229_unigram_lm_train",
     "q230_tokenizer_comparison",
+    # round-13: q232 trains the classifier on the 10x corpus (the feature
+    # tokenize is the corpus pass; the 5 gradient rounds run over the
+    # docs x <=64-bucket sparse table — 10x rows, constant model); q233
+    # scores 10x docs under the trained model (map-only claim); q234 is the
+    # q232 loop plus per-round 1-row aggregates; q235 mines 10x span
+    # digests through the pair-dedupe + rollup + join-back (the xk
+    # suffixes keep copies lexically disjoint, so the viral-span set
+    # replicates per copy and the distinct-doc threshold fires identically
+    # — volume, not densification). q232 runs before q233 so the model
+    # artifact builds in its own slot (the q226/q229 convention).
+    "q232_quality_classifier_train",
+    "q233_quality_classifier_score",
+    "q234_classifier_convergence",
+    "q235_viral_span_excision",
 ]
 
 
@@ -503,22 +527,53 @@ def main() -> None:
         return
 
     # optional argv prefixes narrow the run (e.g. `scale_stress.py q115 q116`)
+    gate = False
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--gate":
+        gate = True
+        argv = argv[1:]
+        if not argv:
+            sys.stdout.write("--gate requires query name prefixes\n")
+            raise SystemExit(2)
     names = HEAVY
-    if len(sys.argv) > 1:
-        names = [q for q in HEAVY if any(q.startswith(p) for p in sys.argv[1:])]
+    if argv:
+        # gate mode accepts any catalog query (new queries may not be in
+        # HEAVY yet when the gate runs mid-round); plain mode narrows HEAVY
+        pool = list(QUERIES) if gate else HEAVY
+        names = [q for q in pool if any(q.startswith(p) for p in argv)]
+        missing = [p for p in argv if not any(q.startswith(p) for q in pool)]
+        if missing:
+            sys.stdout.write(f"unknown query prefixes: {missing}\n")
+            raise SystemExit(2)
     base = timed_series(spark, BASE, names)
     scaled = timed_series(spark, SCALED, names)
     n_base = spark.read.parquet(f"{BASE}/documents.parquet").count()
     n_scaled = spark.read.parquet(f"{SCALED}/documents.parquet").count()
     factor = n_scaled / n_base
+    exponent = {
+        q: round(math.log(scaled[q] / base[q]) / math.log(factor), 2) for q in names
+    }
     result = {
         "factor": factor,
         "base": base,
         "scaled": scaled,
-        "exponent": {
-            q: round(math.log(scaled[q] / base[q]) / math.log(factor), 2) for q in names
-        },
+        "exponent": exponent,
     }
+    if gate:
+        bound = float(os.environ.get("SPARK_GRAFT_STRESS_GATE", "0.6"))
+        # sub-second scaled runs are scheduler noise, not scaling evidence
+        over = {
+            q: e for q, e in exponent.items() if e > bound and scaled[q] > 1.0
+        }
+        result["gate"] = {"bound": bound, "over": over}
+        sys.stdout.write(json.dumps(result) + "\n")
+        if over:
+            sys.stdout.write(
+                f"STRESS GATE FAILED: exponents over {bound}: {over} — "
+                f"re-spell the plan or adjudicate in PERF.md before close\n"
+            )
+            raise SystemExit(1)
+        return
     sys.stdout.write(json.dumps(result) + "\n")
 
 

@@ -180,6 +180,8 @@ _ADJUDICATED = {
         "q221_t_closeness_audit",
         # q233: the 1-row model-bias (Σ w·m) attach onto the per-doc scores
         "q233_quality_classifier_score",
+        # q236: the same scoring-leg bias attach (inherited from q233)
+        "q236_classifier_operating_curve",
         # q234: the per-round 1-row attaches — model bias, residual total,
         # doc count, and the 64-row-model L1 reduction (4 per round)
         "q234_classifier_convergence",
@@ -225,6 +227,10 @@ _ADJUDICATED = {
         "q231_unigram_em_curve",
         # q233: the 1-row model-bias reduction over the 64-row model
         "q233_quality_classifier_score",
+        # q236: the 1-row (2|T|+1)-sum conditional-aggregation reduction
+        # (partials combine map-side; the exchange ships one wide row) +
+        # the q233 bias reduction it inherits
+        "q236_classifier_operating_curve",
         # q234: per-round 1-row reductions — bias, residual total, the
         # 3-stat objective row, the model L1 (partials combine map-side;
         # each exchange ships ≤ 64 rows)

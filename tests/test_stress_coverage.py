@@ -233,6 +233,7 @@ ADJUDICATED: dict[str, str] = {
     "q222_bpe_compression_curve": "composes: the q218 training loop (10x-stressed, exponent -0.20) plus ONE extra |vocab|-sized aggregate per round — same vocabulary-bounded posture, measured by the q218 stress row",
     "q223_dp_value_release": "catalyst: one (user, type, week) hash agg with the clipped-sum rollup — the q213 posture exactly (10x-stressed, exponent 0.14); noise is one scalar md5 expression per |types x weeks| cell",
     "q221_t_closeness_audit": "catalyst: one (quasi, sensitive) hash agg — the only corpus-volume pass, map-side combinable — then keyed joins to |classes|/|values| tables, the adjudicated 1-row total attach, a keyed per-class rollup via the algebraic absent-mass fold (never the zero-filled |classes|x|values| grid), and a <=3-row band rollup",
+    "q236_classifier_operating_curve": "composes: q233's scored table (10x-stressed — the corpus term) reduced by ONE (2|T|+1)-sum map-side-combinable conditional aggregation into a single wide row + a |thresholds|-row row-local unpivot — no additional corpus-shaped term to measure",
     "q231_unigram_em_curve": "composes: the q229 unigram-EM training loop (10x-stressed at exponent -0.01, PERF.md round-12 table) plus two 1-row aggregates per round and a |rounds|-row union — same vocabulary-bounded posture, measured by the q229 stress row",
 }
 

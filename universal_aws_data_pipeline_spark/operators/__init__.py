@@ -38,3 +38,9 @@ from universal_aws_data_pipeline_spark.operators.text import (  # noqa: F401
     token_count,
 )
 from universal_aws_data_pipeline_spark.operators.transform import transform_chain  # noqa: F401
+from universal_aws_data_pipeline_spark.operators.classifier import (  # noqa: F401
+    linear_probe_score,
+    linear_probe_train,
+    quality_filter_stream_fn,
+    selection_curve,
+)

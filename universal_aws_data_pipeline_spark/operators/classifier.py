@@ -339,3 +339,137 @@ def linear_probe_curve(
         )
         rows = stat if rows is None else rows.unionByName(stat)
     return rows
+
+
+def selection_curve(
+    scored: DataFrame,
+    thresholds: list[int],
+) -> DataFrame:
+    """Operating curve for the trained filter — the CCNet "choose the keep
+    cutoff" step: for each candidate threshold t (micro-units), the volume
+    and quality of the corpus slice ``s_micro >= t``. One row per
+    threshold: (threshold_micro, n_kept, n_target_kept, precision_micro,
+    recall_micro) — precision/recall vs the proxy label in exact truncated
+    micro-units (div; 0 when the slice is empty).
+
+    Input is :func:`linear_probe_score` output (needs s_micro +
+    is_target). Scale shape: ONE conditional aggregation over the scored
+    table (2|T|+1 map-side-combinable sums — map-only at any corpus size,
+    no per-threshold re-scan, no sort, no explode of corpus rows), then a
+    |T|-row row-local unpivot of the single aggregate row. The threshold
+    grid is a literal — the decision surface, not data."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError(f"duplicate thresholds: {thresholds}")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        keep = F.col("s_micro") >= F.lit(int(t))
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_k{i}"))
+        aggs.append(
+            F.sum(F.when(keep & F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_t{i}")
+        )
+    aggs.append(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("_tot")
+    )
+    wide = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(t)).cast("long").alias("threshold_micro"),
+                F.col(f"_k{i}").alias("n_kept"),
+                F.col(f"_t{i}").alias("n_target_kept"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("_r"), "_tot")
+        .select(
+            F.col("_r.threshold_micro").alias("threshold_micro"),
+            F.col("_r.n_kept").alias("n_kept"),
+            F.col("_r.n_target_kept").alias("n_target_kept"),
+            F.when(
+                F.col("_r.n_kept") > 0,
+                F.expr(f"({MICRO} * _r.n_target_kept) div _r.n_kept"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("precision_micro"),
+            F.when(
+                F.col("_tot") > 0,
+                F.expr(f"({MICRO} * _r.n_target_kept) div _tot"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
+def quality_filter_stream_fn(
+    out_path: str,
+    model_path: str,
+    keep_threshold_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+):
+    """``foreachBatch`` maintainer scoring a LIVE ingestion stream under a
+    FIXED trained quality classifier — the streaming twin of the q233
+    scoring leg (STR9): a production crawl feed filters documents AS THEY
+    ARRIVE under the deployed model, without retraining (the CCNet filter
+    run online; the q227-token-cost convention of "telemetry under the
+    DEPLOYED artifact").
+
+    Per batch: load the trained-once model artifact (bucket, w_micro,
+    m_micro — the q232 parquet, B rows, broadcast), score every document
+    via the same centered dot product as :func:`linear_probe_score` (one
+    merge of contract: batch and offline scoring share `_sparse_scores`),
+    and APPEND the per-doc decision log (id, n_tokens, s_micro, kept,
+    batch_id) to ``out_path``. The log is TOTAL: documents with zero
+    normalized tokens have no features and therefore no score — they are
+    logged with ``s_micro = NULL, kept = false`` (an unscorable document
+    must surface as an explicit rejection, not vanish from the audit
+    trail).
+
+    At-least-once safety comes from determinism (the
+    ``dp_release_stream_fn`` pattern): decisions are a pure function of
+    (batch rows, model artifact, threshold), so a replayed batch appends
+    byte-identical rows and downstream consumers dedup on
+    (id, batch_id) losslessly. No state table — the model is frozen and
+    per-doc decisions carry no cross-batch memory (admission QUOTAS are
+    ``domain_cap_stream_fn``'s contract; compose downstream if both are
+    wanted).
+
+    Scale per batch: map-only — one tokenize pass over the batch, the
+    B-row model broadcast, one integer sum per doc."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        model = spark.read.parquet(model_path)
+        feat = doc_bucket_features(
+            batch_df, F.lit(False), id_col=id_col, text_col=text_col, buckets=buckets
+        )
+        scores = _sparse_scores(feat, model, id_col).select(
+            id_col, "n_tokens", "s_micro"
+        )
+        out = (
+            batch_df.select(id_col)
+            .join(scores, id_col, "left")
+            .select(
+                id_col,
+                "n_tokens",
+                "s_micro",
+                F.coalesce(
+                    F.col("s_micro") >= F.lit(int(keep_threshold_micro)),
+                    F.lit(False),
+                ).alias("kept"),
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            )
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return fn

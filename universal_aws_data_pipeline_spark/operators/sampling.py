@@ -574,6 +574,11 @@ def domain_cap_stream_fn(
                 F.lit(int(batch_id)).cast("long").alias("batch_id"),
             )
         )
+        # single-execution barrier (round-12 ADVICE): without it the
+        # rank-window + state-join plan executes TWICE — once for the
+        # out_path append and again when `folded` materializes inside
+        # statestore.commit (determinism kept that correct, just wasteful)
+        admitted = admitted.localCheckpoint(eager=True)
         # append BEFORE committing state (see docstring) — and only the
         # deterministic projection above, so a crash-window replay appends
         # byte-identical rows

@@ -392,9 +392,23 @@ def unigram_viterbi_segment(vocab: DataFrame, model: DataFrame) -> DataFrame:
     single-char pieces are always in the model (never pruned), so every
     word segments.
 
-    Returns (w, c, seg, cost): the space-separated Viterbi segmentation
-    and its total micro-nat cost. Scale: one vocab-bounded join + one
-    grouped rollup; corpus volume never appears."""
+    Returns (w, c, seg, cost, covered): the space-separated Viterbi
+    segmentation, its total micro-nat cost, and the alphabet-coverage flag.
+    Scale: one vocab-bounded join + one grouped rollup; corpus volume never
+    appears.
+
+    ALPHABET-COVERAGE PRECONDITION (round-12 ADVICE): "every word
+    segments" holds only when the input words' character inventory is a
+    subset of the model's single-char pieces — the same-corpus usage of
+    training (q229/q230), where chars are never pruned. Applying a trained
+    model to text with an UNSEEN character still returns a row, but its
+    cost includes the ``_UNI_BIG`` unreachable sentinel (~1e12 micro-nats
+    per gap) and its segmentation silently glues sentinel-priced pieces.
+    ``covered = cost < _UNI_BIG`` flags exactly those rows: library
+    callers scoring out-of-corpus text must filter or route
+    ``covered = false`` words (e.g. to a byte-fallback tokenizer, the
+    SentencePiece production convention) instead of consuming
+    sentinel-cost segmentations as if they were priced."""
     cand = _uni_candidates(vocab)
     sc = cand.join(model.select("piece", "cost"), "piece")
 
@@ -408,8 +422,18 @@ def unigram_viterbi_segment(vocab: DataFrame, model: DataFrame) -> DataFrame:
             )
         )
 
-    per = sc.groupBy("w", "c").agg(
-        entries(1).alias("m1"), entries(2).alias("m2"), entries(3).alias("m3")
+    # left-join from the vocab so the output is TOTAL: a word with NO piece
+    # in the model (fully-unseen alphabet) previously vanished at the inner
+    # candidate/model join — silent row loss is worse than a flagged row.
+    # Its maps come back NULL, element_at(NULL, i) is NULL, and the fold's
+    # existing coalesce prices every position at the _UNI_BIG sentinel, so
+    # the row surfaces with covered=false like any partially-unseen word.
+    per = vocab.select("w", "c").join(
+        sc.groupBy("w", "c").agg(
+            entries(1).alias("m1"), entries(2).alias("m2"), entries(3).alias("m3")
+        ),
+        ["w", "c"],
+        "left",
     )
     big = F.lit(_UNI_BIG).cast("long")
     init = F.struct(
@@ -461,6 +485,7 @@ def unigram_viterbi_segment(vocab: DataFrame, model: DataFrame) -> DataFrame:
         "c",
         F.trim(F.col("_st")["s1"]).alias("seg"),
         F.col("_st")["b1"].alias("cost"),
+        (F.col("_st")["b1"] < F.lit(_UNI_BIG).cast("long")).alias("covered"),
     )
 
 

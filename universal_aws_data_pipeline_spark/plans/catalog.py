@@ -59,7 +59,7 @@ from universal_aws_data_pipeline_spark.plans import catalog_q222  # noqa: F401,E
 from universal_aws_data_pipeline_spark.plans import catalog_q223  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q224_q227  # noqa: F401,E402
 from universal_aws_data_pipeline_spark.plans import catalog_q228_q231  # noqa: F401,E402
-from universal_aws_data_pipeline_spark.plans import catalog_q232_q235  # noqa: F401,E402
+from universal_aws_data_pipeline_spark.plans import catalog_q232_q236  # noqa: F401,E402
 
 # legacy re-export (tests import the projection-sign helper from here)
 from universal_aws_data_pipeline_spark.plans.catalog_q101_q150 import _rp_sign  # noqa: F401,E402
@@ -335,6 +335,7 @@ _EXPECTED_ORDER: list[str] = [
     "q233_quality_classifier_score",
     "q234_classifier_convergence",
     "q235_viral_span_excision",
+    "q236_classifier_operating_curve",
 ]
 
 _missing = [n for n in _EXPECTED_ORDER if n not in QUERIES]

@@ -1,4 +1,4 @@
-"""Catalog chunk: q232–q235 (round 13).
+"""Catalog chunk: q232–q236 (round 13).
 
 - **q232/q233/q234** are the trained model-based quality classifier
   (VERDICT r12 item 1 — the CCNet/fastText shape): a linear discriminator
@@ -14,6 +14,9 @@
   every document except one canonical carrier. q114 excises at
   occurrence-level k=2; this is the frequency-thresholded generalization
   that removes only true boilerplate.
+- **q236** is the classifier's operating curve — the choose-the-keep-cutoff
+  step: precision/recall vs the proxy label at a literal threshold grid,
+  one map-only conditional aggregation.
 """
 
 from __future__ import annotations
@@ -332,3 +335,82 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_viral_spans(
         d, span_n=_VIRAL_SPAN_N, min_docs=_VIRAL_MIN_DOCS
     )
+
+
+# --------------------------------------------------------------------------
+# q236 — classifier operating curve (X6): the "choose the keep cutoff" step
+# a CCNet-style pipeline runs after training — for each candidate score
+# threshold, the kept volume and its precision/recall vs the proxy label.
+# Operators: ONE conditional aggregation over the scored table (2|T|+1
+# map-side-combinable sums — map-only at corpus scale, no per-threshold
+# re-scan, no sort), then a |T|-row row-local unpivot. The grid is a
+# literal decision surface, scale-independent.
+# Oracle: the shared training chain + scoring CTE + |T| FILTER-aggregate
+# rows (the q234 UNION ALL convention).
+# --------------------------------------------------------------------------
+
+_LP_THRESHOLDS = [
+    -400_000, -200_000, -100_000, -50_000, -25_000, 0,
+    25_000, 50_000, 100_000, 200_000, 400_000,
+]
+
+_Q236_THRESH_SELECTS = "\nUNION ALL ".join(
+    f"SELECT CAST({t} AS BIGINT) AS threshold_micro,"
+    f" (SELECT CAST(count(*) FILTER (WHERE s_micro >= {t}) AS BIGINT)"
+    f"   FROM lp_scored) AS n_kept,"
+    f" (SELECT CAST(count(*) FILTER (WHERE s_micro >= {t} AND y > 0) AS BIGINT)"
+    f"   FROM lp_scored) AS n_target_kept"
+    for t in _LP_THRESHOLDS
+)
+
+_Q236_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        _lp_ctes(_LP_ROUNDS)
+        + [
+            f"lp_wm_final AS (SELECT CAST(coalesce(sum(w.w * m.m), 0) AS BIGINT)"
+            f" AS wm FROM lp_w{_LP_ROUNDS} w JOIN lp_m m USING (bucket))",
+            f"lp_scored AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,"
+            f" CAST((sum(w.w * f.f) - (SELECT wm FROM lp_wm_final)) // 1000000"
+            f" AS BIGINT) AS s_micro"
+            f" FROM lp_feat f JOIN lp_w{_LP_ROUNDS} w USING (bucket)"
+            f" GROUP BY f.doc_id)",
+            "lp_tot AS (SELECT CAST(count(*) FILTER (WHERE y > 0) AS BIGINT)"
+            " AS tot FROM lp_scored)",
+        ]
+    )
+    + f"""
+    SELECT threshold_micro, n_kept, n_target_kept,
+           CASE WHEN n_kept > 0
+                THEN CAST((1000000 * n_target_kept) // n_kept AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS precision_micro,
+           CASE WHEN (SELECT tot FROM lp_tot) > 0
+                THEN CAST((1000000 * n_target_kept) //
+                          (SELECT tot FROM lp_tot) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_micro
+    FROM ({_Q236_THRESH_SELECTS})
+    """
+)
+
+
+@register(
+    "q236_classifier_operating_curve",
+    _Q236_ORACLE,
+    f"quality-classifier operating curve: kept volume + precision/recall vs the proxy label at {len(_LP_THRESHOLDS)} literal score thresholds under the trained model - the choose-the-keep-cutoff decision data a CCNet-style filter thresholds on; one map-only conditional aggregation, exact truncated micro-unit ratios (X6 family)",
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where should the trained filter cut? For each candidate threshold:
+    how much of the corpus survives and how precise/complete the kept
+    slice is against the proxy label. One conditional-aggregation pass
+    over the scored table — map-only at any corpus size.
+    operators/classifier.py::selection_curve."""
+    from universal_aws_data_pipeline_spark.operators.classifier import (
+        linear_probe_score,
+        selection_curve,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = linear_probe_score(
+        d, _lp_model(spark, sf_dir), F.col("lang") == "en", buckets=_LP_BUCKETS
+    )
+    return selection_curve(scored, _LP_THRESHOLDS)
