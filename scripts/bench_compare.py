@@ -290,6 +290,15 @@ def main() -> int:
     # 1m decay, so sustained before >> idle baseline across sessions is the
     # pollution signature the r11 adjudication had to reconstruct manually).
     loads = detail.get("load")
+    if write_ref is not None and not (loads and loads.get("0")) and not allow_hot:
+        # round-13 review: without telemetry the hot-start refusal would be
+        # silently bypassed — a series the current bench harness did not
+        # produce must not ship a reference unexamined
+        print(f"NOT writing {write_ref}: series carries no session-0 load "
+              f"telemetry (not produced by the current bench harness?) — "
+              f"the hot-start check cannot run; re-bench, or pass "
+              f"--allow-hot with a PERF.md adjudication")
+        return 1
     if loads:
         parts = " ".join(
             f"s{k}={v[0]:.1f}/{v[1]:.1f}/{v[2]:.1f}"
@@ -366,11 +375,33 @@ def main() -> int:
         # fold earlier clean same-round series (round-13): each fold series
         # contributes per-query mins over its common subset, so the shipped
         # reference is the round's BEST clean evidence, not the close
-        # pair's scheduling luck (the r12 182.6s-vs-165.2s crack)
+        # pair's scheduling luck (the r12 182.6s-vs-165.2s crack). Guards
+        # (round-13 review — fold inputs must not bypass the gates the
+        # primary series passes): a fold value dramatically below the
+        # pair's evidence (< 0.5x) is evidence of a DIFFERENT plan (a
+        # pre-re-spell series, another round), not of a quieter window —
+        # uniform host drag never doubles a query — so it refuses; and a
+        # fold series sharing < 2/3 of the pair's queries is from too far
+        # away in the round to be "the same round's clean evidence".
         folded: dict[str, float] = {}
         for fp in fold_paths:
             with open(fp) as fh:
                 fold_q = json.load(fh)["queries"]
+            common_fold = set(fold_q) & set(cur)
+            if len(common_fold) < (2 * len(cur)) // 3:
+                print(f"NOT writing {write_ref}: fold series {fp} shares "
+                      f"only {len(common_fold)}/{len(cur)} queries with the "
+                      f"pair — not same-round clean evidence")
+                return 1
+            too_fast = sorted(
+                n for n, t in fold_q.items()
+                if n in ref and t < 0.5 * ref[n] and ref[n] - t > 0.3
+            )
+            if too_fast:
+                print(f"NOT writing {write_ref}: fold series {fp} is >2x "
+                      f"faster than the pair on {too_fast} — different plan "
+                      f"or round; adjudicate instead of folding")
+                return 1
             for name, t in fold_q.items():
                 if name in ref and t < ref[name]:
                     ref[name] = t

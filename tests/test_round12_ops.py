@@ -507,7 +507,10 @@ def test_write_reference_new_queries_ship_min(bench_compare_mod, tmp_path, monke
     gate (round-12 review finding)."""
     ref_path = _write_ref(tmp_path, "r0_ref.json", {"qa": 1.0})
     detail_path = tmp_path / "detail.json"
-    detail_path.write_text(json.dumps({"queries": {"qa": 1.0, "qnew": 5.0}}))
+    detail_path.write_text(json.dumps({
+        "queries": {"qa": 1.0, "qnew": 5.0},
+        "load": {"0": [0.2, 6.0, 4.0]},
+    }))
     retry_path = tmp_path / "retry.json"
     retry_path.write_text(json.dumps({"queries": {"qa": 1.0, "qnew": 1.2}}))
     out_path = tmp_path / "shipped.json"
@@ -591,7 +594,10 @@ def test_write_reference_refuses_incomplete_retry(bench_compare_mod, tmp_path, m
     second pass)."""
     ref_path = _write_ref(tmp_path, "r0_ref.json", {"qa": 1.0})
     detail_path = tmp_path / "detail.json"
-    detail_path.write_text(json.dumps({"queries": {"qa": 1.0, "qnew": 5.0}}))
+    detail_path.write_text(json.dumps({
+        "queries": {"qa": 1.0, "qnew": 5.0},
+        "load": {"0": [0.2, 6.0, 4.0]},
+    }))
     retry_path = tmp_path / "retry.json"
     retry_path.write_text(json.dumps({"queries": {"qa": 1.0}}))  # qnew errored
     out_path = tmp_path / "shipped.json"

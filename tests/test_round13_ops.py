@@ -174,6 +174,7 @@ def bench_compare_mod():
 
 
 def _ship_args(tmp_path, detail, retry_queries, ref_warm, extra):
+    detail.setdefault("load", {"0": [0.2, 6.0, 4.0]})  # cool start
     ref_path = tmp_path / "r0_ref.json"
     ref_path.write_text(json.dumps({"warm": ref_warm}))
     detail_path = tmp_path / "detail.json"
@@ -389,3 +390,41 @@ def test_streaming_quality_filter_maintainer(spark, tmp_path):
     # pure target-vocab docs keep; pure other-vocab docs reject
     assert {1, 4} <= kept
     assert not ({2, 5} & kept)
+
+
+def test_ship_refuses_without_load_telemetry(bench_compare_mod, tmp_path, monkeypatch):
+    """A series with no session-0 load telemetry cannot ship (the
+    hot-start check would be silently bypassed)."""
+    detail = {"queries": {"qa": 2.0}, "load": None}
+    argv, out_path = _ship_args(tmp_path, detail, {"qa": 2.0}, {"qa": 2.0}, [])
+    monkeypatch.setattr("sys.argv", argv)
+    assert bench_compare_mod.main() == 1
+    assert not out_path.exists()
+
+
+def test_fold_clean_refuses_implausible_fold(bench_compare_mod, tmp_path, monkeypatch):
+    """A fold value >2x faster than the pair's evidence is a different
+    plan/round, not a quieter window — the ship refuses."""
+    detail = {"queries": {"qa": 2.0, "qb": 3.0}}
+    fold_path = tmp_path / "stale_detail.json"
+    fold_path.write_text(json.dumps({"queries": {"qa": 0.6, "qb": 2.9}}))
+    argv, out_path = _ship_args(
+        tmp_path, detail, {"qa": 2.1, "qb": 3.1}, {"qa": 2.0, "qb": 3.0},
+        ["--fold-clean", str(fold_path)],
+    )
+    monkeypatch.setattr("sys.argv", argv)
+    assert bench_compare_mod.main() == 1
+    assert not out_path.exists()
+
+
+def test_fold_clean_refuses_disjoint_series(bench_compare_mod, tmp_path, monkeypatch):
+    detail = {"queries": {"qa": 2.0, "qb": 3.0, "qc": 1.0}}
+    fold_path = tmp_path / "foreign_detail.json"
+    fold_path.write_text(json.dumps({"queries": {"qz": 1.0}}))
+    argv, out_path = _ship_args(
+        tmp_path, detail, {"qa": 2.0, "qb": 3.0, "qc": 1.0},
+        {"qa": 2.0, "qb": 3.0}, ["--fold-clean", str(fold_path)],
+    )
+    monkeypatch.setattr("sys.argv", argv)
+    assert bench_compare_mod.main() == 1
+    assert not out_path.exists()

@@ -1,9 +1,11 @@
 from universal_aws_data_pipeline_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    excise_viral_spans,
     incremental_neardup_filter,
     lsh_candidate_pairs,
     minhash_signatures,
     neardup_pairs_jaccard,
+    remove_duplicated_spans,
     simhash32,
 )
 from universal_aws_data_pipeline_spark.operators.multimodal import (  # noqa: F401

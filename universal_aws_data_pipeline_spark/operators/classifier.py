@@ -210,7 +210,11 @@ def _lp_rounds(
         .localCheckpoint(eager=True)
     )
     for r in range(1, rounds + 1):
-        scores = _sparse_scores(feat, model, id_col)
+        # single-execution barrier (round-13 review): the per-doc scores
+        # feed the residual total AND the gradient join (and, in curve
+        # mode, the stats row) — un-checkpointed, the feat-join-model
+        # scoring aggregation would re-execute 2-3x per round
+        scores = _sparse_scores(feat, model, id_col).localCheckpoint(eager=True)
         resid = scores.select(
             id_col, (F.col("s_micro") - F.col("y_micro")).alias("_r")
         )
@@ -219,7 +223,11 @@ def _lp_rounds(
         # with the dense centered sum (absent buckets contribute −m_b·r_d).
         rtot = resid.agg(F.sum("_r").cast("long").alias("_R"))
         grads = (
-            feat.join(F.broadcast(resid), id_col)
+            # resid is training-sample-sized, NOT a 1-row attach: no
+            # broadcast hint (a ~1e6-doc sample would collect on the
+            # driver every round); a plain equi-join on the id scales and
+            # AQE still picks broadcast when the sample is actually small
+            feat.join(resid, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.col("_r") * F.col("f_micro")).alias("_G"))
             .crossJoin(F.broadcast(rtot))
@@ -267,22 +275,37 @@ def linear_probe_train(
     return model
 
 
+def _model_buckets(model: DataFrame) -> int:
+    """The bucket count IS the model's row count (the spine guarantees
+    exactly B rows at training time) — derived, never passed, so a scorer
+    can NOT silently hash features mod a different B than the weights were
+    learned under (round-13 review: a mismatched ``buckets`` argument
+    would score every document confidently wrong with no error anywhere).
+    One count() over a B-row table — negligible."""
+    n = model.count()
+    if n < 1:
+        raise ValueError("model table is empty — not a trained classifier")
+    return n
+
+
 def linear_probe_score(
     df: DataFrame,
     model: DataFrame,
     is_target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
-    buckets: int = 64,
 ) -> DataFrame:
     """Score every document under a trained model (bucket, w_micro,
     m_micro): (id, n_tokens, s_micro, pred_target, is_target). Pure
     columnar centered dot product — the B-row model broadcasts onto the
     hashed token stream; one exact integer sum per doc minus the
     model-constant bias. ``pred_target = s_micro >= 0`` (the sign
-    convention of the ±1e6 labels). Map-only at any corpus scale."""
+    convention of the ±1e6 labels). The feature-hash modulus is DERIVED
+    from the model (see ``_model_buckets``). Map-only at any corpus
+    scale."""
     feat = doc_bucket_features(
-        df, is_target, id_col=id_col, text_col=text_col, buckets=buckets
+        df, is_target, id_col=id_col, text_col=text_col,
+        buckets=_model_buckets(model),
     )
     return _sparse_scores(feat, model, id_col).select(
         id_col,
@@ -362,17 +385,20 @@ def selection_curve(
         raise ValueError("thresholds must be non-empty")
     if len(set(thresholds)) != len(thresholds):
         raise ValueError(f"duplicate thresholds: {thresholds}")
+    # count(when(...)) not sum(when(...)): count never returns NULL, so an
+    # EMPTY scored input yields exact zeros — matching the oracle's
+    # count(*) FILTER — instead of NULL counts (round-13 review)
     aggs = []
     for i, t in enumerate(thresholds):
         keep = F.col("s_micro") >= F.lit(int(t))
-        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_k{i}"))
+        aggs.append(F.count(F.when(keep, 1)).cast("long").alias(f"_k{i}"))
         aggs.append(
-            F.sum(F.when(keep & F.col("is_target"), 1).otherwise(0))
+            F.count(F.when(keep & F.col("is_target"), 1))
             .cast("long")
             .alias(f"_t{i}")
         )
     aggs.append(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("_tot")
+        F.count(F.when(F.col("is_target"), 1)).cast("long").alias("_tot")
     )
     wide = scored.agg(*aggs)
     rows = F.array(
@@ -415,7 +441,6 @@ def quality_filter_stream_fn(
     keep_threshold_micro: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
-    buckets: int = 64,
 ):
     """``foreachBatch`` maintainer scoring a LIVE ingestion stream under a
     FIXED trained quality classifier — the streaming twin of the q233
@@ -451,7 +476,8 @@ def quality_filter_stream_fn(
         spark = batch_df.sparkSession
         model = spark.read.parquet(model_path)
         feat = doc_bucket_features(
-            batch_df, F.lit(False), id_col=id_col, text_col=text_col, buckets=buckets
+            batch_df, F.lit(False), id_col=id_col, text_col=text_col,
+            buckets=_model_buckets(model),
         )
         scores = _sparse_scores(feat, model, id_col).select(
             id_col, "n_tokens", "s_micro"

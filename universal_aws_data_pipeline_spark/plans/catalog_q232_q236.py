@@ -216,7 +216,7 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return linear_probe_score(
-        d, _lp_model(spark, sf_dir), F.col("lang") == "en", buckets=_LP_BUCKETS
+        d, _lp_model(spark, sf_dir), F.col("lang") == "en"
     )
 
 
@@ -411,6 +411,6 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     scored = linear_probe_score(
-        d, _lp_model(spark, sf_dir), F.col("lang") == "en", buckets=_LP_BUCKETS
+        d, _lp_model(spark, sf_dir), F.col("lang") == "en"
     )
     return selection_curve(scored, _LP_THRESHOLDS)
