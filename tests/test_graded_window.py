@@ -115,7 +115,7 @@ def test_registration_order_hash_is_pinned():
     import hashlib
 
     h = hashlib.md5("\n".join(graded_order()).encode()).hexdigest()
-    assert h == "cf4d693d12b5c81cdd437c2dd7500022", (  # r12: +q228-q231 appended
+    assert h == "03b85ad30880b6893ef197f8532a330a", (  # r13: +q232-q236 appended
         "graded order changed — if intentional (new queries appended), "
         f"update the pin to {h}; if not, find the reorder before shipping"
     )
