@@ -73,21 +73,37 @@ def kmeans_vq(
         .withColumn("cid", F.row_number().over(Window.orderBy("id")) - 1)
         .select(F.col("cid").cast("long").alias("cid"), F.col("qe").alias("cvec"))
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # Row-local nearest-centroid assignment (round-13 optimization, guide
+    # §2.4 — remove shuffles outright): the codebook is k rows by
+    # construction, so collapse it to ONE row holding the cid-sorted
+    # (cid, cvec) array and fold over it per vector. The old spelling
+    # cross-joined every vector with all k centroids and shuffled the
+    # |V| × k expansion (full qe payload included) through a groupBy(id)
+    # min-struct aggregation — k+1 copies of every vector crossing the
+    # exchange per round. Now scoring never shuffles the vector table at
+    # all; the only per-round exchange left is the map-side-combinable
+    # k × dim centroid-sum aggregation. The fold scans centroids in
+    # ascending cid order keeping strictly-smaller distances, which is
+    # exactly min(struct(dist, cid)) — smallest distance, ties to the
+    # smaller cid — so assignments (and the oracle hash) are unchanged.
+    best_fold = F.expr(
+        "aggregate("
+        "  transform(_cents, c -> struct(c.cid as cid,"
+        "    aggregate(zip_with(qe, c.cvec, (a, b) -> (a - b) * (a - b)),"
+        "              cast(0 as bigint), (acc, x) -> acc + x) as dist)),"
+        "  struct(cast(-1 as bigint) as cid,"
+        "         cast(9223372036854775807 as bigint) as dist),"
+        "  (acc, s) -> if(s.dist < acc.dist, s, acc))"
     )
     assigned = None
     for _ in range(assign_rounds):
-        scored = v.crossJoin(F.broadcast(cent)).select("id", "qe", "cid", dist.alias("dist"))
+        cent_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cents")
+        )
         assigned = (
-            scored.groupBy("id")
-            .agg(
-                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
-                F.first("qe").alias("qe"),  # qe is constant per id
-            )
-            .select("id", "qe", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+            v.join(cent_row.hint("shuffle_replicate_nl"))
+            .withColumn("_m", best_fold)
+            .select("id", "qe", F.col("_m.cid").alias("cid"), F.col("_m.dist").alias("dist"))
         )
         cent = (
             assigned.groupBy("cid")

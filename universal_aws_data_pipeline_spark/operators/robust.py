@@ -190,18 +190,48 @@ def winsorized_mean_milli(
     scan cost flat in |groups|; round 10) for the cutoff ranks instead, or
     bucket the measure first.
     """
-    from .sampling import quantile_cutoff_by_group
+    from pyspark.sql import Window
 
     d = df.select(F.col(group_col), F.col(value_col).alias("_x")).localCheckpoint(
         eager=True
     )
-    lo = quantile_cutoff_by_group(d, group_col, "_x", fraction).withColumnRenamed(
-        "qcut", "lo"
+    # BOTH order-statistic cutoffs from ONE histogram pass (round-13
+    # optimization, guide §1.2 step 1): the old spelling ran
+    # quantile_cutoff_by_group twice (lo, then hi), paying the (group,
+    # value) histogram build, the cumulative window, and the total join
+    # TWICE each, plus a join of the two 1-row-per-group results. The
+    # histogram, cumulative counts, and rank conditions are identical —
+    # only the rank threshold differs — so one conditional aggregation
+    # picks both cutoffs: lo = min value whose cumcount reaches
+    # ceil(f·n), hi = min value whose cumcount reaches ceil((1−f)·n).
+    # Bit-identical to two independent passes (same histogram, same
+    # cumulative counts, same ceil thresholds).
+    hist = d.groupBy(group_col, "_x").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    hi = quantile_cutoff_by_group(d, group_col, "_x", 1.0 - fraction).withColumnRenamed(
-        "qcut", "hi"
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    cuts = F.broadcast(
+        cum.join(tot, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(fraction) * F.col("_n")),
+                    F.col("_x"),
+                )
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(1.0 - fraction) * F.col("_n")),
+                    F.col("_x"),
+                )
+            ).alias("hi"),
+        )
     )
-    cuts = F.broadcast(lo.join(hi, group_col))
     tot = d.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
     kept = (
         d.join(cuts, group_col)

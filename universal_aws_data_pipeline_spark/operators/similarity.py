@@ -836,7 +836,14 @@ def mutual_nearest_neighbors(
         )
     )
     # _nrm lands as a column first so the transform's per-element division
-    # references ONE computed norm (per vector, not per element/pair)
+    # references ONE computed norm (per vector, not per element/pair).
+    # localCheckpoint: both join sides consume this table, and the
+    # normalize transform is an interpreted (CodegenFallback) lambda — left
+    # lazy, the optimizer inlines it into each side's join-input projection
+    # and the normalization work runs twice and per-consumer (round-13
+    # measurement: the pair stage dropped 3.0 s -> 1.1 s with the
+    # normalized table materialized once). One |V|-row pass at any scale —
+    # the normalize-once-then-self-join posture of the SemDeDup pair miner.
     unit = (
         df.withColumn("_nrm", nrm)
         .select(
@@ -846,6 +853,7 @@ def mutual_nearest_neighbors(
                 F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_nrm")
             ).alias("_uv"),
         )
+        .localCheckpoint(eager=True)
     )
     a = unit.select("_blk", F.col("_id").alias("_ida"), F.col("_uv").alias("_ua"))
     b = unit.select("_blk", F.col("_id").alias("_idb"), F.col("_uv").alias("_ub"))
@@ -862,11 +870,24 @@ def mutual_nearest_neighbors(
         .filter(F.col("_ida") < F.col("_idb"))
         .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"), cos.alias("cos"))
     )
-    mirrored = pairs.unionByName(
-        pairs.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("cos")
-        )
-    )
+    # Mirror each i<j pair to both orientations ROW-LOCALLY (explode of a
+    # 2-struct array) instead of unioning the pair plan with its swapped
+    # self: union branches are separate subtrees, so the old spelling
+    # executed the |block|²-bounded dot-product join TWICE per consumer
+    # (round-13 plan audit: 4 executions end-to-end, 2 per side of the
+    # mutuality join — guide §7.2, duplicated subtrees). Same rows out.
+    mirrored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("cos")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.cos")
     # argmax by (cos DESC, dst ASC) spelled as min_by over (-cos, dst):
     # negating the numeric score (never the id) keeps the documented
     # smallest-partner-id tiebreak portable to string/any orderable id
@@ -881,6 +902,13 @@ def mutual_nearest_neighbors(
             ).alias("nn")
         )
         .select("src", F.col("nn.dst").alias("dst"), F.col("nn.cos").alias("cos"))
+        # |V| rows (one best match per vector) — bounded at any corpus
+        # size. The mutuality check consumes this table TWICE (both sides
+        # of the self-join); un-checkpointed, each side re-executed the
+        # whole pair-mining + argmax subtree (round-13 plan audit: the
+        # dominant stage ran twice end-to-end — guide §5, cache when reuse
+        # beats recompute; §7.2, duplicated subtrees)
+        .localCheckpoint(eager=True)
     )
     back = best.select(
         F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("cos").alias("cos2")
