@@ -214,6 +214,12 @@ _ADJUDICATED = {
         # q147: the final latency-percentile reduction is 1 row by design
         # (per-user mins combine map-side before it)
         "q147_conversion_latency",
+        # q150 (round-13 retune): the per-round codebook collapse — the
+        # k-row (k = 8) centroid table folds into ONE cid-sorted array row
+        # that every vector scores against row-locally; the exchange ships
+        # k rows bounded by the codebook contract, never data volume. This
+        # replaced the |V| x k scoring shuffle the lint exists to catch.
+        "q150_kmeans_vq",
         # q152: the 1-row grand-total reduction over the 9-row histogram
         "q152_benford_audit",
         # q154: the 1-row distinct-basket count reduction
