@@ -229,6 +229,36 @@ def test_hot_start_refuses_ship_unless_allowed(bench_compare_mod, tmp_path, monk
     assert out_path.exists()
 
 
+def test_adjudicate_ships_named_reproduced_flag_only(
+    bench_compare_mod, tmp_path, monkeypatch
+):
+    """--adjudicate (round-13 optimization round, the q57 case): a
+    REPRODUCED regression refuses the ship unless the query is explicitly
+    named after a PERF.md adjudication; the adjudicated query ships
+    min(run, retry) and the doc records it. An unnamed reproduced flag
+    still refuses."""
+    # qa reproduces a 2x regression vs the reference in both series; the
+    # filler queries keep the common-subset total under the +10% drift
+    # gate so ONLY the per-query flag is in play
+    filler = {f"qf{i}": 1.0 for i in range(12)}
+    detail = {"queries": {"qa": 2.0, "qb": 1.0, **filler}}
+    retry = {"qa": 1.8, "qb": 1.0, **filler}
+    ref = {"qa": 1.0, "qb": 1.0, **filler}
+    argv, out_path = _ship_args(tmp_path, dict(detail), retry, ref, [])
+    monkeypatch.setattr("sys.argv", argv)
+    assert bench_compare_mod.main() == 1
+    assert not out_path.exists()
+    argv, out_path = _ship_args(
+        tmp_path, dict(detail), retry, ref, ["--adjudicate", "qa"],
+    )
+    monkeypatch.setattr("sys.argv", argv)
+    assert bench_compare_mod.main() == 0
+    shipped = json.loads(out_path.read_text())
+    assert shipped["warm"]["qa"] == 1.8  # min(run, retry), not run-1
+    assert shipped["adjudicated"] == ["qa"]
+    assert "qa" not in shipped["jitter_cleared"]
+
+
 def test_fold_clean_requires_write_reference(bench_compare_mod, tmp_path, monkeypatch):
     detail_path = tmp_path / "detail.json"
     detail_path.write_text(json.dumps({"queries": {"qa": 1.0}}))
