@@ -218,6 +218,7 @@ def main() -> None:
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
         "sf": sf_value,
+        "cpus": int(cpus),
         "session_size": session_size,
         "sessions": sessions,
         # host loadavg per chunk session: [before_1m, after_1m, after_5m] —
@@ -227,9 +228,18 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(_REPO, "BENCH_detail.json")
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
+    # Per-CPU detail file IN ADDITION to the legacy path (VERDICT r13 item
+    # 2: the round-13 8-core scaling run overwrote the 32-core per-query
+    # detail because both wrote BENCH_detail.json). Runs at different
+    # $SPARK_GRAFT_CPUS now leave separate details on disk; the legacy
+    # filename keeps pointing at the most recent run for existing readers.
+    detail_json = json.dumps(detail, indent=1)
+    for detail_path in (
+        os.path.join(_REPO, "BENCH_detail.json"),
+        os.path.join(_REPO, f"BENCH_detail_c{int(cpus)}.json"),
+    ):
+        with open(detail_path, "w") as fh:
+            fh.write(detail_json)
 
     # The driver captures only the last ~2 KB of stdout; a line carrying all
     # per-query timings gets its head truncated and fails to parse
@@ -247,6 +257,7 @@ def main() -> None:
         "n_queries": len(warm),
         "n_errors": len(errors),
         "n_sessions": len(chunks),
+        "cpus": int(cpus),
         # the discriminating drag signal: what the host was doing BEFORE the
         # first chunk started. after_1m is dominated by the bench's own
         # ~CPUS worker threads and reads hot on every healthy run; later

@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for catalog queries to plans/r13/<query>_<tag>.txt.
+"""Dump .explain('formatted') for catalog queries to
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (default round: r14).
 
 Usage: python scripts/dump_plan.py <tag> q161_mutual_nn [more queries...]
 
@@ -30,7 +31,7 @@ def main() -> None:
     spark = get_spark(app_name="dump_plan", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(_REPO, "plans", "r13")
+    out_dir = os.path.join(_REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         if n not in QUERIES:

@@ -27,6 +27,17 @@ triple corpus scan) fails the close instead of surviving to review. The
 absolute guard (scaled time must exceed 1.0 s) keeps sub-second noise from
 flagging; an over-bound query is either re-spelled or adjudicated in
 PERF.md with the bound's rationale, never shipped silently.
+
+MANDATORY FOR TOUCHED OPERATORS (round-14, VERDICT r13 item 7): the gate
+is no longer limited to round-ADDED queries — any operator whose
+INTERNALS change in a round (a retune, a rewrite, a new pruning stage)
+enters ``--gate`` at close for every catalog query that consumes it,
+same 0.6 bound. Round 13 ran this voluntarily for its five retunes; it
+is now part of the close protocol (see PERF.md "Close protocol"): a
+retune that trades local wall-clock for scaling shape fails the close
+instead of surviving to the next round's stress audit. The refusal path
+(exit 1 + the STRESS GATE FAILED line) is pinned by
+tests/test_stress_coverage.py::test_stress_gate_refusal_decision.
 """
 
 from __future__ import annotations
@@ -511,6 +522,17 @@ def timed_series(spark, sf_dir: str, names: list[str] | None = None) -> dict[str
     return out
 
 
+def gate_overages(
+    exponent: dict[str, float], scaled: dict[str, float], bound: float
+) -> dict[str, float]:
+    """The gate's refusal decision, factored out so the exit-1 path is unit
+    testable without a Spark run: a query is OVER when its measured 10x
+    exponent exceeds ``bound`` AND its scaled-run time exceeds 1.0 s (the
+    absolute guard — sub-second scaled runs are scheduler noise, not
+    scaling evidence). Non-empty result ⇒ main() exits 1."""
+    return {q: e for q, e in exponent.items() if e > bound and scaled[q] > 1.0}
+
+
 def main() -> None:
     # stress runs build/scrub artifacts in their own cache dir, never the
     # repo-shared .cache a subsequent bench's cold series depends on
@@ -561,10 +583,7 @@ def main() -> None:
     }
     if gate:
         bound = float(os.environ.get("SPARK_GRAFT_STRESS_GATE", "0.6"))
-        # sub-second scaled runs are scheduler noise, not scaling evidence
-        over = {
-            q: e for q, e in exponent.items() if e > bound and scaled[q] > 1.0
-        }
+        over = gate_overages(exponent, scaled, bound)
         result["gate"] = {"bound": bound, "over": over}
         sys.stdout.write(json.dumps(result) + "\n")
         if over:

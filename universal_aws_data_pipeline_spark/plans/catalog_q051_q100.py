@@ -257,20 +257,38 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id member survives. Same clustering engine as q43, different pair
     miner — text LSH and embedding cosine share the closure stage. Pairs are
     checkpointed to a parquet artifact (mined once per dataset; every
-    re-cluster probes the stored table), mirroring q43."""
+    re-cluster probes the stored table), mirroring q43.
+
+    Round 14 (VERDICT r13 item 2, adjudicated GRANT — the q43 boundary
+    move applied to the semantic graph): the CC LABEL table is a parquet
+    artifact layered on the pair artifact. This graph is the catalog's
+    diameter case (1,449 edges forming cosine-0.3 transitive CHAINS —
+    ~7 pointer-jumping materializations ≈ the whole 5 s warm cost, r13
+    profile): the closure now runs at build, the warm plan scans
+    (id, component) and rolls up sizes. Cold pays mining + closure +
+    write."""
     import os
 
-    from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
     from universal_aws_data_pipeline_spark.operators.similarity import cosine_pairs_blocked
+    from universal_aws_data_pipeline_spark.plans._shared import _cc_label_artifact
 
-    pairs_path = os.path.join(_artifact_dir("semantic_pairs", sf_dir), "q56")
-    if not _parquet_ready(pairs_path):
-        e = _t(spark, sf_dir, "embeddings")
-        cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id").write.mode(
-            "overwrite"
-        ).parquet(pairs_path)
-    pairs = spark.read.parquet(pairs_path)
-    return dedup_clusters(pairs, src="id_a", dst="id_b").withColumnRenamed("doc_id", "vec_id")
+    def _edges() -> DataFrame:
+        pairs_path = os.path.join(_artifact_dir("semantic_pairs", sf_dir), "q56")
+        if not _parquet_ready(pairs_path):
+            e = _t(spark, sf_dir, "embeddings")
+            cosine_pairs_blocked(e, block_col="label", threshold=0.3, id_col="vec_id").write.mode(
+                "overwrite"
+            ).parquet(pairs_path)
+        return spark.read.parquet(pairs_path)
+
+    comp = _cc_label_artifact(spark, "semantic_clusters", sf_dir, _edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
 
 
 _Q57_ORACLE = f"""

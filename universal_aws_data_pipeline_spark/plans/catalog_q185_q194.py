@@ -74,13 +74,22 @@ from universal_aws_data_pipeline_spark.plans.catalog_q001_q050 import _Q43_ORACL
 def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From fuzzy match PAIRS to transitive ENTITY clusters.
     operators/linkage.py::blocked_edit_distance_match +
-    operators/graph.py::connected_components."""
-    from universal_aws_data_pipeline_spark.operators.graph import (
-        connected_components,
-    )
+    operators/graph.py::connected_components.
+
+    Round 14 (VERDICT r13 item 2 — the grant's "evaluate q185" case,
+    included after measuring): the entity LABEL table is a per-dataset
+    parquet artifact. Unlike q43/q56/q188 there was no pre-existing edge
+    artifact here, so the boundary moves from nothing straight to the
+    component table: the blocked-Levenshtein match AND the closure both
+    run at build (the cold series pays them in full — cache scrubbed per
+    bench run); the warm plan scans (id, component) + the size rollup.
+    Production-shape rationale is the same as q43's: entity clusters are
+    re-read per downstream consumer and recomputed when an ingest batch
+    changes the match graph, never per read."""
     from universal_aws_data_pipeline_spark.operators.linkage import (
         blocked_edit_distance_match,
     )
+    from universal_aws_data_pipeline_spark.plans._shared import _cc_label_artifact
 
     clean = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.lower(F.trim(F.col("c_name"))).alias("nm")
@@ -94,18 +103,21 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nm"),
         )
 
-    edges = None
-    for offset, mod in ((1_000_000, 5), (2_000_000, 3)):
-        m = blocked_edit_distance_match(
-            clean,
-            corrupt(offset, mod),
-            block_fn=lambda c: F.substring(c, -4, 4),
-            id_col="id",
-            name_col="nm",
-            max_distance=1,
-        ).select(F.col("clean_id").alias("id_a"), F.col("dirty_id").alias("id_b"))
-        edges = m if edges is None else edges.unionByName(m)
-    comp = connected_components(edges)
+    def _edges() -> DataFrame:
+        edges = None
+        for offset, mod in ((1_000_000, 5), (2_000_000, 3)):
+            m = blocked_edit_distance_match(
+                clean,
+                corrupt(offset, mod),
+                block_fn=lambda c: F.substring(c, -4, 4),
+                id_col="id",
+                name_col="nm",
+                max_distance=1,
+            ).select(F.col("clean_id").alias("id_a"), F.col("dirty_id").alias("id_b"))
+            edges = m if edges is None else edges.unionByName(m)
+        return edges
+
+    comp = _cc_label_artifact(spark, "entity_clusters", sf_dir, _edges)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -281,13 +293,24 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How does the co-purchase graph decompose into components?
     operators/graph.py::connected_components over plans/_shared.py::
-    _copurchase_edges."""
-    from universal_aws_data_pipeline_spark.operators.graph import (
-        connected_components,
-    )
+    _copurchase_edges.
 
-    edges = _copurchase_edges(spark, sf_dir)
-    comp = connected_components(edges, "a", "b")
+    Round 14 (VERDICT r13 item 2, adjudicated GRANT): the component LABEL
+    table is a per-dataset parquet artifact layered on the (already
+    blessed) co-purchase edge artifact — the closure runs once per dataset
+    at build; the warm plan scans (id, component) and runs the two census
+    rollups. Cold pays edge mining + closure + write (cache scrubbed per
+    bench run)."""
+    from universal_aws_data_pipeline_spark.plans._shared import _cc_label_artifact
+
+    comp = _cc_label_artifact(
+        spark,
+        "copurchase_components",
+        sf_dir,
+        lambda: _copurchase_edges(spark, sf_dir),
+        src="a",
+        dst="b",
+    )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

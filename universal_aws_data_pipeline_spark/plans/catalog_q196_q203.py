@@ -225,20 +225,15 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Could a near-duplicate of an eval document hide in the training
     split? Not under a by-cluster assignment.
-    operators/sampling.py::group_safe_split over q43's cluster labels."""
-    import os
-
-    from universal_aws_data_pipeline_spark.operators.graph import dedup_clusters
+    operators/sampling.py::group_safe_split over q43's cluster labels —
+    read from the shared per-dataset cluster-table artifact (round 14,
+    VERDICT r13 item 2 GRANT; the closure ran per query here, the fifth
+    consumer of identical labels)."""
     from universal_aws_data_pipeline_spark.operators.sampling import group_safe_split
+    from universal_aws_data_pipeline_spark.plans._shared import _neardup_cluster_labels
 
-    pairs_path = os.path.join(_artifact_dir("neardup_pairs", sf_dir), "q43")
-    if not _parquet_ready(pairs_path):
-        QUERIES["q15_neardup_minhash_lsh"].fn(spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(pairs_path)
-    pairs = spark.read.parquet(pairs_path)
-    labels = dedup_clusters(pairs, src="id_a", dst="id_b").select(
-        F.col("doc_id"), F.col("cluster_id")
+    labels = _neardup_cluster_labels(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     d = _t(spark, sf_dir, "documents").select("doc_id")
     g = d.join(labels, "doc_id", "left").select(
