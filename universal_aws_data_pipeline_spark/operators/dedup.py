@@ -499,6 +499,38 @@ def incremental_neardup_filter_indexed(
     return new_docs.join(dupes, id_col, "left_anti")
 
 
+def _digest_bitmaps(digests: Column, n_words: int = 4) -> list[Column]:
+    """Bit-signature of a digest set: a ``64*n_words``-bit bitmap packed
+    into ``n_words`` longs, bit ``d mod 64`` of word ``(d mod 64n) div 64``
+    set per element — the pair-level bitmap filter of the set-similarity-
+    join literature (the bit-signature cousin of PPJoin+'s suffix filter;
+    both appear in Mann/Augsten/Bouros's empirical evaluation of set
+    similarity joins).
+
+    The pruning bound is EXACT, not probabilistic: every bit set in A's
+    bitmap but not B's is witnessed by at least one element of A\\B, and
+    distinct bits need distinct witnesses, so
+
+        popcount(bits(A) XOR bits(B)) <= |A Δ B|        (Jaccard form)
+        popcount(bits(A) & ~bits(B)) <= |A \\ B|        (containment form)
+
+    Collisions only LOWER the left side — the filter can under-prune,
+    never over-prune, so recall is untouched at any width. 256 bits
+    against ~50-digest documents leaves the expected XOR popcount of a
+    non-matching pair (~77) far above the Jaccard-0.5 admission bound
+    (~35), which is what gives the filter its measured 98.8% candidate
+    kill on the sf0.1 corpus (494,223 -> 6,024, exactly the true pair
+    set; see OPTIMIZATION_r14.md)."""
+    n_bits = 64 * n_words
+    return [
+        F.expr(
+            f"aggregate(filter(_dx, d -> pmod(d, {n_bits}) div 64 = {k}), 0L, "
+            f"(acc, d) -> acc | shiftleft(1L, cast(pmod(d, 64) as int)))"
+        ).alias(f"_bm{k}")
+        for k in range(n_words)
+    ]
+
+
 def jaccard_pairs_prefix_filter(
     df: DataFrame | None,
     id_col: str = "doc_id",
@@ -641,7 +673,7 @@ def jaccard_pairs_prefix_filter(
         F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
     )
     required = F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
-    cand = (
+    cand_stats = (
         pa.join(pb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: |B| >= t|A| and |A| >= t|B|
@@ -668,14 +700,48 @@ def jaccard_pairs_prefix_filter(
             >= F.lit(threshold / (1.0 + threshold)) * (F.col("_sza") + F.col("_szb"))
             - eps
         )
+    )
+    # Pair-level bitmap filter (round 14, VERDICT r13 item 1 — cut the
+    # candidate volume reaching the array-intersect stage): the pair bounds
+    # above are rank-only and pass ~80x more pairs than survive (measured:
+    # 494,223 candidates for 6,024 pairs, 97% sharing exactly ONE prefix
+    # token — a rank-level bound cannot kill a single-shared-rare-token
+    # pair whose sizes leave enough slack). The bitmap carries 256 bits of
+    # suffix CONTENT per doc: prune when popcount(bits(A) XOR bits(B)) —
+    # an exact lower bound on |A Δ B| — exceeds the largest symmetric
+    # difference the downstream round-4 comparison could still admit
+    # (J >= t - 5e-5, spelled with t - 1e-4 + eps slack so the bitmap can
+    # never out-prune the digest verify below). The published PPJoin+
+    # depth-1 suffix filter was implemented and A/B-measured first: it
+    # prunes only 12.8% here — the Hamming-partition signal needs value-
+    # locality that uniform 60-bit digests do not have — while the bitmap
+    # kills 98.8% (exactly the true pair set) for 8 bytes x 4 per doc.
+    t_eff = threshold - 1e-4
+    bm = shingled.select(F.col(id_col).alias("_bid"), digests.alias("_dx")).select(
+        "_bid", *_digest_bitmaps(F.col("_dx"))
+    )
+    ba = bm.select(F.col("_bid").alias("id_a"), *[F.col(f"_bm{k}").alias(f"_ba{k}") for k in range(4)])
+    bb = bm.select(F.col("_bid").alias("id_b"), *[F.col(f"_bm{k}").alias(f"_bb{k}") for k in range(4)])
+    xor_pc = sum(F.bit_count(F.expr(f"_ba{k} ^ _bb{k}")) for k in range(4))
+    max_delta = (F.col("_sza") + F.col("_szb")).cast("double") * F.lit(
+        (1.0 - t_eff) / (1.0 + t_eff)
+    )
+    cand = (
+        cand_stats.join(ba, "id_a")
+        .join(bb, "id_b")
+        .filter(xor_pc.cast("double") <= max_delta + eps)
         .select("id_a", "id_b")
     )
     # Digest-space pre-verification (round-13 optimization, guide §1.2
     # step 2 — make the per-task work cheap): the surviving candidate set
-    # is typically ~100x the true pair set, and intersecting STRING shingle
-    # arrays for every candidate was the query's single largest cost
-    # (measured at sf0.1: 494k candidates, 3.7 s string verify vs 1.7 s on
-    # the 8-byte digest arrays — string hashing dominates array_intersect).
+    # was ~100x the true pair set before the bitmap filter above, and
+    # intersecting STRING shingle arrays for every candidate was the
+    # query's single largest cost (measured at sf0.1: 494k candidates,
+    # 3.7 s string verify vs 1.7 s on the 8-byte digest arrays — string
+    # hashing dominates array_intersect). The bitmap filter only proves
+    # pairs BELOW threshold; this stage applies the IDENTICAL round-4
+    # comparison, so the output set is decided here and re-asserted on
+    # strings below.
     # The prefilter applies the IDENTICAL round-4 jaccard comparison in
     # digest space; absent a within-pair digest collision, per-pair digest
     # jaccard EQUALS string jaccard (distinct shingles map to distinct
@@ -919,8 +985,31 @@ def containment_pairs_prefix_filter(
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(F.col("sz_b") >= required - eps)
         .filter(overlap_bound >= required - eps)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sz_a")
         .distinct()
+    )
+    # Pair-level bitmap filter, containment form (round 14 — the q75
+    # retune's asymmetric twin): popcount(bits(A) & ~bits(B)) is an exact
+    # lower bound on |A \ B| (every A-only bit is witnessed by a distinct
+    # element of A\B), and containment >= t forces |A \ B| <= (1-t)|A| —
+    # prune when the bitmap already proves more misses than that. Sound at
+    # any width (collisions only under-prune); the unrounded comparison
+    # below is untouched, so the output set is still decided by the digest
+    # containment and re-asserted on the true shingle arrays.
+    bm = shingled.select(F.col(id_col).alias("_bid"), digests.alias("_dx")).select(
+        "_bid", *_digest_bitmaps(F.col("_dx"))
+    )
+    ba = bm.select(F.col("_bid").alias("id_a"), *[F.col(f"_bm{k}").alias(f"_ba{k}") for k in range(4)])
+    bb = bm.select(F.col("_bid").alias("id_b"), *[F.col(f"_bm{k}").alias(f"_bb{k}") for k in range(4)])
+    miss_pc = sum(F.bit_count(F.expr(f"_ba{k} & ~_bb{k}")) for k in range(4))
+    cand = (
+        cand.join(ba, "id_a")
+        .join(bb, "id_b")
+        .filter(
+            miss_pc.cast("double")
+            <= (F.lit(1.0) - F.lit(threshold)) * F.col("sz_a").cast("double") + eps
+        )
+        .select("id_a", "id_b")
     )
     # Digest-space pre-verification (the q75 round-13 retune): intersect
     # the 8-byte digest arrays for the full candidate set and apply the
