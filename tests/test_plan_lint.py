@@ -305,7 +305,12 @@ _ADJUDICATED = {
         "q170_weekly_psi_trend",  # week>0 / week==0 splits over the computed week column
         "q174_theil_sen_trend",  # da < db pair predicate over computed day indices
         "q158_token_entropy",  # length-gate split over the computed token-array size
-        "q192_cluster_quality_spread",  # inherits q43's post-shingle similarity filters via the pair artifact
+        # q76/q192: the cluster-join's isnotnull gate over the mutated
+        # corpus leg's COMPUTED key (doc_id + 100000) — intrinsically
+        # post-IO. (Round 14 re-audit: the r10-era comment blamed q43's
+        # inherited mining filters; those left the plan with the
+        # cluster-label artifact, this one is the fixture's own.)
+        "q192_cluster_quality_spread",
     },
     "python-row-udf": set(),  # zero tolerance — Arrow or built-ins only
     # exact percentile/median aggregates: legitimate ONLY over a measure
